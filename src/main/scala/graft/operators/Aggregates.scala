@@ -1,0 +1,215 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.Tables
+
+/** SURVEY.md §2.D — aggregation operators.
+  *
+  * Scale notes (SURVEY §4.4): every query here is a hash aggregate with
+  * map-side partial aggregation (`HashAggregateExec` partial+final), so the
+  * shuffle carries one row per (partition, group), not per input row — the
+  * pattern that survives 100 TB. `countDistinct` expands to the standard
+  * two-phase distinct; `approx_count_distinct` is the HLL scale path.
+  * Determinism: every result ends in a total ORDER BY and rounds doubles
+  * (SURVEY §2.Z).
+  */
+object Aggregates {
+
+  /** TPC-H q1 pricing summary — the flagship query (`SparkEntry.entry`).
+    * Fixture `l_shipdate` is a timestamp, not DATE (FIXTURES.md). */
+  def aggGroupby(spark: SparkSession, dir: String): DataFrame = {
+    val disc   = col("l_extendedprice") * (lit(1) - col("l_discount"))
+    val charge = disc * (lit(1) + col("l_tax"))
+    Tables.lineitem(spark, dir)
+      .filter(col("l_shipdate") <= lit("1998-09-02").cast("timestamp"))
+      .groupBy("l_returnflag", "l_linestatus")
+      .agg(
+        round(sum("l_quantity"), 2).as("sum_qty"),
+        round(sum("l_extendedprice"), 2).as("sum_base_price"),
+        round(sum(disc), 2).as("sum_disc_price"),
+        round(sum(charge), 2).as("sum_charge"),
+        round(avg("l_quantity"), 6).as("avg_qty"),
+        round(avg("l_extendedprice"), 6).as("avg_price"),
+        round(avg("l_discount"), 6).as("avg_disc"),
+        count(lit(1)).as("count_order"))
+      .orderBy("l_returnflag", "l_linestatus")
+  }
+
+  def aggGlobal(spark: SparkSession, dir: String): DataFrame =
+    Tables.lineitem(spark, dir).agg(
+      round(sum("l_quantity"), 2).as("sum_qty"),
+      round(sum("l_extendedprice"), 2).as("sum_price"),
+      round(avg("l_extendedprice"), 6).as("avg_price"),
+      round(min("l_extendedprice"), 2).as("min_price"),
+      round(max("l_extendedprice"), 2).as("max_price"),
+      count(lit(1)).as("n"))
+
+  def aggDistinct(spark: SparkSession, dir: String): DataFrame =
+    Tables.events(spark, dir)
+      .groupBy("event_type")
+      .agg(
+        countDistinct("user_id").as("users"),
+        count(lit(1)).as("n"))
+      .orderBy("event_type")
+
+  /** HLL sketch distinct — no-oracle (Spark's HLL ≠ DuckDB's); unit-tested
+    * against exact counts within the 5% rsd instead (SURVEY §2.Z.7). */
+  def aggApproxHll(spark: SparkSession, dir: String): DataFrame =
+    Tables.events(spark, dir)
+      .groupBy("event_type")
+      .agg(approx_count_distinct(col("user_id"), 0.05).as("approx_users"))
+      .orderBy("event_type")
+
+  private def ordersWithNation(spark: SparkSession, dir: String): DataFrame =
+    Tables.orders(spark, dir)
+      .join(broadcast(Tables.customer(spark, dir)), col("o_custkey") === col("c_custkey"))
+      .join(broadcast(Tables.nation(spark, dir)), col("c_nationkey") === col("n_nationkey"))
+
+  /** GROUPING SETS ((nation),(priority),()) with coalesce'd 'ALL' markers —
+    * the validated formulation that sidesteps NULL-ordering divergence
+    * (SURVEY §2.D agg_rollup note). SQL-form: identical text runs on both
+    * engines. */
+  def aggGroupingSets(spark: SparkSession, dir: String): DataFrame = {
+    Tables.registerAll(spark, dir)
+    spark.sql(
+      """SELECT coalesce(n_name, 'ALL') AS nation,
+        |       coalesce(o_orderpriority, 'ALL') AS priority,
+        |       count(*) AS n, round(sum(o_totalprice), 2) AS revenue
+        |FROM orders
+        |JOIN customer ON o_custkey = c_custkey
+        |JOIN nation ON c_nationkey = n_nationkey
+        |GROUP BY GROUPING SETS ((n_name), (o_orderpriority), ())
+        |ORDER BY nation, priority""".stripMargin)
+  }
+
+  /** SQL-form ROLLUP: the post-rollup coalesce over a multi-join trips
+    * Spark's ambiguous-self-join detection in the DF API, and the SQL text
+    * is shared verbatim with the oracle anyway. */
+  def aggRollup(spark: SparkSession, dir: String): DataFrame = {
+    Tables.registerAll(spark, dir)
+    spark.sql(
+      """SELECT coalesce(n_name, 'ALL') AS nation,
+        |       coalesce(o_orderpriority, 'ALL') AS priority,
+        |       count(*) AS n, round(sum(o_totalprice), 2) AS revenue
+        |FROM orders
+        |JOIN customer ON o_custkey = c_custkey
+        |JOIN nation ON c_nationkey = n_nationkey
+        |GROUP BY ROLLUP (n_name, o_orderpriority)
+        |ORDER BY nation, priority""".stripMargin)
+  }
+
+  def aggCube(spark: SparkSession, dir: String): DataFrame =
+    Tables.lineitem(spark, dir)
+      .cube("l_returnflag", "l_linestatus")
+      .agg(count(lit(1)).as("n"), round(sum("l_quantity"), 2).as("sum_qty"))
+      .select(
+        coalesce(col("l_returnflag"), lit("ALL")).as("returnflag"),
+        coalesce(col("l_linestatus"), lit("ALL")).as("linestatus"),
+        col("n"), col("sum_qty"))
+      .orderBy("returnflag", "linestatus")
+
+  def aggHaving(spark: SparkSession, dir: String): DataFrame =
+    Tables.orders(spark, dir)
+      .groupBy("o_custkey")
+      .agg(count(lit(1)).as("n"), round(sum("o_totalprice"), 2).as("spend"))
+      .filter(col("n") >= 12)
+      .orderBy("o_custkey")
+
+  def aggFiltered(spark: SparkSession, dir: String): DataFrame =
+    Tables.lineitem(spark, dir)
+      .groupBy("l_returnflag")
+      .agg(
+        count(when(col("l_quantity") > 25, lit(1))).as("hi_qty_cnt"),
+        round(sum(when(col("l_discount") > 0.05, col("l_extendedprice"))), 2).as("disc_rev"),
+        count(lit(1)).as("n"))
+      .orderBy("l_returnflag")
+
+  /** Per-group sorted list — sorted ⇒ deterministic (SURVEY §2.D). */
+  def aggCollect(spark: SparkSession, dir: String): DataFrame =
+    Tables.orders(spark, dir)
+      .groupBy("o_custkey")
+      .agg(sort_array(collect_list("o_orderpriority")).as("prios"))
+      .orderBy("o_custkey")
+
+  /** Arg-max with a (value, key) struct tie-break — mandatory for
+    * determinism (SURVEY §2.Z.6). */
+  def aggMinmaxBy(spark: SparkSession, dir: String): DataFrame =
+    Tables.orders(spark, dir)
+      .groupBy("o_custkey")
+      .agg(
+        max_by(col("o_orderkey"), struct(col("o_totalprice"), col("o_orderkey"))).as("top_order"),
+        min_by(col("o_orderkey"), struct(col("o_totalprice"), col("o_orderkey"))).as("bottom_order"),
+        round(max("o_totalprice"), 2).as("top_price"))
+      .orderBy("o_custkey")
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "agg_global"        -> (aggGlobal _),
+    "agg_groupby"       -> (aggGroupby _),
+    "agg_distinct"      -> (aggDistinct _),
+    "agg_approx_hll"    -> (aggApproxHll _),
+    "agg_grouping_sets" -> (aggGroupingSets _),
+    "agg_rollup"        -> (aggRollup _),
+    "agg_cube"          -> (aggCube _),
+    "agg_having"        -> (aggHaving _),
+    "agg_filtered"      -> (aggFiltered _),
+    "agg_collect"       -> (aggCollect _),
+    "agg_minmax_by"     -> (aggMinmaxBy _))
+
+  val oracleSql: Map[String, String] = Map(
+    "agg_global" ->
+      """SELECT round(sum(l_quantity),2) AS sum_qty, round(sum(l_extendedprice),2) AS sum_price,
+        | round(avg(l_extendedprice),6) AS avg_price, round(min(l_extendedprice),2) AS min_price,
+        | round(max(l_extendedprice),2) AS max_price, count(*) AS n FROM lineitem""".stripMargin,
+    "agg_groupby" ->
+      """SELECT l_returnflag, l_linestatus, round(sum(l_quantity),2) AS sum_qty,
+        | round(sum(l_extendedprice),2) AS sum_base_price,
+        | round(sum(l_extendedprice*(1-l_discount)),2) AS sum_disc_price,
+        | round(sum(l_extendedprice*(1-l_discount)*(1+l_tax)),2) AS sum_charge,
+        | round(avg(l_quantity),6) AS avg_qty, round(avg(l_extendedprice),6) AS avg_price,
+        | round(avg(l_discount),6) AS avg_disc, count(*) AS count_order
+        |FROM lineitem WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
+        |GROUP BY l_returnflag, l_linestatus ORDER BY l_returnflag, l_linestatus""".stripMargin,
+    "agg_distinct" ->
+      """SELECT event_type, count(DISTINCT user_id) AS users, count(*) AS n
+        |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
+    "agg_grouping_sets" ->
+      """SELECT coalesce(n_name,'ALL') AS nation, coalesce(o_orderpriority,'ALL') AS priority,
+        | count(*) AS n, round(sum(o_totalprice),2) AS revenue
+        |FROM orders JOIN customer ON o_custkey = c_custkey JOIN nation ON c_nationkey = n_nationkey
+        |GROUP BY GROUPING SETS ((n_name),(o_orderpriority),())
+        |ORDER BY nation, priority""".stripMargin,
+    "agg_rollup" ->
+      """SELECT coalesce(n_name,'ALL') AS nation, coalesce(o_orderpriority,'ALL') AS priority,
+        | count(*) AS n, round(sum(o_totalprice),2) AS revenue
+        |FROM orders JOIN customer ON o_custkey = c_custkey JOIN nation ON c_nationkey = n_nationkey
+        |GROUP BY ROLLUP (n_name, o_orderpriority)
+        |ORDER BY nation, priority""".stripMargin,
+    "agg_cube" ->
+      """SELECT coalesce(l_returnflag,'ALL') AS returnflag, coalesce(l_linestatus,'ALL') AS linestatus,
+        | count(*) AS n, round(sum(l_quantity),2) AS sum_qty
+        |FROM lineitem GROUP BY CUBE (l_returnflag, l_linestatus)
+        |ORDER BY returnflag, linestatus""".stripMargin,
+    "agg_having" ->
+      """SELECT o_custkey, count(*) AS n, round(sum(o_totalprice),2) AS spend
+        |FROM orders GROUP BY o_custkey HAVING count(*) >= 12 ORDER BY o_custkey""".stripMargin,
+    "agg_filtered" ->
+      """SELECT l_returnflag, count(*) FILTER (WHERE l_quantity > 25) AS hi_qty_cnt,
+        | round(sum(l_extendedprice) FILTER (WHERE l_discount > 0.05),2) AS disc_rev,
+        | count(*) AS n
+        |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
+    "agg_collect" ->
+      """SELECT o_custkey, list_sort(list(o_orderpriority)) AS prios
+        |FROM orders GROUP BY o_custkey ORDER BY o_custkey""".stripMargin,
+    "agg_minmax_by" ->
+      """WITH ranked AS (
+        |  SELECT o_custkey, o_orderkey, o_totalprice,
+        |    row_number() OVER (PARTITION BY o_custkey ORDER BY o_totalprice DESC, o_orderkey DESC) AS rmax,
+        |    row_number() OVER (PARTITION BY o_custkey ORDER BY o_totalprice ASC, o_orderkey ASC) AS rmin
+        |  FROM orders)
+        |SELECT o_custkey,
+        | max(CASE WHEN rmax = 1 THEN o_orderkey END) AS top_order,
+        | max(CASE WHEN rmin = 1 THEN o_orderkey END) AS bottom_order,
+        | round(max(o_totalprice),2) AS top_price
+        |FROM ranked GROUP BY o_custkey ORDER BY o_custkey""".stripMargin)
+}
