@@ -1,0 +1,169 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.Tables
+
+/** SURVEY.md §2.E — window functions.
+  *
+  * Scale notes: Spark's `WindowExec` is sort-based and spillable; each
+  * window below partitions by a high-cardinality key (customer/user), so
+  * the shuffle spreads evenly across executors and per-partition state
+  * stays small — the shape that survives 100 TB. Global-order windows are
+  * avoided except over pre-aggregated day-level data (≤ a few thousand
+  * rows regardless of input scale). Determinism: every ORDER BY inside a
+  * window carries a unique-key tie-break (§2.Z.6); ntile uses a fully
+  * unique ordering (its result depends on intra-tie row order).
+  */
+object Windows {
+
+  /** Top-3 orders per customer via row_number — the per-group top-k that
+    * needs no global sort. */
+  def winTopk(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy("o_custkey")
+      .orderBy(col("o_totalprice").desc, col("o_orderkey").asc)
+    Tables.orders(spark, dir)
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= 3)
+      .select("o_custkey", "rn", "o_orderkey", "o_totalprice")
+      .orderBy(col("o_custkey").asc, col("rn").asc)
+  }
+
+  /** rank / dense_rank / percent_rank / cume_dist over REAL ties (price
+    * bucket), plus ntile over a unique ordering. */
+  def winRanks(spark: SparkSession, dir: String): DataFrame = {
+    val bucket = floor(col("o_totalprice") / 50000).as("bucket")
+    val wTies = Window.partitionBy("o_orderpriority").orderBy(col("bucket").desc)
+    val wUniq = Window.partitionBy("o_orderpriority")
+      .orderBy(col("bucket").desc, col("o_orderkey").asc)
+    Tables.orders(spark, dir)
+      .select(col("o_orderpriority"), col("o_orderkey"), bucket)
+      .withColumn("rnk", rank().over(wTies))
+      .withColumn("drnk", dense_rank().over(wTies))
+      .withColumn("pr", round(percent_rank().over(wTies), 6))
+      .withColumn("cd", round(cume_dist().over(wTies), 6))
+      .withColumn("nt", ntile(4).over(wUniq))
+      .orderBy(col("o_orderpriority").asc, col("bucket").desc, col("o_orderkey").asc)
+  }
+
+  /** Per-user event deltas: `value - lag(value)`, `lead(ts)` gap in µs. */
+  def winLagLead(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy("user_id").orderBy(col("ts").asc, col("event_id").asc)
+    Tables.events(spark, dir)
+      .select(col("user_id"), col("event_id"), col("ts"), col("value"))
+      .withColumn("delta", round(col("value") - lag("value", 1).over(w), 2))
+      .withColumn("gap_us", unix_micros(lead("ts", 1).over(w)) - unix_micros(col("ts")))
+      .orderBy(col("user_id").asc, col("ts").asc, col("event_id").asc)
+  }
+
+  /** Running revenue per customer (rows unbounded-preceding..current). */
+  def winRunning(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy("o_custkey")
+      .orderBy(col("o_orderdate").asc, col("o_orderkey").asc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    Tables.orders(spark, dir)
+      .select(col("o_custkey"), col("o_orderkey"), col("o_orderdate"), col("o_totalprice"))
+      .withColumn("running", round(sum("o_totalprice").over(w), 2))
+      .orderBy(col("o_custkey").asc, col("o_orderdate").asc, col("o_orderkey").asc)
+  }
+
+  /** 7-row moving average over pre-aggregated daily revenue (day grain ⇒
+    * bounded row count at any input scale). */
+  def winMoving(spark: SparkSession, dir: String): DataFrame = {
+    val daily = Tables.orders(spark, dir)
+      .groupBy(date_trunc("day", col("o_orderdate")).as("day"))
+      .agg(round(sum("o_totalprice"), 2).as("rev"))
+    val w = Window.orderBy(col("day").asc).rowsBetween(-6, 0)
+    daily
+      .withColumn("ma7", round(avg("rev").over(w), 6))
+      .orderBy(col("day").asc)
+  }
+
+  /** 30-day trailing sum via a RANGE frame over epoch-seconds (numeric
+    * range frame works identically on both engines). */
+  def winRangeFrame(spark: SparkSession, dir: String): DataFrame = {
+    val daily = Tables.orders(spark, dir)
+      .groupBy(date_trunc("day", col("o_orderdate")).as("day"))
+      .agg(round(sum("o_totalprice"), 2).as("rev"))
+      .withColumn("day_s", unix_seconds(col("day")))
+    val w = Window.orderBy(col("day_s").asc).rangeBetween(-29L * 86400, 0)
+    daily
+      .withColumn("trailing30", round(sum("rev").over(w), 2))
+      .select("day", "rev", "trailing30")
+      .orderBy(col("day").asc)
+  }
+
+  /** first_value/last_value with an EXPLICIT unbounded frame (the default
+    * frame ends at CURRENT ROW — a classic silent-wrong-answer trap). */
+  def winFirstLast(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy("o_custkey")
+      .orderBy(col("o_orderdate").asc, col("o_orderkey").asc)
+      .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    Tables.orders(spark, dir)
+      .withColumn("first_ok", first("o_orderkey").over(w))
+      .withColumn("last_ok", last("o_orderkey").over(w))
+      .select("o_custkey", "o_orderkey", "first_ok", "last_ok")
+      .orderBy(col("o_custkey").asc, col("o_orderkey").asc)
+  }
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "win_topk"        -> (winTopk _),
+    "win_ranks"       -> (winRanks _),
+    "win_lag_lead"    -> (winLagLead _),
+    "win_running"     -> (winRunning _),
+    "win_moving"      -> (winMoving _),
+    "win_range_frame" -> (winRangeFrame _),
+    "win_first_last"  -> (winFirstLast _))
+
+  val oracleSql: Map[String, String] = Map(
+    "win_topk" ->
+      """SELECT o_custkey, rn, o_orderkey, o_totalprice FROM (
+        |  SELECT o_custkey, o_orderkey, o_totalprice,
+        |    row_number() OVER (PARTITION BY o_custkey ORDER BY o_totalprice DESC, o_orderkey ASC) AS rn
+        |  FROM orders) t
+        |WHERE rn <= 3 ORDER BY o_custkey ASC, rn ASC""".stripMargin,
+    "win_ranks" ->
+      """SELECT o_orderpriority, o_orderkey, CAST(floor(o_totalprice/50000) AS BIGINT) AS bucket,
+        |  rank() OVER w AS rnk, dense_rank() OVER w AS drnk,
+        |  round(percent_rank() OVER w, 6) AS pr, round(cume_dist() OVER w, 6) AS cd,
+        |  ntile(4) OVER wu AS nt
+        |FROM orders
+        |WINDOW w AS (PARTITION BY o_orderpriority ORDER BY floor(o_totalprice/50000) DESC),
+        |       wu AS (PARTITION BY o_orderpriority ORDER BY floor(o_totalprice/50000) DESC, o_orderkey ASC)
+        |ORDER BY o_orderpriority ASC, bucket DESC, o_orderkey ASC""".stripMargin,
+    "win_lag_lead" ->
+      """SELECT user_id, event_id, ts, value,
+        |  round(value - lag(value, 1) OVER w, 2) AS delta,
+        |  epoch_us(lead(ts, 1) OVER w) - epoch_us(ts) AS gap_us
+        |FROM events
+        |WINDOW w AS (PARTITION BY user_id ORDER BY ts ASC, event_id ASC)
+        |ORDER BY user_id ASC, ts ASC, event_id ASC""".stripMargin,
+    "win_running" ->
+      """SELECT o_custkey, o_orderkey, o_orderdate, o_totalprice,
+        |  round(sum(o_totalprice) OVER (PARTITION BY o_custkey ORDER BY o_orderdate ASC, o_orderkey ASC
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 2) AS running
+        |FROM orders ORDER BY o_custkey ASC, o_orderdate ASC, o_orderkey ASC""".stripMargin,
+    "win_moving" ->
+      """WITH daily AS (
+        |  SELECT date_trunc('day', o_orderdate) AS day, round(sum(o_totalprice),2) AS rev
+        |  FROM orders GROUP BY day)
+        |SELECT day, rev,
+        |  round(avg(rev) OVER (ORDER BY day ASC ROWS BETWEEN 6 PRECEDING AND CURRENT ROW), 6) AS ma7
+        |FROM daily ORDER BY day ASC""".stripMargin,
+    "win_range_frame" ->
+      """WITH daily AS (
+        |  SELECT date_trunc('day', o_orderdate) AS day, round(sum(o_totalprice),2) AS rev
+        |  FROM orders GROUP BY day)
+        |SELECT day, rev,
+        |  round(sum(rev) OVER (ORDER BY epoch(day) ASC RANGE BETWEEN 2505600 PRECEDING AND CURRENT ROW), 2) AS trailing30
+        |FROM daily ORDER BY day ASC""".stripMargin,
+    "win_first_last" ->
+      """SELECT o_custkey, o_orderkey,
+        |  first_value(o_orderkey) OVER w AS first_ok,
+        |  last_value(o_orderkey) OVER w AS last_ok
+        |FROM orders
+        |WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate ASC, o_orderkey ASC
+        |  ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
+        |ORDER BY o_custkey ASC, o_orderkey ASC""".stripMargin)
+}
