@@ -1,0 +1,94 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.Tables
+
+/** SURVEY.md §2.C (advanced) — theta/band, as-of, and interval joins.
+  *
+  * Scale notes (SURVEY §4.4): none of these is an unbounded cross join —
+  * each carries an equi component (brand / user) that Catalyst plans as a
+  * hash/sort-merge join, with the range predicate applied as a post-join
+  * filter inside the same stage. The as-of join is the group-by-arg-max
+  * formulation: partial aggregation pushes the max(struct) to the map
+  * side, so the shuffle carries one row per event, not per candidate
+  * match; at 100 TB the upgrade path is a sort-merge on (user, time) with
+  * last-value carry (custom strategy, SURVEY §4.3 — not needed at bench
+  * scale). Tie-breaks: (o_orderdate, o_orderkey) struct max (§2.Z.6).
+  */
+object JoinsAdvanced {
+
+  /** Band (theta) join: part pairs within the same brand whose sizes differ
+    * by ≤ 2. Equi on brand bounds the candidate set; `a_key < b_key`
+    * canonicalizes pairs. */
+  def joinThetaBand(spark: SparkSession, dir: String): DataFrame = {
+    val p = Tables.part(spark, dir)
+    val a = p.select(col("p_partkey").as("a_key"), col("p_brand").as("brand"), col("p_size").as("a_size"))
+    val b = p.select(col("p_partkey").as("b_key"), col("p_brand").as("b_brand"), col("p_size").as("b_size"))
+    a.join(b, col("brand") === col("b_brand") &&
+             col("a_key") < col("b_key") &&
+             abs(col("a_size") - col("b_size")) <= 2)
+      .groupBy("brand")
+      .agg(count(lit(1)).as("pairs"),
+           round(avg(abs(col("a_size") - col("b_size"))), 6).as("avg_diff"))
+      .orderBy(col("brand").asc)
+  }
+
+  /** As-of join: each event picks the user's most recent order at/before
+    * its timestamp, via group-by arg-max with a (date, key) tie-break. */
+  def joinAsof(spark: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(spark, dir).select("event_id", "ts", "user_id")
+    val od = Tables.orders(spark, dir).select("o_custkey", "o_orderkey", "o_orderdate")
+    ev.join(od, col("user_id") === col("o_custkey") && col("o_orderdate") <= col("ts"))
+      .groupBy("event_id", "ts", "user_id")
+      .agg(max(struct(col("o_orderdate"), col("o_orderkey"))).as("best"))
+      .select(
+        col("event_id"), col("ts"), col("user_id"),
+        col("best.o_orderdate").as("best_orderdate"),
+        col("best.o_orderkey").as("best_orderkey"))
+      .orderBy(col("event_id").asc)
+  }
+
+  /** Interval join: for each event, how many events of the same user fall
+    * in [ts, ts + 1h) — equi on user, range on time. */
+  def joinInterval(spark: SparkSession, dir: String): DataFrame = {
+    val e = Tables.events(spark, dir)
+    val a = e.select(col("event_id").as("a_id"), col("user_id").as("a_user"), col("ts").as("a_ts"))
+    val b = e.select(col("user_id").as("b_user"), col("ts").as("b_ts"))
+    a.join(b, col("a_user") === col("b_user") &&
+             col("b_ts") >= col("a_ts") &&
+             col("b_ts") < col("a_ts") + expr("INTERVAL 1 HOUR"))
+      .groupBy(col("a_id").as("event_id"))
+      .agg(count(lit(1)).as("n"))
+      .orderBy(col("event_id").asc)
+  }
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "join_theta_band" -> (joinThetaBand _),
+    "join_asof"       -> (joinAsof _),
+    "join_interval"   -> (joinInterval _))
+
+  val oracleSql: Map[String, String] = Map(
+    "join_theta_band" ->
+      """SELECT a.p_brand AS brand, count(*) AS pairs,
+        | round(avg(abs(a.p_size - b.p_size)), 6) AS avg_diff
+        |FROM part a JOIN part b
+        |  ON a.p_brand = b.p_brand AND a.p_partkey < b.p_partkey
+        | AND abs(a.p_size - b.p_size) <= 2
+        |GROUP BY brand ORDER BY brand ASC""".stripMargin,
+    "join_asof" ->
+      """WITH j AS (
+        |  SELECT e.event_id, e.ts, e.user_id, o.o_orderkey, o.o_orderdate,
+        |    row_number() OVER (PARTITION BY e.event_id
+        |      ORDER BY o.o_orderdate DESC, o.o_orderkey DESC) AS rn
+        |  FROM events e JOIN orders o
+        |    ON e.user_id = o.o_custkey AND o.o_orderdate <= e.ts)
+        |SELECT event_id, ts, user_id, o_orderdate AS best_orderdate, o_orderkey AS best_orderkey
+        |FROM j WHERE rn = 1 ORDER BY event_id ASC""".stripMargin,
+    "join_interval" ->
+      """SELECT a.event_id, count(*) AS n
+        |FROM events a JOIN events b
+        |  ON a.user_id = b.user_id
+        | AND b.ts >= a.ts AND b.ts < a.ts + INTERVAL 1 HOUR
+        |GROUP BY a.event_id ORDER BY a.event_id ASC""".stripMargin)
+}
