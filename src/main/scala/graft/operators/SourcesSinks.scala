@@ -1,0 +1,173 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+import graft.Tables
+
+/** SURVEY.md §2.A — scans, file-format ingest round-trips, and the
+  * partitioned/idempotent sinks that stand in for the reference's
+  * ClickHouse loading semantics (no ClickHouse server offline; dynamic
+  * partition overwrite IS the partition-replace idempotency property —
+  * SURVEY §0/§2.A).
+  *
+  * Scale notes: the CSV/JSON round-trips use explicit schemas (never
+  * inference — an extra full scan at 100 TB); the partitioned sink writes
+  * month-partitioned parquet so a re-load of one month replaces exactly
+  * that directory (`partitionOverwriteMode=dynamic` = per-partition
+  * atomic replace); partition pruning then serves month-ranged reads.
+  * Round-trip outputs are aggregates, so oracle equality proves the
+  * format round-trip was lossless.
+  */
+object SourcesSinks {
+
+  /** Scratch area outside the repo; keyed by scale factor so sf0.01
+    * verify and sf0.1 bench don't collide. */
+  private def scratch(dir: String, op: String): String =
+    s"/tmp/graft_io/${op}_${dir.replaceAll("[^A-Za-z0-9]", "_")}"
+
+  /** Scan all 10 tables: per-table row count + primary-key min/max —
+    * validates every loader (incl. the events ns-timestamp path). */
+  def scanParquet(spark: SparkSession, dir: String): DataFrame = {
+    val keys = Seq(
+      "region" -> "r_regionkey", "nation" -> "n_nationkey", "customer" -> "c_custkey",
+      "supplier" -> "s_suppkey", "part" -> "p_partkey", "orders" -> "o_orderkey",
+      "lineitem" -> "l_orderkey", "events" -> "event_id", "documents" -> "doc_id",
+      "embeddings" -> "vec_id")
+    keys.map { case (t, k) =>
+      Tables.byName(spark, dir, t).agg(
+        lit(t).as("tbl"),
+        count(lit(1)).as("rows"),
+        min(col(k)).cast("bigint").as("key_min"),
+        max(col(k)).cast("bigint").as("key_max"))
+        .select("tbl", "rows", "key_min", "key_max")
+    }.reduce(_ unionAll _).orderBy(col("tbl").asc)
+  }
+
+  /** Billing-loader core (reference's dataflow, SURVEY §3.1): export a
+    * lineitem projection to CSV, re-read with an EXPLICIT schema,
+    * aggregate. Oracle aggregates the parquet directly — equality proves
+    * the round-trip lost nothing. */
+  def ingestCsv(spark: SparkSession, dir: String): DataFrame = {
+    val out = scratch(dir, "csv")
+    exportProjection(spark, dir).write.mode("overwrite").option("header", "true").csv(out)
+    val schema = StructType(Seq(
+      StructField("okey", LongType), StructField("line", IntegerType),
+      StructField("flag", StringType), StructField("qty", DoubleType),
+      StructField("price", DoubleType), StructField("ship", StringType)))
+    aggregateRoundtrip(spark.read.schema(schema).option("header", "true").csv(out))
+  }
+
+  /** Same round-trip through JSON lines. */
+  def ingestJson(spark: SparkSession, dir: String): DataFrame = {
+    val out = scratch(dir, "json")
+    exportProjection(spark, dir).write.mode("overwrite").json(out)
+    val schema = StructType(Seq(
+      StructField("okey", LongType), StructField("line", IntegerType),
+      StructField("flag", StringType), StructField("qty", DoubleType),
+      StructField("price", DoubleType), StructField("ship", StringType)))
+    aggregateRoundtrip(spark.read.schema(schema).json(out))
+  }
+
+  /** Keys/strings/2dp-rounded doubles; timestamps formatted to seconds —
+    * the text-format-safe projection (SURVEY §2.A ingest_csv notes). */
+  private def exportProjection(spark: SparkSession, dir: String): DataFrame =
+    Tables.lineitem(spark, dir).select(
+      col("l_orderkey").as("okey"),
+      col("l_linenumber").as("line"),
+      col("l_returnflag").as("flag"),
+      round(col("l_quantity"), 2).as("qty"),
+      round(col("l_extendedprice"), 2).as("price"),
+      date_format(col("l_shipdate"), "yyyy-MM-dd HH:mm:ss").as("ship"))
+
+  private def aggregateRoundtrip(df: DataFrame): DataFrame =
+    df.groupBy("flag")
+      .agg(
+        count(lit(1)).as("n"),
+        round(sum("qty"), 2).as("sum_qty"),
+        round(sum("price"), 2).as("sum_price"),
+        min("ship").as("first_ship"),
+        max("ship").as("last_ship"))
+      .orderBy(col("flag").asc)
+
+  /** ClickHouse `PARTITION BY toYYYYMM(date)` analog: write orders
+    * partitioned by month, read back, count per partition. */
+  def sinkPartitioned(spark: SparkSession, dir: String): DataFrame = {
+    val out = scratch(dir, "part")
+    Tables.orders(spark, dir)
+      .withColumn("month", date_format(col("o_orderdate"), "yyyy-MM"))
+      .write.mode("overwrite").partitionBy("month").parquet(out)
+    spark.read.parquet(out)
+      .groupBy("month")
+      .agg(count(lit(1)).as("n"), round(sum("o_totalprice"), 2).as("rev"))
+      .orderBy(col("month").asc)
+  }
+
+  /** The reference's KEY correctness property (SURVEY §2.A): re-loading one
+    * month under dynamic partition overwrite replaces that partition
+    * instead of duplicating it. Re-writes 1996-03, then proves totals are
+    * unchanged vs the source table. */
+  def sinkIdempotent(spark: SparkSession, dir: String): DataFrame = {
+    val out = scratch(dir, "idem")
+    val orders = Tables.orders(spark, dir)
+      .withColumn("month", date_format(col("o_orderdate"), "yyyy-MM"))
+    orders.write.mode("overwrite").partitionBy("month").parquet(out)
+    val prev = spark.conf.getOption("spark.sql.sources.partitionOverwriteMode")
+    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+    try
+      orders.filter(col("month") === "1996-03") // re-deliver one month
+        .write.mode("overwrite").partitionBy("month").parquet(out)
+    finally prev match {
+      case Some(v) => spark.conf.set("spark.sql.sources.partitionOverwriteMode", v)
+      case None    => spark.conf.unset("spark.sql.sources.partitionOverwriteMode")
+    }
+    spark.read.parquet(out).agg(
+      count(lit(1)).as("total_rows"),
+      count(when(col("month") === "1996-03", lit(1))).as("march96_rows"),
+      round(sum("o_totalprice"), 2).as("rev"))
+  }
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "scan_parquet"     -> (scanParquet _),
+    "ingest_csv"       -> (ingestCsv _),
+    "ingest_json"      -> (ingestJson _),
+    "sink_partitioned" -> (sinkPartitioned _),
+    "sink_idempotent"  -> (sinkIdempotent _))
+
+  val oracleSql: Map[String, String] = Map(
+    "scan_parquet" ->
+      """SELECT 'region' AS tbl, count(*) AS rows, CAST(min(r_regionkey) AS BIGINT) AS key_min, CAST(max(r_regionkey) AS BIGINT) AS key_max FROM region
+        |UNION ALL SELECT 'nation', count(*), min(n_nationkey), max(n_nationkey) FROM nation
+        |UNION ALL SELECT 'customer', count(*), min(c_custkey), max(c_custkey) FROM customer
+        |UNION ALL SELECT 'supplier', count(*), min(s_suppkey), max(s_suppkey) FROM supplier
+        |UNION ALL SELECT 'part', count(*), min(p_partkey), max(p_partkey) FROM part
+        |UNION ALL SELECT 'orders', count(*), min(o_orderkey), max(o_orderkey) FROM orders
+        |UNION ALL SELECT 'lineitem', count(*), min(l_orderkey), max(l_orderkey) FROM lineitem
+        |UNION ALL SELECT 'events', count(*), min(event_id), max(event_id) FROM events
+        |UNION ALL SELECT 'documents', count(*), min(doc_id), max(doc_id) FROM documents
+        |UNION ALL SELECT 'embeddings', count(*), min(vec_id), max(vec_id) FROM embeddings
+        |ORDER BY tbl ASC""".stripMargin,
+    "ingest_csv" ->
+      """SELECT l_returnflag AS flag, count(*) AS n,
+        | round(sum(round(l_quantity, 2)), 2) AS sum_qty,
+        | round(sum(round(l_extendedprice, 2)), 2) AS sum_price,
+        | strftime(min(l_shipdate), '%Y-%m-%d %H:%M:%S') AS first_ship,
+        | strftime(max(l_shipdate), '%Y-%m-%d %H:%M:%S') AS last_ship
+        |FROM lineitem GROUP BY flag ORDER BY flag ASC""".stripMargin,
+    "ingest_json" ->
+      """SELECT l_returnflag AS flag, count(*) AS n,
+        | round(sum(round(l_quantity, 2)), 2) AS sum_qty,
+        | round(sum(round(l_extendedprice, 2)), 2) AS sum_price,
+        | strftime(min(l_shipdate), '%Y-%m-%d %H:%M:%S') AS first_ship,
+        | strftime(max(l_shipdate), '%Y-%m-%d %H:%M:%S') AS last_ship
+        |FROM lineitem GROUP BY flag ORDER BY flag ASC""".stripMargin,
+    "sink_partitioned" ->
+      """SELECT strftime(o_orderdate, '%Y-%m') AS month, count(*) AS n,
+        | round(sum(o_totalprice), 2) AS rev
+        |FROM orders GROUP BY month ORDER BY month ASC""".stripMargin,
+    "sink_idempotent" ->
+      """SELECT count(*) AS total_rows,
+        | count(*) FILTER (WHERE strftime(o_orderdate, '%Y-%m') = '1996-03') AS march96_rows,
+        | round(sum(o_totalprice), 2) AS rev
+        |FROM orders""".stripMargin)
+}

@@ -1,0 +1,123 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.Tables
+
+/** SURVEY.md §2.I — streaming semantics, declared in batch form over
+  * `events` (the driver's t2/bench harness is batch); the SAME logic runs
+  * incrementally under Structured Streaming in the unit suite
+  * (StreamingEquivalenceSpec) with MemoryStream + watermarks, which is the
+  * batch/stream unification story: `window()`/`session_window`/
+  * `dropDuplicates` are identical calls in both modes.
+  *
+  * Scale notes: tumbling/sliding windows are hash aggregations keyed by
+  * (window, type) — partial agg then one shuffle of per-window partials;
+  * sessionization partitions by user_id (high cardinality ⇒ even spread)
+  * and is sort-based within user. At 100 TB the streaming forms carry the
+  * same plans plus state-store bookkeeping.
+  */
+object Streaming {
+
+  /** 1-hour tumbling window: count + sum per (window, event_type). */
+  def streamTumbling(spark: SparkSession, dir: String): DataFrame =
+    Tables.events(spark, dir)
+      .groupBy(window(col("ts"), "1 hour"), col("event_type"))
+      .agg(count(lit(1)).as("n"), round(sum("value"), 2).as("val"))
+      .select(col("window.start").as("wstart"), col("window.end").as("wend"),
+        col("event_type"), col("n"), col("val"))
+      .orderBy(col("wstart").asc, col("event_type").asc)
+
+  /** 1-hour window sliding every 15 min — each event lands in 4 windows. */
+  def streamSliding(spark: SparkSession, dir: String): DataFrame =
+    Tables.events(spark, dir)
+      .groupBy(window(col("ts"), "1 hour", "15 minutes"))
+      .agg(count(lit(1)).as("n"), round(sum("value"), 2).as("val"))
+      .select(col("window.start").as("wstart"), col("n"), col("val"))
+      .orderBy(col("wstart").asc)
+
+  /** 30-minute-gap sessions per user (gaps-and-islands): session count,
+    * size, value sum, span. Batch form of `session_window(ts, '30 minutes')`
+    * (the streaming call is exercised in the unit suite). */
+  def streamSession(spark: SparkSession, dir: String): DataFrame = {
+    val byUser = Window.partitionBy("user_id").orderBy(col("ts").asc, col("event_id").asc)
+    Tables.events(spark, dir)
+      .withColumn("gap_us", unix_micros(col("ts")) - unix_micros(lag("ts", 1).over(byUser)))
+      .withColumn("new_s", when(col("gap_us").isNull || col("gap_us") > 1800L * 1000000, 1L).otherwise(0L))
+      .withColumn("session_id", sum("new_s").over(byUser.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .groupBy("user_id", "session_id")
+      .agg(count(lit(1)).as("n"), round(sum("value"), 2).as("val"),
+        min("ts").as("s_start"), max("ts").as("s_end"))
+      .orderBy(col("user_id").asc, col("session_id").asc)
+  }
+
+  /** Exactly-once dedup: duplicates manufactured by a self-unionAll, then
+    * dropDuplicates on the event key (streaming form:
+    * dropDuplicatesWithinWatermark — unit suite). Aggregated so the result
+    * proves the dup rows vanished. */
+  def streamDedup(spark: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(spark, dir)
+    ev.unionAll(ev.filter(col("event_id") % 10 === 0)) // re-deliver 10%
+      .dropDuplicates("event_id")
+      .groupBy("event_type")
+      .agg(count(lit(1)).as("n"), round(sum("value"), 2).as("val"))
+      .orderBy(col("event_type").asc)
+  }
+
+  /** Watermark policy, batch analog: watermark = global max(ts) − 10 min;
+    * events older than it count as dropped, per hour. (True arrival-time
+    * watermarking is exercised in the streaming unit suite.) */
+  def streamLateData(spark: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(spark, dir)
+    val wm = ev.agg((max(unix_micros(col("ts"))) - 600L * 1000000).as("wm_us"))
+    ev.crossJoin(broadcast(wm))
+      .withColumn("status",
+        when(unix_micros(col("ts")) < col("wm_us"), "dropped").otherwise("kept"))
+      .groupBy(date_trunc("hour", col("ts")).as("hour"), col("status"))
+      .agg(count(lit(1)).as("n"))
+      .orderBy(col("hour").asc, col("status").asc)
+  }
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "stream_tumbling"  -> (streamTumbling _),
+    "stream_sliding"   -> (streamSliding _),
+    "stream_session"   -> (streamSession _),
+    "stream_dedup"     -> (streamDedup _),
+    "stream_late_data" -> (streamLateData _))
+
+  val oracleSql: Map[String, String] = Map(
+    "stream_tumbling" ->
+      """SELECT date_trunc('hour', ts) AS wstart,
+        | date_trunc('hour', ts) + INTERVAL 1 HOUR AS wend,
+        | event_type, count(*) AS n, round(sum(value), 2) AS val
+        |FROM events GROUP BY wstart, wend, event_type
+        |ORDER BY wstart ASC, event_type ASC""".stripMargin,
+    "stream_sliding" ->
+      """SELECT make_timestamp(CAST((floor((epoch(ts) - i*900)/3600)*3600 + i*900) AS BIGINT) * 1000000) AS wstart,
+        | count(*) AS n, round(sum(value), 2) AS val
+        |FROM events, (SELECT unnest([0,1,2,3]) AS i) g
+        |GROUP BY wstart ORDER BY wstart ASC""".stripMargin,
+    "stream_session" ->
+      """WITH g AS (
+        |  SELECT user_id, event_id, ts, value,
+        |    epoch_us(ts) - epoch_us(lag(ts, 1) OVER w) AS gap_us
+        |  FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts ASC, event_id ASC)),
+        |s AS (
+        |  SELECT *, CAST(sum(CASE WHEN gap_us IS NULL OR gap_us > 1800000000 THEN 1 ELSE 0 END)
+        |    OVER (PARTITION BY user_id ORDER BY ts ASC, event_id ASC
+        |          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS session_id
+        |  FROM g)
+        |SELECT user_id, session_id, count(*) AS n, round(sum(value), 2) AS val,
+        | min(ts) AS s_start, max(ts) AS s_end
+        |FROM s GROUP BY user_id, session_id ORDER BY user_id ASC, session_id ASC""".stripMargin,
+    "stream_dedup" ->
+      """SELECT event_type, count(*) AS n, round(sum(value), 2) AS val
+        |FROM events GROUP BY event_type ORDER BY event_type ASC""".stripMargin,
+    "stream_late_data" ->
+      """WITH wm AS (SELECT max(epoch_us(ts)) - 600000000 AS wm_us FROM events)
+        |SELECT date_trunc('hour', ts) AS hour,
+        | CASE WHEN epoch_us(ts) < (SELECT wm_us FROM wm) THEN 'dropped' ELSE 'kept' END AS status,
+        | count(*) AS n
+        |FROM events GROUP BY hour, status ORDER BY hour ASC, status ASC""".stripMargin)
+}
