@@ -1,0 +1,307 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.Tables
+
+/** SURVEY.md §2.J — LLM-data-pipeline operators (mandated by the task:
+  * dedup, similarity search, text analysis, multimodal rows) over the
+  * `documents` and `embeddings` fixtures.
+  *
+  * Scale notes (SURVEY §4.4):
+  *  - `llm_dedup_near` is NEVER an unblocked self-cross-join: pairs are
+  *    generated within (lang, length-band) blocks, an equi join Catalyst
+  *    executes as hash/sort-merge; at 100 TB the blocks bound the
+  *    quadratic term.
+  *  - `llm_minhash` IS the 100 TB dedup path: per-doc signatures are one
+  *    narrow map-side pass (16 xxhash64 mins via HOFs, no shuffle), then
+  *    candidate generation shuffles O(n·bands) band-hash rows instead of
+  *    O(n²) pairs — standard MinHash-LSH banding (Broder; PAPERS.md
+  *    similarity-search entries).
+  *  - kNN is brute-force dot products at bench scale (2000×64 runs in ms);
+  *    the scale path is the same LSH-bucketing pattern applied to vectors,
+  *    or IVF via a coarse k-means assignment — both compose from the
+  *    operators here (centroid assignment = `llm_centroid`'s join-back).
+  *  - All vector math runs on `array<double>` through codegen'd
+  *    higher-order functions (`zip_with`/`aggregate`) — no UDFs.
+  */
+object LlmOps {
+
+  private def toks: Column = array_distinct(split(col("text"), " "))
+
+  /** dot(a,b) via zip_with + aggregate — stays inside codegen. */
+  private def dot(a: Column, b: Column): Column =
+    aggregate(zip_with(a, b, (x, y) => x * y), lit(0.0), (acc, x) => acc + x)
+
+  private def cosine(a: Column, b: Column): Column =
+    dot(a, b) / (sqrt(dot(a, a)) * sqrt(dot(b, b)))
+
+  /** Exact text dedup: survivor = min doc_id per text (deterministic,
+    * §2.Z.6), kept-count per source. */
+  def llmDedupExact(spark: SparkSession, dir: String): DataFrame =
+    Tables.documents(spark, dir)
+      .groupBy("text")
+      .agg(min(struct(col("doc_id"), col("source"))).as("surv"))
+      .groupBy(col("surv.source").as("source"))
+      .agg(count(lit(1)).as("kept"))
+      .orderBy(col("source").asc)
+
+  /** Near-dup pairs by token-set Jaccard ≥ 0.8, blocked by
+    * (lang, n_chars/100 band) to bound the pair space. */
+  def llmDedupNear(spark: SparkSession, dir: String): DataFrame = {
+    val d = Tables.documents(spark, dir)
+      .select(col("doc_id"), col("lang"), expr("n_chars div 100").as("band"), toks.as("toks"))
+    val a = d.select(col("doc_id").as("a_id"), col("lang"), col("band"), col("toks").as("atoks"))
+    val b = d.select(col("doc_id").as("b_id"), col("lang").as("b_lang"),
+      col("band").as("b_band"), col("toks").as("btoks"))
+    val jac = size(array_intersect(col("atoks"), col("btoks"))).cast("double") /
+      size(array_union(col("atoks"), col("btoks")))
+    a.join(b, col("lang") === col("b_lang") && col("band") === col("b_band") &&
+             col("a_id") < col("b_id"))
+      .withColumn("jac", round(jac, 6))
+      .filter(col("jac") >= 0.8)
+      .select("a_id", "b_id", "jac")
+      .orderBy(col("a_id").asc, col("b_id").asc)
+  }
+
+  /** MinHash-LSH near-dup candidates at scale: 16 min-hashes per doc
+    * (4 bands × 4 rows), bucket join on band hash, exact-Jaccard scored.
+    * No-oracle (hash functions are engine-specific); unit-tested for
+    * recall against the exact-Jaccard pairs. */
+  def llmMinhash(spark: SparkSession, dir: String): DataFrame = {
+    val base = Tables.documents(spark, dir).select(col("doc_id"), toks.as("toks"))
+    val sigs = (0 until 16).map { i =>
+      array_min(transform(col("toks"), t => xxhash64(concat(t, lit("#" + i))))).as(s"h$i")
+    }
+    val sig = base.select(col("doc_id") +: sigs: _*)
+    val bandCols = (0 until 4).map { bIdx =>
+      struct(lit(bIdx).as("band"),
+        xxhash64(col(s"h${4 * bIdx}"), col(s"h${4 * bIdx + 1}"),
+          col(s"h${4 * bIdx + 2}"), col(s"h${4 * bIdx + 3}")).as("bh"))
+    }
+    val bands = sig
+      .select(col("doc_id"), explode(array(bandCols: _*)).as("bnd"))
+      .select(col("doc_id"), col("bnd.band").as("band"), col("bnd.bh").as("bh"))
+    val cand = bands.as("x")
+      .join(bands.as("y"),
+        col("x.band") === col("y.band") && col("x.bh") === col("y.bh") &&
+          col("x.doc_id") < col("y.doc_id"))
+      .select(col("x.doc_id").as("a_id"), col("y.doc_id").as("b_id"))
+      .distinct()
+    val ta = base.select(col("doc_id").as("a_id"), col("toks").as("atoks"))
+    val tb = base.select(col("doc_id").as("b_id"), col("toks").as("btoks"))
+    val jac = size(array_intersect(col("atoks"), col("btoks"))).cast("double") /
+      size(array_union(col("atoks"), col("btoks")))
+    cand.join(ta, "a_id").join(tb, "b_id")
+      .select(col("a_id"), col("b_id"), round(jac, 6).as("jac"))
+      .orderBy(col("a_id").asc, col("b_id").asc)
+  }
+
+  private def embDouble(spark: SparkSession, dir: String): DataFrame =
+    Tables.embeddings(spark, dir)
+      .select(col("vec_id"), col("label"), col("embedding").cast("array<double>").as("e"))
+
+  /** Brute-force cosine top-10 around vec_id=0 — the kNN baseline. */
+  def llmCosineKnn(spark: SparkSession, dir: String): DataFrame = {
+    val emb = embDouble(spark, dir)
+    val q = emb.filter(col("vec_id") === 0).select(col("e").as("qe"))
+    emb.filter(col("vec_id") =!= 0)
+      .crossJoin(broadcast(q))
+      .select(col("vec_id"), round(cosine(col("e"), col("qe")), 6).as("sim"))
+      .orderBy(col("sim").desc, col("vec_id").asc)
+      .limit(10)
+  }
+
+  /** Brute-force kNN JOIN: top-5 neighbors for each of the 5 query
+    * vectors (vec_id < 5) via broadcast + per-query window top-k. */
+  def llmKnnJoin(spark: SparkSession, dir: String): DataFrame = {
+    val emb = embDouble(spark, dir)
+    val q = emb.filter(col("vec_id") < 5).select(col("vec_id").as("q_id"), col("e").as("qe"))
+    val w = Window.partitionBy("q_id").orderBy(col("sim").desc, col("n_id").asc)
+    emb.select(col("vec_id").as("n_id"), col("e"))
+      .crossJoin(broadcast(q))
+      .filter(col("n_id") =!= col("q_id"))
+      .select(col("q_id"), col("n_id"), round(cosine(col("e"), col("qe")), 6).as("sim"))
+      .withColumn("rnk", row_number().over(w))
+      .filter(col("rnk") <= 5)
+      .select("q_id", "rnk", "n_id", "sim")
+      .orderBy(col("q_id").asc, col("rnk").asc)
+  }
+
+  /** Per-label centroid, per-vector distance to own centroid, per-label
+    * mean radius — the IVF-style assignment building block. */
+  def llmCentroid(spark: SparkSession, dir: String): DataFrame = {
+    val el = embDouble(spark, dir)
+      .select(col("vec_id"), col("label"), posexplode(col("e")).as(Seq("i", "x")))
+    val c = el.groupBy("label", "i").agg(avg("x").as("cx"))
+    val d = el.join(c, Seq("label", "i"))
+      .groupBy("vec_id", "label")
+      .agg(sqrt(sum(pow(col("x") - col("cx"), 2))).as("dist"))
+    d.groupBy("label")
+      .agg(count(lit(1)).as("n"), round(avg("dist"), 6).as("avg_radius"))
+      .orderBy(col("label").asc)
+  }
+
+  /** Text analysis per (lang, source): doc count, avg chars, avg tokens,
+    * vocabulary size. */
+  def llmTextStats(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(spark, dir)
+    val ds = docs
+      .select(col("lang"), col("source"), col("n_chars"), size(split(col("text"), " ")).as("ntok"))
+      .groupBy("lang", "source")
+      .agg(count(lit(1)).as("docs"),
+        round(avg("n_chars"), 6).as("avg_chars"),
+        round(avg("ntok"), 6).as("avg_toks"))
+    val v = docs
+      .select(col("lang"), col("source"), explode(split(col("text"), " ")).as("tok"))
+      .groupBy("lang", "source")
+      .agg(countDistinct("tok").as("vocab"))
+    ds.join(v, Seq("lang", "source"))
+      .orderBy(col("lang").asc, col("source").asc)
+  }
+
+  /** Global top-20 terms by frequency, rank tie-broken by term. */
+  def llmTopTerms(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.orderBy(col("n").desc, col("tok").asc)
+    Tables.documents(spark, dir)
+      .select(explode(split(col("text"), " ")).as("tok"))
+      .groupBy("tok").agg(count(lit(1)).as("n"))
+      .withColumn("rnk", row_number().over(w))
+      .filter(col("rnk") <= 20)
+      .select("rnk", "tok", "n")
+      .orderBy(col("rnk").asc)
+  }
+
+  /** Top TF-IDF term per document (first 100 docs); idf fixed as
+    * ln((N+1)/(df+1))+1 on both engines so scores are portable. */
+  def llmTfidf(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(spark, dir)
+    val tf = docs
+      .select(col("doc_id"), explode(split(col("text"), " ")).as("tok"))
+      .groupBy("doc_id", "tok").agg(count(lit(1)).as("tf"))
+    val df = tf.groupBy("tok").agg(countDistinct("doc_id").as("df"))
+    val n = docs.agg(count(lit(1)).as("n_docs"))
+    val w = Window.partitionBy("doc_id").orderBy(col("score").desc, col("tok").asc)
+    tf.join(df, "tok").crossJoin(broadcast(n))
+      .withColumn("score",
+        round(col("tf") * (log((col("n_docs") + 1).cast("double") / (col("df") + 1)) + 1), 6))
+      .filter(col("doc_id") < 100)
+      .withColumn("rnk", row_number().over(w))
+      .filter(col("rnk") === 1)
+      .select("doc_id", "tok", "score")
+      .orderBy(col("doc_id").asc)
+  }
+
+  /** Multimodal row: text doc ⋈ its embedding (doc_id = vec_id) with
+    * per-(label, lang) stats over both modalities. */
+  def llmMultimodal(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(spark, dir).select("doc_id", "lang", "n_chars")
+    val emb = embDouble(spark, dir)
+    emb.join(docs, col("vec_id") === col("doc_id"))
+      .withColumn("norm", sqrt(dot(col("e"), col("e"))))
+      .groupBy("label", "lang")
+      .agg(count(lit(1)).as("n"),
+        round(avg("n_chars"), 6).as("avg_chars"),
+        round(avg("norm"), 6).as("avg_norm"))
+      .orderBy(col("label").asc, col("lang").asc)
+  }
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "llm_dedup_exact" -> (llmDedupExact _),
+    "llm_dedup_near"  -> (llmDedupNear _),
+    "llm_minhash"     -> (llmMinhash _),
+    "llm_cosine_knn"  -> (llmCosineKnn _),
+    "llm_knn_join"    -> (llmKnnJoin _),
+    "llm_centroid"    -> (llmCentroid _),
+    "llm_text_stats"  -> (llmTextStats _),
+    "llm_top_terms"   -> (llmTopTerms _),
+    "llm_tfidf"       -> (llmTfidf _),
+    "llm_multimodal"  -> (llmMultimodal _))
+
+  val oracleSql: Map[String, String] = Map(
+    "llm_dedup_exact" ->
+      """WITH surv AS (
+        |  SELECT source, row_number() OVER (PARTITION BY text ORDER BY doc_id ASC) AS rn
+        |  FROM documents)
+        |SELECT source, count(*) AS kept FROM surv WHERE rn = 1
+        |GROUP BY source ORDER BY source ASC""".stripMargin,
+    "llm_dedup_near" ->
+      """WITH d AS (
+        |  SELECT doc_id, lang, n_chars // 100 AS band,
+        |         list_distinct(string_split(text, ' ')) AS toks
+        |  FROM documents)
+        |SELECT a.doc_id AS a_id, b.doc_id AS b_id,
+        |  round(CAST(len(list_intersect(a.toks, b.toks)) AS DOUBLE) /
+        |        len(list_distinct(list_concat(a.toks, b.toks))), 6) AS jac
+        |FROM d a JOIN d b
+        |  ON a.lang = b.lang AND a.band = b.band AND a.doc_id < b.doc_id
+        |WHERE round(CAST(len(list_intersect(a.toks, b.toks)) AS DOUBLE) /
+        |      len(list_distinct(list_concat(a.toks, b.toks))), 6) >= 0.8
+        |ORDER BY a_id ASC, b_id ASC""".stripMargin,
+    "llm_cosine_knn" ->
+      """SELECT vec_id,
+        |  round(list_cosine_similarity(CAST(embedding AS DOUBLE[]),
+        |    (SELECT CAST(embedding AS DOUBLE[]) FROM embeddings WHERE vec_id = 0)), 6) AS sim
+        |FROM embeddings WHERE vec_id <> 0
+        |ORDER BY sim DESC, vec_id ASC LIMIT 10""".stripMargin,
+    "llm_knn_join" ->
+      """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS ve FROM embeddings),
+        |p AS (
+        |  SELECT q.vec_id AS q_id, n.vec_id AS n_id,
+        |    round(list_cosine_similarity(q.ve, n.ve), 6) AS sim
+        |  FROM e q JOIN e n ON q.vec_id < 5 AND n.vec_id <> q.vec_id),
+        |r AS (SELECT *, row_number() OVER (PARTITION BY q_id ORDER BY sim DESC, n_id ASC) AS rnk FROM p)
+        |SELECT q_id, rnk, n_id, sim FROM r WHERE rnk <= 5
+        |ORDER BY q_id ASC, rnk ASC""".stripMargin,
+    "llm_centroid" ->
+      """WITH el AS (
+        |  SELECT vec_id, label, generate_subscripts(embedding, 1) AS i,
+        |         CAST(unnest(embedding) AS DOUBLE) AS x
+        |  FROM embeddings),
+        |c AS (SELECT label, i, avg(x) AS cx FROM el GROUP BY label, i),
+        |d AS (
+        |  SELECT el.vec_id, el.label, sqrt(sum(pow(el.x - c.cx, 2))) AS dist
+        |  FROM el JOIN c ON el.label = c.label AND el.i = c.i
+        |  GROUP BY el.vec_id, el.label)
+        |SELECT label, count(*) AS n, round(avg(dist), 6) AS avg_radius
+        |FROM d GROUP BY label ORDER BY label ASC""".stripMargin,
+    "llm_text_stats" ->
+      """WITH ds AS (
+        |  SELECT lang, source, count(*) AS docs, round(avg(n_chars), 6) AS avg_chars,
+        |         round(avg(len(string_split(text, ' '))), 6) AS avg_toks
+        |  FROM documents GROUP BY lang, source),
+        |v AS (
+        |  SELECT lang, source, count(DISTINCT tok) AS vocab
+        |  FROM (SELECT lang, source, unnest(string_split(text, ' ')) AS tok FROM documents) t
+        |  GROUP BY lang, source)
+        |SELECT ds.lang, ds.source, docs, avg_chars, avg_toks, vocab
+        |FROM ds JOIN v ON ds.lang = v.lang AND ds.source = v.source
+        |ORDER BY ds.lang ASC, ds.source ASC""".stripMargin,
+    "llm_top_terms" ->
+      """WITH c AS (
+        |  SELECT tok, count(*) AS n
+        |  FROM (SELECT unnest(string_split(text, ' ')) AS tok FROM documents) t
+        |  GROUP BY tok),
+        |r AS (SELECT tok, n, row_number() OVER (ORDER BY n DESC, tok ASC) AS rnk FROM c)
+        |SELECT rnk, tok, n FROM r WHERE rnk <= 20 ORDER BY rnk ASC""".stripMargin,
+    "llm_tfidf" ->
+      """WITH tf AS (
+        |  SELECT doc_id, tok, count(*) AS tf
+        |  FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents) t
+        |  GROUP BY doc_id, tok),
+        |df AS (SELECT tok, count(DISTINCT doc_id) AS df FROM tf GROUP BY tok),
+        |n AS (SELECT count(*) AS n_docs FROM documents),
+        |s AS (
+        |  SELECT tf.doc_id, tf.tok,
+        |    round(tf * (ln((n_docs + 1.0) / (df + 1)) + 1), 6) AS score
+        |  FROM tf JOIN df ON tf.tok = df.tok CROSS JOIN n
+        |  WHERE tf.doc_id < 100),
+        |r AS (SELECT *, row_number() OVER (PARTITION BY doc_id ORDER BY score DESC, tok ASC) AS rnk FROM s)
+        |SELECT doc_id, tok, score FROM r WHERE rnk = 1 ORDER BY doc_id ASC""".stripMargin,
+    "llm_multimodal" ->
+      """SELECT label, d.lang, count(*) AS n, round(avg(d.n_chars), 6) AS avg_chars,
+        |  round(avg(sqrt(list_sum(list_transform(CAST(e.embedding AS DOUBLE[]), x -> x * x)))), 6) AS avg_norm
+        |FROM embeddings e JOIN documents d ON e.vec_id = d.doc_id
+        |GROUP BY label, d.lang ORDER BY label ASC, d.lang ASC""".stripMargin)
+}
