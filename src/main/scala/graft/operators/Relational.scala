@@ -26,7 +26,7 @@ object Relational {
     * math_funcs). Rounding the raw double instead diverges on .xx5
     * boundaries (Spark rounds the shortest decimal repr, DuckDB the binary
     * value) — measured 118/60k mismatches at sf0.01. */
-  private[operators] def money(c: Column): Column =
+  private[graft] def money(c: Column): Column =
     round(c.cast("decimal(18,6)"), 2).cast("double")
 
   /** Billing-normalize projection: rename/derive the revenue and charge

@@ -1,0 +1,123 @@
+package graft
+
+import java.sql.Timestamp
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.Trigger
+
+case class Ev(event_id: Long, ts: Timestamp, user_id: Long, event_type: String, value: Double)
+
+/** SURVEY §5.2.4 — the batch/stream unification promise: the SAME
+  * transformations declared in graft.operators.Streaming produce the same
+  * results when run incrementally under Structured Streaming. Covers what
+  * the batch-mode oracle can't: micro-batch incremental state,
+  * session_window, watermark late-data drops, and the file-source
+  * incremental load that models the reference's serverless trigger loop. */
+class StreamingEquivalenceSpec extends AnyFunSuite {
+  import TestSpark._
+  import spark.implicits._
+
+  private def fixtureEvents: Seq[Ev] =
+    Tables.events(spark, sf0001)
+      .select("event_id", "ts", "user_id", "event_type", "value")
+      .as[Ev].collect().toSeq
+
+  test("tumbling-window counts: incremental == batch") {
+    implicit val ctx = spark.sqlContext
+    val evs = fixtureEvents
+    val ms = MemoryStream[Ev]
+    val q = ms.toDF()
+      .groupBy(window($"ts", "1 hour"), $"event_type")
+      .agg(count(lit(1)).as("n"))
+      .writeStream.format("memory").queryName("tumb").outputMode("complete").start()
+    try {
+      evs.grouped(400).foreach { chunk => ms.addData(chunk); q.processAllAvailable() }
+      val streamed = spark.table("tumb")
+        .select($"window.start".as("wstart"), $"event_type", $"n")
+        .collect().map(r => (r.get(0).toString, r.getString(1), r.getLong(2))).toSet
+      val batch = evs.toDF()
+        .groupBy(window($"ts", "1 hour"), $"event_type")
+        .agg(count(lit(1)).as("n"))
+        .select($"window.start".as("wstart"), $"event_type", $"n")
+        .collect().map(r => (r.get(0).toString, r.getString(1), r.getLong(2))).toSet
+      assert(streamed === batch)
+    } finally q.stop()
+  }
+
+  test("streaming dropDuplicates: re-delivered events counted once") {
+    implicit val ctx = spark.sqlContext
+    val evs = fixtureEvents.take(200)
+    val ms = MemoryStream[Ev]
+    val q = ms.toDF()
+      .dropDuplicates("event_id")
+      .groupBy($"event_type").agg(count(lit(1)).as("n"))
+      .writeStream.format("memory").queryName("dedup").outputMode("complete").start()
+    try {
+      ms.addData(evs); q.processAllAvailable()
+      ms.addData(evs.take(50)); q.processAllAvailable() // re-delivery
+      val total = spark.table("dedup").agg(sum("n")).head().getLong(0)
+      assert(total === 200L)
+    } finally q.stop()
+  }
+
+  test("session_window batch agrees with the gaps-and-islands formulation") {
+    val gi = operators.Streaming.streamSession(spark, sf0001)
+      .groupBy("user_id").agg(count(lit(1)).as("sessions"), sum("n").as("events"))
+    val sw = Tables.events(spark, sf0001)
+      .groupBy(session_window(col("ts"), "30 minutes"), col("user_id"))
+      .agg(count(lit(1)).as("n"))
+      .groupBy("user_id").agg(count(lit(1)).as("sessions"), sum("n").as("events"))
+    val a = gi.collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    val b = sw.collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(a === b)
+  }
+
+  test("watermark drops events that arrive after their window closed") {
+    implicit val ctx = spark.sqlContext
+    def ev(id: Long, t: String) = Ev(id, Timestamp.valueOf(t), 1L, "view", 1.0)
+    val ms = MemoryStream[Ev]
+    val q = ms.toDF()
+      .withWatermark("ts", "10 minutes")
+      .groupBy(window($"ts", "1 hour"))
+      .agg(count(lit(1)).as("n"))
+      .writeStream.format("memory").queryName("late").outputMode("append").start()
+    try {
+      ms.addData(ev(1, "2024-01-01 10:10:00")); q.processAllAvailable()
+      // advances the watermark to 11:50 — closes the [10:00,11:00) window
+      ms.addData(ev(2, "2024-01-01 12:00:00")); q.processAllAvailable()
+      // late arrival into the closed window — must be dropped
+      ms.addData(ev(3, "2024-01-01 10:20:00")); q.processAllAvailable()
+      // close the [12:00,13:00) window too
+      ms.addData(ev(4, "2024-01-01 14:00:00")); q.processAllAvailable()
+      val rows = spark.table("late")
+        .select($"window.start".cast("string"), $"n")
+        .collect().map(r => (r.getString(0), r.getLong(1))).toMap
+      assert(rows("2024-01-01 10:00:00") === 1L, "late event must not be counted")
+    } finally q.stop()
+  }
+
+  test("file-source incremental load == batch (the serverless trigger loop)") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_inc_").toString
+    val ckpt = java.nio.file.Files.createTempDirectory("graft_ckpt_").toString
+    val evs = fixtureEvents
+    // three "daily drops" arriving as separate files
+    evs.grouped(400).zipWithIndex.foreach { case (chunk, i) =>
+      chunk.toDF().coalesce(1).write.parquet(s"$dir/drop_$i")
+    }
+    val schema = evs.toDF().schema
+    val q = spark.readStream.schema(schema)
+      .option("recursiveFileLookup", "true").parquet(dir)
+      .groupBy($"event_type").agg(count(lit(1)).as("n"), round(sum($"value"), 2).as("val"))
+      .writeStream.format("memory").queryName("inc")
+      .option("checkpointLocation", ckpt)
+      .outputMode("complete").trigger(Trigger.AvailableNow()).start()
+    try q.awaitTermination(120000) finally q.stop()
+    val streamed = spark.table("inc")
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getDouble(2))).toSet
+    val batch = evs.toDF()
+      .groupBy($"event_type").agg(count(lit(1)).as("n"), round(sum($"value"), 2).as("val"))
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getDouble(2))).toSet
+    assert(streamed === batch)
+  }
+}
