@@ -52,11 +52,15 @@ object LlmOps {
   def llmDedupNear(spark: SparkSession, dir: String): DataFrame = {
     val d = Tables.documents(spark, dir)
       .select(col("doc_id"), col("lang"), expr("n_chars div 100").as("band"), toks.as("toks"))
-    val a = d.select(col("doc_id").as("a_id"), col("lang"), col("band"), col("toks").as("atoks"))
+    val a = d.select(col("doc_id").as("a_id"), col("lang"), col("band"),
+      col("toks").as("atoks"), size(col("toks")).as("sa"))
     val b = d.select(col("doc_id").as("b_id"), col("lang").as("b_lang"),
-      col("band").as("b_band"), col("toks").as("btoks"))
-    val jac = size(array_intersect(col("atoks"), col("btoks"))).cast("double") /
-      size(array_union(col("atoks"), col("btoks")))
+      col("band").as("b_band"), col("toks").as("btoks"), size(col("toks")).as("sb"))
+    // |A∪B| = |A|+|B|−|A∩B| for sets — avoids materializing array_union
+    // per pair (halves the per-pair array work on the ~600k blocked pairs
+    // measured at sf0.1; identical integers, so oracle-identical).
+    val inter = size(array_intersect(col("atoks"), col("btoks")))
+    val jac = inter.cast("double") / (col("sa") + col("sb") - inter)
     a.join(b, col("lang") === col("b_lang") && col("band") === col("b_band") &&
              col("a_id") < col("b_id"))
       .withColumn("jac", round(jac, 6))
@@ -89,10 +93,10 @@ object LlmOps {
           col("x.doc_id") < col("y.doc_id"))
       .select(col("x.doc_id").as("a_id"), col("y.doc_id").as("b_id"))
       .distinct()
-    val ta = base.select(col("doc_id").as("a_id"), col("toks").as("atoks"))
-    val tb = base.select(col("doc_id").as("b_id"), col("toks").as("btoks"))
-    val jac = size(array_intersect(col("atoks"), col("btoks"))).cast("double") /
-      size(array_union(col("atoks"), col("btoks")))
+    val ta = base.select(col("doc_id").as("a_id"), col("toks").as("atoks"), size(col("toks")).as("sa"))
+    val tb = base.select(col("doc_id").as("b_id"), col("toks").as("btoks"), size(col("toks")).as("sb"))
+    val inter = size(array_intersect(col("atoks"), col("btoks")))
+    val jac = inter.cast("double") / (col("sa") + col("sb") - inter)
     cand.join(ta, "a_id").join(tb, "b_id")
       .select(col("a_id"), col("b_id"), round(jac, 6).as("jac"))
       .orderBy(col("a_id").asc, col("b_id").asc)

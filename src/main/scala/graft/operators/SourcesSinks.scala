@@ -50,7 +50,9 @@ object SourcesSinks {
     * the round-trip lost nothing. */
   def ingestCsv(spark: SparkSession, dir: String): DataFrame = {
     val out = scratch(dir, "csv")
-    exportProjection(spark, dir).write.mode("overwrite").option("header", "true").csv(out)
+    exportProjection(spark, dir)
+      .repartition(spark.sparkContext.defaultParallelism) // parallel text encode+write
+      .write.mode("overwrite").option("header", "true").csv(out)
     val schema = StructType(Seq(
       StructField("okey", LongType), StructField("line", IntegerType),
       StructField("flag", StringType), StructField("qty", DoubleType),
@@ -61,7 +63,9 @@ object SourcesSinks {
   /** Same round-trip through JSON lines. */
   def ingestJson(spark: SparkSession, dir: String): DataFrame = {
     val out = scratch(dir, "json")
-    exportProjection(spark, dir).write.mode("overwrite").json(out)
+    exportProjection(spark, dir)
+      .repartition(spark.sparkContext.defaultParallelism) // parallel text encode+write
+      .write.mode("overwrite").json(out)
     val schema = StructType(Seq(
       StructField("okey", LongType), StructField("line", IntegerType),
       StructField("flag", StringType), StructField("qty", DoubleType),
@@ -96,6 +100,11 @@ object SourcesSinks {
     val out = scratch(dir, "part")
     Tables.orders(spark, dir)
       .withColumn("month", date_format(col("o_orderdate"), "yyyy-MM"))
+      // repartition by the partition column: one task per month writes its
+      // whole partition (parallel, and exactly one file per partition —
+      // the pattern that avoids the N-tasks × M-partitions file explosion
+      // at scale)
+      .repartition(col("month"))
       .write.mode("overwrite").partitionBy("month").parquet(out)
     spark.read.parquet(out)
       .groupBy("month")
@@ -111,7 +120,8 @@ object SourcesSinks {
     val out = scratch(dir, "idem")
     val orders = Tables.orders(spark, dir)
       .withColumn("month", date_format(col("o_orderdate"), "yyyy-MM"))
-    orders.write.mode("overwrite").partitionBy("month").parquet(out)
+    orders.repartition(col("month"))
+      .write.mode("overwrite").partitionBy("month").parquet(out)
     val prev = spark.conf.getOption("spark.sql.sources.partitionOverwriteMode")
     spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
     try
