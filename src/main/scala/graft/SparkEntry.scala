@@ -23,12 +23,14 @@ object SparkEntry {
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     Aggregates.queries ++ Relational.queries ++ Joins.queries ++
       Windows.queries ++ SetOps.queries ++ JoinsAdvanced.queries ++ Functions.queries ++
-      Streaming.queries ++ SourcesSinks.queries ++ LlmOps.queries
+      Streaming.queries ++ SourcesSinks.queries ++ LlmOps.queries ++
+      LlmOpsExtra.queries ++ Multimodal.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
   def oracleSql: Map[String, String] =
     Aggregates.oracleSql ++ Relational.oracleSql ++ Joins.oracleSql ++
       Windows.oracleSql ++ SetOps.oracleSql ++ JoinsAdvanced.oracleSql ++ Functions.oracleSql ++
-      Streaming.oracleSql ++ SourcesSinks.oracleSql ++ LlmOps.oracleSql
+      Streaming.oracleSql ++ SourcesSinks.oracleSql ++ LlmOps.oracleSql ++
+      LlmOpsExtra.oracleSql ++ Multimodal.oracleSql
 }

@@ -1,0 +1,253 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.Tables
+
+/** Extended training-data-pipeline operators beyond SURVEY §2.J's core
+  * set: document fingerprinting, language-ID, quality scoring, SimHash
+  * near-dup, embedding-cosine near-dup, and an IVF-style ANN search — the
+  * remaining dedup/similarity/text-analysis families the task mandates.
+  *
+  * Scale notes: fingerprints and SimHash signatures are one narrow
+  * map-side pass per document (no shuffle until the tiny signature table);
+  * near-dup pair generation is always blocked (label / band / bucket) so
+  * the quadratic term is bounded per block; IVF probes nprobe/K of the
+  * corpus instead of all of it — the standard ANN scale path (inverted
+  * file; see PAPERS.md similarity-search entries).
+  */
+object LlmOpsExtra {
+
+  /** Winnowing-style document fingerprint: min MD5 over 8-token shingles
+    * (full text when shorter). MD5 is identical across engines, so this is
+    * oracle-able, unlike xxhash-based sketches. n_sharing counts docs with
+    * the same fingerprint — shingle-level dedup at scale. */
+  def llmFingerprint(spark: SparkSession, dir: String): DataFrame = {
+    val toks = split(col("text"), " ") // order matters for shingles — no distinct
+    val nsh = greatest(size(toks) - 7, lit(1))
+    val fp = array_min(transform(sequence(lit(1), nsh),
+      i => md5(concat_ws(" ", slice(toks, i, lit(8))).cast("binary"))))
+    val w = Window.partitionBy("fp")
+    Tables.documents(spark, dir)
+      .select(col("doc_id"), fp.as("fp"))
+      .withColumn("n_sharing", count(lit(1)).over(w))
+      .orderBy(col("doc_id").asc)
+  }
+
+  /** Shared Spark/DuckDB SQL fragment: occurrences of a marker substring
+    * (length-delta trick — no regex dialect risk). */
+  private def occ(marker: String): String =
+    s"(length(text) - length(replace(text, '$marker', '')))"
+
+  /** Language-ID by marker-n-gram scoring with a fixed priority tie-break.
+    * On this synthetic corpus every lang shares one vocabulary, so the
+    * heuristic (correctly) predicts 'en' almost everywhere — the operator
+    * contract is the deterministic confusion matrix, not accuracy. */
+  def llmLangId(spark: SparkSession, dir: String): DataFrame = {
+    val predicted =
+      s"""CASE
+         | WHEN ${occ("the")} >= ${occ("der")} AND ${occ("the")} >= ${occ("los")}
+         |  AND ${occ("the")} >= ${occ("les")} AND ${occ("the")} >= ${occ("的")} THEN 'en'
+         | WHEN ${occ("der")} >= ${occ("los")} AND ${occ("der")} >= ${occ("les")}
+         |  AND ${occ("der")} >= ${occ("的")} THEN 'de'
+         | WHEN ${occ("los")} >= ${occ("les")} AND ${occ("los")} >= ${occ("的")} THEN 'es'
+         | WHEN ${occ("les")} >= ${occ("的")} THEN 'fr'
+         | ELSE 'zh' END""".stripMargin
+    Tables.documents(spark, dir)
+      .withColumn("predicted", expr(predicted))
+      .groupBy(col("lang"), col("predicted"))
+      .agg(count(lit(1)).as("n"))
+      .orderBy(col("lang").asc, col("predicted").asc)
+  }
+
+  /** Document quality scoring: token count, stopword ratio, mean token
+    * length → weighted score, bucketed per lang. The raw double arithmetic
+    * is bit-identical across engines (same IEEE ops), so floor-bucketing
+    * is safe. */
+  def llmQuality(spark: SparkSession, dir: String): DataFrame = {
+    val toks = split(col("text"), " ")
+    val ntok = size(toks).cast("double")
+    val stopRatio = size(filter(toks, t => t === "a" || t === "the")).cast("double") / ntok
+    val avgLen = (col("n_chars").cast("double") - (ntok - 1)) / ntok // chars minus separators
+    val q = lit(0.5) * least(ntok / 100, lit(1.0)) +
+      lit(0.3) * (lit(1.0) - stopRatio) +
+      lit(0.2) * least(avgLen / 6, lit(1.0))
+    Tables.documents(spark, dir)
+      .select(col("lang"), q.as("q"))
+      .groupBy(col("lang"), floor(col("q") * 10).cast("int").as("bucket"))
+      .agg(count(lit(1)).as("n"), round(avg("q"), 6).as("avg_q"))
+      .orderBy(col("lang").asc, col("bucket").asc)
+  }
+
+  /** SimHash near-dup: 64-bit signature from per-token hash bit votes,
+    * 4×16-bit band bucketing, candidate pairs at Hamming distance ≤ 3.
+    * No-oracle (xxhash64 is engine-specific); unit-tested against token
+    * Jaccard. This is the O(n) signature + banded-join dedup pattern that
+    * complements MinHash at 100 TB. */
+  def llmSimhash(spark: SparkSession, dir: String): DataFrame = {
+    val tok = Tables.documents(spark, dir)
+      .select(col("doc_id"), explode(array_distinct(split(col("text"), " "))).as("tok"))
+      .withColumn("h", xxhash64(col("tok")))
+    val bitSums = (0 until 64).map { i =>
+      sum(when(shiftright(col("h"), i).bitwiseAND(1) === 1, 1).otherwise(-1)).as(s"b$i")
+    }
+    val sums = tok.groupBy("doc_id").agg(bitSums.head, bitSums.tail: _*)
+    val simhash = (0 until 64)
+      .map(i => when(col(s"b$i") > 0, lit(1L << i)).otherwise(0L))
+      .reduce(_ + _) // distinct powers of two: exact bit assembly
+    val sig = sums.select(col("doc_id"), simhash.as("simhash"))
+    val bandCols = (0 until 4).map { j =>
+      struct(lit(j).as("band"),
+        shiftrightunsigned(col("simhash"), j * 16).bitwiseAND(0xFFFFL).as("bh"))
+    }
+    val bands = sig.select(col("doc_id"), col("simhash"), explode(array(bandCols: _*)).as("bnd"))
+      .select(col("doc_id"), col("simhash"), col("bnd.band").as("band"), col("bnd.bh").as("bh"))
+    bands.as("x")
+      .join(bands.as("y"),
+        col("x.band") === col("y.band") && col("x.bh") === col("y.bh") &&
+          col("x.doc_id") < col("y.doc_id"))
+      .select(col("x.doc_id").as("a_id"), col("y.doc_id").as("b_id"),
+        bit_count(col("x.simhash").bitwiseXOR(col("y.simhash"))).as("hamming"))
+      .distinct()
+      .filter(col("hamming") <= 3)
+      .orderBy(col("a_id").asc, col("b_id").asc)
+  }
+
+  private def embDouble(spark: SparkSession, dir: String): DataFrame =
+    Tables.embeddings(spark, dir)
+      .select(col("vec_id"), col("label"), col("embedding").cast("array<double>").as("e"))
+
+  private def dot(a: org.apache.spark.sql.Column, b: org.apache.spark.sql.Column) =
+    aggregate(zip_with(a, b, (x, y) => x * y), lit(0.0), (acc, x) => acc + x)
+
+  private def cos(a: org.apache.spark.sql.Column, b: org.apache.spark.sql.Column) =
+    dot(a, b) / (sqrt(dot(a, a)) * sqrt(dot(b, b)))
+
+  /** Embedding-cosine near-duplicate pairs, blocked by label. Threshold
+    * 0.4 is a demo value — this synthetic corpus's vectors are
+    * near-orthogonal (max intra-label cosine ≈ 0.51 measured); real
+    * embedding dedup uses ~0.95 with the identical plan shape. */
+  def llmEmbNeardup(spark: SparkSession, dir: String): DataFrame = {
+    // norms precomputed once per vector (O(n)), not once per pair (O(n²))
+    // — at 100 TB the norm is a stored column; sim keeps the exact
+    // sqrt(dot(a,a))·sqrt(dot(b,b)) expression, so results are unchanged.
+    val e = embDouble(spark, dir).withColumn("nrm", sqrt(dot(col("e"), col("e"))))
+    val a = e.select(col("vec_id").as("a_id"), col("label"), col("e").as("ae"), col("nrm").as("an"))
+    val b = e.select(col("vec_id").as("b_id"), col("label").as("b_label"),
+      col("e").as("be"), col("nrm").as("bn"))
+    a.join(b, col("label") === col("b_label") && col("a_id") < col("b_id"))
+      .withColumn("sim", round(dot(col("ae"), col("be")) / (col("an") * col("bn")), 6))
+      .filter(col("sim") >= 0.4)
+      .select("a_id", "b_id", "label", "sim")
+      .orderBy(col("a_id").asc, col("b_id").asc)
+  }
+
+  /** IVF-style ANN: vectors are assigned to their nearest of 16 pivot
+    * vectors (a deterministic stand-in for a trained coarse codebook);
+    * each query probes its 4 nearest pivots and ranks only those cells'
+    * vectors — searching nprobe/K of the corpus. Recall vs brute force is
+    * unit-tested against llm_knn_join. */
+  def llmAnnIvf(spark: SparkSession, dir: String): DataFrame = {
+    val e = embDouble(spark, dir)
+    val piv = e.filter(col("vec_id") < 16).select(col("vec_id").as("p_id"), col("e").as("pe"))
+    // cell assignment: argmax cosine over pivots, tie → lower pivot id
+    val wAssign = Window.partitionBy("vec_id").orderBy(col("psim").desc, col("p_id").asc)
+    val assign = e.crossJoin(broadcast(piv))
+      .withColumn("psim", round(cos(col("e"), col("pe")), 6))
+      .withColumn("rn", row_number().over(wAssign)).filter(col("rn") === 1)
+      .select(col("vec_id").as("n_id"), col("p_id").as("cell"), col("e").as("ne"))
+    // probe list: 4 nearest pivots per query
+    val wProbe = Window.partitionBy("q_id").orderBy(col("qsim").desc, col("p_id").asc)
+    val probes = e.filter(col("vec_id") < 3)
+      .select(col("vec_id").as("q_id"), col("e").as("qe"))
+      .crossJoin(broadcast(piv))
+      .withColumn("qsim", round(cos(col("qe"), col("pe")), 6))
+      .withColumn("rn", row_number().over(wProbe)).filter(col("rn") <= 4)
+      .select(col("q_id"), col("qe"), col("p_id").as("cell"))
+    // search only the probed cells
+    val wTop = Window.partitionBy("q_id").orderBy(col("sim").desc, col("n_id").asc)
+    probes.join(assign, "cell")
+      .filter(col("n_id") =!= col("q_id"))
+      .withColumn("sim", round(cos(col("qe"), col("ne")), 6))
+      .withColumn("rnk", row_number().over(wTop)).filter(col("rnk") <= 5)
+      .select("q_id", "rnk", "n_id", "cell", "sim")
+      .orderBy(col("q_id").asc, col("rnk").asc)
+  }
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "llm_fingerprint" -> (llmFingerprint _),
+    "llm_lang_id"     -> (llmLangId _),
+    "llm_quality"     -> (llmQuality _),
+    "llm_simhash"     -> (llmSimhash _),
+    "llm_emb_neardup" -> (llmEmbNeardup _),
+    "llm_ann_ivf"     -> (llmAnnIvf _))
+
+  val oracleSql: Map[String, String] = Map(
+    "llm_fingerprint" ->
+      """WITH f AS (
+        |  SELECT doc_id,
+        |    list_min(list_transform(
+        |      generate_series(1, greatest(len(string_split(text,' ')) - 7, 1)),
+        |      i -> md5(array_to_string(list_slice(string_split(text,' '), i, i + 7), ' ')))) AS fp
+        |  FROM documents)
+        |SELECT doc_id, fp, count(*) OVER (PARTITION BY fp) AS n_sharing
+        |FROM f ORDER BY doc_id ASC""".stripMargin,
+    "llm_lang_id" -> {
+      val o = (m: String) => s"(length(text) - length(replace(text, '$m', '')))"
+      s"""SELECT lang,
+         | CASE
+         |  WHEN ${o("the")} >= ${o("der")} AND ${o("the")} >= ${o("los")}
+         |   AND ${o("the")} >= ${o("les")} AND ${o("the")} >= ${o("的")} THEN 'en'
+         |  WHEN ${o("der")} >= ${o("los")} AND ${o("der")} >= ${o("les")}
+         |   AND ${o("der")} >= ${o("的")} THEN 'de'
+         |  WHEN ${o("los")} >= ${o("les")} AND ${o("los")} >= ${o("的")} THEN 'es'
+         |  WHEN ${o("les")} >= ${o("的")} THEN 'fr'
+         |  ELSE 'zh' END AS predicted,
+         | count(*) AS n
+         |FROM documents GROUP BY lang, predicted ORDER BY lang ASC, predicted ASC""".stripMargin
+    },
+    "llm_quality" ->
+      """WITH q AS (
+        |  SELECT lang,
+        |    0.5 * least(CAST(len(string_split(text,' ')) AS DOUBLE) / 100, 1.0) +
+        |    0.3 * (1.0 - CAST(len(list_filter(string_split(text,' '), t -> t = 'a' OR t = 'the')) AS DOUBLE)
+        |                 / len(string_split(text,' '))) +
+        |    0.2 * least((CAST(n_chars AS DOUBLE) - (len(string_split(text,' ')) - 1))
+        |                / len(string_split(text,' ')) / 6, 1.0) AS q
+        |  FROM documents)
+        |SELECT lang, CAST(floor(q * 10) AS INT) AS bucket, count(*) AS n, round(avg(q), 6) AS avg_q
+        |FROM q GROUP BY lang, bucket ORDER BY lang ASC, bucket ASC""".stripMargin,
+    "llm_emb_neardup" ->
+      """WITH e AS (SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS v FROM embeddings)
+        |SELECT a.vec_id AS a_id, b.vec_id AS b_id, a.label,
+        |  round(list_cosine_similarity(a.v, b.v), 6) AS sim
+        |FROM e a JOIN e b ON a.label = b.label AND a.vec_id < b.vec_id
+        |WHERE round(list_cosine_similarity(a.v, b.v), 6) >= 0.4
+        |ORDER BY a_id ASC, b_id ASC""".stripMargin,
+    "llm_ann_ivf" ->
+      """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+        |piv AS (SELECT vec_id AS p_id, v AS pv FROM e WHERE vec_id < 16),
+        |asg AS (
+        |  SELECT n_id, cell, nv FROM (
+        |    SELECT e.vec_id AS n_id, p.p_id AS cell, e.v AS nv,
+        |      row_number() OVER (PARTITION BY e.vec_id
+        |        ORDER BY round(list_cosine_similarity(e.v, p.pv), 6) DESC, p.p_id ASC) AS rn
+        |    FROM e CROSS JOIN piv p) t WHERE rn = 1),
+        |probes AS (
+        |  SELECT q_id, qv, cell FROM (
+        |    SELECT e.vec_id AS q_id, e.v AS qv, p.p_id AS cell,
+        |      row_number() OVER (PARTITION BY e.vec_id
+        |        ORDER BY round(list_cosine_similarity(e.v, p.pv), 6) DESC, p.p_id ASC) AS rn
+        |    FROM e CROSS JOIN piv p WHERE e.vec_id < 3) t WHERE rn <= 4),
+        |ranked AS (
+        |  SELECT q_id, n_id, cell, sim, row_number() OVER (
+        |      PARTITION BY q_id ORDER BY sim DESC, n_id ASC) AS rnk
+        |  FROM (
+        |    SELECT pr.q_id, a.n_id, a.cell,
+        |      round(list_cosine_similarity(pr.qv, a.nv), 6) AS sim
+        |    FROM probes pr JOIN asg a ON pr.cell = a.cell
+        |    WHERE a.n_id <> pr.q_id) s)
+        |SELECT q_id, rnk, n_id, cell, sim FROM ranked WHERE rnk <= 5
+        |ORDER BY q_id ASC, rnk ASC""".stripMargin)
+}

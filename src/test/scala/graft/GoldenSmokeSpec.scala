@@ -49,7 +49,8 @@ class GoldenSmokeSpec extends AnyFunSuite {
     val qs = SparkEntry.queries.keySet
     val orphans = SparkEntry.oracleSql.keySet -- qs
     assert(orphans.isEmpty, s"oracleSql without queries: $orphans")
-    // the two intentional no-oracle ops
-    assert((qs -- SparkEntry.oracleSql.keySet) === Set("agg_approx_hll", "llm_minhash"))
+    // the intentional no-oracle ops (engine-specific hashes / stubbed codec)
+    assert((qs -- SparkEntry.oracleSql.keySet) ===
+      Set("agg_approx_hll", "llm_minhash", "llm_simhash", "llm_mm_features"))
   }
 }

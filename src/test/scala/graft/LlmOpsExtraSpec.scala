@@ -1,0 +1,85 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.functions._
+import graft.operators._
+
+/** Semantics of the extended pipeline operators: fingerprint dedup
+  * properties, SimHash vs Jaccard agreement, IVF recall vs brute force,
+  * multimodal stub pipeline shape. */
+class LlmOpsExtraSpec extends AnyFunSuite {
+  import TestSpark._
+  import spark.implicits._
+
+  test("identical texts share a fingerprint; n_sharing counts them") {
+    val out = LlmOpsExtra.llmFingerprint(spark, sf0001)
+    assert(out.count() === 500)
+    // fingerprint groups are consistent: n_sharing equals the real group size
+    val bad = out.groupBy("fp")
+      .agg(count(lit(1)).as("actual"), max("n_sharing").as("claimed"))
+      .filter(col("actual") =!= col("claimed")).count()
+    assert(bad === 0)
+  }
+
+  test("language-ID confusion matrix covers every doc exactly once") {
+    val out = LlmOpsExtra.llmLangId(spark, sf0001)
+    assert(out.agg(sum("n")).head().getLong(0) === 500L)
+    // synthetic corpus shares one vocab → the marker heuristic lands on 'en'
+    val preds = out.select("predicted").distinct().collect().map(_.getString(0)).toSet
+    assert(preds.subsetOf(Set("en", "de", "es", "fr", "zh")))
+  }
+
+  test("quality buckets are within [0,10] and partition the corpus") {
+    val out = LlmOpsExtra.llmQuality(spark, sf0001).collect()
+    assert(out.map(_.getAs[Long]("n")).sum === 500L)
+    assert(out.forall { r => val b = r.getAs[Int]("bucket"); b >= 0 && b <= 10 })
+  }
+
+  test("simhash pairs at hamming<=3 are high-jaccard near-dups") {
+    val sh = LlmOpsExtra.llmSimhash(spark, sf0001)
+      .select("a_id", "b_id").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assume(sh.nonEmpty, "no simhash candidates at this sf")
+    // compute exact jaccard for the reported pairs; they should skew high
+    val toksDf = Tables.documents(spark, sf0001)
+      .select(col("doc_id"), array_distinct(split(col("text"), " ")).as("t"))
+    val pairs = sh.toSeq.toDF("a_id", "b_id")
+    val j = pairs
+      .join(toksDf.select(col("doc_id").as("a_id"), col("t").as("ta")), "a_id")
+      .join(toksDf.select(col("doc_id").as("b_id"), col("t").as("tb")), "b_id")
+      .select((size(array_intersect(col("ta"), col("tb"))).cast("double") /
+        size(array_union(col("ta"), col("tb")))).as("jac"))
+      .agg(avg("jac")).head().getDouble(0)
+    assert(j >= 0.8, s"mean jaccard of simhash pairs = $j")
+  }
+
+  test("IVF ANN achieves reasonable recall of brute-force top-5") {
+    val brute = LlmOps.llmKnnJoin(spark, sf0001)
+      .filter(col("q_id") < 3)
+      .select("q_id", "n_id").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val ivf = LlmOpsExtra.llmAnnIvf(spark, sf0001)
+      .select("q_id", "n_id").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val recall = brute.count(ivf.contains).toDouble / brute.size
+    // nprobe=4 of 16 cells on near-orthogonal vectors: recall is data-
+    // dependent; assert it beats random cell selection (≈ 4/16)
+    assert(recall >= 0.25, s"recall=$recall")
+    assert(ivf.size === 15, "3 queries × 5 results")
+  }
+
+  test("multimodal stub decode is deterministic and partition-independent") {
+    val f1 = operators.Multimodal.decodeAll(spark, sf0001)
+    val once = f1.collect().map(f => f.doc_id -> f.features.toSeq).toMap
+    val repartitioned = operators.Multimodal.mediaTable(spark, sf0001)
+      .repartition(7)
+      .mapPartitions { rows =>
+        rows.map { r =>
+          val (w, h, fs) = operators.Multimodal.decodeStub(r.media)
+          MediaFeatures(r.doc_id, r.lang, r.media.length.toLong, w, h, fs)
+        }
+      }
+    val again = repartitioned.collect().map(f => f.doc_id -> f.features.toSeq).toMap
+    assert(once === again)
+    assert(once.values.forall(_.length === 8), "fixed-size feature vector")
+    val stats = operators.Multimodal.llmMmFeatures(spark, sf0001)
+    assert(stats.agg(sum("n")).head().getLong(0) === 500L)
+  }
+}
