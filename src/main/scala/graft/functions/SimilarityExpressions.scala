@@ -1,0 +1,116 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, ExpectsInputTypes, Expression}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.util.ArrayData
+import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType, StringType}
+import org.apache.spark.unsafe.types.UTF8String
+
+/** Fused similarity kernels, called from both interpreted eval and the
+  * Janino-generated code (the Scala object exposes static forwarders, so
+  * generated Java can call `graft.functions.SimilarityKernels.jaccard`).
+  *
+  * Why custom expressions (SURVEY §4.3's "profiled-bottleneck escape
+  * hatch"): the HOF formulations allocate per row — `array_intersect` +
+  * `array_union` build result arrays only to take their sizes
+  * (llm_dedup_near evaluates them on ~600k pairs at sf0.1), and
+  * `zip_with` materializes a products array before `aggregate` folds it.
+  * These kernels compute the scalar directly, one pass, zero allocation
+  * beyond a hash set. Accumulation order matches the HOF formulations
+  * (sequential, left-to-right), so results are bit-identical and the
+  * DuckDB oracles are unaffected.
+  */
+object SimilarityKernels {
+
+  /** Token-set Jaccard |A∩B| / |A∪B| (duplicates ignored, like
+    * array_distinct inputs). */
+  def jaccard(a: ArrayData, b: ArrayData): Double = {
+    val na = a.numElements()
+    val nb = b.numElements()
+    val setA = new java.util.HashSet[UTF8String](math.max(4, na * 2))
+    var i = 0
+    while (i < na) { setA.add(a.getUTF8String(i)); i += 1 }
+    val sa = setA.size
+    val seenB = new java.util.HashSet[UTF8String](math.max(4, nb * 2))
+    var sb = 0
+    var inter = 0
+    var j = 0
+    while (j < nb) {
+      val s = b.getUTF8String(j)
+      if (seenB.add(s)) { sb += 1; if (setA.contains(s)) inter += 1 }
+      j += 1
+    }
+    val union = sa + sb - inter
+    if (union == 0) 0.0 else inter.toDouble / union
+  }
+
+  /** Cosine similarity over equal-length double arrays; accumulation order
+    * (index 0..n-1, dot and norms in one pass) matches the
+    * zip_with+aggregate HOF pipeline bit-for-bit. */
+  def cosine(a: ArrayData, b: ArrayData): Double = {
+    val n = a.numElements()
+    var dot = 0.0
+    var na = 0.0
+    var nb = 0.0
+    var i = 0
+    while (i < n) {
+      val x = a.getDouble(i)
+      val y = b.getDouble(i)
+      dot += x * y
+      na += x * x
+      nb += y * y
+      i += 1
+    }
+    dot / (math.sqrt(na) * math.sqrt(nb))
+  }
+}
+
+/** `jaccard_sim(array<string>, array<string>) -> double` — native Catalyst
+  * expression with whole-stage codegen (doGenCode emits a direct static
+  * call; no UDF serialization, no interpreted eval in the hot loop). */
+case class JaccardSim(left: Expression, right: Expression)
+    extends BinaryExpression with ExpectsInputTypes {
+  override def inputTypes = Seq(ArrayType(StringType), ArrayType(StringType))
+  override def dataType: DataType = DoubleType
+  override def prettyName: String = "jaccard_sim"
+
+  override protected def nullSafeEval(a: Any, b: Any): Any =
+    SimilarityKernels.jaccard(a.asInstanceOf[ArrayData], b.asInstanceOf[ArrayData])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, (a, b) => s"graft.functions.SimilarityKernels.jaccard($a, $b)")
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): JaccardSim =
+    copy(left = newLeft, right = newRight)
+}
+
+/** `cosine_sim(array<double>, array<double>) -> double` — fused
+  * dot-and-norms, one pass, codegen'd. */
+case class CosineSim(left: Expression, right: Expression)
+    extends BinaryExpression with ExpectsInputTypes {
+  override def inputTypes = Seq(ArrayType(DoubleType), ArrayType(DoubleType))
+  override def dataType: DataType = DoubleType
+  override def prettyName: String = "cosine_sim"
+
+  override protected def nullSafeEval(a: Any, b: Any): Any =
+    SimilarityKernels.cosine(a.asInstanceOf[ArrayData], b.asInstanceOf[ArrayData])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, (a, b) => s"graft.functions.SimilarityKernels.cosine($a, $b)")
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): CosineSim =
+    copy(left = newLeft, right = newRight)
+}
+
+/** Column-API entry points. `call_function` emits an unresolved function
+  * call by name, resolved at analysis via the GraftExtensions
+  * registration — the public seam for custom expressions on Spark 4 (the
+  * direct Expression→Column constructors are private[sql]). */
+object sim {
+  import org.apache.spark.sql.functions.call_function
+  def jaccardSim(a: Column, b: Column): Column = call_function("jaccard_sim", a, b)
+  def cosineSim(a: Column, b: Column): Column = call_function("cosine_sim", a, b)
+}

@@ -30,12 +30,16 @@ object LlmOps {
 
   private def toks: Column = array_distinct(split(col("text"), " "))
 
-  /** dot(a,b) via zip_with + aggregate — stays inside codegen. */
+  /** dot(a,b) via zip_with + aggregate — stays inside codegen. Used where
+    * only the dot product is needed (e.g. norms); full cosine goes through
+    * the fused native expression graft.functions.CosineSim. */
   private def dot(a: Column, b: Column): Column =
     aggregate(zip_with(a, b, (x, y) => x * y), lit(0.0), (acc, x) => acc + x)
 
+  /** Fused single-pass kernel (bit-identical to the HOF formulation —
+    * see SimilarityKernels). */
   private def cosine(a: Column, b: Column): Column =
-    dot(a, b) / (sqrt(dot(a, a)) * sqrt(dot(b, b)))
+    graft.functions.sim.cosineSim(a, b)
 
   /** Exact text dedup: survivor = min doc_id per text (deterministic,
     * §2.Z.6), kept-count per source. */
@@ -52,15 +56,13 @@ object LlmOps {
   def llmDedupNear(spark: SparkSession, dir: String): DataFrame = {
     val d = Tables.documents(spark, dir)
       .select(col("doc_id"), col("lang"), expr("n_chars div 100").as("band"), toks.as("toks"))
-    val a = d.select(col("doc_id").as("a_id"), col("lang"), col("band"),
-      col("toks").as("atoks"), size(col("toks")).as("sa"))
+    val a = d.select(col("doc_id").as("a_id"), col("lang"), col("band"), col("toks").as("atoks"))
     val b = d.select(col("doc_id").as("b_id"), col("lang").as("b_lang"),
-      col("band").as("b_band"), col("toks").as("btoks"), size(col("toks")).as("sb"))
-    // |A∪B| = |A|+|B|−|A∩B| for sets — avoids materializing array_union
-    // per pair (halves the per-pair array work on the ~600k blocked pairs
-    // measured at sf0.1; identical integers, so oracle-identical).
-    val inter = size(array_intersect(col("atoks"), col("btoks")))
-    val jac = inter.cast("double") / (col("sa") + col("sb") - inter)
+      col("band").as("b_band"), col("toks").as("btoks"))
+    // fused native kernel: |A∩B|/|A∪B| in one pass with no intermediate
+    // arrays (array_intersect/array_union allocated per pair on the ~600k
+    // blocked pairs at sf0.1); same integers ⇒ oracle-identical
+    val jac = graft.functions.sim.jaccardSim(col("atoks"), col("btoks"))
     a.join(b, col("lang") === col("b_lang") && col("band") === col("b_band") &&
              col("a_id") < col("b_id"))
       .withColumn("jac", round(jac, 6))
@@ -93,10 +95,9 @@ object LlmOps {
           col("x.doc_id") < col("y.doc_id"))
       .select(col("x.doc_id").as("a_id"), col("y.doc_id").as("b_id"))
       .distinct()
-    val ta = base.select(col("doc_id").as("a_id"), col("toks").as("atoks"), size(col("toks")).as("sa"))
-    val tb = base.select(col("doc_id").as("b_id"), col("toks").as("btoks"), size(col("toks")).as("sb"))
-    val inter = size(array_intersect(col("atoks"), col("btoks")))
-    val jac = inter.cast("double") / (col("sa") + col("sb") - inter)
+    val ta = base.select(col("doc_id").as("a_id"), col("toks").as("atoks"))
+    val tb = base.select(col("doc_id").as("b_id"), col("toks").as("btoks"))
+    val jac = graft.functions.sim.jaccardSim(col("atoks"), col("btoks"))
     cand.join(ta, "a_id").join(tb, "b_id")
       .select(col("a_id"), col("b_id"), round(jac, 6).as("jac"))
       .orderBy(col("a_id").asc, col("b_id").asc)

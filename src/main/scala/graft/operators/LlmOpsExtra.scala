@@ -118,26 +118,21 @@ object LlmOpsExtra {
     Tables.embeddings(spark, dir)
       .select(col("vec_id"), col("label"), col("embedding").cast("array<double>").as("e"))
 
-  private def dot(a: org.apache.spark.sql.Column, b: org.apache.spark.sql.Column) =
-    aggregate(zip_with(a, b, (x, y) => x * y), lit(0.0), (acc, x) => acc + x)
-
+  /** Fused native cosine kernel (graft.functions.CosineSim) — bit-identical
+    * to the zip_with+aggregate HOF formulation, single pass, codegen'd. */
   private def cos(a: org.apache.spark.sql.Column, b: org.apache.spark.sql.Column) =
-    dot(a, b) / (sqrt(dot(a, a)) * sqrt(dot(b, b)))
+    graft.functions.sim.cosineSim(a, b)
 
   /** Embedding-cosine near-duplicate pairs, blocked by label. Threshold
     * 0.4 is a demo value — this synthetic corpus's vectors are
     * near-orthogonal (max intra-label cosine ≈ 0.51 measured); real
     * embedding dedup uses ~0.95 with the identical plan shape. */
   def llmEmbNeardup(spark: SparkSession, dir: String): DataFrame = {
-    // norms precomputed once per vector (O(n)), not once per pair (O(n²))
-    // — at 100 TB the norm is a stored column; sim keeps the exact
-    // sqrt(dot(a,a))·sqrt(dot(b,b)) expression, so results are unchanged.
-    val e = embDouble(spark, dir).withColumn("nrm", sqrt(dot(col("e"), col("e"))))
-    val a = e.select(col("vec_id").as("a_id"), col("label"), col("e").as("ae"), col("nrm").as("an"))
-    val b = e.select(col("vec_id").as("b_id"), col("label").as("b_label"),
-      col("e").as("be"), col("nrm").as("bn"))
+    val e = embDouble(spark, dir)
+    val a = e.select(col("vec_id").as("a_id"), col("label"), col("e").as("ae"))
+    val b = e.select(col("vec_id").as("b_id"), col("label").as("b_label"), col("e").as("be"))
     a.join(b, col("label") === col("b_label") && col("a_id") < col("b_id"))
-      .withColumn("sim", round(dot(col("ae"), col("be")) / (col("an") * col("bn")), 6))
+      .withColumn("sim", round(cos(col("ae"), col("be")), 6))
       .filter(col("sim") >= 0.4)
       .select("a_id", "b_id", "label", "sim")
       .orderBy(col("a_id").asc, col("b_id").asc)
