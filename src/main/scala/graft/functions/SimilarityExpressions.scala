@@ -105,12 +105,14 @@ case class CosineSim(left: Expression, right: Expression)
     copy(left = newLeft, right = newRight)
 }
 
-/** Column-API entry points. `call_function` emits an unresolved function
-  * call by name, resolved at analysis via the GraftExtensions
-  * registration — the public seam for custom expressions on Spark 4 (the
-  * direct Expression→Column constructors are private[sql]). */
+/** Column-API entry points. Built directly from the expressions via
+  * ColumnBridge, so they work on ANY session — no GraftExtensions
+  * registration required (that registration additionally exposes the
+  * same expressions to `spark.sql(...)` as `jaccard_sim`/`cosine_sim`). */
 object sim {
-  import org.apache.spark.sql.functions.call_function
-  def jaccardSim(a: Column, b: Column): Column = call_function("jaccard_sim", a, b)
-  def cosineSim(a: Column, b: Column): Column = call_function("cosine_sim", a, b)
+  import org.apache.spark.sql.graftshim.ColumnBridge.{column, expression}
+  def jaccardSim(a: Column, b: Column): Column =
+    column(JaccardSim(expression(a), expression(b)))
+  def cosineSim(a: Column, b: Column): Column =
+    column(CosineSim(expression(a), expression(b)))
 }

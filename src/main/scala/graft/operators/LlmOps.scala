@@ -95,8 +95,11 @@ object LlmOps {
           col("x.doc_id") < col("y.doc_id"))
       .select(col("x.doc_id").as("a_id"), col("y.doc_id").as("b_id"))
       .distinct()
-    val ta = base.select(col("doc_id").as("a_id"), col("toks").as("atoks"))
-    val tb = base.select(col("doc_id").as("b_id"), col("toks").as("btoks"))
+    // the per-doc token table is tiny relative to the candidate-pair
+    // table — broadcast it so the (potentially huge) pair table never
+    // shuffles; at 100 TB this becomes a bucketed join on doc_id instead
+    val ta = broadcast(base.select(col("doc_id").as("a_id"), col("toks").as("atoks")))
+    val tb = broadcast(base.select(col("doc_id").as("b_id"), col("toks").as("btoks")))
     val jac = graft.functions.sim.jaccardSim(col("atoks"), col("btoks"))
     cand.join(ta, "a_id").join(tb, "b_id")
       .select(col("a_id"), col("b_id"), round(jac, 6).as("jac"))

@@ -170,7 +170,26 @@ object LlmOpsExtra {
       .orderBy(col("q_id").asc, col("rnk").asc)
   }
 
+  /** Token counting, whitespace vs a BPE-ish pre-tokenizer regex (word /
+    * digit-run / single non-space symbol — the GPT-style pre-tokenizer
+    * shape, kept to POSIX-simple classes so both engines' regex dialects
+    * agree). The per-doc counts are the unit every training-data budget
+    * is denominated in. */
+  def llmTokenize(spark: SparkSession, dir: String): DataFrame = {
+    val ws = size(split(col("text"), " ")).cast("bigint")
+    val bpe = regexp_count(col("text"), lit("[a-z]+|[0-9]+|[^a-z0-9 ]")).cast("bigint")
+    Tables.documents(spark, dir)
+      .select(col("lang"), ws.as("ws"), bpe.as("bpe"))
+      .groupBy("lang")
+      .agg(count(lit(1)).as("docs"),
+        sum("ws").as("ws_tokens"),
+        sum("bpe").as("bpe_tokens"),
+        round(avg("bpe"), 6).as("avg_bpe"))
+      .orderBy(col("lang").asc)
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "llm_tokenize"    -> (llmTokenize _),
     "llm_fingerprint" -> (llmFingerprint _),
     "llm_lang_id"     -> (llmLangId _),
     "llm_quality"     -> (llmQuality _),
@@ -179,6 +198,12 @@ object LlmOpsExtra {
     "llm_ann_ivf"     -> (llmAnnIvf _))
 
   val oracleSql: Map[String, String] = Map(
+    "llm_tokenize" ->
+      """SELECT lang, count(*) AS docs,
+        | CAST(sum(len(string_split(text, ' '))) AS BIGINT) AS ws_tokens,
+        | CAST(sum(len(regexp_extract_all(text, '[a-z]+|[0-9]+|[^a-z0-9 ]'))) AS BIGINT) AS bpe_tokens,
+        | round(avg(len(regexp_extract_all(text, '[a-z]+|[0-9]+|[^a-z0-9 ]'))), 6) AS avg_bpe
+        |FROM documents GROUP BY lang ORDER BY lang ASC""".stripMargin,
     "llm_fingerprint" ->
       """WITH f AS (
         |  SELECT doc_id,

@@ -11,6 +11,15 @@ import graft.Tables
   * partition overwrite IS the partition-replace idempotency property —
   * SURVEY §0/§2.A).
   *
+  * `jdbc_sink` (doc-only, SURVEY §2.A): the real ClickHouse load is
+  * `df.write.format("jdbc").option("url", "jdbc:clickhouse://...")
+  * .option("dbtable", t).option("batchsize", 100000).mode("append")` with
+  * idempotency via `ALTER TABLE t DROP PARTITION` + re-insert (exactly the
+  * dynamic-partition-overwrite semantics `sink_idempotent` proves). Not
+  * declared in `queries`: no ClickHouse server or driver jar exists in
+  * this offline image, and a declared-but-untestable op would be a hole in
+  * the oracle gate.
+  *
   * Scale notes: the CSV/JSON round-trips use explicit schemas (never
   * inference — an extra full scan at 100 TB); the partitioned sink writes
   * month-partitioned parquet so a re-load of one month replaces exactly
