@@ -61,6 +61,36 @@ class StreamingEquivalenceSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("flatMapGroupsWithState sessionizer agrees with gaps-and-islands") {
+    val stateful = graft.streaming.Sessionize.sessionsFor(spark, sf0001)
+      .select($"user_id", $"session_id", $"n", round($"value", 2).as("val"),
+        $"s_start", $"s_end")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getDouble(3), r.get(4).toString, r.get(5).toString)).toSet
+    val gi = operators.Streaming.streamSession(spark, sf0001)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getDouble(3), r.get(4).toString, r.get(5).toString)).toSet
+    assert(stateful === gi)
+  }
+
+  test("streaming dropDuplicatesWithinWatermark drops re-delivered events") {
+    implicit val ctx = spark.sqlContext
+    def ev(id: Long, t: String) = Ev(id, Timestamp.valueOf(t), 1L, "view", 1.0)
+    val ms = MemoryStream[Ev]
+    val q = ms.toDF()
+      .withWatermark("ts", "1 hour")
+      .dropDuplicatesWithinWatermark(Seq("event_id"))
+      .writeStream.format("memory").queryName("wmdedup").outputMode("append").start()
+    try {
+      ms.addData(ev(1, "2024-01-01 10:00:00"), ev(2, "2024-01-01 10:05:00"))
+      q.processAllAvailable()
+      // duplicate of event 1 re-delivered within the watermark → dropped
+      ms.addData(ev(1, "2024-01-01 10:00:00"), ev(3, "2024-01-01 10:10:00"))
+      q.processAllAvailable()
+      assert(spark.table("wmdedup").count() === 3)
+    } finally q.stop()
+  }
+
   test("session_window batch agrees with the gaps-and-islands formulation") {
     val gi = operators.Streaming.streamSession(spark, sf0001)
       .groupBy("user_id").agg(count(lit(1)).as("sessions"), sum("n").as("events"))
