@@ -3,7 +3,7 @@ package graft
 import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
-import graft.functions.{CosineSim, JaccardSim}
+import graft.functions.{CosineSim, JaccardSim, KmvDistinct}
 
 /** SparkSessionExtensions entry point: registers the engine's native
   * expressions as SQL functions (`jaccard_sim`, `cosine_sim`) so they are
@@ -21,5 +21,9 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       new FunctionIdentifier("cosine_sim"),
       new ExpressionInfo(classOf[CosineSim].getName, "cosine_sim"),
       (children: Seq[Expression]) => CosineSim(children(0), children(1))))
+    ext.injectFunction((
+      new FunctionIdentifier("kmv_distinct"),
+      new ExpressionInfo(classOf[KmvDistinct].getName, "kmv_distinct"),
+      (children: Seq[Expression]) => KmvDistinct(children.head).toAggregateExpression()))
   }
 }

@@ -115,4 +115,6 @@ object sim {
     column(JaccardSim(expression(a), expression(b)))
   def cosineSim(a: Column, b: Column): Column =
     column(CosineSim(expression(a), expression(b)))
+  def kmvDistinct(c: Column, k: Int = 256): Column =
+    column(KmvDistinct(expression(c), k).toAggregateExpression())
 }

@@ -143,7 +143,19 @@ object Aggregates {
         round(max("o_totalprice"), 2).as("top_price"))
       .orderBy("o_custkey")
 
+  /** KMV sketch distinct (custom TypedImperativeAggregate,
+    * graft.functions.KmvDistinct) — no-oracle like the HLL op; exact below
+    * k=256 distinct values, mergeable across partitions/jobs (the 100 TB
+    * sketch story). Unit-tested for exactness, accuracy, and merge
+    * invariance. */
+  def aggKmvDistinct(spark: SparkSession, dir: String): DataFrame =
+    Tables.events(spark, dir)
+      .groupBy("event_type")
+      .agg(graft.functions.sim.kmvDistinct(col("user_id")).as("kmv_users"))
+      .orderBy(col("event_type").asc)
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "agg_kmv_distinct"  -> (aggKmvDistinct _),
     "agg_global"        -> (aggGlobal _),
     "agg_groupby"       -> (aggGroupby _),
     "agg_distinct"      -> (aggDistinct _),

@@ -127,6 +127,48 @@ class StreamingEquivalenceSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("foreachBatch + dynamic partition overwrite = the full reference loop") {
+    // the reference's dataflow end-to-end: files arrive incrementally →
+    // each micro-batch idempotently replaces its day partitions → the
+    // sink equals a one-shot batch load even when a batch is re-delivered
+    val src = java.nio.file.Files.createTempDirectory("graft_fb_src_").toString
+    val ckpt = java.nio.file.Files.createTempDirectory("graft_fb_ck_").toString
+    val sink = java.nio.file.Files.createTempDirectory("graft_fb_sink_").toString + "/out"
+    val evs = fixtureEvents
+    evs.grouped(400).zipWithIndex.foreach { case (chunk, i) =>
+      chunk.toDF().coalesce(1).write.parquet(s"$src/drop_$i")
+    }
+    val schema = evs.toDF().schema
+    val prev = spark.conf.getOption("spark.sql.sources.partitionOverwriteMode")
+    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+    try {
+      def run(): Unit = {
+        val q = spark.readStream.schema(schema)
+          .option("recursiveFileLookup", "true").parquet(src)
+          .withColumn("day", date_format($"ts", "yyyy-MM-dd"))
+          .writeStream
+          .foreachBatch { (batch: org.apache.spark.sql.DataFrame, _: Long) =>
+            batch.write.mode("overwrite").partitionBy("day").parquet(sink)
+          }
+          .option("checkpointLocation", ckpt)
+          .trigger(Trigger.AvailableNow()).start()
+        try q.awaitTermination(120000) finally q.stop()
+      }
+      run()
+      // "re-delivery": wipe the checkpoint so every file replays, then
+      // re-run — dynamic partition overwrite must keep the sink identical
+      org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(ckpt))
+      run()
+      val loaded = spark.read.parquet(sink)
+      assert(loaded.count() === evs.size.toLong)
+      assert(loaded.select("event_id").distinct().count() === evs.size.toLong,
+        "partition re-load must not duplicate events")
+    } finally prev match {
+      case Some(v) => spark.conf.set("spark.sql.sources.partitionOverwriteMode", v)
+      case None    => spark.conf.unset("spark.sql.sources.partitionOverwriteMode")
+    }
+  }
+
   test("file-source incremental load == batch (the serverless trigger loop)") {
     val dir = java.nio.file.Files.createTempDirectory("graft_inc_").toString
     val ckpt = java.nio.file.Files.createTempDirectory("graft_ckpt_").toString
