@@ -25,21 +25,74 @@ object SimilarityKernels {
 
   /** Token-set Jaccard |A∩B| / |A∪B| (duplicates ignored, like
     * array_distinct inputs). */
-  def jaccard(a: ArrayData, b: ArrayData): Double = {
+  def jaccard(a: ArrayData, b: ArrayData): Double = jaccard(a, b, false)
+
+  /** Merge-intersection for arrays that are distinct AND sorted (the
+    * dedup operators pre-sort once per document with `sort_array`): one
+    * O(na+nb) pass, no hash set, no per-element bookkeeping — the
+    * verify stage runs over millions of pairs and was GC-bound with the
+    * set-based kernel (profiled: 6.1M pairs at sf0.1). */
+  def jaccardSorted(a: ArrayData, b: ArrayData): Double = {
+    val na = a.numElements()
+    val nb = b.numElements()
+    var i = 0
+    var j = 0
+    var inter = 0
+    while (i < na && j < nb) {
+      val c = a.getUTF8String(i).compareTo(b.getUTF8String(j))
+      if (c == 0) { inter += 1; i += 1; j += 1 }
+      else if (c < 0) i += 1
+      else j += 1
+    }
+    val union = na + nb - inter
+    if (union == 0) 0.0 else inter.toDouble / union
+  }
+
+  /** Same merge-intersection over dictionary-encoded token ids (sorted
+    * distinct int arrays): integer compares and ~4× less row data than
+    * string tokens — dictionary-encode-then-compare is the standard trick
+    * for similarity at scale, and with a bijective term→id mapping the
+    * Jaccard value is exactly the string-set Jaccard. */
+  def jaccardSortedInt(a: ArrayData, b: ArrayData): Double = {
+    val na = a.numElements()
+    val nb = b.numElements()
+    var i = 0
+    var j = 0
+    var inter = 0
+    while (i < na && j < nb) {
+      val x = a.getInt(i)
+      val y = b.getInt(j)
+      if (x == y) { inter += 1; i += 1; j += 1 }
+      else if (x < y) i += 1
+      else j += 1
+    }
+    val union = na + nb - inter
+    if (union == 0) 0.0 else inter.toDouble / union
+  }
+
+  /** `assumeDistinct = true` skips the B-side dedup set — correct whenever
+    * both inputs come from `array_distinct` (every internal call site),
+    * and ~2× cheaper on the multi-million-pair dedup verify stage. */
+  def jaccard(a: ArrayData, b: ArrayData, assumeDistinct: Boolean): Double = {
     val na = a.numElements()
     val nb = b.numElements()
     val setA = new java.util.HashSet[UTF8String](math.max(4, na * 2))
     var i = 0
     while (i < na) { setA.add(a.getUTF8String(i)); i += 1 }
     val sa = setA.size
-    val seenB = new java.util.HashSet[UTF8String](math.max(4, nb * 2))
     var sb = 0
     var inter = 0
     var j = 0
-    while (j < nb) {
-      val s = b.getUTF8String(j)
-      if (seenB.add(s)) { sb += 1; if (setA.contains(s)) inter += 1 }
-      j += 1
+    if (assumeDistinct) {
+      sb = nb
+      while (j < nb) { if (setA.contains(b.getUTF8String(j))) inter += 1; j += 1 }
+    } else {
+      val seenB = new java.util.HashSet[UTF8String](math.max(4, nb * 2))
+      while (j < nb) {
+        val s = b.getUTF8String(j)
+        if (seenB.add(s)) { sb += 1; if (setA.contains(s)) inter += 1 }
+        j += 1
+      }
     }
     val union = sa + sb - inter
     if (union == 0) 0.0 else inter.toDouble / union
@@ -69,20 +122,52 @@ object SimilarityKernels {
 /** `jaccard_sim(array<string>, array<string>) -> double` — native Catalyst
   * expression with whole-stage codegen (doGenCode emits a direct static
   * call; no UDF serialization, no interpreted eval in the hot loop). */
-case class JaccardSim(left: Expression, right: Expression)
+case class JaccardSim(left: Expression, right: Expression,
+                      assumeDistinct: Boolean = false,
+                      assumeSorted: Boolean = false)
     extends BinaryExpression with ExpectsInputTypes {
   override def inputTypes = Seq(ArrayType(StringType), ArrayType(StringType))
   override def dataType: DataType = DoubleType
   override def prettyName: String = "jaccard_sim"
 
   override protected def nullSafeEval(a: Any, b: Any): Any =
-    SimilarityKernels.jaccard(a.asInstanceOf[ArrayData], b.asInstanceOf[ArrayData])
+    if (assumeSorted)
+      SimilarityKernels.jaccardSorted(a.asInstanceOf[ArrayData], b.asInstanceOf[ArrayData])
+    else
+      SimilarityKernels.jaccard(
+        a.asInstanceOf[ArrayData], b.asInstanceOf[ArrayData], assumeDistinct)
 
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
-    defineCodeGen(ctx, ev, (a, b) => s"graft.functions.SimilarityKernels.jaccard($a, $b)")
+    if (assumeSorted)
+      defineCodeGen(ctx, ev,
+        (a, b) => s"graft.functions.SimilarityKernels.jaccardSorted($a, $b)")
+    else
+      defineCodeGen(ctx, ev,
+        (a, b) => s"graft.functions.SimilarityKernels.jaccard($a, $b, $assumeDistinct)")
 
   override protected def withNewChildrenInternal(
       newLeft: Expression, newRight: Expression): JaccardSim =
+    copy(left = newLeft, right = newRight)
+}
+
+/** Jaccard over sorted distinct dictionary-encoded token ids
+  * (`array<int>`) — see SimilarityKernels.jaccardSortedInt. */
+case class JaccardIntSim(left: Expression, right: Expression)
+    extends BinaryExpression with ExpectsInputTypes {
+  import org.apache.spark.sql.types.IntegerType
+  override def inputTypes = Seq(ArrayType(IntegerType), ArrayType(IntegerType))
+  override def dataType: DataType = DoubleType
+  override def prettyName: String = "jaccard_int_sim"
+
+  override protected def nullSafeEval(a: Any, b: Any): Any =
+    SimilarityKernels.jaccardSortedInt(a.asInstanceOf[ArrayData], b.asInstanceOf[ArrayData])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev,
+      (a, b) => s"graft.functions.SimilarityKernels.jaccardSortedInt($a, $b)")
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): JaccardIntSim =
     copy(left = newLeft, right = newRight)
 }
 
@@ -111,8 +196,21 @@ case class CosineSim(left: Expression, right: Expression)
   * same expressions to `spark.sql(...)` as `jaccard_sim`/`cosine_sim`). */
 object sim {
   import org.apache.spark.sql.graftshim.ColumnBridge.{column, expression}
+  /** Internal call sites always pass array_distinct'ed tokens, so the
+    * fast distinct-assuming kernel applies; the SQL-registered form stays
+    * general. */
   def jaccardSim(a: Column, b: Column): Column =
-    column(JaccardSim(expression(a), expression(b)))
+    column(JaccardSim(expression(a), expression(b), assumeDistinct = true))
+
+  /** For inputs that are additionally sort_array'ed (pre-sorted once per
+    * row): zero-allocation merge-intersection kernel. */
+  def jaccardSortedSim(a: Column, b: Column): Column =
+    column(JaccardSim(expression(a), expression(b),
+      assumeDistinct = true, assumeSorted = true))
+
+  /** For sorted distinct dictionary-encoded id arrays (`array<int>`). */
+  def jaccardIntSim(a: Column, b: Column): Column =
+    column(JaccardIntSim(expression(a), expression(b)))
   def cosineSim(a: Column, b: Column): Column =
     column(CosineSim(expression(a), expression(b)))
   def kmvDistinct(c: Column, k: Int = 256): Column =

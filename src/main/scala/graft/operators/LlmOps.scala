@@ -28,7 +28,10 @@ import graft.Tables
   */
 object LlmOps {
 
-  private def toks: Column = array_distinct(split(col("text"), " "))
+  /** Distinct tokens, SORTED once per document — the dedup operators'
+    * Jaccard then runs the zero-allocation merge kernel per pair (order
+    * never affects set similarity, so results are unchanged). */
+  private def toks: Column = sort_array(array_distinct(split(col("text"), " ")))
 
   /** dot(a,b) via zip_with + aggregate — stays inside codegen. Used where
     * only the dot product is needed (e.g. norms); full cosine goes through
@@ -62,7 +65,7 @@ object LlmOps {
     // fused native kernel: |A∩B|/|A∪B| in one pass with no intermediate
     // arrays (array_intersect/array_union allocated per pair on the ~600k
     // blocked pairs at sf0.1); same integers ⇒ oracle-identical
-    val jac = graft.functions.sim.jaccardSim(col("atoks"), col("btoks"))
+    val jac = graft.functions.sim.jaccardSortedSim(col("atoks"), col("btoks"))
     a.join(b, col("lang") === col("b_lang") && col("band") === col("b_band") &&
              col("a_id") < col("b_id"))
       .withColumn("jac", round(jac, 6))
@@ -71,38 +74,68 @@ object LlmOps {
       .orderBy(col("a_id").asc, col("b_id").asc)
   }
 
-  /** MinHash-LSH near-dup candidates at scale: 16 min-hashes per doc
-    * (4 bands × 4 rows), bucket join on band hash, exact-Jaccard scored.
+  /** MinHash-LSH near-dup dedup at scale: 16 min-hashes per doc (4 bands
+    * × 4 rows), bucket join on band hash for candidates, exact-Jaccard
+    * verification (≥ 0.8) — the full candidates→verify LSH pipeline.
     * No-oracle (hash functions are engine-specific); unit-tested for
-    * recall against the exact-Jaccard pairs. */
+    * recall against the exact-Jaccard pairs.
+    *
+    * Candidate pairs are emitted ONCE, at their first shared band (each
+    * side carries the earlier bands' hashes and the join filters pairs
+    * that already matched before — the standard LSH dedup trick).
+    * Profiling at sf0.1 showed the naive pair-level `distinct()` shuffled
+    * 11M rows and dominated the query. */
   def llmMinhash(spark: SparkSession, dir: String): DataFrame = {
-    val base = Tables.documents(spark, dir).select(col("doc_id"), toks.as("toks"))
+    // Dictionary-encode tokens → sorted int-id arrays. The verify stage
+    // touches millions of pairs, and moving/com­paring int arrays instead
+    // of string arrays is ~4× less data per pair (profiled: array
+    // materialization, not the compare, dominated). Term→id is bijective
+    // (dense row_number over the distinct vocabulary), so the Jaccard
+    // values are exactly the token-set values.
+    val docsT = Tables.documents(spark, dir).select(col("doc_id"), toks.as("toks"))
+    val vocab = docsT.select(explode(col("toks")).as("term")).distinct()
+      .withColumn("tid", row_number().over(Window.orderBy(col("term"))).cast("int"))
+    val base = docsT.select(col("doc_id"), explode(col("toks")).as("term"))
+      .join(broadcast(vocab), "term")
+      .groupBy("doc_id")
+      .agg(sort_array(collect_list(col("tid"))).as("toks"))
     val sigs = (0 until 16).map { i =>
-      array_min(transform(col("toks"), t => xxhash64(concat(t, lit("#" + i))))).as(s"h$i")
+      array_min(transform(col("toks"), t => xxhash64(t + lit(i * 1000003)))).as(s"h$i")
     }
     val sig = base.select(col("doc_id") +: sigs: _*)
-    val bandCols = (0 until 4).map { bIdx =>
-      struct(lit(bIdx).as("band"),
-        xxhash64(col(s"h${4 * bIdx}"), col(s"h${4 * bIdx + 1}"),
-          col(s"h${4 * bIdx + 2}"), col(s"h${4 * bIdx + 3}")).as("bh"))
+    val bhs = (0 until 4).map { b =>
+      xxhash64(col(s"h${4 * b}"), col(s"h${4 * b + 1}"),
+        col(s"h${4 * b + 2}"), col(s"h${4 * b + 3}")).as(s"bh$b")
     }
-    val bands = sig
-      .select(col("doc_id"), explode(array(bandCols: _*)).as("bnd"))
-      .select(col("doc_id"), col("bnd.band").as("band"), col("bnd.bh").as("bh"))
+    val sigB = sig.select(col("doc_id") +: bhs: _*)
+    val bandCols = (0 until 4).map(b => struct(lit(b).as("band"), col(s"bh$b").as("bh")))
+    val bands = sigB
+      .select(col("doc_id"), col("bh0"), col("bh1"), col("bh2"),
+        explode(array(bandCols: _*)).as("bnd"))
+      .select(col("doc_id"), col("bnd.band").as("band"), col("bnd.bh").as("bh"),
+        col("bh0"), col("bh1"), col("bh2"))
+    val firstSharedBand =
+      (col("x.band") === 0) ||
+      (col("x.band") === 1 && col("x.bh0") =!= col("y.bh0")) ||
+      (col("x.band") === 2 && col("x.bh0") =!= col("y.bh0") && col("x.bh1") =!= col("y.bh1")) ||
+      (col("x.band") === 3 && col("x.bh0") =!= col("y.bh0") &&
+        col("x.bh1") =!= col("y.bh1") && col("x.bh2") =!= col("y.bh2"))
     val cand = bands.as("x")
       .join(bands.as("y"),
         col("x.band") === col("y.band") && col("x.bh") === col("y.bh") &&
           col("x.doc_id") < col("y.doc_id"))
+      .filter(firstSharedBand)
       .select(col("x.doc_id").as("a_id"), col("y.doc_id").as("b_id"))
-      .distinct()
     // the per-doc token table is tiny relative to the candidate-pair
     // table — broadcast it so the (potentially huge) pair table never
     // shuffles; at 100 TB this becomes a bucketed join on doc_id instead
     val ta = broadcast(base.select(col("doc_id").as("a_id"), col("toks").as("atoks")))
     val tb = broadcast(base.select(col("doc_id").as("b_id"), col("toks").as("btoks")))
-    val jac = graft.functions.sim.jaccardSim(col("atoks"), col("btoks"))
+    val jac = graft.functions.sim.jaccardIntSim(col("atoks"), col("btoks"))
     cand.join(ta, "a_id").join(tb, "b_id")
-      .select(col("a_id"), col("b_id"), round(jac, 6).as("jac"))
+      .withColumn("jac", round(jac, 6))
+      .filter(col("jac") >= 0.8) // LSH verify step
+      .select("a_id", "b_id", "jac")
       .orderBy(col("a_id").asc, col("b_id").asc)
   }
 
