@@ -66,14 +66,15 @@ object LlmOpsExtra {
     * is bit-identical across engines (same IEEE ops), so floor-bucketing
     * is safe. */
   def llmQuality(spark: SparkSession, dir: String): DataFrame = {
-    val toks = split(col("text"), " ")
-    val ntok = size(toks).cast("double")
-    val stopRatio = size(filter(toks, t => t === "a" || t === "the")).cast("double") / ntok
+    // tokenize once per row; the score expression then reuses the column
+    val ntok = size(col("toks")).cast("double")
+    val stopRatio = size(filter(col("toks"), t => t === "a" || t === "the")).cast("double") / ntok
     val avgLen = (col("n_chars").cast("double") - (ntok - 1)) / ntok // chars minus separators
     val q = lit(0.5) * least(ntok / 100, lit(1.0)) +
       lit(0.3) * (lit(1.0) - stopRatio) +
       lit(0.2) * least(avgLen / 6, lit(1.0))
     Tables.documents(spark, dir)
+      .select(col("lang"), col("n_chars"), split(col("text"), " ").as("toks"))
       .select(col("lang"), q.as("q"))
       .groupBy(col("lang"), floor(col("q") * 10).cast("int").as("bucket"))
       .agg(count(lit(1)).as("n"), round(avg("q"), 6).as("avg_q"))
@@ -101,15 +102,24 @@ object LlmOpsExtra {
       struct(lit(j).as("band"),
         shiftrightunsigned(col("simhash"), j * 16).bitwiseAND(0xFFFFL).as("bh"))
     }
+    // each pair emitted once, at its first shared band (bh_j recomputable
+    // from the carried simhash) — avoids the pair-level distinct shuffle
     val bands = sig.select(col("doc_id"), col("simhash"), explode(array(bandCols: _*)).as("bnd"))
       .select(col("doc_id"), col("simhash"), col("bnd.band").as("band"), col("bnd.bh").as("bh"))
+    def bandOf(side: String, j: Int) =
+      shiftrightunsigned(col(s"$side.simhash"), j * 16).bitwiseAND(0xFFFFL)
+    val firstSharedBand = (0 until 4).map { j =>
+      col("x.band") === j && (0 until j)
+        .map(p => bandOf("x", p) =!= bandOf("y", p))
+        .foldLeft(lit(true))(_ && _)
+    }.reduce(_ || _)
     bands.as("x")
       .join(bands.as("y"),
         col("x.band") === col("y.band") && col("x.bh") === col("y.bh") &&
           col("x.doc_id") < col("y.doc_id"))
+      .filter(firstSharedBand)
       .select(col("x.doc_id").as("a_id"), col("y.doc_id").as("b_id"),
         bit_count(col("x.simhash").bitwiseXOR(col("y.simhash"))).as("hamming"))
-      .distinct()
       .filter(col("hamming") <= 3)
       .orderBy(col("a_id").asc, col("b_id").asc)
   }
