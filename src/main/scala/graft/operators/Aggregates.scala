@@ -154,7 +154,41 @@ object Aggregates {
       .agg(graft.functions.sim.kmvDistinct(col("user_id")).as("kmv_users"))
       .orderBy(col("event_type").asc)
 
+  /** Statistical aggregate family: sample stddev/variance, correlation,
+    * covariance. Both engines use numerically-stable one-pass updates;
+    * rounding absorbs the accumulation-order ulps (§2.Z.2). */
+  def aggStats(spark: SparkSession, dir: String): DataFrame =
+    Tables.lineitem(spark, dir)
+      .groupBy("l_returnflag")
+      .agg(
+        round(stddev_samp(col("l_extendedprice")), 4).as("sd_price"),
+        round(var_samp(col("l_extendedprice")), 2).as("var_price"),
+        round(corr(col("l_quantity"), col("l_extendedprice")), 6).as("corr_qty_price"),
+        round(covar_samp(col("l_quantity"), col("l_extendedprice")), 4).as("covar_qty_price"),
+        count(lit(1)).as("n"))
+      .orderBy(col("l_returnflag").asc)
+
+  /** Exact interpolated percentiles (SQL `percentile` ↔ DuckDB
+    * `quantile_cont` — both linear interpolation). Exact percentiles need
+    * a per-group sort; the at-scale variant is `approx_percentile`
+    * (t-digest/GK sketch), declared no-oracle like the other sketches if
+    * ever needed cross-engine. */
+  def aggPercentiles(spark: SparkSession, dir: String): DataFrame = {
+    Tables.registerAll(spark, dir)
+    spark.sql(
+      """SELECT o_orderpriority,
+        | round(percentile(o_totalprice, 0.25), 6) AS p25,
+        | round(percentile(o_totalprice, 0.5), 6) AS p50,
+        | round(percentile(o_totalprice, 0.75), 6) AS p75,
+        | round(percentile(o_totalprice, 0.95), 6) AS p95,
+        | count(*) AS n
+        |FROM orders GROUP BY o_orderpriority
+        |ORDER BY o_orderpriority ASC""".stripMargin)
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "agg_stats"         -> (aggStats _),
+    "agg_percentiles"   -> (aggPercentiles _),
     "agg_kmv_distinct"  -> (aggKmvDistinct _),
     "agg_global"        -> (aggGlobal _),
     "agg_groupby"       -> (aggGroupby _),
@@ -169,6 +203,22 @@ object Aggregates {
     "agg_minmax_by"     -> (aggMinmaxBy _))
 
   val oracleSql: Map[String, String] = Map(
+    "agg_stats" ->
+      """SELECT l_returnflag, round(stddev_samp(l_extendedprice), 4) AS sd_price,
+        | round(var_samp(l_extendedprice), 2) AS var_price,
+        | round(corr(l_quantity, l_extendedprice), 6) AS corr_qty_price,
+        | round(covar_samp(l_quantity, l_extendedprice), 4) AS covar_qty_price,
+        | count(*) AS n
+        |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag ASC""".stripMargin,
+    "agg_percentiles" ->
+      """SELECT o_orderpriority,
+        | round(quantile_cont(o_totalprice, 0.25), 6) AS p25,
+        | round(quantile_cont(o_totalprice, 0.5), 6) AS p50,
+        | round(quantile_cont(o_totalprice, 0.75), 6) AS p75,
+        | round(quantile_cont(o_totalprice, 0.95), 6) AS p95,
+        | count(*) AS n
+        |FROM orders GROUP BY o_orderpriority
+        |ORDER BY o_orderpriority ASC""".stripMargin,
     "agg_global" ->
       """SELECT round(sum(l_quantity),2) AS sum_qty, round(sum(l_extendedprice),2) AS sum_price,
         | round(avg(l_extendedprice),6) AS avg_price, round(min(l_extendedprice),2) AS min_price,
