@@ -24,7 +24,8 @@ object SparkEntry {
     Aggregates.queries ++ Relational.queries ++ Joins.queries ++
       Windows.queries ++ SetOps.queries ++ JoinsAdvanced.queries ++ Functions.queries ++
       Streaming.queries ++ SourcesSinks.queries ++ LlmOps.queries ++
-      LlmOpsExtra.queries ++ Multimodal.queries ++ Skew.queries ++ SqlOps.queries
+      LlmOpsExtra.queries ++ Multimodal.queries ++ Skew.queries ++ SqlOps.queries ++
+      TimeSeries.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
@@ -32,5 +33,6 @@ object SparkEntry {
     Aggregates.oracleSql ++ Relational.oracleSql ++ Joins.oracleSql ++
       Windows.oracleSql ++ SetOps.oracleSql ++ JoinsAdvanced.oracleSql ++ Functions.oracleSql ++
       Streaming.oracleSql ++ SourcesSinks.oracleSql ++ LlmOps.oracleSql ++
-      LlmOpsExtra.oracleSql ++ Multimodal.oracleSql ++ Skew.oracleSql ++ SqlOps.oracleSql
+      LlmOpsExtra.oracleSql ++ Multimodal.oracleSql ++ Skew.oracleSql ++ SqlOps.oracleSql ++
+      TimeSeries.oracleSql
 }

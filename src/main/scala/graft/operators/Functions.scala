@@ -152,7 +152,35 @@ object Functions {
         to_json(struct(expr("from_json(props, 'k INT').k").as("k"))).as("rt"))
       .orderBy(col("event_id").asc)
 
+  /** Ordered per-group string aggregation (LISTAGG/string_agg):
+    * collect_set + sort_array + concat_ws ↔ DuckDB
+    * `string_agg(DISTINCT ... ORDER BY ...)` — sorted ⇒ deterministic. */
+  def aggStringAgg(spark: SparkSession, dir: String): DataFrame =
+    Tables.orders(spark, dir)
+      .groupBy("o_orderpriority")
+      .agg(concat_ws(",", sort_array(collect_set(col("o_orderstatus")))).as("statuses"),
+        count(lit(1)).as("n"))
+      .orderBy(col("o_orderpriority").asc)
+
+  /** Error-safe expression family: try_cast on dirty strings, NULL-safe
+    * division via nullif — the ANSI-error-free paths a batch pipeline
+    * needs (one bad row must not kill a 100 TB job). */
+  def condTry(spark: SparkSession, dir: String): DataFrame =
+    Tables.part(spark, dir)
+      .withColumn("dirty",
+        when(col("p_size") % 3 === 0, concat(lit("x"), col("p_size"))) // unparseable
+          .otherwise(col("p_size").cast("string")))
+      .select(
+        col("p_partkey"),
+        col("dirty"),
+        expr("try_cast(dirty AS INT)").as("parsed"),
+        round(col("p_retailprice") / nullif((col("p_size") - 5).cast("double"), lit(0.0)), 6)
+          .as("safe_div"))
+      .orderBy(col("p_partkey").asc)
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "agg_string_agg" -> (aggStringAgg _),
+    "cond_try"       -> (condTry _),
     "str_funcs"    -> (strFuncs _),
     "date_funcs"   -> (dateFuncs _),
     "math_funcs"   -> (mathFuncs _),
@@ -163,6 +191,18 @@ object Functions {
     "json_funcs"   -> (jsonFuncs _))
 
   val oracleSql: Map[String, String] = Map(
+    "agg_string_agg" ->
+      """SELECT o_orderpriority,
+        | string_agg(DISTINCT o_orderstatus, ',' ORDER BY o_orderstatus ASC) AS statuses,
+        | count(*) AS n
+        |FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority ASC""".stripMargin,
+    "cond_try" ->
+      """SELECT p_partkey,
+        | CASE WHEN p_size % 3 = 0 THEN concat('x', p_size) ELSE CAST(p_size AS VARCHAR) END AS dirty,
+        | TRY_CAST(CASE WHEN p_size % 3 = 0 THEN concat('x', p_size)
+        |               ELSE CAST(p_size AS VARCHAR) END AS INT) AS parsed,
+        | round(p_retailprice / nullif(CAST(p_size - 5 AS DOUBLE), 0.0), 6) AS safe_div
+        |FROM part ORDER BY p_partkey ASC""".stripMargin,
     "str_funcs" ->
       """SELECT p_partkey, upper(p_name) AS up, lower(p_type) AS lo,
         | substr(p_name, 1, 5) AS sub5, CAST(length(p_name) AS BIGINT) AS len,
