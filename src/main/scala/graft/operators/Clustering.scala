@@ -1,0 +1,77 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Near-duplicate CLUSTERING: connected components over the verified
+  * near-dup pair graph via iterative min-label propagation — the step
+  * that turns pairwise dedup into survivor sets (keep cluster minimum,
+  * drop the rest), and the engine's demonstration of ITERATIVE dataflow
+  * (driver-coordinated fixpoint loop over DataFrames, the Pregel shape).
+  *
+  * Scale notes: each iteration is one shuffle join (edges ⋈ labels) plus
+  * a min-aggregate; iteration count = graph diameter (near-dup clusters
+  * are dense, so 2–4 rounds in practice, capped at 20). Lineage is
+  * truncated every round with localCheckpoint — without it the plan
+  * doubles per iteration and the 10th round recompiles a 1000-node tree.
+  * The fixpoint (min reachable doc_id per node) is order-independent and
+  * engine-independent, so the result is oracle-able via a recursive CTE.
+  */
+object Clustering {
+
+  def llmDedupClusters(spark: SparkSession, dir: String): DataFrame = {
+    val pairs = LlmOps.llmDedupNear(spark, dir).select("a_id", "b_id")
+    val edges = pairs
+      .unionAll(pairs.select(col("b_id").as("a_id"), col("a_id").as("b_id")))
+      .localCheckpoint(true) // edges are reused every iteration
+    var labels = edges.select(col("a_id").as("id")).distinct()
+      .withColumn("lbl", col("id"))
+      .localCheckpoint(true)
+    var converged = false
+    var iter = 0
+    while (!converged && iter < 20) {
+      val nbr = edges.join(labels, edges("b_id") === labels("id"))
+        .select(edges("a_id").as("id"), col("lbl"))
+      val next = labels.unionAll(nbr)
+        .groupBy("id").agg(min("lbl").as("lbl"))
+        .localCheckpoint(true)
+      val changed = next.as("n")
+        .join(labels.as("o"), "id")
+        .filter(col("n.lbl") =!= col("o.lbl"))
+        .count()
+      labels = next
+      converged = changed == 0
+      iter += 1
+    }
+    val w = Window.partitionBy("cluster")
+    labels
+      .select(col("id").as("doc_id"), col("lbl").as("cluster"))
+      .withColumn("csize", count(lit(1)).over(w))
+      .orderBy(col("doc_id").asc)
+  }
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "llm_dedup_clusters" -> (llmDedupClusters _))
+
+  val oracleSql: Map[String, String] = Map(
+    "llm_dedup_clusters" ->
+      """WITH RECURSIVE d AS (
+        |  SELECT doc_id, lang, n_chars // 100 AS band,
+        |         list_distinct(string_split(text, ' ')) AS toks
+        |  FROM documents),
+        |pairs AS (
+        |  SELECT a.doc_id AS a_id, b.doc_id AS b_id
+        |  FROM d a JOIN d b ON a.lang = b.lang AND a.band = b.band AND a.doc_id < b.doc_id
+        |  WHERE round(CAST(len(list_intersect(a.toks, b.toks)) AS DOUBLE) /
+        |        len(list_distinct(list_concat(a.toks, b.toks))), 6) >= 0.8),
+        |edges AS (SELECT a_id, b_id FROM pairs UNION ALL SELECT b_id, a_id FROM pairs),
+        |nodes AS (SELECT DISTINCT a_id AS id FROM edges),
+        |reach(id, r) AS (
+        |  SELECT id, id FROM nodes
+        |  UNION
+        |  SELECT reach.id, edges.b_id FROM reach JOIN edges ON reach.r = edges.a_id),
+        |cc AS (SELECT id AS doc_id, min(r) AS cluster FROM reach GROUP BY id)
+        |SELECT doc_id, cluster, count(*) OVER (PARTITION BY cluster) AS csize
+        |FROM cc ORDER BY doc_id ASC""".stripMargin)
+}
