@@ -35,6 +35,32 @@ object LlmOpsExtra {
       .orderBy(col("doc_id").asc)
   }
 
+  /** n-gram (3-token shingle) Jaccard near-dup — order-sensitive dedup:
+    * token-set Jaccard (llm_dedup_near) treats reshuffled documents as
+    * identical; shingle Jaccard does not, which is why corpus dedup runs
+    * both. Shingles are built once per doc (sequence+slice), distinct and
+    * sorted, so the pair stage runs the zero-allocation merge kernel.
+    * Threshold 0.3: shingle similarity is far more discriminative than
+    * token-set similarity (6 true pairs vs 2391 at sf0.01). */
+  def llmNgramJaccard(spark: SparkSession, dir: String): DataFrame = {
+    val toksRaw = split(col("text"), " ") // order matters for shingles
+    val nsh = greatest(size(toksRaw) - 2, lit(1))
+    val shingles = sort_array(array_distinct(transform(sequence(lit(1), nsh),
+      i => concat_ws(" ", slice(toksRaw, i, lit(3))))))
+    val d = Tables.documents(spark, dir)
+      .select(col("doc_id"), col("lang"), expr("n_chars div 100").as("band"), shingles.as("sh"))
+    val a = d.select(col("doc_id").as("a_id"), col("lang"), col("band"), col("sh").as("ash"))
+    val b = d.select(col("doc_id").as("b_id"), col("lang").as("b_lang"),
+      col("band").as("b_band"), col("sh").as("bsh"))
+    val jac = graft.functions.sim.jaccardSortedSim(col("ash"), col("bsh"))
+    a.join(b, col("lang") === col("b_lang") && col("band") === col("b_band") &&
+             col("a_id") < col("b_id"))
+      .withColumn("jac", round(jac, 6))
+      .filter(col("jac") >= 0.3)
+      .select("a_id", "b_id", "jac")
+      .orderBy(col("a_id").asc, col("b_id").asc)
+  }
+
   /** Shared Spark/DuckDB SQL fragment: occurrences of a marker substring
     * (length-delta trick — no regex dialect risk). */
   private def occ(marker: String): String =
@@ -199,6 +225,7 @@ object LlmOpsExtra {
   }
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "llm_ngram_jaccard" -> (llmNgramJaccard _),
     "llm_tokenize"    -> (llmTokenize _),
     "llm_fingerprint" -> (llmFingerprint _),
     "llm_lang_id"     -> (llmLangId _),
@@ -208,6 +235,20 @@ object LlmOpsExtra {
     "llm_ann_ivf"     -> (llmAnnIvf _))
 
   val oracleSql: Map[String, String] = Map(
+    "llm_ngram_jaccard" ->
+      """WITH d AS (
+        |  SELECT doc_id, lang, n_chars // 100 AS band,
+        |    list_distinct(list_transform(
+        |      generate_series(1, greatest(len(string_split(text, ' ')) - 2, 1)),
+        |      i -> array_to_string(list_slice(string_split(text, ' '), i, i + 2), ' '))) AS sh
+        |  FROM documents)
+        |SELECT a.doc_id AS a_id, b.doc_id AS b_id,
+        |  round(CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE) /
+        |        len(list_distinct(list_concat(a.sh, b.sh))), 6) AS jac
+        |FROM d a JOIN d b ON a.lang = b.lang AND a.band = b.band AND a.doc_id < b.doc_id
+        |WHERE round(CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE) /
+        |      len(list_distinct(list_concat(a.sh, b.sh))), 6) >= 0.3
+        |ORDER BY a_id ASC, b_id ASC""".stripMargin,
     "llm_tokenize" ->
       """SELECT lang, count(*) AS docs,
         | CAST(sum(len(string_split(text, ' '))) AS BIGINT) AS ws_tokens,
