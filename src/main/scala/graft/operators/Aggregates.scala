@@ -186,7 +186,20 @@ object Aggregates {
         |ORDER BY o_orderpriority ASC""".stripMargin)
   }
 
+  /** Approximate percentiles (Greenwald-Khanna sketch, accuracy 1000):
+    * the 100 TB percentile path — mergeable partials instead of a
+    * per-group sort. No-oracle (sketch internals are engine-specific);
+    * unit-tested against the exact `percentile` within tolerance. */
+  def aggApproxPctl(spark: SparkSession, dir: String): DataFrame =
+    Tables.orders(spark, dir)
+      .groupBy("o_orderpriority")
+      .agg(
+        round(expr("approx_percentile(o_totalprice, 0.5, 1000)"), 2).as("p50"),
+        round(expr("approx_percentile(o_totalprice, 0.95, 1000)"), 2).as("p95"))
+      .orderBy(col("o_orderpriority").asc)
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "agg_approx_pctl"   -> (aggApproxPctl _),
     "agg_stats"         -> (aggStats _),
     "agg_percentiles"   -> (aggPercentiles _),
     "agg_kmv_distinct"  -> (aggKmvDistinct _),

@@ -35,6 +35,17 @@ class KmvDistinctSpec extends AnyFunSuite {
     assert(b === c)
   }
 
+  test("approx_percentile tracks exact percentiles within 2%") {
+    val approx = operators.Aggregates.aggApproxPctl(spark, sf001)
+      .collect().map(r => r.getString(0) -> (r.getDouble(1), r.getDouble(2))).toMap
+    val exact = operators.Aggregates.aggPercentiles(spark, sf001)
+      .collect().map(r => r.getString(0) -> (r.getDouble(2), r.getDouble(4))).toMap
+    exact.foreach { case (k, (p50, p95)) =>
+      assert(math.abs(approx(k)._1 - p50) / p50 <= 0.02, s"$k p50")
+      assert(math.abs(approx(k)._2 - p95) / p95 <= 0.02, s"$k p95")
+    }
+  }
+
   test("usable from SQL via extension registration") {
     Tables.registerAll(spark, sf0001)
     val est = spark.sql("SELECT kmv_distinct(user_id) FROM events").head().getLong(0)
