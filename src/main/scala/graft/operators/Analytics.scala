@@ -1,0 +1,78 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.Tables
+
+/** Product-analytics operators over the event stream: ordered-step
+  * funnels and cohort retention — the two queries every event pipeline
+  * ends up serving.
+  *
+  * Scale notes: both are single hash aggregations keyed by user (funnel:
+  * conditional min-timestamps per step, then one tiny rollup; retention:
+  * per-user cohort min + membership flags) — partial aggregation
+  * compresses each user to one row before the shuffle, so they scale with
+  * distinct users, not event volume.
+  */
+object Analytics {
+
+  /** Ordered funnel view→click→purchase on FIRST occurrences: a user
+    * converts step k only if its first step-k event follows the first
+    * step-(k−1) event. */
+  def funnelSteps(spark: SparkSession, dir: String): DataFrame = {
+    val perUser = Tables.events(spark, dir)
+      .groupBy("user_id")
+      .agg(
+        min(when(col("event_type") === "view", col("ts"))).as("t_view"),
+        min(when(col("event_type") === "click", col("ts"))).as("t_click"),
+        min(when(col("event_type") === "purchase", col("ts"))).as("t_purchase"))
+    perUser.agg(
+      count(lit(1)).as("users"),
+      count(col("t_view")).as("viewed"),
+      count(when(col("t_click") > col("t_view"), lit(1))).as("clicked_after_view"),
+      count(when(col("t_click") > col("t_view") && col("t_purchase") > col("t_click"),
+        lit(1))).as("purchased_after_click"))
+  }
+
+  /** Weekly cohort retention: users grouped by first-seen day; retained =
+    * any event in days [7, 14) after the cohort day. */
+  def funnelRetention(spark: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(spark, dir)
+      .select(col("user_id"), date_trunc("day", col("ts")).as("day"))
+    val cohort = ev.groupBy("user_id").agg(min("day").as("c_day"))
+    ev.join(cohort, "user_id")
+      .groupBy("user_id", "c_day")
+      .agg(max(when(datediff(col("day"), col("c_day")).between(7, 13), lit(1))
+        .otherwise(lit(0))).as("retained_w2"))
+      .groupBy("c_day")
+      .agg(count(lit(1)).as("cohort_users"), sum("retained_w2").as("retained"))
+      .orderBy(col("c_day").asc)
+  }
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "funnel_steps"     -> (funnelSteps _),
+    "funnel_retention" -> (funnelRetention _))
+
+  val oracleSql: Map[String, String] = Map(
+    "funnel_steps" ->
+      """WITH u AS (
+        |  SELECT user_id,
+        |    min(CASE WHEN event_type = 'view' THEN ts END) AS t_view,
+        |    min(CASE WHEN event_type = 'click' THEN ts END) AS t_click,
+        |    min(CASE WHEN event_type = 'purchase' THEN ts END) AS t_purchase
+        |  FROM events GROUP BY user_id)
+        |SELECT count(*) AS users, count(t_view) AS viewed,
+        |  count(*) FILTER (WHERE t_click > t_view) AS clicked_after_view,
+        |  count(*) FILTER (WHERE t_click > t_view AND t_purchase > t_click) AS purchased_after_click
+        |FROM u""".stripMargin,
+    "funnel_retention" ->
+      """WITH ev AS (SELECT user_id, date_trunc('day', ts) AS day FROM events),
+        |cohort AS (SELECT user_id, min(day) AS c_day FROM ev GROUP BY user_id),
+        |per_user AS (
+        |  SELECT ev.user_id, c_day,
+        |    max(CASE WHEN date_diff('day', c_day, day) BETWEEN 7 AND 13 THEN 1 ELSE 0 END) AS retained_w2
+        |  FROM ev JOIN cohort ON ev.user_id = cohort.user_id
+        |  GROUP BY ev.user_id, c_day)
+        |SELECT c_day, count(*) AS cohort_users, CAST(sum(retained_w2) AS BIGINT) AS retained
+        |FROM per_user GROUP BY c_day ORDER BY c_day ASC""".stripMargin)
+}
