@@ -107,7 +107,26 @@ object Windows {
       .orderBy(col("o_custkey").asc, col("o_orderkey").asc)
   }
 
+  /** Ratio-to-report: each nation's share of its region's revenue and of
+    * the global total — unpartitioned and partitioned window aggregates
+    * over a pre-aggregated (tiny) frame, so the global window is safe at
+    * any input scale. */
+  def winRatio(spark: SparkSession, dir: String): DataFrame = {
+    val perNation = Tables.customer(spark, dir)
+      .join(broadcast(Tables.nation(spark, dir)), col("c_nationkey") === col("n_nationkey"))
+      .join(broadcast(Tables.region(spark, dir)), col("n_regionkey") === col("r_regionkey"))
+      .groupBy("r_name", "n_name")
+      .agg(round(sum("c_acctbal"), 2).as("bal"))
+    perNation
+      .withColumn("region_share",
+        round(col("bal") / sum("bal").over(Window.partitionBy("r_name")), 6))
+      .withColumn("global_share",
+        round(col("bal") / sum("bal").over(Window.partitionBy()), 6))
+      .orderBy(col("r_name").asc, col("n_name").asc)
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "win_ratio"       -> (winRatio _),
     "win_topk"        -> (winTopk _),
     "win_ranks"       -> (winRanks _),
     "win_lag_lead"    -> (winLagLead _),
@@ -117,6 +136,16 @@ object Windows {
     "win_first_last"  -> (winFirstLast _))
 
   val oracleSql: Map[String, String] = Map(
+    "win_ratio" ->
+      """WITH pn AS (
+        |  SELECT r_name, n_name, round(sum(c_acctbal), 2) AS bal
+        |  FROM customer JOIN nation ON c_nationkey = n_nationkey
+        |  JOIN region ON n_regionkey = r_regionkey
+        |  GROUP BY r_name, n_name)
+        |SELECT r_name, n_name, bal,
+        |  round(bal / sum(bal) OVER (PARTITION BY r_name), 6) AS region_share,
+        |  round(bal / sum(bal) OVER (), 6) AS global_share
+        |FROM pn ORDER BY r_name ASC, n_name ASC""".stripMargin,
     "win_topk" ->
       """SELECT o_custkey, rn, o_orderkey, o_totalprice FROM (
         |  SELECT o_custkey, o_orderkey, o_totalprice,
