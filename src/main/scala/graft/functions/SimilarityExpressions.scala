@@ -70,6 +70,28 @@ object SimilarityKernels {
     if (union == 0) 0.0 else inter.toDouble / union
   }
 
+  /** Merge-intersection over sorted distinct `array<bigint>` — the
+    * hash-id encoding (`xxhash64(term)`) used by the dedup operators:
+    * ids are computed map-side inside the document row, so there is no
+    * vocabulary table, no dictionary shuffle, and no single-partition
+    * ranking window anywhere in the pipeline. */
+  def jaccardSortedLong(a: ArrayData, b: ArrayData): Double = {
+    val na = a.numElements()
+    val nb = b.numElements()
+    var i = 0
+    var j = 0
+    var inter = 0
+    while (i < na && j < nb) {
+      val x = a.getLong(i)
+      val y = b.getLong(j)
+      if (x == y) { inter += 1; i += 1; j += 1 }
+      else if (x < y) i += 1
+      else j += 1
+    }
+    val union = na + nb - inter
+    if (union == 0) 0.0 else inter.toDouble / union
+  }
+
   /** `assumeDistinct = true` skips the B-side dedup set — correct whenever
     * both inputs come from `array_distinct` (every internal call site),
     * and ~2× cheaper on the multi-million-pair dedup verify stage. */
@@ -171,6 +193,27 @@ case class JaccardIntSim(left: Expression, right: Expression)
     copy(left = newLeft, right = newRight)
 }
 
+/** Jaccard over sorted distinct hash-encoded token ids (`array<bigint>`,
+  * from `xxhash64(term)`) — see SimilarityKernels.jaccardSortedLong. */
+case class JaccardLongSim(left: Expression, right: Expression)
+    extends BinaryExpression with ExpectsInputTypes {
+  import org.apache.spark.sql.types.LongType
+  override def inputTypes = Seq(ArrayType(LongType), ArrayType(LongType))
+  override def dataType: DataType = DoubleType
+  override def prettyName: String = "jaccard_long_sim"
+
+  override protected def nullSafeEval(a: Any, b: Any): Any =
+    SimilarityKernels.jaccardSortedLong(a.asInstanceOf[ArrayData], b.asInstanceOf[ArrayData])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev,
+      (a, b) => s"graft.functions.SimilarityKernels.jaccardSortedLong($a, $b)")
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): JaccardLongSim =
+    copy(left = newLeft, right = newRight)
+}
+
 /** `cosine_sim(array<double>, array<double>) -> double` — fused
   * dot-and-norms, one pass, codegen'd. */
 case class CosineSim(left: Expression, right: Expression)
@@ -211,6 +254,10 @@ object sim {
   /** For sorted distinct dictionary-encoded id arrays (`array<int>`). */
   def jaccardIntSim(a: Column, b: Column): Column =
     column(JaccardIntSim(expression(a), expression(b)))
+
+  /** For sorted distinct hash-encoded id arrays (`array<bigint>`). */
+  def jaccardLongSim(a: Column, b: Column): Column =
+    column(JaccardLongSim(expression(a), expression(b)))
   def cosineSim(a: Column, b: Column): Column =
     column(CosineSim(expression(a), expression(b)))
   def kmvDistinct(c: Column, k: Int = 256): Column =

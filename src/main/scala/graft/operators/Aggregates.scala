@@ -125,11 +125,15 @@ object Aggregates {
         count(lit(1)).as("n"))
       .orderBy("l_returnflag")
 
-  /** Per-group sorted list — sorted ⇒ deterministic (SURVEY §2.D). */
+  /** Per-group sorted list — sorted ⇒ deterministic (SURVEY §2.D).
+    * Emitted as a comma-joined string: the driver's comparator hashes
+    * cell values and cannot factorize raw array cells (round-1 driver
+    * failure — numpy.ndarray is unhashable in pandas). Same information,
+    * hashable schema. */
   def aggCollect(spark: SparkSession, dir: String): DataFrame =
     Tables.orders(spark, dir)
       .groupBy("o_custkey")
-      .agg(sort_array(collect_list("o_orderpriority")).as("prios"))
+      .agg(concat_ws(",", sort_array(collect_list("o_orderpriority"))).as("prios"))
       .orderBy("o_custkey")
 
   /** Arg-max with a (value, key) struct tie-break — mandatory for
@@ -274,7 +278,7 @@ object Aggregates {
         | count(*) AS n
         |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
     "agg_collect" ->
-      """SELECT o_custkey, list_sort(list(o_orderpriority)) AS prios
+      """SELECT o_custkey, array_to_string(list_sort(list(o_orderpriority)), ',') AS prios
         |FROM orders GROUP BY o_custkey ORDER BY o_custkey""".stripMargin,
     "agg_minmax_by" ->
       """WITH ranked AS (

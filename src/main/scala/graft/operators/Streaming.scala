@@ -44,7 +44,10 @@ object Streaming {
     val byUser = Window.partitionBy("user_id").orderBy(col("ts").asc, col("event_id").asc)
     Tables.events(spark, dir)
       .withColumn("gap_us", unix_micros(col("ts")) - unix_micros(lag("ts", 1).over(byUser)))
-      .withColumn("new_s", when(col("gap_us").isNull || col("gap_us") > 1800L * 1000000, 1L).otherwise(0L))
+      // >=: session_window(ts, '30 minutes') is end-EXCLUSIVE — an event
+      // exactly 30 min after the previous one starts a new session there,
+      // so the gaps-and-islands form must agree at the boundary
+      .withColumn("new_s", when(col("gap_us").isNull || col("gap_us") >= 1800L * 1000000, 1L).otherwise(0L))
       .withColumn("session_id", sum("new_s").over(byUser.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
       .groupBy("user_id", "session_id")
       .agg(count(lit(1)).as("n"), round(sum("value"), 2).as("val"),
@@ -104,7 +107,7 @@ object Streaming {
         |    epoch_us(ts) - epoch_us(lag(ts, 1) OVER w) AS gap_us
         |  FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts ASC, event_id ASC)),
         |s AS (
-        |  SELECT *, CAST(sum(CASE WHEN gap_us IS NULL OR gap_us > 1800000000 THEN 1 ELSE 0 END)
+        |  SELECT *, CAST(sum(CASE WHEN gap_us IS NULL OR gap_us >= 1800000000 THEN 1 ELSE 0 END)
         |    OVER (PARTITION BY user_id ORDER BY ts ASC, event_id ASC
         |          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS session_id
         |  FROM g)

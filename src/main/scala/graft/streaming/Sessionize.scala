@@ -42,7 +42,8 @@ object Sessionize {
       var start: Timestamp = null
       var last: Timestamp = null
       sorted.foreach { e =>
-        if (last == null || e.ts.getTime - last.getTime > gapSeconds * 1000) {
+        // >= : matches session_window's end-exclusive gap semantics
+        if (last == null || e.ts.getTime - last.getTime >= gapSeconds * 1000) {
           if (last != null) out += GSession(user, sid, n, v, start, last)
           sid += 1; n = 0; v = 0.0; start = e.ts
         }

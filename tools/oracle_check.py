@@ -63,12 +63,12 @@ def main():
     for name, sql in sorted(oracle.items()):
         if only and name not in only:
             continue
+        checked += 1
         spark_dir = Path(out_dir, name)
         if not spark_dir.exists():
             failures.append(name)
             print(f"FAIL {name}: no Spark output at {spark_dir}")
             continue
-        checked += 1
         try:
             duck = con.execute(sql).fetchdf()
         except Exception as e:
@@ -81,6 +81,20 @@ def main():
         except Exception as e:
             failures.append(name)
             print(f"FAIL {name}: cannot read Spark parquet: {e}")
+            continue
+
+        # The REAL driver comparator hashes cells with pandas factorize,
+        # which throws on array cells (round-1: agg_collect/array_funcs
+        # passed here but failed the driver). Mirror its strictness:
+        # reject any array/list-typed output column outright.
+        arr_cols = [c for c in spark.columns
+                    if any(isinstance(v, (list, tuple)) or
+                           (hasattr(v, "tolist") and not isinstance(v, (str, bytes)))
+                           for v in spark[c].head(20))]
+        if arr_cols:
+            failures.append(name)
+            print(f"FAIL {name}: array-typed output columns {arr_cols} — "
+                  "driver comparator cannot hash these; stringify them")
             continue
 
         dcols, drows = rows_of(duck)
