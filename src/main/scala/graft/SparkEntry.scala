@@ -25,7 +25,7 @@ object SparkEntry {
       Windows.queries ++ SetOps.queries ++ JoinsAdvanced.queries ++ Functions.queries ++
       Streaming.queries ++ SourcesSinks.queries ++ LlmOps.queries ++
       LlmOpsExtra.queries ++ Multimodal.queries ++ Skew.queries ++ SqlOps.queries ++
-      TimeSeries.queries ++ Clustering.queries ++ Analytics.queries
+      TimeSeries.queries ++ Clustering.queries ++ Analytics.queries ++ LlmOpsPipeline.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
@@ -34,5 +34,5 @@ object SparkEntry {
       Windows.oracleSql ++ SetOps.oracleSql ++ JoinsAdvanced.oracleSql ++ Functions.oracleSql ++
       Streaming.oracleSql ++ SourcesSinks.oracleSql ++ LlmOps.oracleSql ++
       LlmOpsExtra.oracleSql ++ Multimodal.oracleSql ++ Skew.oracleSql ++ SqlOps.oracleSql ++
-      TimeSeries.oracleSql ++ Clustering.oracleSql ++ Analytics.oracleSql
+      TimeSeries.oracleSql ++ Clustering.oracleSql ++ Analytics.oracleSql ++ LlmOpsPipeline.oracleSql
 }

@@ -1,0 +1,234 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.Tables
+
+/** Round-2 training-data-pipeline operators: the steps that sit AROUND
+  * dedup in a real corpus build — applying dedup decisions, composing the
+  * training mix, sampling strata, repetition/quality filtering, and
+  * benchmark-contamination checks. All are declared queries with DuckDB
+  * oracles.
+  *
+  * Scale notes: every operator here is either a map-side expression over
+  * the document row (filters, mix stats) or a blocked/keyed equi-join
+  * (dedup apply, contamination) — no global windows, no broadcasts of
+  * corpus-sized tables, no driver-side loops. Per-lang windows (sampling)
+  * partition by a bounded-cardinality key whose per-partition row count
+  * is itself capped by the sample quota at any input scale only AFTER the
+  * hash-rank pushes through a shuffle on lang — acceptable because langs
+  * are few but each partition is a scan+heap, not a full sort (row_number
+  * over a sort is still O(n log n) per lang; the documented 100 TB
+  * upgrade is per-lang `orderBy().limit(k)` loops or a sketch-based
+  * quantile cut on the hash).
+  */
+object LlmOpsPipeline {
+
+  private def toksRaw = split(col("text"), " ")
+
+  /** Apply near-dup dedup pairwise-greedily: a document is DROPPED when it
+    * has a verified near-dup with a smaller doc_id (the canonical pair
+    * orientation a_id < b_id makes this the classic keep-first policy —
+    * no connected components needed, one distinct + one left join). Kept
+    * vs dropped per source = the dedup report a corpus build publishes. */
+  def llmDedupApply(spark: SparkSession, dir: String): DataFrame = {
+    val dropped = LlmOps.llmDedupNear(spark, dir).select(col("b_id")).distinct()
+    Tables.documents(spark, dir)
+      .join(dropped, col("doc_id") === col("b_id"), "left")
+      .groupBy("source")
+      .agg(count(when(col("b_id").isNull, lit(1))).as("kept"),
+        count(when(col("b_id").isNotNull, lit(1))).as("dropped"))
+      .orderBy(col("source").asc)
+  }
+
+  /** Deterministic stratified sampling: top-20 docs per lang ordered by a
+    * salted md5 of the doc id (md5 is identical across engines ⇒
+    * oracle-able, unlike xxhash). This is the "fixed random sample per
+    * stratum" every training-mix experiment needs to be reproducible. */
+  def llmStratifiedSample(spark: SparkSession, dir: String): DataFrame = {
+    val hash = md5(concat(lit("graft"), col("doc_id").cast("string")).cast("binary"))
+    val w = Window.partitionBy("lang").orderBy(hash.asc, col("doc_id").asc)
+    Tables.documents(spark, dir)
+      .select(col("doc_id"), col("lang"))
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= 20)
+      .select("lang", "rn", "doc_id")
+      .orderBy(col("lang").asc, col("rn").asc)
+  }
+
+  /** Training-mix composition: per-source doc/token counts and each
+    * source's share of the total token budget — the table a data-mixture
+    * config is written from. Global total via a 1-row broadcast, not a
+    * window. */
+  def llmMixWeights(spark: SparkSession, dir: String): DataFrame = {
+    val per = Tables.documents(spark, dir)
+      .select(col("source"), size(toksRaw).cast("bigint").as("ntok"))
+      .groupBy("source")
+      .agg(count(lit(1)).as("docs"), sum("ntok").as("tokens"))
+    val total = per.agg(sum("tokens").as("total"))
+    per.crossJoin(broadcast(total))
+      .select(col("source"), col("docs"), col("tokens"),
+        round(col("tokens").cast("double") / col("total"), 6).as("share"))
+      .orderBy(col("source").asc)
+  }
+
+  /** Repetition statistics (the compression-ratio family of quality
+    * signals): per-doc token repetition = 1 − vocab/ntoks and top-token
+    * dominance = max single-token count / ntoks, aggregated per lang.
+    * Highly repetitive documents are the first thing a corpus build
+    * filters. */
+  def llmRepetition(spark: SparkSession, dir: String): DataFrame = {
+    val per = Tables.documents(spark, dir)
+      .select(col("doc_id"), col("lang"), explode(toksRaw).as("tok"))
+      .groupBy("doc_id", "lang", "tok").agg(count(lit(1)).as("c"))
+      .groupBy("doc_id", "lang")
+      .agg(sum("c").as("ntoks"), count(lit(1)).as("vocab"), max("c").as("maxc"))
+      .select(col("lang"),
+        (lit(1.0) - col("vocab").cast("double") / col("ntoks")).as("rep"),
+        (col("maxc").cast("double") / col("ntoks")).as("dom"))
+    per.groupBy("lang")
+      .agg(count(lit(1)).as("docs"),
+        round(avg("rep"), 6).as("avg_rep"),
+        round(avg("dom"), 6).as("avg_dom"),
+        count(when(col("rep") > 0.5, lit(1))).as("n_repetitive"))
+      .orderBy(col("lang").asc)
+  }
+
+  /** Benchmark-contamination check: docs sharing any 8-token shingle with
+    * the "benchmark" set (doc_id % 100 = 0 — a deterministic stand-in for
+    * an eval-set manifest) are flagged, reported per source. Shingles are
+    * hash-encoded map-side (xxhash64) so the semi join moves fixed-width
+    * longs; the oracle joins the raw shingle strings (collision odds
+    * ~n²/2⁶⁵ make the two equivalent). */
+  def llmContamination(spark: SparkSession, dir: String): DataFrame = {
+    val nsh = greatest(size(toksRaw) - 7, lit(1))
+    val sh = array_distinct(transform(sequence(lit(1), nsh),
+      i => xxhash64(concat_ws(" ", slice(toksRaw, i, lit(8))))))
+    val docsSh = Tables.documents(spark, dir)
+      .select(col("doc_id"), explode(sh).as("h"))
+    val bench = docsSh.filter(col("doc_id") % 100 === 0).select("h").distinct()
+    val contaminated = docsSh.filter(col("doc_id") % 100 =!= 0)
+      .join(bench, Seq("h"), "leftsemi")
+      .select("doc_id").distinct()
+      .withColumn("flag", lit(1))
+    Tables.documents(spark, dir)
+      .filter(col("doc_id") % 100 =!= 0)
+      .join(contaminated, Seq("doc_id"), "left")
+      .groupBy("source")
+      .agg(count(lit(1)).as("docs"), count(col("flag")).as("contaminated"),
+        round(count(col("flag")).cast("double") / count(lit(1)), 6).as("ratio"))
+      .orderBy(col("source").asc)
+  }
+
+  /** Heuristic quality filters (the C4/Gopher-rule shape): per-doc flags —
+    * too short (<30 tokens), mean token length outside [3, 8], no
+    * stopwords ("the"/"a" on this fixture vocabulary) — and the per-lang
+    * pass/fail census a filtering run reports. Pure map-side expressions;
+    * at 100 TB this is a single narrow scan. */
+  def llmHeuristicFilter(spark: SparkSession, dir: String): DataFrame = {
+    val ntok = size(col("toks")).cast("double")
+    val avgLen = (col("n_chars").cast("double") - (ntok - 1)) / ntok
+    val nstop = size(filter(col("toks"), t => t === "the" || t === "a"))
+    val tooShort = ntok < 30
+    val badLen = avgLen < 3.0 || avgLen > 8.0
+    val noStop = nstop === 0
+    Tables.documents(spark, dir)
+      .select(col("lang"), col("n_chars"), toksRaw.as("toks"))
+      .select(col("lang"), tooShort.as("ts"), badLen.as("bl"), noStop.as("ns"))
+      .groupBy("lang")
+      .agg(count(lit(1)).as("docs"),
+        count(when(col("ts"), lit(1))).as("n_too_short"),
+        count(when(col("bl"), lit(1))).as("n_bad_len"),
+        count(when(col("ns"), lit(1))).as("n_no_stop"),
+        count(when(!col("ts") && !col("bl") && !col("ns"), lit(1))).as("n_pass"))
+      .orderBy(col("lang").asc)
+  }
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "llm_dedup_apply"       -> (llmDedupApply _),
+    "llm_stratified_sample" -> (llmStratifiedSample _),
+    "llm_mix_weights"       -> (llmMixWeights _),
+    "llm_repetition"        -> (llmRepetition _),
+    "llm_contamination"     -> (llmContamination _),
+    "llm_heuristic_filter"  -> (llmHeuristicFilter _))
+
+  val oracleSql: Map[String, String] = Map(
+    "llm_dedup_apply" ->
+      """WITH d AS (
+        |  SELECT doc_id, lang, n_chars // 100 AS band,
+        |         list_distinct(string_split(text, ' ')) AS toks
+        |  FROM documents),
+        |p AS (
+        |  SELECT a.doc_id AS a_id, b.doc_id AS b_id
+        |  FROM d a JOIN d b ON a.lang = b.lang AND a.band = b.band AND a.doc_id < b.doc_id
+        |  WHERE round(CAST(len(list_intersect(a.toks, b.toks)) AS DOUBLE) /
+        |        len(list_distinct(list_concat(a.toks, b.toks))), 6) >= 0.8),
+        |dr AS (SELECT DISTINCT b_id FROM p)
+        |SELECT source, count(*) FILTER (WHERE dr.b_id IS NULL) AS kept,
+        |       count(*) FILTER (WHERE dr.b_id IS NOT NULL) AS dropped
+        |FROM documents LEFT JOIN dr ON doc_id = dr.b_id
+        |GROUP BY source ORDER BY source ASC""".stripMargin,
+    "llm_stratified_sample" ->
+      """WITH r AS (
+        |  SELECT lang, doc_id,
+        |    row_number() OVER (PARTITION BY lang
+        |      ORDER BY md5('graft' || CAST(doc_id AS VARCHAR)) ASC, doc_id ASC) AS rn
+        |  FROM documents)
+        |SELECT lang, rn, doc_id FROM r WHERE rn <= 20
+        |ORDER BY lang ASC, rn ASC""".stripMargin,
+    "llm_mix_weights" ->
+      """WITH p AS (
+        |  SELECT source, count(*) AS docs,
+        |    CAST(sum(len(string_split(text, ' '))) AS BIGINT) AS tokens
+        |  FROM documents GROUP BY source)
+        |SELECT source, docs, tokens,
+        |  round(CAST(tokens AS DOUBLE) / (SELECT sum(tokens) FROM p), 6) AS share
+        |FROM p ORDER BY source ASC""".stripMargin,
+    "llm_repetition" ->
+      """WITH tc AS (
+        |  SELECT doc_id, lang, tok, count(*) AS c
+        |  FROM (SELECT doc_id, lang, unnest(string_split(text, ' ')) AS tok FROM documents) t
+        |  GROUP BY doc_id, lang, tok),
+        |per AS (
+        |  SELECT doc_id, lang,
+        |    1.0 - CAST(count(*) AS DOUBLE) / sum(c) AS rep,
+        |    CAST(max(c) AS DOUBLE) / sum(c) AS dom
+        |  FROM tc GROUP BY doc_id, lang)
+        |SELECT lang, count(*) AS docs, round(avg(rep), 6) AS avg_rep,
+        |  round(avg(dom), 6) AS avg_dom,
+        |  count(*) FILTER (WHERE rep > 0.5) AS n_repetitive
+        |FROM per GROUP BY lang ORDER BY lang ASC""".stripMargin,
+    "llm_contamination" ->
+      """WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+        |sh AS (
+        |  SELECT doc_id, unnest(list_distinct(list_transform(
+        |    generate_series(1, greatest(len(toks) - 7, 1)),
+        |    i -> array_to_string(list_slice(toks, i, i + 7), ' ')))) AS s
+        |  FROM t),
+        |bench AS (SELECT DISTINCT s FROM sh WHERE doc_id % 100 = 0),
+        |cont AS (
+        |  SELECT DISTINCT doc_id FROM sh
+        |  WHERE doc_id % 100 <> 0 AND s IN (SELECT s FROM bench))
+        |SELECT source, count(*) AS docs, count(cont.doc_id) AS contaminated,
+        |  round(CAST(count(cont.doc_id) AS DOUBLE) / count(*), 6) AS ratio
+        |FROM documents LEFT JOIN cont ON documents.doc_id = cont.doc_id
+        |WHERE documents.doc_id % 100 <> 0
+        |GROUP BY source ORDER BY source ASC""".stripMargin,
+    "llm_heuristic_filter" ->
+      """WITH f AS (
+        |  SELECT lang,
+        |    len(string_split(text, ' ')) < 30 AS ts,
+        |    ((CAST(n_chars AS DOUBLE) - (len(string_split(text, ' ')) - 1))
+        |      / len(string_split(text, ' ')) < 3.0
+        |     OR (CAST(n_chars AS DOUBLE) - (len(string_split(text, ' ')) - 1))
+        |      / len(string_split(text, ' ')) > 8.0) AS bl,
+        |    len(list_filter(string_split(text, ' '), t -> t = 'the' OR t = 'a')) = 0 AS ns
+        |  FROM documents)
+        |SELECT lang, count(*) AS docs,
+        |  count(*) FILTER (WHERE ts) AS n_too_short,
+        |  count(*) FILTER (WHERE bl) AS n_bad_len,
+        |  count(*) FILTER (WHERE ns) AS n_no_stop,
+        |  count(*) FILTER (WHERE NOT ts AND NOT bl AND NOT ns) AS n_pass
+        |FROM f GROUP BY lang ORDER BY lang ASC""".stripMargin)
+}

@@ -82,12 +82,43 @@ object Streaming {
       .orderBy(col("hour").asc, col("status").asc)
   }
 
+  /** Incremental file-source load — the reference's serverless trigger
+    * loop (SURVEY §3.1) as a DECLARED query: events are staged as daily
+    * parquet drops, a Structured Streaming file source discovers and
+    * processes them under `Trigger.AvailableNow` (checkpointed, so a
+    * re-run would process only NEW days — exactly the timer-triggered
+    * loader), and the streaming aggregate must equal the batch answer —
+    * which is precisely what the DuckDB oracle checks. At 100 TB the
+    * same topology runs continuously: file notifications feed
+    * micro-batches, state lives in the checkpoint. */
+  def streamIncremental(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.streaming.Trigger
+    val tmp = java.nio.file.Files.createTempDirectory("graft_incr_").toString
+    val qname = "inc_" + new java.io.File(tmp).getName.replaceAll("[^A-Za-z0-9_]", "")
+    val src = s"$tmp/daily"
+    Tables.events(spark, dir)
+      .select(col("event_id"), col("ts"), col("user_id"), col("event_type"), col("value"),
+        date_format(col("ts"), "yyyy-MM-dd").as("day"))
+      .write.mode("overwrite").partitionBy("day").parquet(src)
+    val schema = spark.read.parquet(src).schema
+    val q = spark.readStream.schema(schema).parquet(src)
+      .groupBy(col("day").cast("string").as("day"), col("event_type"))
+      .agg(count(lit(1)).as("n"), round(sum(col("value")), 2).as("val"))
+      .writeStream.format("memory").queryName(qname)
+      .option("checkpointLocation", s"$tmp/ckpt")
+      .outputMode("complete").trigger(Trigger.AvailableNow()).start()
+    try q.awaitTermination(300000) finally q.stop()
+    spark.table(qname)
+      .orderBy(col("day").asc, col("event_type").asc)
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "stream_tumbling"  -> (streamTumbling _),
     "stream_sliding"   -> (streamSliding _),
     "stream_session"   -> (streamSession _),
     "stream_dedup"     -> (streamDedup _),
-    "stream_late_data" -> (streamLateData _))
+    "stream_late_data" -> (streamLateData _),
+    "stream_incremental" -> (streamIncremental _))
 
   val oracleSql: Map[String, String] = Map(
     "stream_tumbling" ->
@@ -117,6 +148,11 @@ object Streaming {
     "stream_dedup" ->
       """SELECT event_type, count(*) AS n, round(sum(value), 2) AS val
         |FROM events GROUP BY event_type ORDER BY event_type ASC""".stripMargin,
+    "stream_incremental" ->
+      """SELECT strftime(ts, '%Y-%m-%d') AS day, event_type,
+        | count(*) AS n, round(sum(value), 2) AS val
+        |FROM events GROUP BY day, event_type
+        |ORDER BY day ASC, event_type ASC""".stripMargin,
     "stream_late_data" ->
       """WITH wm AS (SELECT max(epoch_us(ts)) - 600000000 AS wm_us FROM events)
         |SELECT date_trunc('hour', ts) AS hour,

@@ -1,0 +1,82 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.functions._
+import graft.operators._
+
+/** Round-2 pipeline operators: dedup application, stratified sampling,
+  * mix weights, repetition stats, contamination, heuristic filters. */
+class LlmPipelineSpec extends AnyFunSuite {
+  import TestSpark._
+
+  test("dedup apply: kept + dropped per source sums to the source's doc count") {
+    val out = LlmOpsPipeline.llmDedupApply(spark, sf0001)
+      .withColumn("total", col("kept") + col("dropped"))
+    val expected = Tables.documents(spark, sf0001)
+      .groupBy("source").agg(count(lit(1)).as("n"))
+    val joined = out.join(expected, "source")
+      .filter(col("total") =!= col("n")).count()
+    assert(joined === 0, "kept+dropped must equal per-source doc count")
+    // dropped docs are exactly the distinct higher-id members of near-dup pairs
+    val droppedTotal = out.agg(sum("dropped")).head().getLong(0)
+    val distinctB = LlmOps.llmDedupNear(spark, sf0001)
+      .select("b_id").distinct().count()
+    assert(droppedTotal === distinctB)
+  }
+
+  test("stratified sample: at most 20 per lang, ranks dense from 1, deterministic") {
+    val out = LlmOpsPipeline.llmStratifiedSample(spark, sf0001).collect()
+    val byLang = out.groupBy(_.getString(0))
+    byLang.foreach { case (_, rows) =>
+      val rns = rows.map(_.getInt(1)).sorted.toSeq
+      assert(rns === (1 to rns.size), "ranks must be dense from 1")
+      assert(rns.size <= 20)
+    }
+    val again = LlmOpsPipeline.llmStratifiedSample(spark, sf0001).collect()
+    assert(out.map(r => (r.getString(0), r.getInt(1), r.getLong(2))).toSeq ===
+      again.map(r => (r.getString(0), r.getInt(1), r.getLong(2))).toSeq,
+      "sample must be reproducible")
+  }
+
+  test("mix weights: shares sum to ~1 and tokens are positive") {
+    val rows = LlmOpsPipeline.llmMixWeights(spark, sf0001).collect()
+    val shareSum = rows.map(_.getDouble(3)).sum
+    assert(math.abs(shareSum - 1.0) < 1e-3, s"shares sum to $shareSum")
+    assert(rows.forall(_.getLong(2) > 0))
+  }
+
+  test("repetition: avg_rep in [0,1), avg_dom >= 1/ntoks bound") {
+    val rows = LlmOpsPipeline.llmRepetition(spark, sf0001).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val rep = r.getDouble(2); val dom = r.getDouble(3)
+      assert(rep >= 0.0 && rep < 1.0, s"rep=$rep")
+      assert(dom > 0.0 && dom <= 1.0, s"dom=$dom")
+    }
+  }
+
+  test("contamination: benchmark docs excluded, ratio consistent with counts") {
+    val rows = LlmOpsPipeline.llmContamination(spark, sf0001).collect()
+    val docsTotal = rows.map(_.getLong(1)).sum
+    val nonBench = Tables.documents(spark, sf0001)
+      .filter(col("doc_id") % 100 =!= 0).count()
+    assert(docsTotal === nonBench, "benchmark docs must be excluded from the census")
+    rows.foreach { r =>
+      val ratio = r.getDouble(3)
+      val expect = BigDecimal(r.getLong(2).toDouble / r.getLong(1))
+        .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+      assert(math.abs(ratio - expect) < 1e-9)
+    }
+  }
+
+  test("heuristic filter: flag counts never exceed docs; pass <= docs - max(flag)") {
+    val rows = LlmOpsPipeline.llmHeuristicFilter(spark, sf0001).collect()
+    rows.foreach { r =>
+      val docs = r.getLong(1)
+      val flags = Seq(r.getLong(2), r.getLong(3), r.getLong(4))
+      val pass = r.getLong(5)
+      assert(flags.forall(_ <= docs))
+      assert(pass <= docs - flags.max, "a doc with any flag cannot pass")
+    }
+  }
+}
