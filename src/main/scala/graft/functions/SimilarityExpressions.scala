@@ -120,6 +120,34 @@ object SimilarityKernels {
     if (union == 0) 0.0 else inter.toDouble / union
   }
 
+  /** 64-bit SimHash from per-token hashes: each hash votes +1/−1 per bit
+    * position, sign of the vote sets the signature bit. One pass over the
+    * token-hash array, computed INSIDE the document row — replaces an
+    * explode + 64-column groupBy (round 1 shuffled every (doc, token) pair
+    * to build the same votes). Bit-identical to the aggregate formulation:
+    * same hashes → same votes → same signature. */
+  def simhash64(hashes: ArrayData): Long = {
+    val n = hashes.numElements()
+    val votes = new Array[Int](64)
+    var i = 0
+    while (i < n) {
+      val h = hashes.getLong(i)
+      var b = 0
+      while (b < 64) {
+        if (((h >>> b) & 1L) == 1L) votes(b) += 1 else votes(b) -= 1
+        b += 1
+      }
+      i += 1
+    }
+    var sig = 0L
+    var b = 0
+    while (b < 64) {
+      if (votes(b) > 0) sig |= (1L << b)
+      b += 1
+    }
+    sig
+  }
+
   /** Cosine similarity over equal-length double arrays; accumulation order
     * (index 0..n-1, dot and norms in one pass) matches the
     * zip_with+aggregate HOF pipeline bit-for-bit. */
@@ -214,6 +242,25 @@ case class JaccardLongSim(left: Expression, right: Expression)
     copy(left = newLeft, right = newRight)
 }
 
+/** `simhash64(array<bigint>) -> bigint` — map-side SimHash signature from
+  * per-token hashes; see SimilarityKernels.simhash64. */
+case class SimHash64(child: Expression)
+    extends org.apache.spark.sql.catalyst.expressions.UnaryExpression with ExpectsInputTypes {
+  import org.apache.spark.sql.types.LongType
+  override def inputTypes = Seq(ArrayType(LongType))
+  override def dataType: DataType = LongType
+  override def prettyName: String = "simhash64"
+
+  override protected def nullSafeEval(a: Any): Any =
+    SimilarityKernels.simhash64(a.asInstanceOf[ArrayData])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, a => s"graft.functions.SimilarityKernels.simhash64($a)")
+
+  override protected def withNewChildInternal(newChild: Expression): SimHash64 =
+    copy(child = newChild)
+}
+
 /** `cosine_sim(array<double>, array<double>) -> double` — fused
   * dot-and-norms, one pass, codegen'd. */
 case class CosineSim(left: Expression, right: Expression)
@@ -260,6 +307,8 @@ object sim {
     column(JaccardLongSim(expression(a), expression(b)))
   def cosineSim(a: Column, b: Column): Column =
     column(CosineSim(expression(a), expression(b)))
+  def simhash64(a: Column): Column =
+    column(SimHash64(expression(a)))
   def kmvDistinct(c: Column, k: Int = 256): Column =
     column(KmvDistinct(expression(c), k).toAggregateExpression())
 }

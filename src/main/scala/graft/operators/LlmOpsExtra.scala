@@ -121,17 +121,13 @@ object LlmOpsExtra {
     * Jaccard. This is the O(n) signature + banded-join dedup pattern that
     * complements MinHash at 100 TB. */
   def llmSimhash(spark: SparkSession, dir: String): DataFrame = {
-    val tok = Tables.documents(spark, dir)
-      .select(col("doc_id"), explode(array_distinct(split(col("text"), " "))).as("tok"))
-      .withColumn("h", xxhash64(col("tok")))
-    val bitSums = (0 until 64).map { i =>
-      sum(when(shiftright(col("h"), i).bitwiseAND(1) === 1, 1).otherwise(-1)).as(s"b$i")
-    }
-    val sums = tok.groupBy("doc_id").agg(bitSums.head, bitSums.tail: _*)
-    val simhash = (0 until 64)
-      .map(i => when(col(s"b$i") > 0, lit(1L << i)).otherwise(0L))
-      .reduce(_ + _) // distinct powers of two: exact bit assembly
-    val sig = sums.select(col("doc_id"), simhash.as("simhash"))
+    // Signature computed INSIDE the document row by the codegen'd
+    // simhash64 kernel (one pass over the token-hash array). Round 1
+    // exploded every (doc, token) pair and shuffled it into a 64-column
+    // vote aggregate — same bits, one whole table of shuffle for nothing.
+    val sig = Tables.documents(spark, dir)
+      .select(col("doc_id"), graft.functions.sim.simhash64(
+        transform(array_distinct(split(col("text"), " ")), t => xxhash64(t))).as("simhash"))
     val bandCols = (0 until 4).map { j =>
       struct(lit(j).as("band"),
         shiftrightunsigned(col("simhash"), j * 16).bitwiseAND(0xFFFFL).as("bh"))
