@@ -1,6 +1,7 @@
 package graft.operators
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import graft.Tables
 
@@ -202,7 +203,26 @@ object Aggregates {
         round(expr("approx_percentile(o_totalprice, 0.95, 1000)"), 2).as("p95"))
       .orderBy(col("o_orderpriority").asc)
 
+  /** Per-group mode (most frequent value) with an explicit deterministic
+    * tie-break (highest count, then lexicographically smallest value) —
+    * engines' built-in mode() functions have engine-specific tie rules,
+    * so both sides spell out the same count+rank formulation. Two hash
+    * aggs + a window partitioned by the (high-cardinality) group key. */
+  def aggMode(spark: SparkSession, dir: String): DataFrame = {
+    val counts = Tables.orders(spark, dir)
+      .groupBy("o_custkey", "o_orderpriority")
+      .agg(count(lit(1)).as("cnt"))
+    val w = Window.partitionBy("o_custkey")
+      .orderBy(col("cnt").desc, col("o_orderpriority").asc)
+    counts
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1)
+      .select(col("o_custkey"), col("o_orderpriority").as("mode_prio"), col("cnt"))
+      .orderBy(col("o_custkey").asc)
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "agg_mode"          -> (aggMode _),
     "agg_approx_pctl"   -> (aggApproxPctl _),
     "agg_stats"         -> (aggStats _),
     "agg_percentiles"   -> (aggPercentiles _),
@@ -220,6 +240,16 @@ object Aggregates {
     "agg_minmax_by"     -> (aggMinmaxBy _))
 
   val oracleSql: Map[String, String] = Map(
+    "agg_mode" ->
+      """WITH c AS (
+        |  SELECT o_custkey, o_orderpriority, count(*) AS cnt
+        |  FROM orders GROUP BY o_custkey, o_orderpriority),
+        |r AS (
+        |  SELECT *, row_number() OVER (PARTITION BY o_custkey
+        |    ORDER BY cnt DESC, o_orderpriority ASC) AS rn
+        |  FROM c)
+        |SELECT o_custkey, o_orderpriority AS mode_prio, cnt
+        |FROM r WHERE rn = 1 ORDER BY o_custkey ASC""".stripMargin,
     "agg_stats" ->
       """SELECT l_returnflag, round(stddev_samp(l_extendedprice), 4) AS sd_price,
         | round(var_samp(l_extendedprice), 2) AS var_price,

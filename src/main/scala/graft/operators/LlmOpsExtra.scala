@@ -210,6 +210,59 @@ object LlmOpsExtra {
       .orderBy(col("q_id").asc, col("rnk").asc)
   }
 
+  /** Int8 embedding quantization with per-vector min/max scaling, and the
+    * reconstruction error it costs — the storage play that makes a 100 TB
+    * embedding corpus hold 4× more vectors per byte. Bucket index uses
+    * `floor` (identical semantics in both engines; `round`'s .5 ties are
+    * engine-specific), dequantize at bucket midpoint. Entirely map-side:
+    * one narrow projection, then a per-label hash agg. */
+  def llmQuantize(spark: SparkSession, dir: String): DataFrame = {
+    val withScale = embDouble(spark, dir)
+      .withColumn("mn", array_min(col("e")))
+      .withColumn("sc", (array_max(col("e")) - array_min(col("e"))) / 256.0)
+    val deq = transform(col("e"), x =>
+      col("mn") + (least(floor((x - col("mn")) / col("sc")), lit(255.0)) + 0.5) * col("sc"))
+    val err = sqrt(aggregate(zip_with(col("e"), deq, (x, y) => (x - y) * (x - y)),
+      lit(0.0), (acc, v) => acc + v))
+    withScale
+      .select(col("label"), err.as("err"))
+      .groupBy("label")
+      .agg(count(lit(1)).as("n"),
+        round(avg("err"), 6).as("avg_err"),
+        round(max("err"), 6).as("max_err"))
+      .orderBy(col("label").asc)
+  }
+
+  /** Random-hyperplane LSH for cosine ANN — the second scale path next to
+    * IVF (llm_ann_ivf): 8 hyperplanes (embeddings 16..23 as a
+    * deterministic stand-in for sampled Gaussian planes) give every vector
+    * an 8-bit sign bucket; queries rank only their own bucket. Bucketing
+    * is one broadcast of 8 planes + a per-vector hash agg; the search is
+    * an equi-join on the bucket id — no global pairwise anything. */
+  def llmAnnLsh(spark: SparkSession, dir: String): DataFrame = {
+    val dot = (a: org.apache.spark.sql.Column, b: org.apache.spark.sql.Column) =>
+      aggregate(zip_with(a, b, (x, y) => x * y), lit(0.0), (acc, x) => acc + x)
+    val e = embDouble(spark, dir)
+    val planes = e.filter(col("vec_id").between(16, 23))
+      .select(col("vec_id").as("p_id"), col("e").as("pe"))
+    val bucket = e.crossJoin(broadcast(planes))
+      .groupBy("vec_id")
+      .agg(sum(when(dot(col("e"), col("pe")) > 0,
+        expr("shiftleft(1, CAST(p_id - 16 AS INT))")).otherwise(0)).cast("int").as("bkt"))
+    val ev = e.join(bucket, "vec_id")
+    val q = ev.filter(col("vec_id") < 3)
+      .select(col("vec_id").as("q_id"), col("e").as("qe"), col("bkt"))
+    val n = ev.select(col("vec_id").as("n_id"), col("e").as("ne"), col("bkt"))
+    val w = Window.partitionBy("q_id").orderBy(col("sim").desc, col("n_id").asc)
+    q.join(n, "bkt")
+      .filter(col("n_id") =!= col("q_id"))
+      .withColumn("sim", round(cos(col("qe"), col("ne")), 6))
+      .withColumn("rnk", row_number().over(w))
+      .filter(col("rnk") <= 5)
+      .select("q_id", "rnk", "n_id", "bkt", "sim")
+      .orderBy(col("q_id").asc, col("rnk").asc)
+  }
+
   /** Token counting, whitespace vs a BPE-ish pre-tokenizer regex (word /
     * digit-run / single non-space symbol — the GPT-style pre-tokenizer
     * shape, kept to POSIX-simple classes so both engines' regex dialects
@@ -236,7 +289,9 @@ object LlmOpsExtra {
     "llm_quality"     -> (llmQuality _),
     "llm_simhash"     -> (llmSimhash _),
     "llm_emb_neardup" -> (llmEmbNeardup _),
-    "llm_ann_ivf"     -> (llmAnnIvf _))
+    "llm_ann_ivf"     -> (llmAnnIvf _),
+    "llm_quantize"    -> (llmQuantize _),
+    "llm_ann_lsh"     -> (llmAnnLsh _))
 
   val oracleSql: Map[String, String] = Map(
     "llm_ngram_jaccard" ->
@@ -300,6 +355,37 @@ object LlmOpsExtra {
         |FROM e a JOIN e b ON a.label = b.label AND a.vec_id < b.vec_id
         |WHERE round(list_cosine_similarity(a.v, b.v), 6) >= 0.4
         |ORDER BY a_id ASC, b_id ASC""".stripMargin,
+    "llm_quantize" ->
+      """WITH e AS (SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+        |m AS (
+        |  SELECT vec_id, label, v, list_min(v) AS mn,
+        |         (list_max(v) - list_min(v)) / 256.0 AS sc
+        |  FROM e),
+        |d AS (
+        |  SELECT label, sqrt(list_sum(list_transform(v, x ->
+        |    pow(x - (mn + (least(floor((x - mn) / sc), 255) + 0.5) * sc), 2)))) AS err
+        |  FROM m)
+        |SELECT label, count(*) AS n, round(avg(err), 6) AS avg_err,
+        |  round(max(err), 6) AS max_err
+        |FROM d GROUP BY label ORDER BY label ASC""".stripMargin,
+    "llm_ann_lsh" ->
+      """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+        |planes AS (SELECT vec_id AS p_id, v AS pv FROM e WHERE vec_id BETWEEN 16 AND 23),
+        |bkt AS (
+        |  SELECT e.vec_id,
+        |    CAST(sum(CASE WHEN list_dot_product(e.v, p.pv) > 0
+        |      THEN (1 << CAST(p.p_id - 16 AS INT)) ELSE 0 END) AS INT) AS bkt
+        |  FROM e CROSS JOIN planes p GROUP BY e.vec_id),
+        |ev AS (SELECT e.vec_id, e.v, bkt.bkt FROM e JOIN bkt ON e.vec_id = bkt.vec_id),
+        |ranked AS (
+        |  SELECT q.vec_id AS q_id, n.vec_id AS n_id, n.bkt,
+        |    round(list_cosine_similarity(q.v, n.v), 6) AS sim,
+        |    row_number() OVER (PARTITION BY q.vec_id
+        |      ORDER BY round(list_cosine_similarity(q.v, n.v), 6) DESC, n.vec_id ASC) AS rnk
+        |  FROM ev q JOIN ev n ON q.bkt = n.bkt AND n.vec_id <> q.vec_id
+        |  WHERE q.vec_id < 3)
+        |SELECT q_id, rnk, n_id, bkt, sim FROM ranked WHERE rnk <= 5
+        |ORDER BY q_id ASC, rnk ASC""".stripMargin,
     "llm_ann_ivf" ->
       """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
         |piv AS (SELECT vec_id AS p_id, v AS pv FROM e WHERE vec_id < 16),

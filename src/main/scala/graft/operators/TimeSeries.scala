@@ -38,8 +38,26 @@ object TimeSeries {
       .orderBy(col("day").asc)
   }
 
+  /** OHLC-style resampling: 15-minute bars per event_type — open/close
+    * picked by (ts, event_id) arg-min/max (unique tie-break, §2.Z.6),
+    * low/high/count as plain aggregates. One partial+final hash agg keyed
+    * by (bucket, type): the shuffle carries per-bucket partials, never raw
+    * events — the standard downsampling shape at any scale. */
+  def tsResample(spark: SparkSession, dir: String): DataFrame =
+    Tables.events(spark, dir)
+      .groupBy(window(col("ts"), "15 minutes"), col("event_type"))
+      .agg(count(lit(1)).as("n"),
+        min_by(col("value"), struct(col("ts"), col("event_id"))).as("open"),
+        max_by(col("value"), struct(col("ts"), col("event_id"))).as("close"),
+        round(min("value"), 2).as("low"),
+        round(max("value"), 2).as("high"))
+      .select(col("window.start").as("wstart"), col("event_type"),
+        col("n"), col("open"), col("close"), col("low"), col("high"))
+      .orderBy(col("wstart").asc, col("event_type").asc)
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
-    "ts_gapfill" -> (tsGapfill _))
+    "ts_gapfill"  -> (tsGapfill _),
+    "ts_resample" -> (tsResample _))
 
   val oracleSql: Map[String, String] = Map(
     "ts_gapfill" ->
@@ -56,5 +74,21 @@ object TimeSeries {
         |  coalesce(last_value(sparse.rev IGNORE NULLS) OVER (
         |    ORDER BY spine.day ASC ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 0.0) AS rev_filled
         |FROM spine LEFT JOIN sparse ON spine.day = sparse.day
-        |ORDER BY spine.day ASC""".stripMargin)
+        |ORDER BY spine.day ASC""".stripMargin,
+    "ts_resample" ->
+      """WITH b AS (
+        |  SELECT make_timestamp(CAST(floor(epoch(ts)/900)*900 AS BIGINT)*1000000) AS wstart,
+        |         event_type, event_id, ts, value
+        |  FROM events),
+        |r AS (
+        |  SELECT *,
+        |    row_number() OVER (PARTITION BY wstart, event_type ORDER BY ts ASC, event_id ASC) AS ro,
+        |    row_number() OVER (PARTITION BY wstart, event_type ORDER BY ts DESC, event_id DESC) AS rc
+        |  FROM b)
+        |SELECT wstart, event_type, count(*) AS n,
+        |  max(CASE WHEN ro = 1 THEN value END) AS open,
+        |  max(CASE WHEN rc = 1 THEN value END) AS close,
+        |  round(min(value), 2) AS low, round(max(value), 2) AS high
+        |FROM r GROUP BY wstart, event_type
+        |ORDER BY wstart ASC, event_type ASC""".stripMargin)
 }

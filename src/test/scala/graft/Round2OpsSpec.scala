@@ -1,0 +1,62 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.functions._
+import graft.operators._
+
+/** Round-2 additions: OHLC resample, mode, embedding quantization,
+  * hyperplane-LSH ANN. */
+class Round2OpsSpec extends AnyFunSuite {
+  import TestSpark._
+
+  test("ts_resample: bar invariants hold and counts cover every event") {
+    val bars = TimeSeries.tsResample(spark, sf0001).collect()
+    val total = Tables.events(spark, sf0001).count()
+    assert(bars.map(_.getLong(2)).sum === total, "bars must cover all events")
+    bars.foreach { r =>
+      val (open, close, low, high) =
+        (r.getDouble(3), r.getDouble(4), r.getDouble(5), r.getDouble(6))
+      assert(low <= high)
+      assert(open >= low - 0.005 && open <= high + 0.005) // low/high rounded to 2
+      assert(close >= low - 0.005 && close <= high + 0.005)
+    }
+  }
+
+  test("agg_mode: one row per customer, mode count is the max count") {
+    val out = Aggregates.aggMode(spark, sf0001)
+    val perCust = out.groupBy("o_custkey").count().filter(col("count") > 1).count()
+    assert(perCust === 0, "exactly one mode row per customer")
+    // the reported count must equal the customer's max priority count
+    val maxc = Tables.orders(spark, sf0001)
+      .groupBy("o_custkey", "o_orderpriority").agg(count(lit(1)).as("c"))
+      .groupBy("o_custkey").agg(max("c").as("mx"))
+    val bad = out.join(maxc, "o_custkey").filter(col("cnt") =!= col("mx")).count()
+    assert(bad === 0)
+  }
+
+  test("quantize: int8 reconstruction error is positive and bounded by the scale") {
+    val rows = LlmOpsExtra.llmQuantize(spark, sf0001).collect()
+    assert(rows.map(_.getLong(1)).sum ===
+      Tables.embeddings(spark, sf0001).count())
+    rows.foreach { r =>
+      val avg = r.getDouble(2); val mx = r.getDouble(3)
+      assert(avg > 0.0 && avg <= mx)
+      // per-dim error <= sc/2 = (max-min)/512; embeddings are in ~[-4,4],
+      // so err <= sqrt(64) * 8/512 = 0.125 — generous bound 0.5
+      assert(mx < 0.5, s"max_err=$mx")
+    }
+  }
+
+  test("ann_lsh: ranks dense from 1, sims descend, self excluded, bucket-pure") {
+    val out = LlmOpsExtra.llmAnnLsh(spark, sf0001).collect()
+    assert(out.nonEmpty)
+    assert(out.forall(r => r.getLong(2) != r.getLong(0)), "self excluded")
+    out.groupBy(_.getLong(0)).values.foreach { rows =>
+      val sorted = rows.sortBy(_.getInt(1))
+      assert(sorted.map(_.getInt(1)).toSeq === (1 to rows.size))
+      val sims = sorted.map(_.getDouble(4))
+      assert(sims.zip(sims.tail).forall { case (a, b) => a >= b })
+      assert(rows.map(_.getInt(3)).distinct.size === 1, "all neighbors share the query's bucket")
+    }
+  }
+}
