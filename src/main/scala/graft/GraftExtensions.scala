@@ -25,5 +25,7 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       new FunctionIdentifier("kmv_distinct"),
       new ExpressionInfo(classOf[KmvDistinct].getName, "kmv_distinct"),
       (children: Seq[Expression]) => KmvDistinct(children.head).toAggregateExpression()))
+    // whole-operator extension: native as-of join (graft.plans.AsofJoin)
+    ext.injectPlannerStrategy(_ => graft.plans.AsofJoinStrategy)
   }
 }

@@ -76,10 +76,27 @@ object JoinsAdvanced {
       .orderBy(col("event_id").asc)
   }
 
+  /** The SAME as-of semantics through the native physical operator
+    * (graft.plans.AsofJoinExec — custom LogicalPlan/Strategy/SparkPlan,
+    * SURVEY §4.3's deferred upgrade): one hash shuffle per side, one
+    * in-partition merge pass, no candidate-pair materialization. Shares
+    * joinAsof's oracle — both must produce identical rows. */
+  def joinAsofNative(spark: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(spark, dir).select("event_id", "ts", "user_id")
+    val od = Tables.orders(spark, dir).select("o_custkey", "o_orderkey", "o_orderdate")
+    graft.plans.AsofJoin
+      .asof(ev, od, "user_id", "ts", "o_custkey", "o_orderdate", "o_orderkey")
+      .select(col("event_id"), col("ts"), col("user_id"),
+        col("o_orderdate").as("best_orderdate"),
+        col("o_orderkey").as("best_orderkey"))
+      .orderBy(col("event_id").asc)
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
-    "join_theta_band" -> (joinThetaBand _),
-    "join_asof"       -> (joinAsof _),
-    "join_interval"   -> (joinInterval _))
+    "join_theta_band"  -> (joinThetaBand _),
+    "join_asof"        -> (joinAsof _),
+    "join_asof_native" -> (joinAsofNative _),
+    "join_interval"    -> (joinInterval _))
 
   val oracleSql: Map[String, String] = Map(
     "join_theta_band" ->
@@ -90,6 +107,15 @@ object JoinsAdvanced {
         | AND abs(a.p_size - b.p_size) <= 2
         |GROUP BY brand ORDER BY brand ASC""".stripMargin,
     "join_asof" ->
+      """WITH j AS (
+        |  SELECT e.event_id, e.ts, e.user_id, o.o_orderkey, o.o_orderdate,
+        |    row_number() OVER (PARTITION BY e.event_id
+        |      ORDER BY o.o_orderdate DESC, o.o_orderkey DESC) AS rn
+        |  FROM events e JOIN orders o
+        |    ON e.user_id = o.o_custkey AND o.o_orderdate <= e.ts)
+        |SELECT event_id, ts, user_id, o_orderdate AS best_orderdate, o_orderkey AS best_orderkey
+        |FROM j WHERE rn = 1 ORDER BY event_id ASC""".stripMargin,
+    "join_asof_native" ->
       """WITH j AS (
         |  SELECT e.event_id, e.ts, e.user_id, o.o_orderkey, o.o_orderdate,
         |    row_number() OVER (PARTITION BY e.event_id
