@@ -221,7 +221,22 @@ object Aggregates {
       .orderBy(col("o_custkey").asc)
   }
 
+  /** Boolean aggregate family: count_if / every (bool_and) / any
+    * (bool_or) — the predicate-summary aggregates; all partial+final
+    * mergeable like any hash agg. */
+  def aggBool(spark: SparkSession, dir: String): DataFrame =
+    Tables.lineitem(spark, dir)
+      .groupBy("l_returnflag")
+      .agg(
+        expr("count_if(l_quantity > 25)").as("hi_qty"),
+        expr("every(l_quantity > 0)").as("all_positive"),
+        expr("any(l_discount > 0.09)").as("has_deep_disc"),
+        expr("every(l_discount > 0.03)").as("all_mid_disc"),
+        count(lit(1)).as("n"))
+      .orderBy(col("l_returnflag").asc)
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "agg_bool"          -> (aggBool _),
     "agg_mode"          -> (aggMode _),
     "agg_approx_pctl"   -> (aggApproxPctl _),
     "agg_stats"         -> (aggStats _),
@@ -240,6 +255,14 @@ object Aggregates {
     "agg_minmax_by"     -> (aggMinmaxBy _))
 
   val oracleSql: Map[String, String] = Map(
+    "agg_bool" ->
+      """SELECT l_returnflag,
+        | count(*) FILTER (WHERE l_quantity > 25) AS hi_qty,
+        | bool_and(l_quantity > 0) AS all_positive,
+        | bool_or(l_discount > 0.09) AS has_deep_disc,
+        | bool_and(l_discount > 0.03) AS all_mid_disc,
+        | count(*) AS n
+        |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag ASC""".stripMargin,
     "agg_mode" ->
       """WITH c AS (
         |  SELECT o_custkey, o_orderpriority, count(*) AS cnt

@@ -92,13 +92,41 @@ object JoinsAdvanced {
       .orderBy(col("event_id").asc)
   }
 
+  /** Fuzzy (edit-distance) join — the entity-resolution primitive: part
+    * pairs within a brand whose names are ≤3 edits apart. Blocked by the
+    * brand equi-key (bounded quadratic per block, like every dedup pair
+    * stage in this engine); `levenshtein` is the standard DP, identical
+    * in both engines. Reported per brand to keep output bounded. */
+  def joinFuzzy(spark: SparkSession, dir: String): DataFrame = {
+    val p = Tables.part(spark, dir)
+    val a = p.select(col("p_partkey").as("a_key"), col("p_brand").as("brand"),
+      col("p_name").as("a_name"))
+    val b = p.select(col("p_partkey").as("b_key"), col("p_brand").as("b_brand"),
+      col("p_name").as("b_name"))
+    a.join(b, col("brand") === col("b_brand") && col("a_key") < col("b_key"))
+      .withColumn("dist", levenshtein(col("a_name"), col("b_name")))
+      .filter(col("dist") <= 3)
+      .groupBy("brand")
+      .agg(count(lit(1)).as("pairs"), round(avg("dist"), 6).as("avg_dist"))
+      .orderBy(col("brand").asc)
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "join_fuzzy"       -> (joinFuzzy _),
     "join_theta_band"  -> (joinThetaBand _),
     "join_asof"        -> (joinAsof _),
     "join_asof_native" -> (joinAsofNative _),
     "join_interval"    -> (joinInterval _))
 
   val oracleSql: Map[String, String] = Map(
+    "join_fuzzy" ->
+      """SELECT a.p_brand AS brand, count(*) AS pairs, round(avg(dist), 6) AS avg_dist
+        |FROM (
+        |  SELECT a.p_brand, levenshtein(a.p_name, b.p_name) AS dist
+        |  FROM part a JOIN part b
+        |    ON a.p_brand = b.p_brand AND a.p_partkey < b.p_partkey) a
+        |WHERE dist <= 3
+        |GROUP BY brand ORDER BY brand ASC""".stripMargin,
     "join_theta_band" ->
       """SELECT a.p_brand AS brand, count(*) AS pairs,
         | round(avg(abs(a.p_size - b.p_size)), 6) AS avg_diff

@@ -47,6 +47,21 @@ class Round2OpsSpec extends AnyFunSuite {
     }
   }
 
+  test("join_fuzzy: identical names are distance 0 and every avg_dist <= 3") {
+    val rows = JoinsAdvanced.joinFuzzy(spark, sf0001).collect()
+    assert(rows.nonEmpty)
+    rows.foreach(r => assert(r.getDouble(2) >= 0.0 && r.getDouble(2) <= 3.0))
+  }
+
+  test("agg_bool: every/any consistent with the filtered counts") {
+    val rows = Aggregates.aggBool(spark, sf0001).collect()
+    rows.foreach { r =>
+      val hi = r.getLong(1); val n = r.getLong(5)
+      assert(hi <= n)
+      assert(r.getBoolean(2), "all quantities in the fixture are positive")
+    }
+  }
+
   test("ann_lsh: ranks dense from 1, sims descend, self excluded, bucket-pure") {
     val out = LlmOpsExtra.llmAnnLsh(spark, sf0001).collect()
     assert(out.nonEmpty)
