@@ -118,7 +118,21 @@ object Streaming {
     "stream_session"   -> (streamSession _),
     "stream_dedup"     -> (streamDedup _),
     "stream_late_data" -> (streamLateData _),
-    "stream_incremental" -> (streamIncremental _))
+    "stream_incremental" -> (streamIncremental _),
+    "stream_stateful" -> (streamStateful _))
+
+  /** Typed custom-state sessionization (`KeyValueGroupedDataset.
+    * flatMapGroupsWithState`, graft.streaming.Sessionize) as a DECLARED
+    * query — the arbitrary-stateful API surface, oracled against the same
+    * gaps-and-islands SQL as stream_session (all formulations agree since
+    * the round-2 boundary fix). Value sums rounded on output; session
+    * numbering and (ts, event_id) ordering are identical. */
+  def streamStateful(spark: SparkSession, dir: String): DataFrame =
+    graft.streaming.Sessionize.sessionsFor(spark, dir)
+      .toDF()
+      .select(col("user_id"), col("session_id"), col("n"),
+        round(col("value"), 2).as("val"), col("s_start"), col("s_end"))
+      .orderBy(col("user_id").asc, col("session_id").asc)
 
   val oracleSql: Map[String, String] = Map(
     "stream_tumbling" ->
@@ -148,6 +162,19 @@ object Streaming {
     "stream_dedup" ->
       """SELECT event_type, count(*) AS n, round(sum(value), 2) AS val
         |FROM events GROUP BY event_type ORDER BY event_type ASC""".stripMargin,
+    "stream_stateful" ->
+      """WITH g AS (
+        |  SELECT user_id, event_id, ts, value,
+        |    epoch_us(ts) - epoch_us(lag(ts, 1) OVER w) AS gap_us
+        |  FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts ASC, event_id ASC)),
+        |s AS (
+        |  SELECT *, CAST(sum(CASE WHEN gap_us IS NULL OR gap_us >= 1800000000 THEN 1 ELSE 0 END)
+        |    OVER (PARTITION BY user_id ORDER BY ts ASC, event_id ASC
+        |          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS session_id
+        |  FROM g)
+        |SELECT user_id, session_id, count(*) AS n, round(sum(value), 2) AS val,
+        | min(ts) AS s_start, max(ts) AS s_end
+        |FROM s GROUP BY user_id, session_id ORDER BY user_id ASC, session_id ASC""".stripMargin,
     "stream_incremental" ->
       """SELECT strftime(ts, '%Y-%m-%d') AS day, event_type,
         | count(*) AS n, round(sum(value), 2) AS val
