@@ -3,7 +3,7 @@ package graft
 import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
-import graft.functions.{CosineSim, JaccardSim, KmvDistinct}
+import graft.functions.{CosineSim, JaccardLongSim, JaccardSim, KmvDistinct, SimHash64}
 
 /** SparkSessionExtensions entry point: registers the engine's native
   * expressions as SQL functions (`jaccard_sim`, `cosine_sim`) so they are
@@ -25,6 +25,14 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       new FunctionIdentifier("kmv_distinct"),
       new ExpressionInfo(classOf[KmvDistinct].getName, "kmv_distinct"),
       (children: Seq[Expression]) => KmvDistinct(children.head).toAggregateExpression()))
+    ext.injectFunction((
+      new FunctionIdentifier("jaccard_long_sim"),
+      new ExpressionInfo(classOf[JaccardLongSim].getName, "jaccard_long_sim"),
+      (children: Seq[Expression]) => JaccardLongSim(children(0), children(1))))
+    ext.injectFunction((
+      new FunctionIdentifier("simhash64"),
+      new ExpressionInfo(classOf[SimHash64].getName, "simhash64"),
+      (children: Seq[Expression]) => SimHash64(children.head)))
     // whole-operator extension: native as-of join (graft.plans.AsofJoin)
     ext.injectPlannerStrategy(_ => graft.plans.AsofJoinStrategy)
   }

@@ -121,6 +121,24 @@ object SourcesSinks {
       .orderBy(col("month").asc)
   }
 
+  /** Partition pruning, demonstrated end-to-end: write month-partitioned,
+    * read back with a month predicate — the scan plans with
+    * PartitionFilters and touches ONE directory, not 80 (asserted by
+    * SourcesSinksSpec on the executed plan). At 100 TB partition pruning
+    * is the difference between scanning a day and scanning a decade. */
+  def scanPruned(spark: SparkSession, dir: String): DataFrame = {
+    val out = scratch(dir, "pruned")
+    Tables.orders(spark, dir)
+      .withColumn("month", date_format(col("o_orderdate"), "yyyy-MM"))
+      .repartition(col("month"))
+      .write.mode("overwrite").partitionBy("month").parquet(out)
+    spark.read.parquet(out)
+      .filter(col("month") === "1996-03") // prunes to one partition dir
+      .groupBy("o_orderpriority")
+      .agg(count(lit(1)).as("n"), round(sum("o_totalprice"), 2).as("rev"))
+      .orderBy(col("o_orderpriority").asc)
+  }
+
   /** The reference's KEY correctness property (SURVEY §2.A): re-loading one
     * month under dynamic partition overwrite replaces that partition
     * instead of duplicating it. Re-writes 1996-03, then proves totals are
@@ -151,6 +169,7 @@ object SourcesSinks {
     "ingest_csv"       -> (ingestCsv _),
     "ingest_json"      -> (ingestJson _),
     "sink_partitioned" -> (sinkPartitioned _),
+    "scan_pruned"      -> (scanPruned _),
     "sink_idempotent"  -> (sinkIdempotent _))
 
   val oracleSql: Map[String, String] = Map(
@@ -180,6 +199,10 @@ object SourcesSinks {
         | strftime(min(l_shipdate), '%Y-%m-%d %H:%M:%S') AS first_ship,
         | strftime(max(l_shipdate), '%Y-%m-%d %H:%M:%S') AS last_ship
         |FROM lineitem GROUP BY flag ORDER BY flag ASC""".stripMargin,
+    "scan_pruned" ->
+      """SELECT o_orderpriority, count(*) AS n, round(sum(o_totalprice), 2) AS rev
+        |FROM orders WHERE strftime(o_orderdate, '%Y-%m') = '1996-03'
+        |GROUP BY o_orderpriority ORDER BY o_orderpriority ASC""".stripMargin,
     "sink_partitioned" ->
       """SELECT strftime(o_orderdate, '%Y-%m') AS month, count(*) AS n,
         | round(sum(o_totalprice), 2) AS rev

@@ -47,6 +47,27 @@ class Round2OpsSpec extends AnyFunSuite {
     }
   }
 
+  test("scan_pruned: the executed plan prunes to the one month partition") {
+    val df = SourcesSinks.scanPruned(spark, sf0001)
+    df.collect() // materialize (triggers the staged write + pruned read)
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("PartitionFilters") &&
+      plan.contains("month") && plan.contains("1996-03"),
+      s"expected month partition filter in scan:\n${plan.take(2000)}")
+  }
+
+  test("round-2 expressions are callable from SQL via GraftExtensions") {
+    val r = spark.sql(
+      """SELECT simhash64(array(CAST(1 AS BIGINT), CAST(2 AS BIGINT))) AS s,
+        |  jaccard_long_sim(array(CAST(1 AS BIGINT), CAST(2 AS BIGINT)),
+        |                   array(CAST(2 AS BIGINT), CAST(3 AS BIGINT))) AS j""".stripMargin)
+      .head()
+    assert(r.getDouble(1) === 1.0 / 3.0)
+    // simhash of {1,2}: votes from bits of 1 and 2 -> bits 0 and 1 tie at 0,
+    // all higher bits -2 -> signature 0
+    assert(r.getLong(0) === 0L)
+  }
+
   test("join_fuzzy: identical names are distance 0 and every avg_dist <= 3") {
     val rows = JoinsAdvanced.joinFuzzy(spark, sf0001).collect()
     assert(rows.nonEmpty)
