@@ -35,5 +35,8 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       (children: Seq[Expression]) => SimHash64(children.head)))
     // whole-operator extension: native as-of join (graft.plans.AsofJoin)
     ext.injectPlannerStrategy(_ => graft.plans.AsofJoinStrategy)
+    // optimizer rule: naive SQL jaccard_sim over sorted-distinct inputs →
+    // the zero-allocation merge kernel (graft.plans.SortedJaccardRewrite)
+    ext.injectOptimizerRule(_ => graft.plans.SortedJaccardRewrite)
   }
 }

@@ -43,11 +43,38 @@ object Skew {
       .select(col("key").as("user_id"), col("n"), round(col("vsum"), 2).as("val"))
       .orderBy(col("user_id").asc)
 
+  /** Salted SKEW JOIN: fact side gets a random salt in [0, N); the
+    * (small) build side is replicated N× with every salt value, and the
+    * join key becomes (key, salt) — a hot fact key's rows now land on N
+    * reducers instead of one. Result is EXACTLY the unsalted join (each
+    * fact row still meets each matching build row exactly once — on its
+    * own salt replica), which the oracle verifies. This is the manual
+    * fallback for when AQE skew-join can't help (e.g. the skew is in the
+    * GROUP BY after the join, or the runtime stats miss it). */
+  def skewSaltedJoin(spark: SparkSession, dir: String): DataFrame = {
+    val salts = 8
+    val ev = Tables.events(spark, dir)
+      .withColumn("_salt", pmod(xxhash64(col("event_id")), lit(salts)))
+    val cust = Tables.customer(spark, dir)
+      .select(col("c_custkey"), col("c_mktsegment"))
+      .withColumn("_salt", explode(array((0 until salts).map(lit(_)): _*)))
+    ev.join(cust,
+        ev("user_id") === cust("c_custkey") && ev("_salt") === cust("_salt").cast("bigint"))
+      .groupBy("c_mktsegment")
+      .agg(count(lit(1)).as("n"), round(sum("value"), 2).as("val"))
+      .orderBy(col("c_mktsegment").asc)
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
-    "skew_salted_agg" -> (skewSaltedAgg _))
+    "skew_salted_agg"  -> (skewSaltedAgg _),
+    "skew_salted_join" -> (skewSaltedJoin _))
 
   val oracleSql: Map[String, String] = Map(
     "skew_salted_agg" ->
       """SELECT user_id, count(*) AS n, round(sum(value), 2) AS val
-        |FROM events GROUP BY user_id ORDER BY user_id ASC""".stripMargin)
+        |FROM events GROUP BY user_id ORDER BY user_id ASC""".stripMargin,
+    "skew_salted_join" ->
+      """SELECT c_mktsegment, count(*) AS n, round(sum(value), 2) AS val
+        |FROM events JOIN customer ON user_id = c_custkey
+        |GROUP BY c_mktsegment ORDER BY c_mktsegment ASC""".stripMargin)
 }

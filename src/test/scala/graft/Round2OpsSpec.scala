@@ -68,6 +68,31 @@ class Round2OpsSpec extends AnyFunSuite {
     assert(r.getLong(0) === 0L)
   }
 
+  test("SortedJaccardRewrite upgrades naive SQL jaccard_sim to the merge kernel") {
+    // parquet-backed input (a LocalRelation would be constant-folded away
+    // before the expression could be inspected)
+    val docs = Tables.documents(spark, sf0001)
+    docs.createOrReplaceTempView("docs_sjr")
+    val df = spark.sql(
+      """SELECT doc_id, jaccard_sim(
+        |  sort_array(array_distinct(split(text, ' '))),
+        |  sort_array(array_distinct(split(reverse(text), ' ')))) AS j
+        |FROM docs_sjr""".stripMargin)
+    val kernels = df.queryExecution.optimizedPlan.expressions
+      .flatMap(_.collect { case k: graft.functions.JaccardSim => k })
+    assert(kernels.nonEmpty, "jaccard_sim must survive into the optimized plan")
+    assert(kernels.forall(k => k.assumeSorted && k.assumeDistinct),
+      "rewrite must fire on the sorted-distinct pattern")
+    // and the upgraded kernel computes the same values as the general one
+    val naive = docs.select(
+      graft.functions.sim.jaccardSim(
+        sort_array(array_distinct(split(col("text"), " "))),
+        sort_array(array_distinct(split(reverse(col("text")), " ")))).as("j"))
+      .collect().map(_.getDouble(0))
+    val rewritten = df.select("j").collect().map(_.getDouble(0))
+    assert(naive.toSeq === rewritten.toSeq)
+  }
+
   test("join_fuzzy: identical names are distance 0 and every avg_dist <= 3") {
     val rows = JoinsAdvanced.joinFuzzy(spark, sf0001).collect()
     assert(rows.nonEmpty)
