@@ -121,6 +121,65 @@ object SourcesSinks {
       .orderBy(col("month").asc)
   }
 
+  /** Upsert / MERGE (ClickHouse ReplacingMergeTree analog): base load,
+    * then an update batch re-delivering 10% of the keys with changed
+    * values and a higher version; keep-latest per key via (version, key)
+    * arg-max, rewritten to the sink. The summary proves exactly the
+    * updated keys carry new values. At scale: the arg-max is one hash
+    * agg keyed by the primary key; combined with month partitioning the
+    * rewrite touches only affected partitions. */
+  def sinkUpsert(spark: SparkSession, dir: String): DataFrame = {
+    val out = scratch(dir, "upsert")
+    val orders = Tables.orders(spark, dir)
+      .select("o_orderkey", "o_custkey", "o_totalprice", "o_orderdate")
+    orders.withColumn("_v", lit(1L)).write.mode("overwrite").parquet(out)
+    val updates = orders.filter(col("o_orderkey") % 10 === 0)
+      .withColumn("o_totalprice", round(col("o_totalprice") + 1000, 2))
+      .withColumn("_v", lit(2L))
+    val merged = spark.read.parquet(out)
+      .unionByName(updates)
+      .groupBy("o_orderkey")
+      .agg(max_by(
+        struct(col("o_custkey"), col("o_totalprice"), col("o_orderdate"), col("_v")),
+        col("_v")).as("r"))
+      .select(col("o_orderkey"), col("r.o_custkey").as("o_custkey"),
+        col("r.o_totalprice").as("o_totalprice"),
+        col("r.o_orderdate").as("o_orderdate"), col("r._v").as("_v"))
+    merged.write.mode("overwrite").parquet(s"${out}_merged")
+    spark.read.parquet(s"${out}_merged")
+      .agg(count(lit(1)).as("n"),
+        round(sum("o_totalprice"), 2).as("rev"),
+        count(when(col("_v") === 2, lit(1))).as("updated"))
+  }
+
+  /** Dirty-input ingest — the loader robustness property (one bad row
+    * must not kill the batch): a CSV staged with every 7th line
+    * corrupted, read in PERMISSIVE mode with a _corrupt_record column;
+    * good rows aggregate, bad rows are counted, nothing throws. */
+  def ingestDirtyCsv(spark: SparkSession, dir: String): DataFrame = {
+    val out = scratch(dir, "dirty")
+    Tables.orders(spark, dir)
+      // corruption lands in the price FIELD (not just a short line):
+      // CSV column pruning means only referenced columns are parsed, so
+      // the malformed value must be in a column the query reads
+      .select(when(col("o_orderkey") % 7 === 0,
+          concat_ws(",", col("o_orderkey"), col("o_custkey"),
+            concat(lit("corrupt|"), col("o_orderkey")))) // price unparseable
+        .otherwise(concat_ws(",", col("o_orderkey"), col("o_custkey"),
+          round(col("o_totalprice"), 2))).as("value"))
+      .repartition(spark.sparkContext.defaultParallelism)
+      .write.mode("overwrite").text(out)
+    val schema = StructType(Seq(
+      StructField("okey", LongType), StructField("ckey", LongType),
+      StructField("price", DoubleType), StructField("_bad", StringType)))
+    spark.read.schema(schema)
+      .option("mode", "PERMISSIVE").option("columnNameOfCorruptRecord", "_bad")
+      .csv(out)
+      .agg(count(when(col("_bad").isNull, lit(1))).as("good"),
+        count(col("_bad")).as("bad"),
+        round(sum(when(col("_bad").isNull, col("price"))), 2).as("rev_good"))
+  }
+
   /** Partition pruning, demonstrated end-to-end: write month-partitioned,
     * read back with a month predicate — the scan plans with
     * PartitionFilters and touches ONE directory, not 80 (asserted by
@@ -170,6 +229,8 @@ object SourcesSinks {
     "ingest_json"      -> (ingestJson _),
     "sink_partitioned" -> (sinkPartitioned _),
     "scan_pruned"      -> (scanPruned _),
+    "sink_upsert"      -> (sinkUpsert _),
+    "ingest_dirty_csv" -> (ingestDirtyCsv _),
     "sink_idempotent"  -> (sinkIdempotent _))
 
   val oracleSql: Map[String, String] = Map(
@@ -203,6 +264,17 @@ object SourcesSinks {
       """SELECT o_orderpriority, count(*) AS n, round(sum(o_totalprice), 2) AS rev
         |FROM orders WHERE strftime(o_orderdate, '%Y-%m') = '1996-03'
         |GROUP BY o_orderpriority ORDER BY o_orderpriority ASC""".stripMargin,
+    "sink_upsert" ->
+      """SELECT count(*) AS n,
+        | round(sum(CASE WHEN o_orderkey % 10 = 0
+        |   THEN round(o_totalprice + 1000, 2) ELSE o_totalprice END), 2) AS rev,
+        | count(*) FILTER (WHERE o_orderkey % 10 = 0) AS updated
+        |FROM orders""".stripMargin,
+    "ingest_dirty_csv" ->
+      """SELECT count(*) FILTER (WHERE o_orderkey % 7 <> 0) AS good,
+        | count(*) FILTER (WHERE o_orderkey % 7 = 0) AS bad,
+        | round(sum(CASE WHEN o_orderkey % 7 <> 0 THEN round(o_totalprice, 2) END), 2) AS rev_good
+        |FROM orders""".stripMargin,
     "sink_partitioned" ->
       """SELECT strftime(o_orderdate, '%Y-%m') AS month, count(*) AS n,
         | round(sum(o_totalprice), 2) AS rev
