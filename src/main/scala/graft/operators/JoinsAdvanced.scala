@@ -98,16 +98,35 @@ object JoinsAdvanced {
     * stage in this engine); `levenshtein` is the standard DP, identical
     * in both engines. Reported per brand to keep output bounded. */
   def joinFuzzy(spark: SparkSession, dir: String): DataFrame = {
-    val p = Tables.part(spark, dir)
-    val a = p.select(col("p_partkey").as("a_key"), col("p_brand").as("brand"),
-      col("p_name").as("a_name"))
-    val b = p.select(col("p_partkey").as("b_key"), col("p_brand").as("b_brand"),
-      col("p_name").as("b_name"))
-    a.join(b, col("brand") === col("b_brand") && col("a_key") < col("b_key"))
-      .withColumn("dist", levenshtein(col("a_name"), col("b_name")))
-      .filter(col("dist") <= 3)
+    // Dedupe-then-pair: row-level pairing is quadratic in block size
+    // (8M part pairs at sf0.1, 13 s of levenshtein), but names repeat
+    // heavily (64 distinct at sf0.1) — so compare DISTINCT (brand, name)
+    // groups once and weight by occurrence counts. Every row-level pair
+    // maps to exactly one name-pair (cnt_a × cnt_b pairs across groups,
+    // C(cnt,2) zero-distance pairs within a group), so counts and the
+    // weighted average are IDENTICAL to the row-level formulation the
+    // oracle runs. Thresholded levenshtein (early-exit banded DP) plus
+    // the |len diff| ≤ k necessary condition bound per-pair cost.
+    val g = Tables.part(spark, dir)
+      .groupBy(col("p_brand").as("brand"), col("p_name").as("name"))
+      .agg(count(lit(1)).as("cnt"))
+    val a = g.select(col("brand"), col("name").as("a_name"), col("cnt").as("a_cnt"))
+    val b = g.select(col("brand").as("b_brand"), col("name").as("b_name"),
+      col("cnt").as("b_cnt"))
+    val diff = a.join(b, col("brand") === col("b_brand") &&
+        col("a_name") < col("b_name") &&
+        abs(length(col("a_name")) - length(col("b_name"))) <= 3)
+      .withColumn("dist", levenshtein(col("a_name"), col("b_name"), 3))
+      .filter(col("dist") >= 0)
+      .select(col("brand"), col("dist").cast("double").as("dist"),
+        (col("a_cnt") * col("b_cnt")).as("w"))
+    val same = g.filter(col("cnt") >= 2)
+      .select(col("brand"), lit(0.0).as("dist"),
+        expr("cnt * (cnt - 1) DIV 2").as("w")) // integral division: w stays BIGINT
+    diff.unionByName(same)
       .groupBy("brand")
-      .agg(count(lit(1)).as("pairs"), round(avg("dist"), 6).as("avg_dist"))
+      .agg(sum("w").as("pairs"),
+        round(sum(col("dist") * col("w")) / sum("w"), 6).as("avg_dist"))
       .orderBy(col("brand").asc)
   }
 
