@@ -121,6 +121,21 @@ object SourcesSinks {
       .orderBy(col("month").asc)
   }
 
+  /** Custom DataSourceV2 connector end-to-end (graft.sources.
+    * SyntheticDocs): deterministic generated documents read through the
+    * full DSv2 stack with filter pushdown (the doc_id range narrows the
+    * GENERATED range — pruned rows never exist) and column pruning (only
+    * referenced fields are materialized). Arithmetic generation rule ⇒
+    * DuckDB reproduces it from generate_series, so even the custom
+    * connector is hash-verified. */
+  def scanDsv2(spark: SparkSession, dir: String): DataFrame =
+    spark.read.format("graft.sources.SyntheticDocs")
+      .option("rows", "100000").option("partitions", "8").load()
+      .filter(col("doc_id") >= 1000 && col("doc_id") < 90000)
+      .groupBy("lang")
+      .agg(count(lit(1)).as("n"), sum("n_chars").as("chars"))
+      .orderBy(col("lang").asc)
+
   /** Upsert / MERGE (ClickHouse ReplacingMergeTree analog): base load,
     * then an update batch re-delivering 10% of the keys with changed
     * values and a higher version; keep-latest per key via (version, key)
@@ -231,6 +246,7 @@ object SourcesSinks {
     "scan_pruned"      -> (scanPruned _),
     "sink_upsert"      -> (sinkUpsert _),
     "ingest_dirty_csv" -> (ingestDirtyCsv _),
+    "scan_dsv2"        -> (scanDsv2 _),
     "sink_idempotent"  -> (sinkIdempotent _))
 
   val oracleSql: Map[String, String] = Map(
@@ -264,6 +280,11 @@ object SourcesSinks {
       """SELECT o_orderpriority, count(*) AS n, round(sum(o_totalprice), 2) AS rev
         |FROM orders WHERE strftime(o_orderdate, '%Y-%m') = '1996-03'
         |GROUP BY o_orderpriority ORDER BY o_orderpriority ASC""".stripMargin,
+    "scan_dsv2" ->
+      """WITH g AS (SELECT unnest(generate_series(1000, 89999)) AS doc_id)
+        |SELECT ['de','en','es','fr','zh'][CAST(doc_id % 5 AS INT) + 1] AS lang,
+        |  count(*) AS n, CAST(sum(50 + (doc_id * 37) % 500) AS BIGINT) AS chars
+        |FROM g GROUP BY lang ORDER BY lang ASC""".stripMargin,
     "sink_upsert" ->
       """SELECT count(*) AS n,
         | round(sum(CASE WHEN o_orderkey % 10 = 0
