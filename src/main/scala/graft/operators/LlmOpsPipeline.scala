@@ -145,7 +145,32 @@ object LlmOpsPipeline {
       .orderBy(col("lang").asc)
   }
 
+  /** Sequence packing (the GPT-style "concatenate then chunk" step):
+    * per-lang token streams in doc_id order are cut into 2048-token
+    * contexts by cumulative-sum DIV — a doc belongs to the context its
+    * first token lands in. Reports contexts, average fill, and docs per
+    * context for each lang. The cumsum window partitions by lang (bounded
+    * strata), never globally; per-stratum packing is exactly how real
+    * pipelines shard this at scale. */
+  def llmPack(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy("lang").orderBy(col("doc_id").asc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val packed = Tables.documents(spark, dir)
+      .select(col("doc_id"), col("lang"), size(toksRaw).cast("bigint").as("ntok"))
+      .withColumn("cum", sum("ntok").over(w))
+      .withColumn("ctx", expr("(cum - ntok) DIV 2048"))
+      .groupBy("lang", "ctx")
+      .agg(count(lit(1)).as("docs"), sum("ntok").as("toks"))
+    packed.groupBy("lang")
+      .agg(count(lit(1)).as("n_contexts"),
+        round(avg(col("toks").cast("double") / 2048.0), 6).as("avg_fill"),
+        round(avg("docs"), 6).as("avg_docs_per_ctx"),
+        sum("toks").as("total_toks"))
+      .orderBy(col("lang").asc)
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "llm_pack"              -> (llmPack _),
     "llm_dedup_apply"       -> (llmDedupApply _),
     "llm_stratified_sample" -> (llmStratifiedSample _),
     "llm_mix_weights"       -> (llmMixWeights _),
@@ -154,6 +179,25 @@ object LlmOpsPipeline {
     "llm_heuristic_filter"  -> (llmHeuristicFilter _))
 
   val oracleSql: Map[String, String] = Map(
+    "llm_pack" ->
+      """WITH t AS (
+        |  SELECT doc_id, lang,
+        |    CAST(len(string_split(text, ' ')) AS BIGINT) AS ntok
+        |  FROM documents),
+        |c AS (
+        |  SELECT lang, ntok,
+        |    CAST(sum(ntok) OVER (PARTITION BY lang ORDER BY doc_id ASC
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum
+        |  FROM t),
+        |p AS (
+        |  SELECT lang, (cum - ntok) // 2048 AS ctx,
+        |    count(*) AS docs, CAST(sum(ntok) AS BIGINT) AS toks
+        |  FROM c GROUP BY lang, ctx)
+        |SELECT lang, count(*) AS n_contexts,
+        |  round(avg(CAST(toks AS DOUBLE) / 2048.0), 6) AS avg_fill,
+        |  round(avg(docs), 6) AS avg_docs_per_ctx,
+        |  CAST(sum(toks) AS BIGINT) AS total_toks
+        |FROM p GROUP BY lang ORDER BY lang ASC""".stripMargin,
     "llm_dedup_apply" ->
       """WITH d AS (
         |  SELECT doc_id, lang, n_chars // 100 AS band,

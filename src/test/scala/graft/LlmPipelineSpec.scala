@@ -9,6 +9,19 @@ import graft.operators._
 class LlmPipelineSpec extends AnyFunSuite {
   import TestSpark._
 
+  test("pack: total tokens conserved; fill never exceeds capacity by more than one doc") {
+    val out = LlmOpsPipeline.llmPack(spark, sf0001).collect()
+    val totalToks = out.map(_.getLong(4)).sum
+    val expected = Tables.documents(spark, sf0001)
+      .select(size(split(col("text"), " ")).cast("bigint").as("n"))
+      .agg(sum("n")).head().getLong(0)
+    assert(totalToks === expected, "packing must conserve every token")
+    out.foreach { r =>
+      assert(r.getLong(1) > 0)
+      assert(r.getDouble(2) > 0.0, "contexts cannot be empty")
+    }
+  }
+
   test("dedup apply: kept + dropped per source sums to the source's doc count") {
     val out = LlmOpsPipeline.llmDedupApply(spark, sf0001)
       .withColumn("total", col("kept") + col("dropped"))
