@@ -128,6 +128,35 @@ object Functions {
       .orderBy(col("doc_id").asc)
   }
 
+  /** Regex family (beyond str_funcs' single extract): replace-all,
+    * rlike, match counting, anchored extraction — POSIX-simple patterns
+    * only, where both engines' dialects agree (SURVEY §2.Z). */
+  def strRegex(spark: SparkSession, dir: String): DataFrame =
+    Tables.part(spark, dir)
+      .select(
+        col("p_partkey"),
+        regexp_replace(col("p_name"), "[aeiou]", "_").as("devoweled"),
+        col("p_name").rlike("gear|bolt|widget").as("is_hw"),
+        regexp_count(col("p_name"), lit("[aeiou]")).cast("bigint").as("vowels"),
+        regexp_extract(col("p_name"), "([a-z]+)$", 1).as("noun"))
+      .orderBy(col("p_partkey").asc)
+
+  /** Nested JSON round-trip: per-event nested document (struct + array)
+    * built with to_json, parsed back with a full nested schema, array
+    * exploded, aggregated — proves structured JSON survives the
+    * serialize→parse→shred path losslessly (the oracle computes the same
+    * numbers from the raw columns, no JSON involved). */
+  def jsonNested(spark: SparkSession, dir: String): DataFrame =
+    Tables.events(spark, dir)
+      .select(col("event_id"),
+        to_json(struct(col("event_type").as("t"),
+          array(col("value"), col("value") * 2).as("vals"))).as("js"))
+      .select(expr("from_json(js, 't STRING, vals ARRAY<DOUBLE>')").as("p"))
+      .select(col("p.t").as("t"), explode(col("p.vals")).as("v"))
+      .groupBy("t")
+      .agg(count(lit(1)).as("n"), round(sum("v"), 2).as("val"))
+      .orderBy(col("t").asc)
+
   /** Map family: per-user event_type→count map built with
     * map_from_entries, then exploded back to rows (maps are never compared
     * directly — §2.Z.8). */
@@ -190,9 +219,22 @@ object Functions {
     "cast_decimal" -> (castDecimal _),
     "array_funcs"  -> (arrayFuncs _),
     "map_funcs"    -> (mapFuncs _),
-    "json_funcs"   -> (jsonFuncs _))
+    "json_funcs"   -> (jsonFuncs _),
+    "str_regex"    -> (strRegex _),
+    "json_nested"  -> (jsonNested _))
 
   val oracleSql: Map[String, String] = Map(
+    "str_regex" ->
+      """SELECT p_partkey,
+        | regexp_replace(p_name, '[aeiou]', '_', 'g') AS devoweled,
+        | regexp_matches(p_name, 'gear|bolt|widget') AS is_hw,
+        | CAST(len(regexp_extract_all(p_name, '[aeiou]')) AS BIGINT) AS vowels,
+        | regexp_extract(p_name, '([a-z]+)$', 1) AS noun
+        |FROM part ORDER BY p_partkey ASC""".stripMargin,
+    "json_nested" ->
+      """SELECT event_type AS t, CAST(count(*) * 2 AS BIGINT) AS n,
+        | round(sum(value * 3), 2) AS val
+        |FROM events GROUP BY t ORDER BY t ASC""".stripMargin,
     "agg_string_agg" ->
       """SELECT o_orderpriority,
         | string_agg(DISTINCT o_orderstatus, ',' ORDER BY o_orderstatus ASC) AS statuses,
