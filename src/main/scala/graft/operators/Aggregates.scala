@@ -221,6 +221,21 @@ object Aggregates {
       .orderBy(col("o_custkey").asc)
   }
 
+  /** SpaceSaving heavy-hitters top-10 over document tokens
+    * (graft.functions.TopKSketch — the engine's second custom
+    * TypedImperativeAggregate). The fixture vocabulary (~30 words) is
+    * below the sketch's 64-counter capacity, so counts are EXACT and the
+    * oracle is the plain top-10; the bounded-capacity sketch regime is
+    * unit-tested on a synthetic skewed stream (TopKSketchSpec). */
+  def aggTopkSketch(spark: SparkSession, dir: String): DataFrame =
+    Tables.documents(spark, dir)
+      .select(explode(split(col("text"), " ")).as("tok"))
+      .agg(graft.functions.sim.topkSketch(col("tok")).as("tk"))
+      .select(posexplode(col("tk")).as(Seq("i", "e")))
+      .select((col("i") + 1).cast("bigint").as("rnk"),
+        col("e.term").as("tok"), col("e.cnt").as("n"))
+      .orderBy(col("rnk").asc)
+
   /** Boolean aggregate family: count_if / every (bool_and) / any
     * (bool_or) — the predicate-summary aggregates; all partial+final
     * mergeable like any hash agg. */
@@ -236,6 +251,7 @@ object Aggregates {
       .orderBy(col("l_returnflag").asc)
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "agg_topk_sketch"   -> (aggTopkSketch _),
     "agg_bool"          -> (aggBool _),
     "agg_mode"          -> (aggMode _),
     "agg_approx_pctl"   -> (aggApproxPctl _),
@@ -255,6 +271,13 @@ object Aggregates {
     "agg_minmax_by"     -> (aggMinmaxBy _))
 
   val oracleSql: Map[String, String] = Map(
+    "agg_topk_sketch" ->
+      """WITH c AS (
+        |  SELECT tok, count(*) AS n
+        |  FROM (SELECT unnest(string_split(text, ' ')) AS tok FROM documents) t
+        |  GROUP BY tok),
+        |r AS (SELECT tok, n, row_number() OVER (ORDER BY n DESC, tok ASC) AS rnk FROM c)
+        |SELECT rnk, tok, n FROM r WHERE rnk <= 10 ORDER BY rnk ASC""".stripMargin,
     "agg_bool" ->
       """SELECT l_returnflag,
         | count(*) FILTER (WHERE l_quantity > 25) AS hi_qty,

@@ -125,7 +125,26 @@ object Windows {
       .orderBy(col("r_name").asc, col("n_name").asc)
   }
 
+  /** Rolling exact percentiles (7-row median + p90 of daily revenue per
+    * priority) — distribution statistics as WINDOW functions. Partitioned
+    * by priority over a day-grain pre-aggregate: O(days) rows per
+    * partition at any input scale. Inputs are pre-rounded so both engines
+    * interpolate over identical values (linear interpolation on both —
+    * §2.Z). */
+  def winPercentile(spark: SparkSession, dir: String): DataFrame = {
+    val daily = Tables.orders(spark, dir)
+      .groupBy(col("o_orderpriority").as("prio"),
+        date_trunc("day", col("o_orderdate")).as("day"))
+      .agg(round(sum("o_totalprice"), 2).as("rev"))
+    val w = Window.partitionBy("prio").orderBy(col("day").asc).rowsBetween(-6, 0)
+    daily
+      .withColumn("med7", round(expr("percentile(rev, 0.5)").over(w), 4))
+      .withColumn("p90_7", round(expr("percentile(rev, 0.9)").over(w), 4))
+      .orderBy(col("prio").asc, col("day").asc)
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "win_percentile"  -> (winPercentile _),
     "win_ratio"       -> (winRatio _),
     "win_topk"        -> (winTopk _),
     "win_ranks"       -> (winRanks _),
@@ -136,6 +155,18 @@ object Windows {
     "win_first_last"  -> (winFirstLast _))
 
   val oracleSql: Map[String, String] = Map(
+    "win_percentile" ->
+      """WITH daily AS (
+        |  SELECT o_orderpriority AS prio, date_trunc('day', o_orderdate) AS day,
+        |         round(sum(o_totalprice), 2) AS rev
+        |  FROM orders GROUP BY prio, day)
+        |SELECT prio, day, rev,
+        |  round(quantile_cont(rev, 0.5) OVER w, 4) AS med7,
+        |  round(quantile_cont(rev, 0.9) OVER w, 4) AS p90_7
+        |FROM daily
+        |WINDOW w AS (PARTITION BY prio ORDER BY day ASC
+        |             ROWS BETWEEN 6 PRECEDING AND CURRENT ROW)
+        |ORDER BY prio ASC, day ASC""".stripMargin,
     "win_ratio" ->
       """WITH pn AS (
         |  SELECT r_name, n_name, round(sum(c_acctbal), 2) AS bal
