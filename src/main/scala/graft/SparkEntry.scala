@@ -25,7 +25,8 @@ object SparkEntry {
       Windows.queries ++ SetOps.queries ++ JoinsAdvanced.queries ++ Functions.queries ++
       Streaming.queries ++ SourcesSinks.queries ++ LlmOps.queries ++
       LlmOpsExtra.queries ++ Multimodal.queries ++ Skew.queries ++ SqlOps.queries ++
-      TimeSeries.queries ++ Clustering.queries ++ Analytics.queries ++ LlmOpsPipeline.queries
+      TimeSeries.queries ++ Clustering.queries ++ Analytics.queries ++ LlmOpsPipeline.queries ++
+      DataQuality.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
@@ -34,5 +35,6 @@ object SparkEntry {
       Windows.oracleSql ++ SetOps.oracleSql ++ JoinsAdvanced.oracleSql ++ Functions.oracleSql ++
       Streaming.oracleSql ++ SourcesSinks.oracleSql ++ LlmOps.oracleSql ++
       LlmOpsExtra.oracleSql ++ Multimodal.oracleSql ++ Skew.oracleSql ++ SqlOps.oracleSql ++
-      TimeSeries.oracleSql ++ Clustering.oracleSql ++ Analytics.oracleSql ++ LlmOpsPipeline.oracleSql
+      TimeSeries.oracleSql ++ Clustering.oracleSql ++ Analytics.oracleSql ++ LlmOpsPipeline.oracleSql ++
+      DataQuality.oracleSql
 }

@@ -1,0 +1,81 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.Tables
+
+/** Warehouse-side operators a billing loader runs around every batch:
+  * the data-quality audit that gates a load, and the SCD2 point-in-time
+  * dimension join that consumes the loaded history.
+  */
+object DataQuality {
+
+  /** Data-quality audit over orders — null rates, key uniqueness, value
+    * ranges, rule violations. One pass, all metrics as conditional
+    * aggregates; at 100 TB this is a single scan with partial aggs (the
+    * distinct-count is the standard two-phase expansion — swap for the
+    * KMV/HLL sketch when exactness isn't required). */
+  def dqChecks(spark: SparkSession, dir: String): DataFrame =
+    Tables.orders(spark, dir)
+      .agg(
+        count(lit(1)).as("rows"),
+        count(col("o_custkey")).as("custkey_nonnull"),
+        countDistinct(col("o_orderkey")).as("distinct_keys"),
+        (count(lit(1)) - countDistinct(col("o_orderkey"))).as("dup_keys"),
+        round(min("o_totalprice"), 2).as("min_price"),
+        round(max("o_totalprice"), 2).as("max_price"),
+        count(when(col("o_totalprice") <= 0, lit(1))).as("nonpositive_price"),
+        count(when(col("o_orderdate") > lit("1999-01-01").cast("timestamp"), lit(1)))
+          .as("future_dates"))
+
+  /** SCD2 point-in-time join: the orders history becomes a type-2
+    * dimension (validity [o_orderdate, next o_orderdate) per customer via
+    * `lead`), and each event picks the row valid AT its timestamp.
+    * Zero-width ranges (same-date re-orders) are naturally excluded, so
+    * the result is exactly the as-of join's — which is what the oracle
+    * formulation checks. Scale: the validity window partitions by the
+    * high-cardinality customer key; the join carries the same equi+range
+    * shape as join_interval. */
+  def joinScd2(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy("o_custkey")
+      .orderBy(col("o_orderdate").asc, col("o_orderkey").asc)
+    val dim = Tables.orders(spark, dir)
+      .select("o_custkey", "o_orderkey", "o_orderdate", "o_totalprice")
+      .withColumn("valid_to", lead(col("o_orderdate"), 1).over(w)) // null = open
+    val ev = Tables.events(spark, dir).select("event_id", "user_id", "ts")
+    ev.join(dim, col("user_id") === col("o_custkey") &&
+        col("o_orderdate") <= col("ts") &&
+        (col("valid_to").isNull || col("ts") < col("valid_to")))
+      .select(col("event_id"), col("o_orderkey").as("scd_orderkey"),
+        round(col("o_totalprice"), 2).as("price_at_ts"))
+      .orderBy(col("event_id").asc)
+  }
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "dq_checks" -> (dqChecks _),
+    "join_scd2" -> (joinScd2 _))
+
+  val oracleSql: Map[String, String] = Map(
+    "dq_checks" ->
+      """SELECT count(*) AS rows, count(o_custkey) AS custkey_nonnull,
+        | count(DISTINCT o_orderkey) AS distinct_keys,
+        | count(*) - count(DISTINCT o_orderkey) AS dup_keys,
+        | round(min(o_totalprice), 2) AS min_price,
+        | round(max(o_totalprice), 2) AS max_price,
+        | count(*) FILTER (WHERE o_totalprice <= 0) AS nonpositive_price,
+        | count(*) FILTER (WHERE o_orderdate > TIMESTAMP '1999-01-01') AS future_dates
+        |FROM orders""".stripMargin,
+    "join_scd2" ->
+      """WITH dim AS (
+        |  SELECT o_custkey, o_orderkey, o_orderdate, o_totalprice,
+        |    lead(o_orderdate, 1) OVER (PARTITION BY o_custkey
+        |      ORDER BY o_orderdate ASC, o_orderkey ASC) AS valid_to
+        |  FROM orders)
+        |SELECT e.event_id, d.o_orderkey AS scd_orderkey,
+        |  round(d.o_totalprice, 2) AS price_at_ts
+        |FROM events e JOIN dim d
+        |  ON e.user_id = d.o_custkey AND d.o_orderdate <= e.ts
+        | AND (d.valid_to IS NULL OR e.ts < d.valid_to)
+        |ORDER BY e.event_id ASC""".stripMargin)
+}

@@ -55,9 +55,29 @@ object TimeSeries {
         col("n"), col("open"), col("close"), col("low"), col("high"))
       .orderBy(col("wstart").asc, col("event_type").asc)
 
+  /** Trailing z-score anomaly detection on daily revenue: each day scored
+    * against the mean/stddev of the PRECEDING 28 days (current day
+    * excluded — no leakage), flagged at |z| > 2. Day-grain frame ⇒
+    * O(days) rows at any input scale; inputs pre-rounded so both engines
+    * score identical values. */
+  def tsAnomaly(spark: SparkSession, dir: String): DataFrame = {
+    val daily = Tables.orders(spark, dir)
+      .groupBy(date_trunc("day", col("o_orderdate")).as("day"))
+      .agg(round(sum("o_totalprice"), 2).as("rev"))
+    val w = Window.orderBy(col("day").asc).rowsBetween(-28, -1)
+    daily
+      .withColumn("mu", avg("rev").over(w))
+      .withColumn("sd", stddev_samp(col("rev")).over(w))
+      .select(col("day"), col("rev"),
+        round((col("rev") - col("mu")) / col("sd"), 4).as("z"),
+        (abs((col("rev") - col("mu")) / col("sd")) > 2).as("anomaly"))
+      .orderBy(col("day").asc)
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "ts_gapfill"  -> (tsGapfill _),
-    "ts_resample" -> (tsResample _))
+    "ts_resample" -> (tsResample _),
+    "ts_anomaly"  -> (tsAnomaly _))
 
   val oracleSql: Map[String, String] = Map(
     "ts_gapfill" ->
@@ -75,6 +95,19 @@ object TimeSeries {
         |    ORDER BY spine.day ASC ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 0.0) AS rev_filled
         |FROM spine LEFT JOIN sparse ON spine.day = sparse.day
         |ORDER BY spine.day ASC""".stripMargin,
+    "ts_anomaly" ->
+      """WITH daily AS (
+        |  SELECT date_trunc('day', o_orderdate) AS day,
+        |         round(sum(o_totalprice), 2) AS rev
+        |  FROM orders GROUP BY day),
+        |s AS (
+        |  SELECT day, rev,
+        |    avg(rev) OVER w AS mu, stddev_samp(rev) OVER w AS sd
+        |  FROM daily
+        |  WINDOW w AS (ORDER BY day ASC ROWS BETWEEN 28 PRECEDING AND 1 PRECEDING))
+        |SELECT day, rev, round((rev - mu) / sd, 4) AS z,
+        |  abs((rev - mu) / sd) > 2 AS anomaly
+        |FROM s ORDER BY day ASC""".stripMargin,
     "ts_resample" ->
       """WITH b AS (
         |  SELECT make_timestamp(CAST(floor(epoch(ts)/900)*900 AS BIGINT)*1000000) AS wstart,

@@ -143,7 +143,32 @@ object Windows {
       .orderBy(col("prio").asc, col("day").asc)
   }
 
+  /** Streaks (gaps-and-islands on a condition): per priority, runs of
+    * consecutive days whose daily revenue clears a threshold — island id
+    * = row_number difference trick, then per-island length, reported as
+    * streak count / longest / average per priority. Day-grain frame
+    * partitioned by priority. */
+  def winStreak(spark: SparkSession, dir: String): DataFrame = {
+    val daily = Tables.orders(spark, dir)
+      .groupBy(col("o_orderpriority").as("prio"),
+        date_trunc("day", col("o_orderdate")).as("day"))
+      .agg(round(sum("o_totalprice"), 2).as("rev"))
+    val all = Window.partitionBy("prio").orderBy(col("day").asc)
+    val hit = Window.partitionBy("prio", "flag").orderBy(col("day").asc)
+    daily
+      .withColumn("flag", col("rev") > 300000)
+      .withColumn("grp", row_number().over(all) - row_number().over(hit))
+      .filter(col("flag"))
+      .groupBy("prio", "grp")
+      .agg(count(lit(1)).as("len"))
+      .groupBy("prio")
+      .agg(count(lit(1)).as("streaks"), max("len").as("longest"),
+        round(avg("len"), 6).as("avg_len"))
+      .orderBy(col("prio").asc)
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "win_streak"      -> (winStreak _),
     "win_percentile"  -> (winPercentile _),
     "win_ratio"       -> (winRatio _),
     "win_topk"        -> (winTopk _),
@@ -155,6 +180,21 @@ object Windows {
     "win_first_last"  -> (winFirstLast _))
 
   val oracleSql: Map[String, String] = Map(
+    "win_streak" ->
+      """WITH daily AS (
+        |  SELECT o_orderpriority AS prio, date_trunc('day', o_orderdate) AS day,
+        |         round(sum(o_totalprice), 2) AS rev
+        |  FROM orders GROUP BY prio, day),
+        |g AS (
+        |  SELECT prio, day, rev > 300000 AS flag,
+        |    row_number() OVER (PARTITION BY prio ORDER BY day ASC) -
+        |    row_number() OVER (PARTITION BY prio, rev > 300000 ORDER BY day ASC) AS grp
+        |  FROM daily),
+        |runs AS (
+        |  SELECT prio, grp, count(*) AS len FROM g WHERE flag GROUP BY prio, grp)
+        |SELECT prio, count(*) AS streaks, CAST(max(len) AS BIGINT) AS longest,
+        |  round(avg(len), 6) AS avg_len
+        |FROM runs GROUP BY prio ORDER BY prio ASC""".stripMargin,
     "win_percentile" ->
       """WITH daily AS (
         |  SELECT o_orderpriority AS prio, date_trunc('day', o_orderdate) AS day,
