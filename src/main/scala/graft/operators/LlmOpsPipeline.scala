@@ -169,7 +169,44 @@ object LlmOpsPipeline {
       .orderBy(col("lang").asc)
   }
 
+  /** Bigram language-model scoring (the KenLM-style perplexity filter of
+    * corpus builds): a bigram LM with add-one smoothing is fit on the
+    * corpus itself, every document scored by its mean log-probability,
+    * and the per-lang score distribution reported. Definitions pinned for
+    * the oracle: c(w1) = count of w1 as a bigram HEAD, V = corpus bigram
+    * vocabulary (distinct heads), P(w2|w1) = (c12+1)/(c1+V). Scale: two
+    * hash aggs for the LM, one shuffle join of doc-bigrams to LM rows
+    * (no broadcast hint — AQE picks; at 100 TB both sides shuffle on the
+    * bigram key). */
+  def llmBigramLm(spark: SparkSession, dir: String): DataFrame = {
+    val toks = split(col("text"), " ")
+    val nb = greatest(size(toks) - 1, lit(0))
+    val pairs = transform(sequence(lit(1), nb),
+      i => struct(element_at(toks, i).as("w1"), element_at(toks, i + 1).as("w2")))
+    val bi = Tables.documents(spark, dir)
+      .select(col("doc_id"), col("lang"), explode(pairs).as("p"))
+      .select(col("doc_id"), col("lang"), col("p.w1").as("w1"), col("p.w2").as("w2"))
+    val c12 = bi.groupBy("w1", "w2").agg(count(lit(1)).as("c12"))
+    val c1 = c12.groupBy("w1").agg(sum("c12").as("c1"))
+    val v = c1.agg(count(lit(1)).as("v"))
+    val scored = bi
+      .join(c12, Seq("w1", "w2"))
+      .join(c1, Seq("w1"))
+      .crossJoin(broadcast(v))
+      .select(col("doc_id"), col("lang"),
+        log((col("c12") + 1).cast("double") / (col("c1") + col("v"))).as("lp"))
+      .groupBy("doc_id", "lang")
+      .agg(avg("lp").as("doc_lp"))
+    scored.groupBy("lang")
+      .agg(count(lit(1)).as("docs"),
+        round(avg("doc_lp"), 6).as("avg_lp"),
+        round(min("doc_lp"), 6).as("min_lp"),
+        round(max("doc_lp"), 6).as("max_lp"))
+      .orderBy(col("lang").asc)
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "llm_bigram_lm"         -> (llmBigramLm _),
     "llm_pack"              -> (llmPack _),
     "llm_dedup_apply"       -> (llmDedupApply _),
     "llm_stratified_sample" -> (llmStratifiedSample _),
@@ -179,6 +216,26 @@ object LlmOpsPipeline {
     "llm_heuristic_filter"  -> (llmHeuristicFilter _))
 
   val oracleSql: Map[String, String] = Map(
+    "llm_bigram_lm" ->
+      """WITH t AS (SELECT doc_id, lang, string_split(text, ' ') AS toks FROM documents),
+        |bi0 AS (
+        |  SELECT doc_id, lang, unnest(list_transform(
+        |    generate_series(1, greatest(len(toks) - 1, 0)),
+        |    i -> struct_pack(w1 := toks[i], w2 := toks[i + 1]))) AS p
+        |  FROM t),
+        |bi AS (SELECT doc_id, lang, p.w1 AS w1, p.w2 AS w2 FROM bi0),
+        |c12 AS (SELECT w1, w2, count(*) AS c12 FROM bi GROUP BY w1, w2),
+        |c1 AS (SELECT w1, CAST(sum(c12) AS BIGINT) AS c1 FROM c12 GROUP BY w1),
+        |v AS (SELECT count(*) AS v FROM c1),
+        |scored AS (
+        |  SELECT bi.doc_id, bi.lang,
+        |    avg(ln(CAST(c12.c12 + 1 AS DOUBLE) / (c1.c1 + v.v))) AS doc_lp
+        |  FROM bi JOIN c12 ON bi.w1 = c12.w1 AND bi.w2 = c12.w2
+        |          JOIN c1 ON bi.w1 = c1.w1 CROSS JOIN v
+        |  GROUP BY bi.doc_id, bi.lang)
+        |SELECT lang, count(*) AS docs, round(avg(doc_lp), 6) AS avg_lp,
+        |  round(min(doc_lp), 6) AS min_lp, round(max(doc_lp), 6) AS max_lp
+        |FROM scored GROUP BY lang ORDER BY lang ASC""".stripMargin,
     "llm_pack" ->
       """WITH t AS (
         |  SELECT doc_id, lang,

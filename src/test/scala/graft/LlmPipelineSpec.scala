@@ -9,6 +9,18 @@ import graft.operators._
 class LlmPipelineSpec extends AnyFunSuite {
   import TestSpark._
 
+  test("bigram LM: log-probs are negative and bounded by the vocabulary floor") {
+    val rows = LlmOpsPipeline.llmBigramLm(spark, sf0001).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val (avg, mn, mx) = (r.getDouble(2), r.getDouble(3), r.getDouble(4))
+      assert(mx < 0.0, "probabilities are < 1, so log-probs must be negative")
+      assert(mn <= avg && avg <= mx)
+      // floor: even an unseen bigram scores ln(1/(c1+V)) > ln(1/(N+V))
+      assert(mn > -25.0, s"implausible floor $mn")
+    }
+  }
+
   test("pack: total tokens conserved; fill never exceeds capacity by more than one doc") {
     val out = LlmOpsPipeline.llmPack(spark, sf0001).collect()
     val totalToks = out.map(_.getLong(4)).sum
