@@ -56,10 +56,75 @@ object Clustering {
       .orderBy(col("doc_id").asc)
   }
 
+  /** Edges of the fingerprint-sharing graph: doc pairs with the same
+    * winnowing fingerprint (cliques per fingerprint group), canonical
+    * a < b orientation. Cheap to build (one map-side fingerprint pass +
+    * a per-group self-join) — the shared input of the graph analytics
+    * below. */
+  private def fpEdges(spark: SparkSession, dir: String): DataFrame = {
+    val fp = LlmOpsExtra.llmFingerprint(spark, dir).select("doc_id", "fp")
+    val a = fp.select(col("fp"), col("doc_id").as("a"))
+    val b = fp.select(col("fp").as("fp_b"), col("doc_id").as("b"))
+    a.join(b, col("fp") === col("fp_b") && col("a") < col("b")).select("a", "b")
+  }
+
+  /** Distributed triangle counting over the fingerprint graph — the
+    * classic two-join formulation (e1(a,b) ⋈ e2(b,c) ⋈ e3(a,c) with
+    * a < b < c, each triangle counted once). At scale this is two
+    * shuffle equi-joins on node keys; the standard refinement (join on
+    * the lower-degree endpoint) applies when degrees skew. */
+  def graphTriangles(spark: SparkSession, dir: String): DataFrame = {
+    val e = fpEdges(spark, dir)
+    val e1 = e.select(col("a"), col("b"))
+    val e2 = e.select(col("a").as("b"), col("b").as("c"))
+    val e3 = e.select(col("a").as("ta"), col("b").as("tc"))
+    e1.join(e2, "b")
+      .join(e3, col("a") === col("ta") && col("c") === col("tc"))
+      .agg(count(lit(1)).as("triangles"),
+        countDistinct(col("a")).as("apex_nodes"))
+  }
+
+  /** Degree distribution of the fingerprint graph: how many nodes have
+    * degree d — one symmetrized hash agg + one count-by-degree agg. */
+  def graphDegree(spark: SparkSession, dir: String): DataFrame = {
+    val e = fpEdges(spark, dir)
+    e.select(col("a").as("id")).unionAll(e.select(col("b").as("id")))
+      .groupBy("id").agg(count(lit(1)).as("degree"))
+      .groupBy("degree").agg(count(lit(1)).as("nodes"))
+      .orderBy(col("degree").asc)
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
-    "llm_dedup_clusters" -> (llmDedupClusters _))
+    "llm_dedup_clusters" -> (llmDedupClusters _),
+    "graph_triangles"    -> (graphTriangles _),
+    "graph_degree"       -> (graphDegree _))
+
+  /** Shared oracle fragment: fingerprint edges in DuckDB. */
+  private val fpEdgesSql: String =
+    """f AS (
+      |  SELECT doc_id,
+      |    list_min(list_transform(
+      |      generate_series(1, greatest(len(string_split(text,' ')) - 7, 1)),
+      |      i -> md5(array_to_string(list_slice(string_split(text,' '), i, i + 7), ' ')))) AS fp
+      |  FROM documents),
+      |e AS (
+      |  SELECT x.doc_id AS a, y.doc_id AS b
+      |  FROM f x JOIN f y ON x.fp = y.fp AND x.doc_id < y.doc_id)""".stripMargin
 
   val oracleSql: Map[String, String] = Map(
+    "graph_triangles" ->
+      s"""WITH $fpEdgesSql
+         |SELECT count(*) AS triangles, count(DISTINCT e1.a) AS apex_nodes
+         |FROM e e1 JOIN e e2 ON e1.b = e2.a
+         |          JOIN e e3 ON e1.a = e3.a AND e2.b = e3.b""".stripMargin,
+    "graph_degree" ->
+      s"""WITH $fpEdgesSql,
+         |deg AS (
+         |  SELECT id, count(*) AS degree FROM (
+         |    SELECT a AS id FROM e UNION ALL SELECT b AS id FROM e) t
+         |  GROUP BY id)
+         |SELECT degree, count(*) AS nodes FROM deg
+         |GROUP BY degree ORDER BY degree ASC""".stripMargin,
     "llm_dedup_clusters" ->
       """WITH RECURSIVE d AS (
         |  SELECT doc_id, lang, n_chars // 100 AS band,
