@@ -192,4 +192,45 @@ class StreamingEquivalenceSpec extends AnyFunSuite {
       .collect().map(r => (r.getString(0), r.getLong(1), r.getDouble(2))).toSet
     assert(streamed === batch)
   }
+
+  test("checkpointed re-run is INCREMENTAL: only newly arrived files are processed") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_incr2_").toString
+    val ckpt = java.nio.file.Files.createTempDirectory("graft_ckpt2_").toString
+    val evs = fixtureEvents
+    val (first, late) = evs.splitAt(evs.size - 300)
+    first.toDF().coalesce(1).write.parquet(s"$dir/drop_0")
+    val schema = evs.toDF().schema
+
+    def runOnce(name: String): Map[String, Long] = {
+      val q = spark.readStream.schema(schema)
+        .option("recursiveFileLookup", "true").parquet(dir)
+        .groupBy($"event_type").agg(count(lit(1)).as("n"))
+        .writeStream.format("memory").queryName(name)
+        .option("checkpointLocation", ckpt)
+        .outputMode("complete").trigger(Trigger.AvailableNow()).start()
+      try q.awaitTermination(120000) finally q.stop()
+      val rows = spark.table(name).collect()
+        .map(r => (r.getString(0), r.getLong(1))).toMap
+      val processed = q.recentProgress.map(p => p.numInputRows).sum
+      assert(q.recentProgress.nonEmpty || processed == 0)
+      rows
+    }
+
+    val r1 = runOnce("inc2_a")
+    assert(r1.values.sum === first.size.toLong)
+    // second drop arrives; the SAME checkpoint must replay only the delta
+    late.toDF().coalesce(1).write.parquet(s"$dir/drop_1")
+    val q2 = spark.readStream.schema(schema)
+      .option("recursiveFileLookup", "true").parquet(dir)
+      .groupBy($"event_type").agg(count(lit(1)).as("n"))
+      .writeStream.format("memory").queryName("inc2_b")
+      .option("checkpointLocation", ckpt)
+      .outputMode("complete").trigger(Trigger.AvailableNow()).start()
+    try q2.awaitTermination(120000) finally q2.stop()
+    val newRows = q2.recentProgress.map(_.numInputRows).sum
+    assert(newRows === late.size.toLong,
+      s"checkpointed restart must read ONLY the new file's $newRows rows")
+    val r2 = spark.table("inc2_b").collect().map(r => (r.getString(0), r.getLong(1))).toMap
+    assert(r2.values.sum === evs.size.toLong, "state restores + delta = full total")
+  }
 }
