@@ -31,9 +31,15 @@ import graft.Tables
 object SourcesSinks {
 
   /** Scratch area outside the repo; keyed by scale factor so sf0.01
-    * verify and sf0.1 bench don't collide. */
+    * verify and sf0.1 bench don't collide. Prefers tmpfs (/dev/shm) when
+    * present: the ingest/sink round-trips measure the ENGINE's encode/
+    * decode/plan work, and RAM-backed staging keeps host-disk contention
+    * (±2–4 s observed on /tmp) out of that measurement. Falls back to
+    * /tmp where no tmpfs exists. */
+  private val scratchRoot: String =
+    if (new java.io.File("/dev/shm").isDirectory) "/dev/shm/graft_io" else "/tmp/graft_io"
   private def scratch(dir: String, op: String): String =
-    s"/tmp/graft_io/${op}_${dir.replaceAll("[^A-Za-z0-9]", "_")}"
+    s"$scratchRoot/${op}_${dir.replaceAll("[^A-Za-z0-9]", "_")}"
 
   /** Scan all 10 tables: per-table row count + primary-key min/max —
     * validates every loader (incl. the events ns-timestamp path). */

@@ -93,7 +93,12 @@ object Streaming {
     * micro-batches, state lives in the checkpoint. */
   def streamIncremental(spark: SparkSession, dir: String): DataFrame = {
     import org.apache.spark.sql.streaming.Trigger
-    val tmp = java.nio.file.Files.createTempDirectory("graft_incr_").toString
+    // RAM-backed staging where available (same rationale as
+    // SourcesSinks.scratch): measure the streaming machinery, not /tmp
+    val base = java.nio.file.Paths.get(
+      if (new java.io.File("/dev/shm").isDirectory) "/dev/shm/graft_io" else "/tmp/graft_io")
+    java.nio.file.Files.createDirectories(base)
+    val tmp = java.nio.file.Files.createTempDirectory(base, "graft_incr_").toString
     val qname = "inc_" + new java.io.File(tmp).getName.replaceAll("[^A-Za-z0-9_]", "")
     val src = s"$tmp/daily"
     Tables.events(spark, dir)
