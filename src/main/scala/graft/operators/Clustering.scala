@@ -25,8 +25,11 @@ object Clustering {
     val edges = pairs
       .unionAll(pairs.select(col("b_id").as("a_id"), col("a_id").as("b_id")))
       .localCheckpoint(true) // edges are reused every iteration
-    var labels = edges.select(col("a_id").as("id")).distinct()
-      .withColumn("lbl", col("id"))
+    // init = the FIRST propagation round folded into one aggregate:
+    // lbl₀ = min(self, direct neighbors) — no join needed, and dense
+    // near-dup cliques converge one round earlier
+    var labels = edges.groupBy(col("a_id").as("id"))
+      .agg(least(min(col("b_id")), col("a_id")).as("lbl"))
       .localCheckpoint(true)
     var converged = false
     var iter = 0
