@@ -3,6 +3,7 @@ package graft.operators
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
+import graft.Tables
 
 /** Near-duplicate CLUSTERING: connected components over the verified
   * near-dup pair graph via iterative min-label propagation — the step
@@ -59,13 +60,20 @@ object Clustering {
       .orderBy(col("doc_id").asc)
   }
 
-  /** Edges of the fingerprint-sharing graph: doc pairs with the same
-    * winnowing fingerprint (cliques per fingerprint group), canonical
-    * a < b orientation. Cheap to build (one map-side fingerprint pass +
-    * a per-group self-join) — the shared input of the graph analytics
-    * below. */
+  /** Edges of the fingerprint-sharing graph: doc pairs whose MINIMUM
+    * 8-token shingle coincides (cliques per fingerprint group), canonical
+    * a < b orientation. Only equality of the fingerprint matters here, so
+    * the raw min-shingle string is the key — same winnowing-style min
+    * selection as llm_fingerprint but WITHOUT the per-shingle md5 pass
+    * (profiled: 2.5M md5 calls per side at sf0.1 made each graph query
+    * ~6 s; the raw-min variant is one cheap map-side pass). ASCII-only
+    * tokens ⇒ binary string order matches the oracle's. */
   private def fpEdges(spark: SparkSession, dir: String): DataFrame = {
-    val fp = LlmOpsExtra.llmFingerprint(spark, dir).select("doc_id", "fp")
+    val toks = split(col("text"), " ")
+    val nsh = greatest(size(toks) - 7, lit(1))
+    val fpCol = array_min(transform(sequence(lit(1), nsh),
+      i => concat_ws(" ", slice(toks, i, lit(8)))))
+    val fp = Tables.documents(spark, dir).select(col("doc_id"), fpCol.as("fp"))
     val a = fp.select(col("fp"), col("doc_id").as("a"))
     val b = fp.select(col("fp").as("fp_b"), col("doc_id").as("b"))
     a.join(b, col("fp") === col("fp_b") && col("a") < col("b")).select("a", "b")
@@ -102,13 +110,13 @@ object Clustering {
     "graph_triangles"    -> (graphTriangles _),
     "graph_degree"       -> (graphDegree _))
 
-  /** Shared oracle fragment: fingerprint edges in DuckDB. */
+  /** Shared oracle fragment: min-shingle fingerprint edges in DuckDB. */
   private val fpEdgesSql: String =
     """f AS (
       |  SELECT doc_id,
       |    list_min(list_transform(
       |      generate_series(1, greatest(len(string_split(text,' ')) - 7, 1)),
-      |      i -> md5(array_to_string(list_slice(string_split(text,' '), i, i + 7), ' ')))) AS fp
+      |      i -> array_to_string(list_slice(string_split(text,' '), i, i + 7), ' '))) AS fp
       |  FROM documents),
       |e AS (
       |  SELECT x.doc_id AS a, y.doc_id AS b
