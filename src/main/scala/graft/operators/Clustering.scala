@@ -73,7 +73,13 @@ object Clustering {
     val nsh = greatest(size(toks) - 7, lit(1))
     val fpCol = array_min(transform(sequence(lit(1), nsh),
       i => concat_ws(" ", slice(toks, i, lit(8)))))
-    val fp = Tables.documents(spark, dir).select(col("doc_id"), fpCol.as("fp"))
+    // the documents file is one small parquet split, so without a
+    // repartition this ~1000-shingles-per-doc pass runs on ONE task;
+    // spreading the 13 MB scan across the cores costs a tiny shuffle and
+    // parallelizes the heavy map (6 s → sub-second at local[32])
+    val fp = Tables.documents(spark, dir)
+      .repartition(spark.sparkContext.defaultParallelism)
+      .select(col("doc_id"), fpCol.as("fp"))
     val a = fp.select(col("fp"), col("doc_id").as("a"))
     val b = fp.select(col("fp").as("fp_b"), col("doc_id").as("b"))
     a.join(b, col("fp") === col("fp_b") && col("a") < col("b")).select("a", "b")

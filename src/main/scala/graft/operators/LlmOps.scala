@@ -61,7 +61,11 @@ object LlmOps {
     // ~600k blocked pairs at sf0.1 then move/compare fixed-width longs
     // instead of string arrays — same set cardinalities (collision odds
     // ~n²/2⁶⁵), so every Jaccard value and the oracle are unchanged.
+    // documents.parquet is a single row group ⇒ a bare scan is ONE task;
+    // repartitioning the tiny file first parallelizes the heavy per-doc
+    // encode across the cores (same pattern in every dedup operator)
     val d = Tables.documents(spark, dir)
+      .repartition(spark.sparkContext.defaultParallelism)
       .select(col("doc_id"), col("lang"), expr("n_chars div 100").as("band"),
         sort_array(transform(toks, t => xxhash64(t))).as("toks"))
     val a = d.select(col("doc_id").as("a_id"), col("lang"), col("band"), col("toks").as("atoks"))
@@ -101,6 +105,7 @@ object LlmOps {
     // are ~n²/2⁶⁵ (≈10⁻⁷ even at 10⁹ distinct tokens), so Jaccard
     // values are unchanged for any realistic corpus.
     val base = Tables.documents(spark, dir)
+      .repartition(spark.sparkContext.defaultParallelism) // single-row-group file
       .select(col("doc_id"), sort_array(transform(toks, t => xxhash64(t))).as("toks"))
     val sigs = (0 until 16).map { i =>
       array_min(transform(col("toks"), t => xxhash64(t + lit(i * 1000003)))).as(s"h$i")

@@ -30,6 +30,7 @@ object LlmOpsExtra {
       i => md5(concat_ws(" ", slice(toks, i, lit(8))).cast("binary"))))
     val w = Window.partitionBy("fp")
     Tables.documents(spark, dir)
+      .repartition(spark.sparkContext.defaultParallelism) // single-row-group file
       .select(col("doc_id"), fp.as("fp"))
       .withColumn("n_sharing", count(lit(1)).over(w))
       .orderBy(col("doc_id").asc)
@@ -55,6 +56,7 @@ object LlmOpsExtra {
     // single-partition window, and joined back; all three steps are gone.
     // Collision odds ~n²/2⁶⁵ leave every Jaccard value unchanged.
     val d = Tables.documents(spark, dir)
+      .repartition(spark.sparkContext.defaultParallelism) // single-row-group file
       .select(col("doc_id"), col("lang"), expr("n_chars div 100").as("band"),
         sort_array(transform(shingles, s => xxhash64(s))).as("sh"))
     val a = d.select(col("doc_id").as("a_id"), col("lang"), col("band"), col("sh").as("ash"))
@@ -126,6 +128,7 @@ object LlmOpsExtra {
     // exploded every (doc, token) pair and shuffled it into a 64-column
     // vote aggregate — same bits, one whole table of shuffle for nothing.
     val sig = Tables.documents(spark, dir)
+      .repartition(spark.sparkContext.defaultParallelism) // single-row-group file
       .select(col("doc_id"), graft.functions.sim.simhash64(
         transform(array_distinct(split(col("text"), " ")), t => xxhash64(t))).as("simhash"))
     val bandCols = (0 until 4).map { j =>

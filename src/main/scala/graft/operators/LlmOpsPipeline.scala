@@ -184,6 +184,7 @@ object LlmOpsPipeline {
     val pairs = transform(sequence(lit(1), nb),
       i => struct(element_at(toks, i).as("w1"), element_at(toks, i + 1).as("w2")))
     val bi = Tables.documents(spark, dir)
+      .repartition(spark.sparkContext.defaultParallelism) // single-row-group file
       .select(col("doc_id"), col("lang"), explode(pairs).as("p"))
       .select(col("doc_id"), col("lang"), col("p.w1").as("w1"), col("p.w2").as("w2"))
     val c12 = bi.groupBy("w1", "w2").agg(count(lit(1)).as("c12"))
