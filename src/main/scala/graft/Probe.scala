@@ -36,6 +36,45 @@ object Probe {
     t("minhash full")(operators.LlmOps.llmMinhash(spark, sfDir).count())
     t("dedup_near full")(operators.LlmOps.llmDedupNear(spark, sfDir).count())
     t("clusters full")(operators.Clustering.llmDedupClusters(spark, sfDir).count())
+    // stage breakdown of the clusters pipeline
+    operators.Clustering.ensureCheckpointDir(spark)
+    val p2 = operators.LlmOps.llmDedupNear(spark, sfDir).select("a_id", "b_id")
+    var ed: org.apache.spark.sql.DataFrame = null
+    t("cl: edges ckpt")({ ed = p2.unionAll(p2.select(col("b_id").as("a_id"), col("a_id").as("b_id"))).checkpoint(); ed.count() })
+    var l0: org.apache.spark.sql.DataFrame = null
+    t("cl: lbl0 ckpt")({ l0 = ed.groupBy(col("a_id").as("id")).agg(least(min(col("b_id")), col("a_id")).as("lbl")).checkpoint(); l0.count() })
+    var epp: org.apache.spark.sql.DataFrame = null
+    t("cl: contract ckpt")({
+      val half = ed.join(l0, ed("b_id") === l0("id")).select(ed("a_id").as("a_id"), col("lbl").as("b_lbl"))
+      epp = half.join(l0, half("a_id") === l0("id")).select(col("lbl").as("a_id"), col("b_lbl").as("b_id"))
+        .filter(col("a_id") =!= col("b_id")).distinct().checkpoint()
+      epp.count()
+    })
+    var lbls = epp.groupBy(col("a_id").as("id")).agg(least(min(col("b_id")), col("a_id")).as("lbl"))
+    var conv = false; var it = 0
+    while (!conv && it < 50) {
+      val nbr = epp.join(lbls, epp("b_id") === lbls("id"))
+        .select(epp("a_id").as("id"), col("lbl"), lit(Long.MaxValue).as("prev"))
+      val nx = lbls.select(col("id"), col("lbl"), col("lbl").as("prev")).unionAll(nbr)
+        .groupBy("id").agg(min("lbl").as("lbl"), min("prev").as("prev"))
+      it += 1
+      if (it % 2 == 0) {
+        t(s"cl: round $it ckpt+probe")({
+          val ck = nx.checkpoint()
+          conv = ck.filter(col("lbl") < col("prev")).limit(1).count() == 0L
+          lbls = ck.select("id", "lbl"); lbls.count()
+        })
+      } else lbls = nx.select("id", "lbl")
+    }
+    println(s"PROBE iterations=$it")
+    t("cl: final compose")({
+      val roots = lbls.select(col("id").as("r_id"), col("lbl").as("root"))
+      val w = org.apache.spark.sql.expressions.Window.partitionBy("cluster")
+      l0.join(roots, col("lbl") === col("r_id"), "left")
+        .select(col("id").as("doc_id"), coalesce(col("root"), col("lbl")).as("cluster"))
+        .withColumn("csize", count(lit(1)).over(w))
+        .orderBy(col("doc_id").asc).count()
+    })
     spark.stop()
   }
 }

@@ -13,62 +13,129 @@ import graft.Tables
   *
   * Scale notes: each iteration is one shuffle join (edges ⋈ labels) plus
   * a min-aggregate; iteration count = graph diameter (near-dup clusters
-  * are dense, so 2–4 rounds in practice, capped at 20). Lineage is
-  * truncated every round with localCheckpoint — without it the plan
-  * doubles per iteration and the 10th round recompiles a 1000-node tree.
+  * are dense, so 2–4 rounds in practice, capped at 50). Lineage is
+  * truncated every round with RELIABLE checkpointing (files under the
+  * session checkpoint dir) — without truncation the plan doubles per
+  * iteration, and round 2's `localCheckpoint(true)` pinned the truncation
+  * blocks in EXECUTOR MEMORY: on a real cluster one lost executor
+  * mid-iteration kills the query, and the label table is corpus-sized.
+  * Disk-backed checkpoints survive executor loss and spill nothing onto
+  * the block-manager heap; the extra write per round is one small shuffle
+  * output's worth of IO. Convergence is probed every SECOND round (a
+  * fixpoint is stable, so overshooting by one round cannot change the
+  * labels) — halving the probe jobs on the usual 3–4-round run.
   * The fixpoint (min reachable doc_id per node) is order-independent and
   * engine-independent, so the result is oracle-able via a recursive CTE.
   */
 object Clustering {
 
+  /** Idempotently pin a checkpoint dir (tests and Verify share a session;
+    * real deployments set a durable DFS path before calling). */
+  private[graft] def ensureCheckpointDir(spark: SparkSession): Unit =
+    if (spark.sparkContext.getCheckpointDir.isEmpty) {
+      // local-mode default only — tmpfs when present, else java.io.tmpdir;
+      // a cluster deployment points this at a durable DFS path instead
+      val shm = new java.io.File("/dev/shm")
+      val base = if (shm.isDirectory && shm.canWrite) "/dev/shm"
+                 else sys.props.getOrElse("java.io.tmpdir", "/tmp")
+      spark.sparkContext.setCheckpointDir(
+        new java.io.File(base, "graft-checkpoints").getAbsolutePath)
+    }
+
   def llmDedupClusters(spark: SparkSession, dir: String): DataFrame = {
+    ensureCheckpointDir(spark)
     val pairs = LlmOps.llmDedupNear(spark, dir).select("a_id", "b_id")
     val edges = pairs
       .unionAll(pairs.select(col("b_id").as("a_id"), col("a_id").as("b_id")))
-      .localCheckpoint(true) // edges are reused every iteration
-    // init = the FIRST propagation round folded into one aggregate:
-    // lbl₀ = min(self, direct neighbors) — no join needed, and dense
-    // near-dup cliques converge one round earlier
-    var labels = edges.groupBy(col("a_id").as("id"))
+      .checkpoint() // reliable on-disk; reused by lbl₀ and the contraction
+    // STAR CONTRACTION (the large-star move of Kiveris et al.'s
+    // alternating algorithm): lbl₀ = min(self, direct neighbors) — one
+    // aggregate, no join — then contract every edge to its endpoints'
+    // labels. Near-dup graphs are unions of dense blocks, so the
+    // contracted edge set E′ is cluster-count-sized, orders of magnitude
+    // smaller than E; only THREE passes (lbl₀, the two contraction joins)
+    // ever touch the corpus-sized edge set, and the fixpoint loop below
+    // iterates on E′ alone.
+    val lbl0 = edges.groupBy(col("a_id").as("id"))
       .agg(least(min(col("b_id")), col("a_id")).as("lbl"))
-      .localCheckpoint(true)
+      .checkpoint() // reused by both contraction joins and the final compose
+    val half = edges.join(lbl0, edges("b_id") === lbl0("id"))
+      .select(edges("a_id").as("a_id"), col("lbl").as("b_lbl"))
+    val ep = half.join(lbl0, half("a_id") === lbl0("id"))
+      .select(col("lbl").as("a_id"), col("b_lbl").as("b_id"))
+      .filter(col("a_id") =!= col("b_id"))
+      .distinct() // E is symmetric ⇒ E′ is too
+      .checkpoint()
+    // Min-label fixpoint on the CONTRACTED graph. Each node's previous
+    // label rides along as `prev` (neighbors contribute MaxValue, the
+    // self-row its own label), so a round needs no second join to detect
+    // change. ODD rounds stay LAZY — no job, the plan deepens by one
+    // bounded join; EVEN rounds checkpoint (lineage truncated to files)
+    // and probe convergence over the just-written files. A fixpoint is
+    // stable, so the overshoot round a skipped probe can add never
+    // changes the labels.
+    var labels = ep.groupBy(col("a_id").as("id"))
+      .agg(least(min(col("b_id")), col("a_id")).as("lbl"))
     var converged = false
     var iter = 0
     while (!converged && iter < 50) {
-      // Each node's previous label rides along as `prev` (neighbors
-      // contribute MaxValue, the self-row its own label), so the round is
-      // ONE job — join + min-agg + eager checkpoint. Round 1 ran a second
-      // full join-against-old-labels per round just to count changes.
-      val nbr = edges.join(labels, edges("b_id") === labels("id"))
-        .select(edges("a_id").as("id"), col("lbl"), lit(Long.MaxValue).as("prev"))
+      val nbr = ep.join(labels, ep("b_id") === labels("id"))
+        .select(ep("a_id").as("id"), col("lbl"), lit(Long.MaxValue).as("prev"))
       val next = labels.select(col("id"), col("lbl"), col("lbl").as("prev"))
         .unionAll(nbr)
         .groupBy("id").agg(min("lbl").as("lbl"), min("prev").as("prev"))
-        .localCheckpoint(true)
-      // convergence probe reads the just-materialized blocks only (min(lbl)
-      // ≤ prev always, so "changed" ⇔ lbl < prev; stop at the first hit)
-      converged = next.filter(col("lbl") < col("prev")).limit(1).count() == 0L
-      labels = next.select("id", "lbl")
       iter += 1
+      if (iter % 2 == 0 || iter >= 50) {
+        val ck = next.checkpoint()
+        // min(lbl) ≤ prev always, so "changed" ⇔ lbl < prev
+        converged = ck.filter(col("lbl") < col("prev")).limit(1).count() == 0L
+        labels = ck.select("id", "lbl")
+      } else {
+        labels = next.select("id", "lbl")
+      }
     }
     // partial labels would silently disagree with the recursive-CTE oracle
     require(converged, s"connected components did not converge in $iter rounds")
+    // Compose node → lbl₀ → component root. The component's min doc_id m
+    // has lbl₀(m) = m (all neighbors are larger), every other lbl₀ value
+    // in the component is ≥ m, and contraction along edges preserves
+    // connectivity — so the contracted root IS the component minimum.
+    // lbl₀ values untouched by E′ (already-settled stars) are their own
+    // root: coalesce covers them after the left join.
+    val roots = labels.select(col("id").as("r_id"), col("lbl").as("root"))
     val w = Window.partitionBy("cluster")
-    labels
-      .select(col("id").as("doc_id"), col("lbl").as("cluster"))
+    lbl0
+      .join(roots, col("lbl") === col("r_id"), "left")
+      .select(col("id").as("doc_id"),
+        coalesce(col("root"), col("lbl")).as("cluster"))
       .withColumn("csize", count(lit(1)).over(w))
       .orderBy(col("doc_id").asc)
   }
 
-  /** Edges of the fingerprint-sharing graph: doc pairs whose MINIMUM
-    * 8-token shingle coincides (cliques per fingerprint group), canonical
-    * a < b orientation. Only equality of the fingerprint matters here, so
-    * the raw min-shingle string is the key — same winnowing-style min
-    * selection as llm_fingerprint but WITHOUT the per-shingle md5 pass
-    * (profiled: 2.5M md5 calls per side at sf0.1 made each graph query
-    * ~6 s; the raw-min variant is one cheap map-side pass). ASCII-only
-    * tokens ⇒ binary string order matches the oracle's. */
-  private def fpEdges(spark: SparkSession, dir: String): DataFrame = {
+  /** Fingerprint GROUP SIZES — the whole graph, losslessly compressed.
+    *
+    * Every doc has exactly ONE min-shingle fingerprint, and an edge exists
+    * iff two docs share theirs — so the fingerprint graph is a disjoint
+    * union of CLIQUES, one per fingerprint group. Round 2 materialized the
+    * cliques as edges (k(k-1)/2 rows per group) and counted triangles with
+    * two self-joins (O(k³) per group): a group of 10⁵ docs sharing one
+    * boilerplate fingerprint would emit 5×10⁹ edges onto a single join
+    * key — unbounded skew, the classic 100 TB graph bomb. Everything both
+    * graph queries report is a function of the group-size histogram alone,
+    * which one map pass + one hash agg computes in O(n): no edge
+    * materialization, no join, no skewable key (partial aggregation caps
+    * any hot fingerprint's shuffle contribution at one row per map task).
+    *
+    * The shuffle key is `xxhash64(fp)`, 8 bytes instead of the ~50-byte
+    * raw shingle string (a 2⁻⁶⁴ collision would merge two groups — at any
+    * realistic corpus size that risk is dwarfed by hardware error rates).
+    * Same winnowing-style min selection as llm_fingerprint but WITHOUT the
+    * per-shingle md5 pass (profiled in round 2: 2.5M md5 calls per side
+    * made each graph query ~6 s). ASCII-only tokens ⇒ binary string order
+    * of the min matches the oracle's. The ORACLES stay in the explicit
+    * edge/two-join formulation — an independent derivation that proves the
+    * clique combinatorics below. */
+  private def fpGroupSizes(spark: SparkSession, dir: String): DataFrame = {
     val toks = split(col("text"), " ")
     val nsh = greatest(size(toks) - 7, lit(1))
     val fpCol = array_min(transform(sequence(lit(1), nsh),
@@ -77,37 +144,37 @@ object Clustering {
     // repartition this ~1000-shingles-per-doc pass runs on ONE task;
     // spreading the 13 MB scan across the cores costs a tiny shuffle and
     // parallelizes the heavy map (6 s → sub-second at local[32])
-    val fp = Tables.documents(spark, dir)
+    Tables.documents(spark, dir)
       .repartition(spark.sparkContext.defaultParallelism)
-      .select(col("doc_id"), fpCol.as("fp"))
-    val a = fp.select(col("fp"), col("doc_id").as("a"))
-    val b = fp.select(col("fp").as("fp_b"), col("doc_id").as("b"))
-    a.join(b, col("fp") === col("fp_b") && col("a") < col("b")).select("a", "b")
+      .select(xxhash64(fpCol).as("fph"))
+      .groupBy("fph").agg(count(lit(1)).as("k"))
   }
 
-  /** Distributed triangle counting over the fingerprint graph — the
-    * classic two-join formulation (e1(a,b) ⋈ e2(b,c) ⋈ e3(a,c) with
-    * a < b < c, each triangle counted once). At scale this is two
-    * shuffle equi-joins on node keys; the standard refinement (join on
-    * the lower-degree endpoint) applies when degrees skew. */
+  /** Triangle count over the fingerprint graph. Cliques are disjoint, so
+    * triangles = Σ C(k,3) per group, and a node is a triangle's apex (its
+    * minimum, the `a` of the oracle's e1(a,b)⋈e2(b,c)⋈e3(a,c) join) iff
+    * ≥2 larger clique members exist ⇒ k−2 apexes per group. Exact, one
+    * hash agg, O(groups) — vs the oracle's O(k³) join enumeration. */
   def graphTriangles(spark: SparkSession, dir: String): DataFrame = {
-    val e = fpEdges(spark, dir)
-    val e1 = e.select(col("a"), col("b"))
-    val e2 = e.select(col("a").as("b"), col("b").as("c"))
-    val e3 = e.select(col("a").as("ta"), col("b").as("tc"))
-    e1.join(e2, "b")
-      .join(e3, col("a") === col("ta") && col("c") === col("tc"))
-      .agg(count(lit(1)).as("triangles"),
-        countDistinct(col("a")).as("apex_nodes"))
+    fpGroupSizes(spark, dir)
+      // C(k,3) in overflow-safe integral steps: C(k,2) = k(k-1)/2 is
+      // integral, and C(k,2)(k-2) is divisible by 3 (it is 3·C(k,3))
+      .agg(
+        coalesce(sum(expr("k * (k - 1) DIV 2 * (k - 2) DIV 3")), lit(0L))
+          .as("triangles"),
+        coalesce(sum(greatest(col("k") - 2, lit(0))), lit(0L)).as("apex_nodes"))
   }
 
-  /** Degree distribution of the fingerprint graph: how many nodes have
-    * degree d — one symmetrized hash agg + one count-by-degree agg. */
+  /** Degree distribution of the fingerprint graph: every member of a
+    * k-clique has degree k−1 (and k=1 singletons have no edges, hence
+    * never appear in the edge list) — so the histogram is a direct
+    * reshape of the group sizes: degree k−1 ← sum of k over groups of
+    * size k. Two hash aggs, no edges, no join. */
   def graphDegree(spark: SparkSession, dir: String): DataFrame = {
-    val e = fpEdges(spark, dir)
-    e.select(col("a").as("id")).unionAll(e.select(col("b").as("id")))
-      .groupBy("id").agg(count(lit(1)).as("degree"))
-      .groupBy("degree").agg(count(lit(1)).as("nodes"))
+    fpGroupSizes(spark, dir)
+      .filter(col("k") >= 2)
+      .groupBy((col("k") - 1).as("degree"))
+      .agg(sum("k").as("nodes"))
       .orderBy(col("degree").asc)
   }
 

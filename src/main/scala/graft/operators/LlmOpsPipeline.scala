@@ -14,14 +14,11 @@ import graft.Tables
   * Scale notes: every operator here is either a map-side expression over
   * the document row (filters, mix stats) or a blocked/keyed equi-join
   * (dedup apply, contamination) — no global windows, no broadcasts of
-  * corpus-sized tables, no driver-side loops. Per-lang windows (sampling)
-  * partition by a bounded-cardinality key whose per-partition row count
-  * is itself capped by the sample quota at any input scale only AFTER the
-  * hash-rank pushes through a shuffle on lang — acceptable because langs
-  * are few but each partition is a scan+heap, not a full sort (row_number
-  * over a sort is still O(n log n) per lang; the documented 100 TB
-  * upgrade is per-lang `orderBy().limit(k)` loops or a sketch-based
-  * quantile cut on the hash).
+  * corpus-sized tables, no driver-side loops. Round 3 removed the last
+  * per-lang raw-data windows: sampling is two-phase top-k over (lang,
+  * shard), packing is a sharded scan (per-shard cumsum + offset
+  * pre-agg) — the only window partitioned by `lang` alone now runs over
+  * the PRE-AGGREGATED one-row-per-shard table.
   */
 object LlmOpsPipeline {
 
@@ -45,15 +42,33 @@ object LlmOpsPipeline {
   /** Deterministic stratified sampling: top-20 docs per lang ordered by a
     * salted md5 of the doc id (md5 is identical across engines ⇒
     * oracle-able, unlike xxhash). This is the "fixed random sample per
-    * stratum" every training-mix experiment needs to be reproducible. */
+    * stratum" every training-mix experiment needs to be reproducible.
+    *
+    * Two-phase top-k (round-3 rewrite): round 2 ranked with a window
+    * partitioned by `lang` alone — ~5 strata ⇒ ~5 tasks each sorting a
+    * whole stratum, the per-lang-window scale trap. Phase 1 ranks within
+    * (lang, shard) — 64 hash shards per lang, a tunable that rises with
+    * cluster size — keeping ≤20 per shard (any stratum-global top-20 row
+    * is top-20 in its own shard, so no survivor is lost). Phase 2 reduces
+    * the ≤ 20×64 survivors per lang with a bounded hash aggregate
+    * (collect→sort→slice, ≤1280 structs of state per group) — no window
+    * over raw data anywhere, and phase 2's state is O(k·shards) at ANY
+    * corpus size. */
   def llmStratifiedSample(spark: SparkSession, dir: String): DataFrame = {
     val hash = md5(concat(lit("graft"), col("doc_id").cast("string")).cast("binary"))
-    val w = Window.partitionBy("lang").orderBy(hash.asc, col("doc_id").asc)
+    val wShard = Window.partitionBy("lang", "shard")
+      .orderBy(col("h").asc, col("doc_id").asc)
     Tables.documents(spark, dir)
-      .select(col("doc_id"), col("lang"))
-      .withColumn("rn", row_number().over(w))
-      .filter(col("rn") <= 20)
-      .select("lang", "rn", "doc_id")
+      .select(col("doc_id"), col("lang"), hash.as("h"),
+        pmod(xxhash64(col("doc_id")), lit(64L)).as("shard"))
+      .withColumn("rs", row_number().over(wShard))
+      .filter(col("rs") <= 20)
+      .groupBy("lang")
+      .agg(slice(array_sort(collect_list(struct(col("h"), col("doc_id")))),
+        1, 20).as("top"))
+      .select(col("lang"), posexplode(col("top")))
+      .select(col("lang"), (col("pos") + 1).cast("int").as("rn"),
+        col("col.doc_id").as("doc_id"))
       .orderBy(col("lang").asc, col("rn").asc)
   }
 
@@ -149,15 +164,32 @@ object LlmOpsPipeline {
     * per-lang token streams in doc_id order are cut into 2048-token
     * contexts by cumulative-sum DIV — a doc belongs to the context its
     * first token lands in. Reports contexts, average fill, and docs per
-    * context for each lang. The cumsum window partitions by lang (bounded
-    * strata), never globally; per-stratum packing is exactly how real
-    * pipelines shard this at scale. */
+    * context for each lang.
+    *
+    * Sharded cumsum (round-3 rewrite): round 2's cumsum window partitioned
+    * by `lang` alone — one task per stratum sorting the whole stratum.
+    * The scan-algorithm form: shard each stratum into contiguous doc_id
+    * blocks (`doc_id DIV 256` is monotone in doc_id, so shard order =
+    * doc_id order), pre-aggregate per-shard token totals, turn those into
+    * per-shard OFFSETS with a cumsum over the shard-level table (one row
+    * per shard — pre-aggregated, thousands of rows per lang at 100 TB,
+    * not billions), then cumsum WITHIN each (lang, shard) partition and
+    * add the offset. Identical result to the global per-lang cumsum;
+    * max window-partition size drops from |stratum| to the shard block. */
   def llmPack(spark: SparkSession, dir: String): DataFrame = {
-    val w = Window.partitionBy("lang").orderBy(col("doc_id").asc)
+    val base = Tables.documents(spark, dir)
+      .select(col("doc_id"), col("lang"), size(toksRaw).cast("bigint").as("ntok"),
+        expr("doc_id DIV 256").as("shard"))
+    val wOff = Window.partitionBy("lang").orderBy(col("shard").asc)
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val offsets = base.groupBy("lang", "shard").agg(sum("ntok").as("stot"))
+      .withColumn("off", coalesce(sum("stot").over(wOff), lit(0L)))
+      .select("lang", "shard", "off")
+    val wShard = Window.partitionBy("lang", "shard").orderBy(col("doc_id").asc)
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    val packed = Tables.documents(spark, dir)
-      .select(col("doc_id"), col("lang"), size(toksRaw).cast("bigint").as("ntok"))
-      .withColumn("cum", sum("ntok").over(w))
+    val packed = base
+      .join(offsets, Seq("lang", "shard"))
+      .withColumn("cum", sum("ntok").over(wShard) + col("off"))
       .withColumn("ctx", expr("(cum - ntok) DIV 2048"))
       .groupBy("lang", "ctx")
       .agg(count(lit(1)).as("docs"), sum("ntok").as("toks"))
@@ -174,30 +206,39 @@ object LlmOpsPipeline {
     * corpus itself, every document scored by its mean log-probability,
     * and the per-lang score distribution reported. Definitions pinned for
     * the oracle: c(w1) = count of w1 as a bigram HEAD, V = corpus bigram
-    * vocabulary (distinct heads), P(w2|w1) = (c12+1)/(c1+V). Scale: two
-    * hash aggs for the LM, one shuffle join of doc-bigrams to LM rows
-    * (no broadcast hint — AQE picks; at 100 TB both sides shuffle on the
-    * bigram key). */
+    * vocabulary (distinct heads), P(w2|w1) = (c12+1)/(c1+V).
+    *
+    * Scale shape (round-3 rewrite): the scoring join moves the DISTINCT
+    * per-doc bigram table `dc` (one row per (doc, w1, w2) with its count),
+    * not the occurrence stream — natural text repeats bigrams heavily, so
+    * this shrinks the join input by the repetition factor, and the mean
+    * log-prob is recovered exactly as the cnt-weighted average. `c12`/`c1`
+    * are derived FROM `dc` (sum of cnt), so the explode is aggregated once
+    * and the (w1,w2)-shuffle of `dc` is shared between the c12 aggregate
+    * and the probe side of the join via exchange reuse. No broadcast hint
+    * on the LM join — AQE picks; at 100 TB both sides shuffle on the
+    * bigram key. */
   def llmBigramLm(spark: SparkSession, dir: String): DataFrame = {
     val toks = split(col("text"), " ")
     val nb = greatest(size(toks) - 1, lit(0))
     val pairs = transform(sequence(lit(1), nb),
       i => struct(element_at(toks, i).as("w1"), element_at(toks, i + 1).as("w2")))
-    val bi = Tables.documents(spark, dir)
+    val dc = Tables.documents(spark, dir)
       .repartition(spark.sparkContext.defaultParallelism) // single-row-group file
       .select(col("doc_id"), col("lang"), explode(pairs).as("p"))
-      .select(col("doc_id"), col("lang"), col("p.w1").as("w1"), col("p.w2").as("w2"))
-    val c12 = bi.groupBy("w1", "w2").agg(count(lit(1)).as("c12"))
+      .groupBy(col("doc_id"), col("lang"), col("p.w1").as("w1"), col("p.w2").as("w2"))
+      .agg(count(lit(1)).as("cnt"))
+    val c12 = dc.groupBy("w1", "w2").agg(sum("cnt").as("c12"))
     val c1 = c12.groupBy("w1").agg(sum("c12").as("c1"))
     val v = c1.agg(count(lit(1)).as("v"))
-    val scored = bi
+    val scored = dc
       .join(c12, Seq("w1", "w2"))
       .join(c1, Seq("w1"))
       .crossJoin(broadcast(v))
-      .select(col("doc_id"), col("lang"),
+      .select(col("doc_id"), col("lang"), col("cnt"),
         log((col("c12") + 1).cast("double") / (col("c1") + col("v"))).as("lp"))
       .groupBy("doc_id", "lang")
-      .agg(avg("lp").as("doc_lp"))
+      .agg((sum(col("lp") * col("cnt")) / sum(col("cnt"))).as("doc_lp"))
     scored.groupBy("lang")
       .agg(count(lit(1)).as("docs"),
         round(avg("doc_lp"), 6).as("avg_lp"),
@@ -224,16 +265,20 @@ object LlmOpsPipeline {
         |    generate_series(1, greatest(len(toks) - 1, 0)),
         |    i -> struct_pack(w1 := toks[i], w2 := toks[i + 1]))) AS p
         |  FROM t),
-        |bi AS (SELECT doc_id, lang, p.w1 AS w1, p.w2 AS w2 FROM bi0),
-        |c12 AS (SELECT w1, w2, count(*) AS c12 FROM bi GROUP BY w1, w2),
+        |dc AS (SELECT doc_id, lang, p.w1 AS w1, p.w2 AS w2,
+        |         CAST(count(*) AS BIGINT) AS cnt
+        |       FROM bi0 GROUP BY doc_id, lang, w1, w2),
+        |c12 AS (SELECT w1, w2, CAST(sum(cnt) AS BIGINT) AS c12
+        |        FROM dc GROUP BY w1, w2),
         |c1 AS (SELECT w1, CAST(sum(c12) AS BIGINT) AS c1 FROM c12 GROUP BY w1),
         |v AS (SELECT count(*) AS v FROM c1),
         |scored AS (
-        |  SELECT bi.doc_id, bi.lang,
-        |    avg(ln(CAST(c12.c12 + 1 AS DOUBLE) / (c1.c1 + v.v))) AS doc_lp
-        |  FROM bi JOIN c12 ON bi.w1 = c12.w1 AND bi.w2 = c12.w2
-        |          JOIN c1 ON bi.w1 = c1.w1 CROSS JOIN v
-        |  GROUP BY bi.doc_id, bi.lang)
+        |  SELECT dc.doc_id, dc.lang,
+        |    sum(ln(CAST(c12.c12 + 1 AS DOUBLE) / (c1.c1 + v.v)) * dc.cnt)
+        |      / sum(dc.cnt) AS doc_lp
+        |  FROM dc JOIN c12 ON dc.w1 = c12.w1 AND dc.w2 = c12.w2
+        |          JOIN c1 ON dc.w1 = c1.w1 CROSS JOIN v
+        |  GROUP BY dc.doc_id, dc.lang)
         |SELECT lang, count(*) AS docs, round(avg(doc_lp), 6) AS avg_lp,
         |  round(min(doc_lp), 6) AS min_lp, round(max(doc_lp), 6) AS max_lp
         |FROM scored GROUP BY lang ORDER BY lang ASC""".stripMargin,

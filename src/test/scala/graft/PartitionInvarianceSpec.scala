@@ -42,4 +42,25 @@ class PartitionInvarianceSpec extends AnyFunSuite {
     assert(rows(LlmOpsExtra.llmSimhash(spark, sf0001)) ===
       rows(LlmOpsExtra.llmSimhash(alt, sf0001)))
   }
+
+  test("llm_pack sharded cumsum is identical under a different shuffle partitioning") {
+    assert(rows(LlmOpsPipeline.llmPack(spark, sf0001)) ===
+      rows(LlmOpsPipeline.llmPack(alt, sf0001)))
+  }
+
+  test("llm_stratified_sample two-phase top-k is identical under a different shuffle partitioning") {
+    assert(rows(LlmOpsPipeline.llmStratifiedSample(spark, sf0001)) ===
+      rows(LlmOpsPipeline.llmStratifiedSample(alt, sf0001)))
+  }
+
+  test("llm_dedup_clusters uses RELIABLE (on-disk) checkpoints, not block-manager blocks") {
+    Clustering.llmDedupClusters(spark, sf0001).count()
+    val dir = spark.sparkContext.getCheckpointDir
+    assert(dir.isDefined, "checkpoint dir must be pinned by the CC loop")
+    // reliable checkpoints materialize as rdd-* directories on the
+    // filesystem — the property localCheckpoint (executor memory) lacks
+    val files = new java.io.File(new java.net.URI(dir.get).getPath).listFiles()
+    assert(files != null && files.exists(_.getName.startsWith("rdd-")),
+      s"expected rdd-* checkpoint data under $dir")
+  }
 }
