@@ -33,8 +33,10 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       new FunctionIdentifier("simhash64"),
       new ExpressionInfo(classOf[SimHash64].getName, "simhash64"),
       (children: Seq[Expression]) => SimHash64(children.head)))
-    // whole-operator extension: native as-of join (graft.plans.AsofJoin)
+    // whole-operator extensions: native as-of join (graft.plans.AsofJoin)
+    // and native interval join (graft.plans.IntervalJoin)
     ext.injectPlannerStrategy(_ => graft.plans.AsofJoinStrategy)
+    ext.injectPlannerStrategy(_ => graft.plans.IntervalJoinStrategy)
     // optimizer rule: naive SQL jaccard_sim over sorted-distinct inputs →
     // the zero-allocation merge kernel (graft.plans.SortedJaccardRewrite)
     ext.injectOptimizerRule(_ => graft.plans.SortedJaccardRewrite)

@@ -92,6 +92,23 @@ object JoinsAdvanced {
       .orderBy(col("event_id").asc)
   }
 
+  /** The SAME interval semantics through the native physical operator
+    * (graft.plans.IntervalJoinExec — sliding-buffer merge on
+    * co-partitioned (user, ts)-sorted sides): each side shuffled exactly
+    * once, no probe-row explode, no candidate-pair blowup. Shares
+    * joinInterval's oracle — both must produce identical rows. */
+  def joinIntervalNative(spark: SparkSession, dir: String): DataFrame = {
+    val e = Tables.events(spark, dir)
+    val a = e.select(col("event_id").as("a_id"), col("user_id").as("a_user"),
+      col("ts").as("a_ts"))
+    val b = e.select(col("user_id").as("b_user"), col("ts").as("b_ts"))
+    graft.plans.IntervalJoin
+      .interval(a, b, "a_user", "a_ts", "b_user", "b_ts", 3600L * 1000000L)
+      .groupBy(col("a_id").as("event_id"))
+      .agg(count(lit(1)).as("n"))
+      .orderBy(col("event_id").asc)
+  }
+
   /** Fuzzy (edit-distance) join — the entity-resolution primitive: part
     * pairs within a brand whose names are ≤3 edits apart. Blocked by the
     * brand equi-key (bounded quadratic per block, like every dedup pair
@@ -131,11 +148,12 @@ object JoinsAdvanced {
   }
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
-    "join_fuzzy"       -> (joinFuzzy _),
-    "join_theta_band"  -> (joinThetaBand _),
-    "join_asof"        -> (joinAsof _),
-    "join_asof_native" -> (joinAsofNative _),
-    "join_interval"    -> (joinInterval _))
+    "join_fuzzy"           -> (joinFuzzy _),
+    "join_theta_band"      -> (joinThetaBand _),
+    "join_asof"            -> (joinAsof _),
+    "join_asof_native"     -> (joinAsofNative _),
+    "join_interval"        -> (joinInterval _),
+    "join_interval_native" -> (joinIntervalNative _))
 
   val oracleSql: Map[String, String] = Map(
     "join_fuzzy" ->
@@ -172,6 +190,12 @@ object JoinsAdvanced {
         |SELECT event_id, ts, user_id, o_orderdate AS best_orderdate, o_orderkey AS best_orderkey
         |FROM j WHERE rn = 1 ORDER BY event_id ASC""".stripMargin,
     "join_interval" ->
+      """SELECT a.event_id, count(*) AS n
+        |FROM events a JOIN events b
+        |  ON a.user_id = b.user_id
+        | AND b.ts >= a.ts AND b.ts < a.ts + INTERVAL 1 HOUR
+        |GROUP BY a.event_id ORDER BY a.event_id ASC""".stripMargin,
+    "join_interval_native" ->
       """SELECT a.event_id, count(*) AS n
         |FROM events a JOIN events b
         |  ON a.user_id = b.user_id
