@@ -181,20 +181,47 @@ object LlmOpsExtra {
       .orderBy(col("a_id").asc, col("b_id").asc)
   }
 
-  /** IVF-style ANN: vectors are assigned to their nearest of 16 pivot
-    * vectors (a deterministic stand-in for a trained coarse codebook);
-    * each query probes its 4 nearest pivots and ranks only those cells'
-    * vectors — searching nprobe/K of the corpus. Recall vs brute force is
-    * unit-tested against llm_knn_join. */
+  /** IVF ANN with a TRAINED coarse codebook: 3 Lloyd's iterations of
+    * spherical k-means (assign to argmax-cosine pivot, re-center each cell
+    * at its member mean) from the deterministic seed pivots vec_id < 16;
+    * each query then probes its 4 nearest cells and ranks only those
+    * cells' vectors — searching nprobe/K of the corpus.
+    *
+    * Scale shape: training is the same driver-coordinated loop as the CC
+    * fixpoint — per iteration ONE distributed pass (broadcast 16 pivots,
+    * map-side argmax assignment, per-(cell,dim) partial-agg means) and an
+    * O(k·d) collect (16×64 doubles — a codebook is by construction a
+    * driver/broadcast-scale object; at 100 TB you train on a deterministic
+    * sample, identical loop). Centroids and similarities are rounded to 6
+    * decimals so both engines' float sums agree; empty cells keep their
+    * previous pivot. Recall vs brute force is unit-tested against
+    * llm_knn_join; the oracle re-derives the SAME 3 unrolled iterations in
+    * SQL. */
   def llmAnnIvf(spark: SparkSession, dir: String): DataFrame = {
     val e = embDouble(spark, dir)
-    val piv = e.filter(col("vec_id") < 16).select(col("vec_id").as("p_id"), col("e").as("pe"))
-    // cell assignment: argmax cosine over pivots, tie → lower pivot id
     val wAssign = Window.partitionBy("vec_id").orderBy(col("psim").desc, col("p_id").asc)
-    val assign = e.crossJoin(broadcast(piv))
+    def pivDf(pivots: Seq[(Long, Seq[Double])]): DataFrame =
+      spark.createDataFrame(pivots).toDF("p_id", "pe")
+    // assignment: argmax cosine over pivots, tie → lower pivot id
+    def assignTo(piv: DataFrame): DataFrame = e.crossJoin(broadcast(piv))
       .withColumn("psim", round(cos(col("e"), col("pe")), 6))
       .withColumn("rn", row_number().over(wAssign)).filter(col("rn") === 1)
       .select(col("vec_id").as("n_id"), col("p_id").as("cell"), col("e").as("ne"))
+    var pivots: Seq[(Long, Seq[Double])] = e.filter(col("vec_id") < 16)
+      .select(col("vec_id"), col("e")).collect()
+      .map(r => r.getLong(0) -> r.getSeq[Double](1)).sortBy(_._1).toSeq
+    for (_ <- 1 to 3) {
+      val means = assignTo(pivDf(pivots))
+        .select(col("cell"), posexplode(col("ne")))
+        .groupBy("cell", "pos").agg(round(avg("col"), 6).as("m"))
+        .collect()
+      val byCell: Map[Long, Seq[Double]] = means
+        .groupBy(_.getLong(0))
+        .map { case (c, rs) => c -> rs.sortBy(_.getInt(1)).map(_.getDouble(2)).toSeq }
+      pivots = pivots.map { case (id, old) => id -> byCell.getOrElse(id, old) }
+    }
+    val piv = pivDf(pivots)
+    val assign = assignTo(piv)
     // probe list: 4 nearest pivots per query
     val wProbe = Window.partitionBy("q_id").orderBy(col("qsim").desc, col("p_id").asc)
     val probes = e.filter(col("vec_id") < 3)
@@ -391,7 +418,46 @@ object LlmOpsExtra {
         |ORDER BY q_id ASC, rnk ASC""".stripMargin,
     "llm_ann_ivf" ->
       """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
-        |piv AS (SELECT vec_id AS p_id, v AS pv FROM e WHERE vec_id < 16),
+        |p0 AS (SELECT vec_id AS p_id, v AS pv FROM e WHERE vec_id < 16),
+        |a1 AS (
+        |  SELECT cell, nv FROM (
+        |    SELECT p.p_id AS cell, e.v AS nv,
+        |      row_number() OVER (PARTITION BY e.vec_id
+        |        ORDER BY round(list_cosine_similarity(e.v, p.pv), 6) DESC, p.p_id ASC) AS rn
+        |    FROM e CROSS JOIN p0 p) t WHERE rn = 1),
+        |c1 AS (
+        |  SELECT cell, list(m ORDER BY i) AS cv FROM (
+        |    SELECT cell, i, round(avg(nv[i]), 6) AS m
+        |    FROM a1 CROSS JOIN generate_series(1, 64) AS g(i)
+        |    GROUP BY cell, i) s GROUP BY cell),
+        |p1 AS (SELECT p0.p_id, coalesce(c1.cv, p0.pv) AS pv
+        |       FROM p0 LEFT JOIN c1 ON p0.p_id = c1.cell),
+        |a2 AS (
+        |  SELECT cell, nv FROM (
+        |    SELECT p.p_id AS cell, e.v AS nv,
+        |      row_number() OVER (PARTITION BY e.vec_id
+        |        ORDER BY round(list_cosine_similarity(e.v, p.pv), 6) DESC, p.p_id ASC) AS rn
+        |    FROM e CROSS JOIN p1 p) t WHERE rn = 1),
+        |c2 AS (
+        |  SELECT cell, list(m ORDER BY i) AS cv FROM (
+        |    SELECT cell, i, round(avg(nv[i]), 6) AS m
+        |    FROM a2 CROSS JOIN generate_series(1, 64) AS g(i)
+        |    GROUP BY cell, i) s GROUP BY cell),
+        |p2 AS (SELECT p1.p_id, coalesce(c2.cv, p1.pv) AS pv
+        |       FROM p1 LEFT JOIN c2 ON p1.p_id = c2.cell),
+        |a3 AS (
+        |  SELECT cell, nv FROM (
+        |    SELECT p.p_id AS cell, e.v AS nv,
+        |      row_number() OVER (PARTITION BY e.vec_id
+        |        ORDER BY round(list_cosine_similarity(e.v, p.pv), 6) DESC, p.p_id ASC) AS rn
+        |    FROM e CROSS JOIN p2 p) t WHERE rn = 1),
+        |c3 AS (
+        |  SELECT cell, list(m ORDER BY i) AS cv FROM (
+        |    SELECT cell, i, round(avg(nv[i]), 6) AS m
+        |    FROM a3 CROSS JOIN generate_series(1, 64) AS g(i)
+        |    GROUP BY cell, i) s GROUP BY cell),
+        |piv AS (SELECT p2.p_id, coalesce(c3.cv, p2.pv) AS pv
+        |        FROM p2 LEFT JOIN c3 ON p2.p_id = c3.cell),
         |asg AS (
         |  SELECT n_id, cell, nv FROM (
         |    SELECT e.vec_id AS n_id, p.p_id AS cell, e.v AS nv,

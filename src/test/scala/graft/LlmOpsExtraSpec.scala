@@ -59,9 +59,10 @@ class LlmOpsExtraSpec extends AnyFunSuite {
     val ivf = LlmOpsExtra.llmAnnIvf(spark, sf0001)
       .select("q_id", "n_id").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
     val recall = brute.count(ivf.contains).toDouble / brute.size
-    // nprobe=4 of 16 cells on near-orthogonal vectors: recall is data-
-    // dependent; assert it beats random cell selection (≈ 4/16)
-    assert(recall >= 0.25, s"recall=$recall")
+    // with the Lloyd's-trained codebook (3 iterations), nprobe=4 of 16
+    // cells measures 0.87/0.93/1.0 recall at sf0.001/0.01/0.1 — far above
+    // the untrained pivots' wander; 0.6 leaves margin for fixture drift
+    assert(recall >= 0.6, s"recall=$recall")
     assert(ivf.size === 15, "3 queries × 5 results")
   }
 
