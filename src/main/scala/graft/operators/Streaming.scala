@@ -104,6 +104,12 @@ object Streaming {
     Tables.events(spark, dir)
       .select(col("event_id"), col("ts"), col("user_id"), col("event_type"), col("value"),
         date_format(col("ts"), "yyyy-MM-dd").as("day"))
+      // co-locate each day before the partitioned write: without this,
+      // every one of the ~80 day dirs gets a fragment from EACH write
+      // task (~2.5k tiny files at 32 tasks) and the streaming source then
+      // pays listing + per-file open for all of them; with it, one file
+      // per day — the standard dynamic-partition-write discipline
+      .repartition(col("day"))
       .write.mode("overwrite").partitionBy("day").parquet(src)
     val schema = spark.read.parquet(src).schema
     val q = spark.readStream.schema(schema).parquet(src)
