@@ -266,20 +266,28 @@ object LlmOpsExtra {
   /** Random-hyperplane LSH for cosine ANN — the second scale path next to
     * IVF (llm_ann_ivf): 8 hyperplanes (embeddings 16..23 as a
     * deterministic stand-in for sampled Gaussian planes) give every vector
-    * an 8-bit sign bucket; queries rank only their own bucket. Bucketing
-    * is one broadcast of 8 planes + a per-vector hash agg; the search is
-    * an equi-join on the bucket id — no global pairwise anything. */
+    * an 8-bit sign bucket; queries rank only their own bucket.
+    *
+    * The planes are a k·d-sized CONSTANT of the query (like the IVF
+    * codebook), so they are collected once and inlined as literals:
+    * bucketing becomes a pure map-side expression over each vector row —
+    * round 2's crossJoin + per-vector hash agg + join-back (three shuffles
+    * of the corpus) are gone. The search is an equi-join on the bucket
+    * id — no global pairwise anything. */
   def llmAnnLsh(spark: SparkSession, dir: String): DataFrame = {
-    val dot = (a: org.apache.spark.sql.Column, b: org.apache.spark.sql.Column) =>
-      aggregate(zip_with(a, b, (x, y) => x * y), lit(0.0), (acc, x) => acc + x)
     val e = embDouble(spark, dir)
-    val planes = e.filter(col("vec_id").between(16, 23))
-      .select(col("vec_id").as("p_id"), col("e").as("pe"))
-    val bucket = e.crossJoin(broadcast(planes))
-      .groupBy("vec_id")
-      .agg(sum(when(dot(col("e"), col("pe")) > 0,
-        expr("shiftleft(1, CAST(p_id - 16 AS INT))")).otherwise(0)).cast("int").as("bkt"))
-    val ev = e.join(bucket, "vec_id")
+    // same zip_with/aggregate dot as round 2, one side now a literal —
+    // identical accumulation order, identical sign decisions
+    val dotLit = (v: Seq[Double]) =>
+      aggregate(zip_with(col("e"), typedLit(v), (x, y) => x * y),
+        lit(0.0), (acc, x) => acc + x)
+    val planes: Seq[Seq[Double]] = e.filter(col("vec_id").between(16, 23))
+      .orderBy(col("vec_id").asc).select(col("e")).collect()
+      .map(_.getSeq[Double](0).toSeq).toSeq
+    val bkt = planes.zipWithIndex
+      .map { case (p, j) => when(dotLit(p) > 0, lit(1 << j)).otherwise(lit(0)) }
+      .reduce(_ + _).cast("int")
+    val ev = e.withColumn("bkt", bkt)
     val q = ev.filter(col("vec_id") < 3)
       .select(col("vec_id").as("q_id"), col("e").as("qe"), col("bkt"))
     val n = ev.select(col("vec_id").as("n_id"), col("e").as("ne"), col("bkt"))
