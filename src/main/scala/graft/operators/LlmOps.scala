@@ -110,17 +110,29 @@ object LlmOps {
     val sigs = (0 until 16).map { i =>
       array_min(transform(col("toks"), t => xxhash64(t + lit(i * 1000003)))).as(s"h$i")
     }
-    val sig = base.select(col("doc_id") +: sigs: _*)
+    val sig = base.select(col("doc_id") +: col("toks") +: sigs: _*)
     val bhs = (0 until 4).map { b =>
       xxhash64(col(s"h${4 * b}"), col(s"h${4 * b + 1}"),
         col(s"h${4 * b + 2}"), col(s"h${4 * b + 3}")).as(s"bh$b")
     }
-    val sigB = sig.select(col("doc_id") +: bhs: _*)
+    val sigB = sig.select(col("doc_id") +: col("toks") +: bhs: _*)
     val bandCols = (0 until 4).map(b => struct(lit(b).as("band"), col(s"bh$b").as("bh")))
+    // Verify rides the candidate join itself: each band row carries the
+    // doc's token-id array (and its size), so exact Jaccard is evaluated
+    // INSIDE the bucket self-join's output — the only array-bearing
+    // shuffle is the band table (4 rows/doc ≈ 4× corpus, partitioned by
+    // band hash). Round 2 instead materialized the candidate-pair stream
+    // (6.3M rows at sf0.1 — candidates always outnumber docs) and shuffle-
+    // joined the token table onto it TWICE, moving one side's arrays with
+    // every pair; profiled, those two joins were the whole tail of the
+    // query. The size-ratio guard (jac ≥ 0.8 ⇒ 5·min(n) ≥ 4·max(n),
+    // integer form) short-circuits the merge kernel on ~25% of candidates.
     val bands = sigB
-      .select(col("doc_id"), col("bh0"), col("bh1"), col("bh2"),
+      .select(col("doc_id"), col("toks"), size(col("toks")).as("n"),
+        col("bh0"), col("bh1"), col("bh2"),
         explode(array(bandCols: _*)).as("bnd"))
-      .select(col("doc_id"), col("bnd.band").as("band"), col("bnd.bh").as("bh"),
+      .select(col("doc_id"), col("toks"), col("n"),
+        col("bnd.band").as("band"), col("bnd.bh").as("bh"),
         col("bh0"), col("bh1"), col("bh2"))
     val firstSharedBand =
       (col("x.band") === 0) ||
@@ -128,24 +140,16 @@ object LlmOps {
       (col("x.band") === 2 && col("x.bh0") =!= col("y.bh0") && col("x.bh1") =!= col("y.bh1")) ||
       (col("x.band") === 3 && col("x.bh0") =!= col("y.bh0") &&
         col("x.bh1") =!= col("y.bh1") && col("x.bh2") =!= col("y.bh2"))
-    val cand = bands.as("x")
+    val jac = graft.functions.sim.jaccardLongSim(col("x.toks"), col("y.toks"))
+    bands.as("x")
       .join(bands.as("y"),
         col("x.band") === col("y.band") && col("x.bh") === col("y.bh") &&
           col("x.doc_id") < col("y.doc_id"))
-      .filter(firstSharedBand)
-      .select(col("x.doc_id").as("a_id"), col("y.doc_id").as("b_id"))
-    // Verify join: repartition-by-doc_id shuffle joins (shuffle_hash
-    // hint — no sort needed, and AQE cannot silently flip it back to a
-    // broadcast). Round 1 broadcast the ENTIRE per-doc token table into
-    // both sides; at 100 TB that table IS the corpus. A shuffle on
-    // doc_id moves each side once and scales with cluster width.
-    val ta = base.select(col("doc_id").as("a_id"), col("toks").as("atoks")).hint("shuffle_hash")
-    val tb = base.select(col("doc_id").as("b_id"), col("toks").as("btoks")).hint("shuffle_hash")
-    val jac = graft.functions.sim.jaccardLongSim(col("atoks"), col("btoks"))
-    cand.join(ta, "a_id").join(tb, "b_id")
-      .withColumn("jac", round(jac, 6))
+      .filter(firstSharedBand &&
+        least(col("x.n"), col("y.n")) * 5 >= greatest(col("x.n"), col("y.n")) * 4)
+      .select(col("x.doc_id").as("a_id"), col("y.doc_id").as("b_id"),
+        round(jac, 6).as("jac"))
       .filter(col("jac") >= 0.8) // LSH verify step
-      .select("a_id", "b_id", "jac")
       .orderBy(col("a_id").asc, col("b_id").asc)
   }
 
