@@ -55,7 +55,10 @@ object LlmOps {
       .orderBy(col("source").asc)
 
   /** Near-dup pairs by token-set Jaccard ≥ 0.8, blocked by
-    * (lang, n_chars/100 band) to bound the pair space. */
+    * (lang, n_chars/100 band) to bound the pair space. Pair generation
+    * goes through BlockedPairs.saltedSelfPairs — the shared de-skewed
+    * candidate path of the dedup family (same pairs as a plain blocked
+    * self-join; see that object's scaladoc for the triangle scheme). */
   def llmDedupNear(spark: SparkSession, dir: String): DataFrame = {
     // Tokens hash-encoded to sorted long ids map-side (xxhash64): the
     // ~600k blocked pairs at sf0.1 then move/compare fixed-width longs
@@ -66,20 +69,16 @@ object LlmOps {
     // encode across the cores (same pattern in every dedup operator)
     val d = Tables.documents(spark, dir)
       .repartition(spark.sparkContext.defaultParallelism)
-      .select(col("doc_id"), col("lang"), expr("n_chars div 100").as("band"),
+      .select(col("doc_id").as("id"), col("lang"), expr("n_chars div 100").as("band"),
         sort_array(transform(toks, t => xxhash64(t))).as("toks"))
-    val a = d.select(col("doc_id").as("a_id"), col("lang"), col("band"), col("toks").as("atoks"))
-    val b = d.select(col("doc_id").as("b_id"), col("lang").as("b_lang"),
-      col("band").as("b_band"), col("toks").as("btoks"))
     // fused native kernel: |A∩B|/|A∪B| in one pass with no intermediate
     // arrays (array_intersect/array_union allocated per pair on the ~600k
     // blocked pairs at sf0.1); same integers ⇒ oracle-identical
-    val jac = graft.functions.sim.jaccardLongSim(col("atoks"), col("btoks"))
-    a.join(b, col("lang") === col("b_lang") && col("band") === col("b_band") &&
-             col("a_id") < col("b_id"))
-      .withColumn("jac", round(jac, 6))
+    val jac = graft.functions.sim.jaccardLongSim(col("a.toks"), col("b.toks"))
+    BlockedPairs.saltedSelfPairs(d, Seq("lang", "band"))
+      .select(col("a.id").as("a_id"), col("b.id").as("b_id"),
+        round(jac, 6).as("jac"))
       .filter(col("jac") >= 0.8)
-      .select("a_id", "b_id", "jac")
       .orderBy(col("a_id").asc, col("b_id").asc)
   }
 
@@ -95,18 +94,44 @@ object LlmOps {
     * Profiling at sf0.1 showed the naive pair-level `distinct()` shuffled
     * 11M rows and dominated the query. */
   def llmMinhash(spark: SparkSession, dir: String): DataFrame = {
-    // Hash-encode tokens → sorted long-id arrays, ENTIRELY map-side:
-    // `xxhash64(token)` inside the document row. The verify stage still
-    // moves/compares compact fixed-width ids instead of string arrays
-    // (~4× less data per pair), but unlike round 1's dense-row_number
-    // dictionary there is no vocabulary table, no broadcast, and no
-    // single-partition ranking window ("No Partition Defined for
-    // Window…" — the whole vocabulary through ONE task). Collision odds
-    // are ~n²/2⁶⁵ (≈10⁻⁷ even at 10⁹ distinct tokens), so Jaccard
-    // values are unchanged for any realistic corpus.
-    val base = Tables.documents(spark, dir)
+    val bands = minhashBands(spark, dir)
+    val jac = graft.functions.sim.jaccardLongSim(col("x.toks"), col("y.toks"))
+    minhashCandidates(bands)
+      .select(col("x.doc_id").as("a_id"), col("y.doc_id").as("b_id"),
+        round(jac, 6).as("jac"))
+      .filter(col("jac") >= 0.8) // LSH verify step
+      .orderBy(col("a_id").asc, col("b_id").asc)
+  }
+
+  /** llmMinhash stage 0 — hash-encoded token-id table. Tokens become
+    * sorted long ids ENTIRELY map-side: `xxhash64(token)` inside the
+    * document row. The verify stage then moves/compares compact
+    * fixed-width ids instead of string arrays (~4× less data per pair),
+    * but unlike round 1's dense-row_number dictionary there is no
+    * vocabulary table, no broadcast, and no single-partition ranking
+    * window ("No Partition Defined for Window…" — the whole vocabulary
+    * through ONE task). Collision odds are ~n²/2⁶⁵ (≈10⁻⁷ even at 10⁹
+    * distinct tokens), so Jaccard values are unchanged for any realistic
+    * corpus. Shared with the dev profiler (graft.ProbeMinhash) so the
+    * probe's stage expressions can never drift from the operator's. */
+  private[graft] def minhashTokenIds(spark: SparkSession, dir: String): DataFrame =
+    Tables.documents(spark, dir)
       .repartition(spark.sparkContext.defaultParallelism) // single-row-group file
       .select(col("doc_id"), sort_array(transform(toks, t => xxhash64(t))).as("toks"))
+
+  /** llmMinhash stage 1 — the exploded band table (4 rows/doc): 16
+    * min-hashes per doc (4 bands × 4 rows) folded to one 64-bit hash per
+    * band. Each band row carries the doc's token-id array (and its size)
+    * so exact Jaccard is evaluated INSIDE the bucket self-join's output —
+    * the only array-bearing shuffle is this table (≈ 4× corpus,
+    * partitioned by band hash). Round 2 instead materialized the
+    * candidate-pair stream (6.3M rows at sf0.1 — candidates always
+    * outnumber docs) and shuffle-joined the token table onto it TWICE,
+    * moving one side's arrays with every pair; profiled, those two joins
+    * were the whole tail of the query. Earlier bands' hashes (bh0..bh2)
+    * ride along for the emit-once predicate below. */
+  private[graft] def minhashBands(spark: SparkSession, dir: String): DataFrame = {
+    val base = minhashTokenIds(spark, dir)
     val sigs = (0 until 16).map { i =>
       array_min(transform(col("toks"), t => xxhash64(t + lit(i * 1000003)))).as(s"h$i")
     }
@@ -117,40 +142,35 @@ object LlmOps {
     }
     val sigB = sig.select(col("doc_id") +: col("toks") +: bhs: _*)
     val bandCols = (0 until 4).map(b => struct(lit(b).as("band"), col(s"bh$b").as("bh")))
-    // Verify rides the candidate join itself: each band row carries the
-    // doc's token-id array (and its size), so exact Jaccard is evaluated
-    // INSIDE the bucket self-join's output — the only array-bearing
-    // shuffle is the band table (4 rows/doc ≈ 4× corpus, partitioned by
-    // band hash). Round 2 instead materialized the candidate-pair stream
-    // (6.3M rows at sf0.1 — candidates always outnumber docs) and shuffle-
-    // joined the token table onto it TWICE, moving one side's arrays with
-    // every pair; profiled, those two joins were the whole tail of the
-    // query. The size-ratio guard (jac ≥ 0.8 ⇒ 5·min(n) ≥ 4·max(n),
-    // integer form) short-circuits the merge kernel on ~25% of candidates.
-    val bands = sigB
+    sigB
       .select(col("doc_id"), col("toks"), size(col("toks")).as("n"),
         col("bh0"), col("bh1"), col("bh2"),
         explode(array(bandCols: _*)).as("bnd"))
       .select(col("doc_id"), col("toks"), col("n"),
         col("bnd.band").as("band"), col("bnd.bh").as("bh"),
         col("bh0"), col("bh1"), col("bh2"))
+  }
+
+  /** llmMinhash stage 2 — bucket self-join on (band, band-hash), each
+    * candidate pair emitted ONCE at its first shared band (the earlier
+    * bands' hashes ride along and the predicate drops pairs that already
+    * matched before — the standard LSH dedup trick; the naive pair-level
+    * `distinct()` shuffled 11M rows at sf0.1 and dominated the query).
+    * The size-ratio guard (jac ≥ 0.8 ⇒ 5·min(n) ≥ 4·max(n), integer
+    * form) short-circuits the merge kernel on ~25% of candidates. */
+  private[graft] def minhashCandidates(bands: DataFrame): DataFrame = {
     val firstSharedBand =
       (col("x.band") === 0) ||
       (col("x.band") === 1 && col("x.bh0") =!= col("y.bh0")) ||
       (col("x.band") === 2 && col("x.bh0") =!= col("y.bh0") && col("x.bh1") =!= col("y.bh1")) ||
       (col("x.band") === 3 && col("x.bh0") =!= col("y.bh0") &&
         col("x.bh1") =!= col("y.bh1") && col("x.bh2") =!= col("y.bh2"))
-    val jac = graft.functions.sim.jaccardLongSim(col("x.toks"), col("y.toks"))
     bands.as("x")
       .join(bands.as("y"),
         col("x.band") === col("y.band") && col("x.bh") === col("y.bh") &&
           col("x.doc_id") < col("y.doc_id"))
       .filter(firstSharedBand &&
         least(col("x.n"), col("y.n")) * 5 >= greatest(col("x.n"), col("y.n")) * 4)
-      .select(col("x.doc_id").as("a_id"), col("y.doc_id").as("b_id"),
-        round(jac, 6).as("jac"))
-      .filter(col("jac") >= 0.8) // LSH verify step
-      .orderBy(col("a_id").asc, col("b_id").asc)
   }
 
   private def embDouble(spark: SparkSession, dir: String): DataFrame =

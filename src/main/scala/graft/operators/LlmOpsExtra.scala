@@ -57,17 +57,16 @@ object LlmOpsExtra {
     // Collision odds ~n²/2⁶⁵ leave every Jaccard value unchanged.
     val d = Tables.documents(spark, dir)
       .repartition(spark.sparkContext.defaultParallelism) // single-row-group file
-      .select(col("doc_id"), col("lang"), expr("n_chars div 100").as("band"),
+      .select(col("doc_id").as("id"), col("lang"), expr("n_chars div 100").as("band"),
         sort_array(transform(shingles, s => xxhash64(s))).as("sh"))
-    val a = d.select(col("doc_id").as("a_id"), col("lang"), col("band"), col("sh").as("ash"))
-    val b = d.select(col("doc_id").as("b_id"), col("lang").as("b_lang"),
-      col("band").as("b_band"), col("sh").as("bsh"))
-    val jac = graft.functions.sim.jaccardLongSim(col("ash"), col("bsh"))
-    a.join(b, col("lang") === col("b_lang") && col("band") === col("b_band") &&
-             col("a_id") < col("b_id"))
-      .withColumn("jac", round(jac, 6))
+    // pair generation via the shared de-skewed candidate path (same pairs
+    // as the plain (lang, band) self-join the oracle runs — see
+    // BlockedPairs' scaladoc for the triangle salting scheme)
+    val jac = graft.functions.sim.jaccardLongSim(col("a.sh"), col("b.sh"))
+    BlockedPairs.saltedSelfPairs(d, Seq("lang", "band"))
+      .select(col("a.id").as("a_id"), col("b.id").as("b_id"),
+        round(jac, 6).as("jac"))
       .filter(col("jac") >= 0.3)
-      .select("a_id", "b_id", "jac")
       .orderBy(col("a_id").asc, col("b_id").asc)
   }
 

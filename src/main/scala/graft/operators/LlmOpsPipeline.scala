@@ -213,27 +213,54 @@ object LlmOpsPipeline {
     * not the occurrence stream — natural text repeats bigrams heavily, so
     * this shrinks the join input by the repetition factor, and the mean
     * log-prob is recovered exactly as the cnt-weighted average. `c12`/`c1`
-    * are derived FROM `dc` (sum of cnt), so the explode is aggregated once
-    * and the (w1,w2)-shuffle of `dc` is shared between the c12 aggregate
-    * and the probe side of the join via exchange reuse. No broadcast hint
-    * on the LM join — AQE picks; at 100 TB both sides shuffle on the
-    * bigram key. */
+    * are derived FROM `dc` (sum of cnt), so the (bigram)-shuffle of `dc`
+    * is shared between the c12 aggregate and the probe side of the join
+    * via exchange reuse. No broadcast hint on the LM join — AQE picks; at
+    * 100 TB both sides shuffle on the bigram key.
+    *
+    * Round-5 rewrite, two changes that leave every count identical:
+    *  - bigrams are hash-encoded INSIDE the row (b12 = xxhash64(w1,w2),
+    *    b1 = xxhash64(w1) — the llm_minhash token-id trick), so every
+    *    shuffle in the query moves 8-byte ids, never string pairs. The
+    *    LM is count-based, so no output column needs the strings back.
+    *    Collision odds ~n²/2⁶⁵ leave all counts unchanged.
+    *  - `dc` itself is computed ENTIRELY map-side: the per-doc bigram
+    *    multiset is sorted in-row and run-length encoded with HOFs
+    *    (run starts → run lengths), replacing the (doc, w1, w2) groupBy —
+    *    the exploded occurrence stream (the widest table in the query,
+    *    driver bench 9.6 s) now never shuffles at all. */
   def llmBigramLm(spark: SparkSession, dir: String): DataFrame = {
     val toks = split(col("text"), " ")
     val nb = greatest(size(toks) - 1, lit(0))
     val pairs = transform(sequence(lit(1), nb),
-      i => struct(element_at(toks, i).as("w1"), element_at(toks, i + 1).as("w2")))
+      i => struct(xxhash64(element_at(toks, i), element_at(toks, i + 1)).as("b12"),
+        xxhash64(element_at(toks, i)).as("b1")))
+    // In-row run-length encode: sort (b12 is the leading struct field),
+    // keep indices that start a run, difference consecutive starts. Each
+    // stage lands in a REAL column before the next lambda references it —
+    // an expression tree captured inside a HOF lambda re-evaluates per
+    // element (no CSE across lambda invocations), which turns this from
+    // O(n log n) into O(n² log n) per document.
+    val n = size(col("sp"))
+    val m = size(col("st"))
+    val rle = transform(sequence(lit(1), m), j => struct(
+      element_at(col("sp"), element_at(col("st"), j)).as("p"),
+      (when(j === m, n + 1).otherwise(element_at(col("st"), j + 1))
+        - element_at(col("st"), j)).cast("bigint").as("cnt")))
     val dc = Tables.documents(spark, dir)
       .repartition(spark.sparkContext.defaultParallelism) // single-row-group file
-      .select(col("doc_id"), col("lang"), explode(pairs).as("p"))
-      .groupBy(col("doc_id"), col("lang"), col("p.w1").as("w1"), col("p.w2").as("w2"))
-      .agg(count(lit(1)).as("cnt"))
-    val c12 = dc.groupBy("w1", "w2").agg(sum("cnt").as("c12"))
-    val c1 = c12.groupBy("w1").agg(sum("c12").as("c1"))
+      .select(col("doc_id"), col("lang"), sort_array(pairs).as("sp"))
+      .withColumn("st", filter(sequence(lit(1), n),
+        i => (i === 1) || (element_at(col("sp"), i) =!= element_at(col("sp"), i - 1))))
+      .select(col("doc_id"), col("lang"), explode(rle).as("e"))
+      .select(col("doc_id"), col("lang"),
+        col("e.p.b12").as("b12"), col("e.p.b1").as("b1"), col("e.cnt").as("cnt"))
+    val c12 = dc.groupBy("b12", "b1").agg(sum("cnt").as("c12"))
+    val c1 = c12.groupBy("b1").agg(sum("c12").as("c1"))
     val v = c1.agg(count(lit(1)).as("v"))
     val scored = dc
-      .join(c12, Seq("w1", "w2"))
-      .join(c1, Seq("w1"))
+      .join(c12, Seq("b12", "b1"))
+      .join(c1, Seq("b1"))
       .crossJoin(broadcast(v))
       .select(col("doc_id"), col("lang"), col("cnt"),
         log((col("c12") + 1).cast("double") / (col("c1") + col("v"))).as("lp"))

@@ -60,9 +60,10 @@ class LlmOpsExtraSpec extends AnyFunSuite {
       .select("q_id", "n_id").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
     val recall = brute.count(ivf.contains).toDouble / brute.size
     // with the Lloyd's-trained codebook (3 iterations), nprobe=4 of 16
-    // cells measures 0.87/0.93/1.0 recall at sf0.001/0.01/0.1 — far above
-    // the untrained pivots' wander; 0.6 leaves margin for fixture drift
-    assert(recall >= 0.6, s"recall=$recall")
+    // cells measures 0.87/0.93/1.0 recall at sf0.001/0.01/0.1 — the 0.8
+    // bound keeps a codebook regression (e.g. untrained pivots, ~0.5)
+    // failing loudly while leaving margin for fixture drift
+    assert(recall >= 0.8, s"recall=$recall")
     assert(ivf.size === 15, "3 queries × 5 results")
   }
 
