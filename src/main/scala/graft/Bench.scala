@@ -36,13 +36,18 @@ object Bench {
         }
         name -> r
       }
+    // 3-decimal seconds (1 ms resolution): full-precision doubles pushed
+    // the 128-query JSON line past the harness's output-tail window, so
+    // rounds 3-4 recorded a truncated, unparseable line. ~3.0 KB fits.
+    def fmt(v: Double): String = BigDecimal(v)
+      .setScale(3, BigDecimal.RoundingMode.HALF_UP).toString
     val qs = results.map {
-      case (k, Right(v)) => s"\"" + k + "\":" + v
+      case (k, Right(v)) => s"\"" + k + "\":" + fmt(v)
       case (k, Left(m))  => s"\"" + k + "\":\"" + m + "\""
     }.mkString("{", ",", "}")
     val nerr = results.values.count(_.isLeft)
     val total = results.values.collect { case Right(v) => v }.sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"errors":$nerr,"sf":"$sfDir"}""")
+    println(s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":$qs,"errors":$nerr,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

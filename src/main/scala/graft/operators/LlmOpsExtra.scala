@@ -274,19 +274,7 @@ object LlmOpsExtra {
     * of the corpus) are gone. The search is an equi-join on the bucket
     * id — no global pairwise anything. */
   def llmAnnLsh(spark: SparkSession, dir: String): DataFrame = {
-    val e = embDouble(spark, dir)
-    // same zip_with/aggregate dot as round 2, one side now a literal —
-    // identical accumulation order, identical sign decisions
-    val dotLit = (v: Seq[Double]) =>
-      aggregate(zip_with(col("e"), typedLit(v), (x, y) => x * y),
-        lit(0.0), (acc, x) => acc + x)
-    val planes: Seq[Seq[Double]] = e.filter(col("vec_id").between(16, 23))
-      .orderBy(col("vec_id").asc).select(col("e")).collect()
-      .map(_.getSeq[Double](0).toSeq).toSeq
-    val bkt = planes.zipWithIndex
-      .map { case (p, j) => when(dotLit(p) > 0, lit(1 << j)).otherwise(lit(0)) }
-      .reduce(_ + _).cast("int")
-    val ev = e.withColumn("bkt", bkt)
+    val ev = withLshBucket(spark, dir)
     val q = ev.filter(col("vec_id") < 3)
       .select(col("vec_id").as("q_id"), col("e").as("qe"), col("bkt"))
     val n = ev.select(col("vec_id").as("n_id"), col("e").as("ne"), col("bkt"))
@@ -298,6 +286,52 @@ object LlmOpsExtra {
       .filter(col("rnk") <= 5)
       .select("q_id", "rnk", "n_id", "bkt", "sim")
       .orderBy(col("q_id").asc, col("rnk").asc)
+  }
+
+  /** The embeddings table with its 8-bit random-hyperplane sign bucket —
+    * shared by llm_ann_lsh and llm_semdedup. The planes (embeddings
+    * 16..23 as a deterministic stand-in for sampled Gaussian planes) are
+    * a k·d-sized CONSTANT, collected once and inlined as literals, so
+    * bucketing is a pure map-side expression over each vector row. The
+    * dot is the same zip_with/aggregate fold as the HOF formulation —
+    * identical accumulation order, identical sign decisions, so the
+    * DuckDB oracles reproduce the buckets exactly. */
+  private def withLshBucket(spark: SparkSession, dir: String): DataFrame = {
+    val e = embDouble(spark, dir)
+    val dotLit = (v: Seq[Double]) =>
+      aggregate(zip_with(col("e"), typedLit(v), (x, y) => x * y),
+        lit(0.0), (acc, x) => acc + x)
+    val planes: Seq[Seq[Double]] = e.filter(col("vec_id").between(16, 23))
+      .orderBy(col("vec_id").asc).select(col("e")).collect()
+      .map(_.getSeq[Double](0).toSeq).toSeq
+    val bkt = planes.zipWithIndex
+      .map { case (p, j) => when(dotLit(p) > 0, lit(1 << j)).otherwise(lit(0)) }
+      .reduce(_ + _).cast("int")
+    e.withColumn("bkt", bkt)
+  }
+
+  /** SemDeDup (Abbas et al. 2023): semantic dedup by clustering the
+    * embedding space and dropping, within each cluster, every vector
+    * cosine-similar to an earlier-id one — the embedding analog of the
+    * keep-first near-dup policy. Clusters here are the map-side LSH sign
+    * buckets (a real deployment swaps in the trained IVF codebook;
+    * the plan — cluster assignment, within-cluster pairs, anti-join —
+    * is identical). Pair generation goes through the shared salted
+    * BlockedPairs path: `bkt` is a ~256-value key, exactly the
+    * low-cardinality block shape the triangle salting exists for.
+    * Kept/dropped per label is the report a corpus build publishes. */
+  def llmSemdedup(spark: SparkSession, dir: String): DataFrame = {
+    val d = withLshBucket(spark, dir)
+      .select(col("vec_id").as("id"), col("label"), col("bkt"), col("e"))
+    val cos = graft.functions.sim.cosineSim(col("a.e"), col("b.e"))
+    val dropped = BlockedPairs.saltedSelfPairs(d, Seq("bkt"))
+      .filter(round(cos, 6) >= 0.25)
+      .select(col("b.id").as("id")).distinct()
+    d.join(dropped, Seq("id"), "left_anti")
+      .groupBy("label").agg(count(lit(1)).as("kept"))
+      .join(d.groupBy("label").agg(count(lit(1)).as("total")), Seq("label"))
+      .select(col("label"), col("kept"), (col("total") - col("kept")).as("dropped"))
+      .orderBy(col("label").asc)
   }
 
   /** Token counting, whitespace vs a BPE-ish pre-tokenizer regex (word /
@@ -318,7 +352,33 @@ object LlmOpsExtra {
       .orderBy(col("lang").asc)
   }
 
+  /** PII/denylist redaction pass — the masking step a corpus build runs
+    * before training: match terms with word-boundary regexes, replace
+    * with a fixed sentinel, report per-source hit rates and the size
+    * delta. On this synthetic corpus the denylist is quasi-identifier
+    * vocabulary ('customer'/'user'/'key' — the fixture has no digits, so
+    * email/phone patterns would be vacuous no-ops); a real deployment
+    * swaps the pattern, the plan is identical. Entirely map-side (one
+    * regex pass per doc), then a per-source hash agg — the shape every
+    * scrubbing pass needs at 100 TB. Both engines speak this regex
+    * subset ('\b' word boundaries: Java regex and RE2 agree). */
+  def llmPiiMask(spark: SparkSession, dir: String): DataFrame = {
+    val pat = "\\b(customer|user|key)\\b"
+    Tables.documents(spark, dir)
+      .select(col("source"), col("n_chars"),
+        regexp_count(col("text"), lit(pat)).cast("bigint").as("nred"),
+        length(regexp_replace(col("text"), pat, "<pii>")).cast("bigint").as("len_after"))
+      .groupBy("source")
+      .agg(count(lit(1)).as("docs"),
+        count(when(col("nred") > 0, lit(1))).as("docs_hit"),
+        sum("nred").as("redactions"),
+        round(avg(col("len_after") - col("n_chars")), 6).as("avg_delta"))
+      .orderBy(col("source").asc)
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "llm_pii_mask"      -> (llmPiiMask _),
+    "llm_semdedup"      -> (llmSemdedup _),
     "llm_ngram_jaccard" -> (llmNgramJaccard _),
     "llm_tokenize"    -> (llmTokenize _),
     "llm_fingerprint" -> (llmFingerprint _),
@@ -331,6 +391,12 @@ object LlmOpsExtra {
     "llm_ann_lsh"     -> (llmAnnLsh _))
 
   val oracleSql: Map[String, String] = Map(
+    "llm_pii_mask" ->
+      """SELECT source, count(*) AS docs,
+        |  count(*) FILTER (len(regexp_extract_all(text, '\b(customer|user|key)\b')) > 0) AS docs_hit,
+        |  CAST(sum(len(regexp_extract_all(text, '\b(customer|user|key)\b'))) AS BIGINT) AS redactions,
+        |  round(avg(len(regexp_replace(text, '\b(customer|user|key)\b', '<pii>', 'g')) - n_chars), 6) AS avg_delta
+        |FROM documents GROUP BY source ORDER BY source ASC""".stripMargin,
     "llm_ngram_jaccard" ->
       """WITH d AS (
         |  SELECT doc_id, lang, n_chars // 100 AS band,
@@ -405,6 +471,24 @@ object LlmOpsExtra {
         |SELECT label, count(*) AS n, round(avg(err), 6) AS avg_err,
         |  round(max(err), 6) AS max_err
         |FROM d GROUP BY label ORDER BY label ASC""".stripMargin,
+    "llm_semdedup" ->
+      """WITH e AS (SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+        |planes AS (SELECT vec_id AS p_id, v AS pv FROM e WHERE vec_id BETWEEN 16 AND 23),
+        |bkt AS (
+        |  SELECT e.vec_id,
+        |    CAST(sum(CASE WHEN list_dot_product(e.v, p.pv) > 0
+        |      THEN (1 << CAST(p.p_id - 16 AS INT)) ELSE 0 END) AS INT) AS bkt
+        |  FROM e CROSS JOIN planes p GROUP BY e.vec_id),
+        |ev AS (SELECT e.vec_id, e.label, e.v, bkt.bkt FROM e JOIN bkt ON e.vec_id = bkt.vec_id),
+        |drp AS (
+        |  SELECT DISTINCT y.vec_id FROM ev x JOIN ev y
+        |    ON x.bkt = y.bkt AND x.vec_id < y.vec_id
+        |  WHERE round(list_cosine_similarity(x.v, y.v), 6) >= 0.25)
+        |SELECT label,
+        |  count(*) FILTER (drp.vec_id IS NULL) AS kept,
+        |  count(*) FILTER (drp.vec_id IS NOT NULL) AS dropped
+        |FROM ev LEFT JOIN drp ON ev.vec_id = drp.vec_id
+        |GROUP BY label ORDER BY label ASC""".stripMargin,
     "llm_ann_lsh" ->
       """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
         |planes AS (SELECT vec_id AS p_id, v AS pv FROM e WHERE vec_id BETWEEN 16 AND 23),

@@ -1,0 +1,57 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.Tables
+
+/** Explicit runtime-filter (semi-join reduction) join — the 100 TB star
+  * join where the fact side is pruned BEFORE its shuffle by a Bloom
+  * filter built from the filtered dimension's keys (Bloom-join; the
+  * pattern Catalyst's InjectRuntimeFilter applies automatically when a
+  * shuffle join's creation-side is selective enough, made explicit and
+  * deterministic here as a declared operator).
+  *
+  * Shape: dim (customers in one mktsegment) is filtered and its key set
+  * folded into a spark-sketch Bloom filter (bit-OR merge ⇒ order- and
+  * partitioning-independent, fixed-seed hashes ⇒ deterministic). The
+  * fact (orders) probes the filter with a codegen'd expression inside
+  * its scan stage — only the ~1/5 of fact rows that might join ever
+  * reach the join's exchange. The exact join afterwards removes Bloom
+  * false positives, so the RESULT is bit-identical to the plain join
+  * and the DuckDB oracle is the plain formulation.
+  *
+  * At 100 TB: the build side is a driver-scale object only because the
+  * dim filter is selective (the same contract as every broadcast here);
+  * the win is that the probe side's shuffle shrinks by the filter's
+  * selectivity — for a fact-heavy join that is the dominant cost.
+  */
+object RuntimeFilter {
+
+  def joinBloomPruned(spark: SparkSession, dir: String): DataFrame = {
+    val cust = Tables.customer(spark, dir)
+      .filter(col("c_mktsegment") === "BUILDING")
+      .select(col("c_custkey"))
+    // capacity is a fixed constant (not a count() of the input) so the
+    // filter's bit layout is deterministic at every scale factor; 2^17
+    // keys at 1% fpp is ~157 KB — broadcast-scale
+    val bf = cust.stat.bloomFilter("c_custkey", 1 << 17, 0.01)
+    val pruned = Tables.orders(spark, dir)
+      .filter(graft.functions.bloom.mightContainLong(col("o_custkey").cast("long"), bf))
+    pruned
+      .join(cust, col("o_custkey") === col("c_custkey")) // exact: drops Bloom false positives
+      .groupBy("o_orderpriority")
+      .agg(count(lit(1)).as("orders"), round(sum("o_totalprice"), 2).as("total"))
+      .orderBy(col("o_orderpriority").asc)
+  }
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "join_bloom_pruned" -> (joinBloomPruned _))
+
+  val oracleSql: Map[String, String] = Map(
+    "join_bloom_pruned" ->
+      """SELECT o_orderpriority, count(*) AS orders,
+        |  round(sum(o_totalprice), 2) AS total
+        |FROM orders JOIN customer ON o_custkey = c_custkey
+        |WHERE c_mktsegment = 'BUILDING'
+        |GROUP BY o_orderpriority ORDER BY o_orderpriority ASC""".stripMargin)
+}

@@ -123,7 +123,25 @@ object Streaming {
       .orderBy(col("day").asc, col("event_type").asc)
   }
 
+  /** Stream-static enrichment join: each event joins the customer
+    * dimension (user_id = c_custkey), then a tumbling-hour aggregate per
+    * market segment. In Structured Streaming this exact plan is the
+    * stream-static join — the static side is broadcast and probed per
+    * micro-batch with NO stream-side state (the hint here makes that
+    * shape explicit; the streaming form runs in StreamingEquivalenceSpec
+    * with a MemoryStream source). At 100 TB of events/day the fact side
+    * never shuffles for the enrichment — only for the windowed agg. */
+  def streamJoinStatic(spark: SparkSession, dir: String): DataFrame =
+    Tables.events(spark, dir)
+      .join(broadcast(Tables.customer(spark, dir)
+          .select(col("c_custkey"), col("c_mktsegment"))),
+        col("user_id") === col("c_custkey"))
+      .groupBy(date_trunc("hour", col("ts")).as("hour"), col("c_mktsegment"))
+      .agg(count(lit(1)).as("n"), round(sum("value"), 2).as("val"))
+      .orderBy(col("hour").asc, col("c_mktsegment").asc)
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "stream_join_static" -> (streamJoinStatic _),
     "stream_tumbling"  -> (streamTumbling _),
     "stream_sliding"   -> (streamSliding _),
     "stream_session"   -> (streamSession _),
@@ -146,6 +164,12 @@ object Streaming {
       .orderBy(col("user_id").asc, col("session_id").asc)
 
   val oracleSql: Map[String, String] = Map(
+    "stream_join_static" ->
+      """SELECT date_trunc('hour', ts) AS hour, c_mktsegment,
+        |  count(*) AS n, round(sum(value), 2) AS val
+        |FROM events JOIN customer ON user_id = c_custkey
+        |GROUP BY hour, c_mktsegment
+        |ORDER BY hour ASC, c_mktsegment ASC""".stripMargin,
     "stream_tumbling" ->
       """SELECT date_trunc('hour', ts) AS wstart,
         | date_trunc('hour', ts) + INTERVAL 1 HOUR AS wend,

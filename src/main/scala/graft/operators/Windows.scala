@@ -167,7 +167,25 @@ object Windows {
       .orderBy(col("prio").asc)
   }
 
+  /** Distribution ranks per partition — ntile quartiles, cume_dist,
+    * percent_rank over customer balances within each nation: the "assign
+    * every row its place in the distribution" window family (quartile
+    * bucketing is how a corpus build splits quality tiers). One window
+    * sort per nation partition — high-cardinality key, even spread; all
+    * three functions share the single sort. Tie-break on c_custkey makes
+    * every rank deterministic (§2.Z). */
+  def winNtileCume(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy("c_nationkey").orderBy(col("c_acctbal").asc, col("c_custkey").asc)
+    Tables.customer(spark, dir)
+      .select(col("c_nationkey"), col("c_custkey"), col("c_acctbal"),
+        ntile(4).over(w).as("quartile"),
+        round(cume_dist().over(w), 6).as("cd"),
+        round(percent_rank().over(w), 6).as("pr"))
+      .orderBy(col("c_nationkey").asc, col("c_custkey").asc)
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "win_ntile_cume"  -> (winNtileCume _),
     "win_streak"      -> (winStreak _),
     "win_percentile"  -> (winPercentile _),
     "win_ratio"       -> (winRatio _),
@@ -180,6 +198,14 @@ object Windows {
     "win_first_last"  -> (winFirstLast _))
 
   val oracleSql: Map[String, String] = Map(
+    "win_ntile_cume" ->
+      """SELECT c_nationkey, c_custkey, c_acctbal,
+        |  ntile(4) OVER w AS quartile,
+        |  round(cume_dist() OVER w, 6) AS cd,
+        |  round(percent_rank() OVER w, 6) AS pr
+        |FROM customer
+        |WINDOW w AS (PARTITION BY c_nationkey ORDER BY c_acctbal ASC, c_custkey ASC)
+        |ORDER BY c_nationkey ASC, c_custkey ASC""".stripMargin,
     "win_streak" ->
       """WITH daily AS (
         |  SELECT o_orderpriority AS prio, date_trunc('day', o_orderdate) AS day,

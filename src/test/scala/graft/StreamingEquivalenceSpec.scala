@@ -61,6 +61,28 @@ class StreamingEquivalenceSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("stream-static join: incremental == batch (no stream-side state)") {
+    implicit val ctx = spark.sqlContext
+    val evs = fixtureEvents
+    val dim = Tables.customer(spark, sf0001)
+      .select($"c_custkey", $"c_mktsegment")
+    val ms = MemoryStream[Ev]
+    val q = ms.toDF()
+      .join(broadcast(dim), $"user_id" === $"c_custkey")
+      .groupBy(date_trunc("hour", $"ts").as("hour"), $"c_mktsegment")
+      .agg(count(lit(1)).as("n"))
+      .writeStream.format("memory").queryName("ssjoin").outputMode("complete").start()
+    try {
+      evs.grouped(400).foreach { chunk => ms.addData(chunk); q.processAllAvailable() }
+      val streamed = spark.table("ssjoin")
+        .collect().map(r => (r.get(0).toString, r.getString(1), r.getLong(2))).toSet
+      val batch = operators.Streaming.streamJoinStatic(spark, sf0001)
+        .select($"hour", $"c_mktsegment", $"n")
+        .collect().map(r => (r.get(0).toString, r.getString(1), r.getLong(2))).toSet
+      assert(streamed === batch)
+    } finally q.stop()
+  }
+
   test("flatMapGroupsWithState sessionizer agrees with gaps-and-islands") {
     val stateful = graft.streaming.Sessionize.sessionsFor(spark, sf0001)
       .select($"user_id", $"session_id", $"n", round($"value", 2).as("val"),
