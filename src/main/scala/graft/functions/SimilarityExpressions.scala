@@ -313,4 +313,7 @@ object sim {
     column(KmvDistinct(expression(c), k).toAggregateExpression())
   def topkSketch(c: Column, m: Int = 64, k: Int = 10): Column =
     column(TopKSketch(expression(c), m, k).toAggregateExpression())
+  def countMinFreq(c: Column, probes: Seq[String],
+      depth: Int = 4, width: Int = 512): Column =
+    column(CountMinFreq(expression(c), probes, depth, width).toAggregateExpression())
 }

@@ -159,6 +159,25 @@ object Aggregates {
       .agg(graft.functions.sim.kmvDistinct(col("user_id")).as("kmv_users"))
       .orderBy(col("event_type").asc)
 
+  /** Count-Min frequency estimates per lang for a fixed probe vocabulary
+    * (the third custom TypedImperativeAggregate next to KMV and
+    * SpaceSaving — functions/CountMinSketch.scala): the sketch answers
+    * "how often does token X appear" from d×w counters that merge by
+    * addition, the fixed-memory frequency path at 100 TB. No-oracle
+    * (hash layout is engine-specific); CountMinSpec proves never-
+    * undercount, εN overcount, and partition-invariance. */
+  def aggCountmin(spark: SparkSession, dir: String): DataFrame = {
+    val probes = Seq("the", "data", "key")
+    Tables.documents(spark, dir)
+      .select(col("lang"), explode(split(col("text"), " ")).as("tok"))
+      .groupBy("lang")
+      .agg(graft.functions.sim.countMinFreq(col("tok"), probes).as("est"))
+      .select(col("lang"), posexplode(col("est")))
+      .select(col("lang"), element_at(typedLit(probes), col("pos") + 1).as("tok"),
+        col("col").as("est"))
+      .orderBy(col("lang").asc, col("tok").asc)
+  }
+
   /** Statistical aggregate family: sample stddev/variance, correlation,
     * covariance. Both engines use numerically-stable one-pass updates;
     * rounding absorbs the accumulation-order ulps (§2.Z.2). */
@@ -258,6 +277,7 @@ object Aggregates {
     "agg_stats"         -> (aggStats _),
     "agg_percentiles"   -> (aggPercentiles _),
     "agg_kmv_distinct"  -> (aggKmvDistinct _),
+    "agg_countmin"      -> (aggCountmin _),
     "agg_global"        -> (aggGlobal _),
     "agg_groupby"       -> (aggGroupby _),
     "agg_distinct"      -> (aggDistinct _),

@@ -244,7 +244,38 @@ object SourcesSinks {
       round(sum("o_totalprice"), 2).as("rev"))
   }
 
+  /** Bucketed co-located join — the 100 TB join-locality story as a
+    * declared query: both fact tables are written ONCE bucketed (+sorted)
+    * by the join key, and every subsequent join on that key runs with
+    * ZERO shuffle — the planner trusts the on-disk hash partitioning, so
+    * a 100 TB orders⋈lineitem becomes a per-bucket sort-merge with no
+    * exchange on either side (BucketingSpec asserts the shuffle-free
+    * plan; here the write cost is part of the measured query, exactly
+    * like the other sink round-trips). External-table form: data lands
+    * in scratch, only metadata (incl. bucket spec) in the session
+    * catalog, so no warehouse directory is assumed. The oracle is the
+    * plain parquet join — bucketing must never change results. */
+  def joinBucketed(spark: SparkSession, dir: String): DataFrame = {
+    def mk(name: String, df: DataFrame, key: String): Unit = {
+      spark.sql(s"DROP TABLE IF EXISTS $name")
+      df.write.mode("overwrite")
+        .option("path", s"${scratch(dir, "bkt")}/$name")
+        .bucketBy(16, key).sortBy(key)
+        .saveAsTable(name)
+    }
+    mk("graft_orders_b", Tables.orders(spark, dir)
+      .select("o_orderkey", "o_orderpriority"), "o_orderkey")
+    mk("graft_lineitem_b", Tables.lineitem(spark, dir)
+      .select("l_orderkey", "l_quantity"), "l_orderkey")
+    spark.table("graft_orders_b")
+      .join(spark.table("graft_lineitem_b"), col("o_orderkey") === col("l_orderkey"))
+      .groupBy("o_orderpriority")
+      .agg(count(lit(1)).as("lines"), round(sum("l_quantity"), 2).as("qty"))
+      .orderBy(col("o_orderpriority").asc)
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "join_bucketed"    -> (joinBucketed _),
     "scan_parquet"     -> (scanParquet _),
     "ingest_csv"       -> (ingestCsv _),
     "ingest_json"      -> (ingestJson _),
@@ -256,6 +287,11 @@ object SourcesSinks {
     "sink_idempotent"  -> (sinkIdempotent _))
 
   val oracleSql: Map[String, String] = Map(
+    "join_bucketed" ->
+      """SELECT o_orderpriority, count(*) AS lines,
+        |  round(sum(l_quantity), 2) AS qty
+        |FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+        |GROUP BY o_orderpriority ORDER BY o_orderpriority ASC""".stripMargin,
     "scan_parquet" ->
       """SELECT 'region' AS tbl, count(*) AS rows, CAST(min(r_regionkey) AS BIGINT) AS key_min, CAST(max(r_regionkey) AS BIGINT) AS key_max FROM region
         |UNION ALL SELECT 'nation', count(*), min(n_nationkey), max(n_nationkey) FROM nation

@@ -53,4 +53,22 @@ class BucketingSpec extends AnyFunSuite {
       spark.sql("DROP TABLE IF EXISTS lineitem_b")
     }
   }
+
+  test("declared join_bucketed query joins without a shuffle below the join") {
+    import org.apache.spark.sql.execution.joins.SortMergeJoinExec
+    // at sf0.001 AQE would broadcast the tiny side — disable so the plan
+    // shows the co-located sort-merge shape a 100 TB join would use
+    val session = spark.newSession()
+    session.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    // AQE off too: materialized QueryStageExec wrappers hide their
+    // subtrees from plan.collect, so assert on the static plan
+    session.conf.set("spark.sql.adaptive.enabled", "false")
+    val df = operators.SourcesSinks.joinBucketed(session, sf0001)
+    val plan = df.queryExecution.executedPlan
+    val joins = plan.collect { case j: SortMergeJoinExec => j }
+    assert(joins.nonEmpty, "bucketed join should plan as sort-merge")
+    val shufflesBelowJoin = joins.map(_.collect { case _: ShuffleExchangeExec => 1 }.sum).sum
+    assert(shufflesBelowJoin === 0,
+      "bucketed sides must feed the join with no exchange")
+  }
 }

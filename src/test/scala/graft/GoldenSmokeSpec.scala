@@ -52,6 +52,6 @@ class GoldenSmokeSpec extends AnyFunSuite {
     // the intentional no-oracle ops (engine-specific hashes / stubbed codec)
     assert((qs -- SparkEntry.oracleSql.keySet) ===
       Set("agg_approx_hll", "agg_approx_pctl", "agg_kmv_distinct",
-        "llm_minhash", "llm_simhash", "llm_mm_features"))
+        "agg_countmin", "llm_minhash", "llm_simhash", "llm_mm_features"))
   }
 }
