@@ -86,8 +86,103 @@ object Multimodal {
           (acc, x) => acc + x * x)), 6).as("avg_sq_norm"))
       .orderBy(col("lang").asc)
 
-  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
-    "llm_mm_features" -> (llmMmFeatures _))
+  /** Resized media row (stub resize — see resizeAll). */
+  case class MediaResized(doc_id: Long, lang: String, w: Int, h: Int,
+                          tw: Int, th: Int, out_bytes: Long)
 
-  val oracleSql: Map[String, String] = Map.empty
+  /** Batch RESIZE (task mandate's third multimodal op): fit each item
+    * into a 64×64 box preserving aspect ratio, integer arithmetic. The
+    * pixel work is stubbed (no image libs), but the dimensions flow is
+    * the real contract — and because the stub dims derive arithmetically
+    * from the payload byte length, the declared query is fully
+    * DuckDB-oracle-able (strlen = octet_length), unlike the feature
+    * stub. Same mapPartitions batch shape as decodeAll. */
+  def resizeAll(spark: SparkSession, dir: String): Dataset[MediaResized] = {
+    import spark.implicits._
+    mediaTable(spark, dir).mapPartitions { rows =>
+      rows.map { r =>
+        val (w, h, _) = decodeStub(r.media)
+        val mx = math.max(w, h)
+        val (tw, th) = if (mx <= 64) (w, h) else (w * 64 / mx, h * 64 / mx)
+        MediaResized(r.doc_id, r.lang, w, h, tw, th, tw.toLong * th)
+      }
+    }
+  }
+
+  /** Declared query: per-lang resize report — target dims and the
+    * compression the 64×64 bound buys. */
+  def llmMmResize(spark: SparkSession, dir: String): DataFrame =
+    resizeAll(spark, dir)
+      .groupBy("lang")
+      .agg(count(lit(1)).as("n"),
+        round(avg("tw"), 6).as("avg_tw"),
+        round(avg("th"), 6).as("avg_th"),
+        round(avg(col("out_bytes").cast("double") /
+          (col("w").cast("double") * col("h"))), 6).as("avg_ratio"))
+      .orderBy(col("lang").asc)
+
+  /** FRAME-SAMPLE (task mandate's fourth multimodal op): treat the
+    * payload as fixed-256-byte frames (a stub video container), keep
+    * every s-th frame with s sized so ≤8 frames survive — the uniform
+    * temporal sampling every video pipeline runs before encoding.
+    * Counts are integer arithmetic in the byte length, so the declared
+    * query is oracle-able; the per-frame byte slicing itself happens in
+    * the typed batch pass (real plumbing, stub decode). */
+  def llmMmFramesample(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val sampled = mediaTable(spark, dir).mapPartitions { rows =>
+      rows.map { r =>
+        val frames = (r.media.length + 255) / 256
+        val s = math.max(1, frames / 8)
+        val kept = (frames + s - 1) / s
+        (r.doc_id, r.lang, frames.toLong, kept.toLong)
+      }
+    }.toDF("doc_id", "lang", "frames", "kept")
+    sampled.groupBy("lang")
+      .agg(count(lit(1)).as("n"),
+        round(avg("frames"), 6).as("avg_frames"),
+        round(avg("kept"), 6).as("avg_kept"),
+        max("frames").as("max_frames"))
+      .orderBy(col("lang").asc)
+  }
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "llm_mm_features"    -> (llmMmFeatures _),
+    "llm_mm_resize"      -> (llmMmResize _),
+    "llm_mm_framesample" -> (llmMmFramesample _))
+
+  /** The stub dims are pure integer arithmetic in the UTF-8 byte length
+    * (strlen in DuckDB, octet_length in Spark — NOT n_chars: zh docs are
+    * multi-byte), so resize and frame-sample get real oracles. */
+  val oracleSql: Map[String, String] = Map(
+    "llm_mm_resize" ->
+      """WITH d AS (
+        |  SELECT lang,
+        |    16 + strlen(text) % 64 AS w,
+        |    16 + (strlen(text) // 64) % 64 AS h
+        |  FROM documents),
+        |r AS (
+        |  SELECT lang, w, h,
+        |    CASE WHEN greatest(w, h) <= 64 THEN w ELSE w * 64 // greatest(w, h) END AS tw,
+        |    CASE WHEN greatest(w, h) <= 64 THEN h ELSE h * 64 // greatest(w, h) END AS th
+        |  FROM d)
+        |SELECT lang, count(*) AS n,
+        |  round(avg(tw), 6) AS avg_tw,
+        |  round(avg(th), 6) AS avg_th,
+        |  round(avg(CAST(tw * th AS DOUBLE) / (CAST(w AS DOUBLE) * h)), 6) AS avg_ratio
+        |FROM r GROUP BY lang ORDER BY lang ASC""".stripMargin,
+    "llm_mm_framesample" ->
+      """WITH f AS (
+        |  SELECT lang,
+        |    (strlen(text) + 255) // 256 AS frames
+        |  FROM documents),
+        |s AS (
+        |  SELECT lang, frames,
+        |    (frames + greatest(1, frames // 8) - 1) // greatest(1, frames // 8) AS kept
+        |  FROM f)
+        |SELECT lang, count(*) AS n,
+        |  round(avg(frames), 6) AS avg_frames,
+        |  round(avg(kept), 6) AS avg_kept,
+        |  CAST(max(frames) AS BIGINT) AS max_frames
+        |FROM s GROUP BY lang ORDER BY lang ASC""".stripMargin)
 }

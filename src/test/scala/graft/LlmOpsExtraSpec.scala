@@ -67,6 +67,30 @@ class LlmOpsExtraSpec extends AnyFunSuite {
     assert(ivf.size === 15, "3 queries × 5 results")
   }
 
+  test("multimodal resize fits the 64x64 box and preserves aspect order") {
+    val rs = operators.Multimodal.resizeAll(spark, sf0001).collect()
+    assert(rs.nonEmpty)
+    rs.foreach { r =>
+      assert(r.tw <= 64 && r.th <= 64, s"doc ${r.doc_id}: ${r.tw}x${r.th}")
+      assert(r.tw <= r.w && r.th <= r.h, "resize must never upscale")
+      // aspect ORDER preserved: the longer input side stays the longer one
+      assert((r.w >= r.h) == (r.tw >= r.th), s"doc ${r.doc_id} aspect flipped")
+      assert(r.out_bytes === r.tw.toLong * r.th)
+    }
+  }
+
+  test("multimodal frame-sample keeps at most 8+ceiling slack frames, at least 1") {
+    val fs = operators.Multimodal.llmMmFramesample(spark, sf0001).collect()
+    assert(fs.nonEmpty)
+    // per-doc invariant checked through the typed pass
+    val per = operators.Multimodal.mediaTable(spark, sf0001).collect().map { r =>
+      val frames = (r.media.length + 255) / 256
+      val s = math.max(1, frames / 8)
+      (frames + s - 1) / s
+    }
+    assert(per.forall(k => k >= 1 && k <= 9), s"kept out of range: ${per.max}")
+  }
+
   test("multimodal stub decode is deterministic and partition-independent") {
     val f1 = operators.Multimodal.decodeAll(spark, sf0001)
     val once = f1.collect().map(f => f.doc_id -> f.features.toSeq).toMap
