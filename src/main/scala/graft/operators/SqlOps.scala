@@ -85,7 +85,30 @@ object SqlOps {
         |GROUP BY o_orderstatus ORDER BY o_orderstatus ASC""".stripMargin)
   }
 
+  /** NOT IN over a NULLABLE subquery — the classic three-valued-logic
+    * trap, planned by Catalyst as a null-aware anti join (a plain anti
+    * join would be WRONG: one NULL in the subquery makes
+    * `x NOT IN (...)` never-true for every row). The CASE makes the
+    * subquery column nullable at PLAN time, forcing the NAAJ; its
+    * poison branch is runtime-empty by construction (no 'X' status
+    * exists), so the declared result stays the non-trivial "customers
+    * without a big order" census — NullSemanticsSpec asserts that
+    * flipping the guard to a live status empties the result, the
+    * three-valued behavior itself. Both engines implement the same
+    * SQL-standard semantics, so this is exactly oracle-able. */
+  def subqueryNotIn(spark: SparkSession, dir: String): DataFrame = {
+    Tables.registerAll(spark, dir)
+    spark.sql(
+      """SELECT c_nationkey, count(*) AS n
+        |FROM customer
+        |WHERE c_custkey NOT IN (
+        |  SELECT CASE WHEN o_orderstatus = 'X' THEN NULL ELSE o_custkey END
+        |  FROM orders WHERE o_totalprice > 300000)
+        |GROUP BY c_nationkey ORDER BY c_nationkey ASC""".stripMargin)
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "subquery_not_in"   -> (subqueryNotIn _),
     "agg_pivot"         -> (aggPivot _),
     "agg_unpivot"       -> (aggUnpivot _),
     "sample_systematic" -> (sampleSystematic _),
@@ -94,6 +117,13 @@ object SqlOps {
     "subquery_in"       -> (subqueryIn _))
 
   val oracleSql: Map[String, String] = Map(
+    "subquery_not_in" ->
+      """SELECT c_nationkey, count(*) AS n
+        |FROM customer
+        |WHERE c_custkey NOT IN (
+        |  SELECT CASE WHEN o_orderstatus = 'X' THEN NULL ELSE o_custkey END
+        |  FROM orders WHERE o_totalprice > 300000)
+        |GROUP BY c_nationkey ORDER BY c_nationkey ASC""".stripMargin,
     "agg_pivot" ->
       """SELECT user_id,
         | count(*) FILTER (WHERE event_type = 'click') AS click,
