@@ -173,14 +173,18 @@ object Windows {
     * bucketing is how a corpus build splits quality tiers). One window
     * sort per nation partition — high-cardinality key, even spread; all
     * three functions share the single sort. Tie-break on c_custkey makes
-    * every rank deterministic (§2.Z). */
+    * every rank deterministic (§2.Z). cd/pr stay UNROUNDED: they are
+    * small-integer ratios, so the division doubles are bit-identical
+    * across engines — while round() impls DIVERGE on the exact-decimal
+    * .5 ties these ratios love to produce (333/640 = 0.5203125 rounded
+    * to 6dp differs between Spark and DuckDB; bit sf0.1 in round 5). */
   def winNtileCume(spark: SparkSession, dir: String): DataFrame = {
     val w = Window.partitionBy("c_nationkey").orderBy(col("c_acctbal").asc, col("c_custkey").asc)
     Tables.customer(spark, dir)
       .select(col("c_nationkey"), col("c_custkey"), col("c_acctbal"),
         ntile(4).over(w).as("quartile"),
-        round(cume_dist().over(w), 6).as("cd"),
-        round(percent_rank().over(w), 6).as("pr"))
+        cume_dist().over(w).as("cd"),
+        percent_rank().over(w).as("pr"))
       .orderBy(col("c_nationkey").asc, col("c_custkey").asc)
   }
 
@@ -201,8 +205,8 @@ object Windows {
     "win_ntile_cume" ->
       """SELECT c_nationkey, c_custkey, c_acctbal,
         |  ntile(4) OVER w AS quartile,
-        |  round(cume_dist() OVER w, 6) AS cd,
-        |  round(percent_rank() OVER w, 6) AS pr
+        |  cume_dist() OVER w AS cd,
+        |  percent_rank() OVER w AS pr
         |FROM customer
         |WINDOW w AS (PARTITION BY c_nationkey ORDER BY c_acctbal ASC, c_custkey ASC)
         |ORDER BY c_nationkey ASC, c_custkey ASC""".stripMargin,
