@@ -140,7 +140,35 @@ object Streaming {
       .agg(count(lit(1)).as("n"), round(sum("value"), 2).as("val"))
       .orderBy(col("hour").asc, col("c_mktsegment").asc)
 
+  /** Stream-STREAM join (the hard Structured Streaming op — state on
+    * BOTH sides): view→click attribution, each click joined to the same
+    * user's views in the preceding 30 minutes, reported per hour. In
+    * streaming form both sides carry watermarks and the time-bound
+    * condition lets the state store expire rows (exercised with two
+    * MemoryStreams in StreamingEquivalenceSpec); the batch form is the
+    * identical join DAG — an equi join on user_id with a range residual,
+    * hash-partitioned by user (high-cardinality ⇒ even spread; state per
+    * user bounded by the 30-minute window at any scale). */
+  def streamStreamJoin(spark: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(spark, dir)
+    val views = ev.filter(col("event_type") === "view")
+      .select(col("user_id").as("v_user"), col("ts").as("v_ts"))
+    val clicks = ev.filter(col("event_type") === "click")
+      .select(col("user_id").as("c_user"), col("ts").as("c_ts"), col("value"))
+    views.join(clicks,
+        col("v_user") === col("c_user") &&
+        col("c_ts") >= col("v_ts") &&
+        col("c_ts") < col("v_ts") + expr("INTERVAL 30 MINUTES"))
+      .groupBy(date_trunc("hour", col("c_ts")).as("hour"))
+      .agg(count(lit(1)).as("attributed"),
+        countDistinct(col("c_user")).as("users"),
+        round(avg(unix_micros(col("c_ts")) - unix_micros(col("v_ts"))) / 1e6, 6)
+          .as("avg_lag_s"))
+      .orderBy(col("hour").asc)
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "stream_stream_join" -> (streamStreamJoin _),
     "stream_join_static" -> (streamJoinStatic _),
     "stream_tumbling"  -> (streamTumbling _),
     "stream_sliding"   -> (streamSliding _),
@@ -164,6 +192,16 @@ object Streaming {
       .orderBy(col("user_id").asc, col("session_id").asc)
 
   val oracleSql: Map[String, String] = Map(
+    "stream_stream_join" ->
+      """WITH v AS (SELECT user_id AS v_user, ts AS v_ts FROM events WHERE event_type = 'view'),
+        |c AS (SELECT user_id AS c_user, ts AS c_ts, value FROM events WHERE event_type = 'click')
+        |SELECT date_trunc('hour', c_ts) AS hour,
+        |  count(*) AS attributed,
+        |  count(DISTINCT c_user) AS users,
+        |  round(avg(epoch_us(c_ts) - epoch_us(v_ts)) / 1e6, 6) AS avg_lag_s
+        |FROM v JOIN c ON v_user = c_user
+        |  AND c_ts >= v_ts AND c_ts < v_ts + INTERVAL 30 MINUTE
+        |GROUP BY hour ORDER BY hour ASC""".stripMargin,
     "stream_join_static" ->
       """SELECT date_trunc('hour', ts) AS hour, c_mktsegment,
         |  count(*) AS n, round(sum(value), 2) AS val

@@ -83,6 +83,45 @@ class StreamingEquivalenceSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("stream-stream interval join: incremental == batch") {
+    implicit val ctx = spark.sqlContext
+    val evs = fixtureEvents
+    val vs = evs.filter(_.event_type == "view")
+    val cs = evs.filter(_.event_type == "click")
+    val msV = MemoryStream[Ev]
+    val msC = MemoryStream[Ev]
+    val views = msV.toDF().select($"user_id".as("v_user"), $"ts".as("v_ts"))
+      .withWatermark("v_ts", "1 hour")
+    val clicks = msC.toDF().select($"user_id".as("c_user"), $"ts".as("c_ts"))
+      .withWatermark("c_ts", "1 hour")
+    val q = views.join(clicks,
+        $"v_user" === $"c_user" &&
+        $"c_ts" >= $"v_ts" && $"c_ts" < $"v_ts" + expr("INTERVAL 30 MINUTES"))
+      .writeStream.format("memory").queryName("ssj").outputMode("append").start()
+    try {
+      vs.grouped(300).zipAll(cs.grouped(300), Nil, Nil).foreach { case (v, c) =>
+        if (v.nonEmpty) msV.addData(v)
+        if (c.nonEmpty) msC.addData(c)
+        q.processAllAvailable()
+      }
+      val streamed = spark.table("ssj")
+        .select($"v_user", $"v_ts".cast("string"), $"c_ts".cast("string"))
+        .collect().map(r => (r.getLong(0), r.getString(1), r.getString(2))).toSet
+      val batchEv = evs.toDF()
+      val bv = batchEv.filter($"event_type" === "view")
+        .select($"user_id".as("v_user"), $"ts".as("v_ts"))
+      val bc = batchEv.filter($"event_type" === "click")
+        .select($"user_id".as("c_user"), $"ts".as("c_ts"))
+      val batch = bv.join(bc,
+          $"v_user" === $"c_user" &&
+          $"c_ts" >= $"v_ts" && $"c_ts" < $"v_ts" + expr("INTERVAL 30 MINUTES"))
+        .select($"v_user", $"v_ts".cast("string"), $"c_ts".cast("string"))
+        .collect().map(r => (r.getLong(0), r.getString(1), r.getString(2))).toSet
+      assert(streamed === batch)
+      assert(streamed.nonEmpty, "attribution join must attribute something")
+    } finally q.stop()
+  }
+
   test("flatMapGroupsWithState sessionizer agrees with gaps-and-islands") {
     val stateful = graft.streaming.Sessionize.sessionsFor(spark, sf0001)
       .select($"user_id", $"session_id", $"n", round($"value", 2).as("val"),
