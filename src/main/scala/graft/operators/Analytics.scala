@@ -49,11 +49,40 @@ object Analytics {
       .orderBy(col("c_day").asc)
   }
 
+  /** Equi-width histogram of order value: 10 fixed 50k-wide buckets over
+    * [0, 500k), top bucket open. Pure map-side bucketing + one hash
+    * aggregate — the data-profiling shape that costs a single pass at any
+    * scale (contrast equi-DEPTH binning, which needs the quantile sketch
+    * in agg_approx_pctl first). Bucket bounds are literals, not data-
+    * dependent min/max, so the query stays one job with no driver
+    * round-trip. */
+  def histEquiwidth(spark: SparkSession, dir: String): DataFrame =
+    Tables.orders(spark, dir)
+      .withColumn("bucket", least(lit(9), floor(col("o_totalprice") / 50000)).cast("int"))
+      .groupBy("bucket")
+      .agg(
+        count(lit(1)).as("n"),
+        round(sum("o_totalprice"), 2).as("rev"),
+        round(min("o_totalprice"), 2).as("lo_seen"),
+        round(max("o_totalprice"), 2).as("hi_seen"))
+      .withColumn("lo", (col("bucket") * 50000).cast("double"))
+      .orderBy(col("bucket").asc)
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "hist_equiwidth"   -> (histEquiwidth _),
     "funnel_steps"     -> (funnelSteps _),
     "funnel_retention" -> (funnelRetention _))
 
   val oracleSql: Map[String, String] = Map(
+    "hist_equiwidth" ->
+      """SELECT CAST(least(9, floor(o_totalprice / 50000)) AS INT) AS bucket,
+        |  count(*) AS n,
+        |  round(sum(o_totalprice), 2) AS rev,
+        |  round(min(o_totalprice), 2) AS lo_seen,
+        |  round(max(o_totalprice), 2) AS hi_seen,
+        |  CAST(CAST(least(9, floor(o_totalprice / 50000)) AS INT) * 50000 AS DOUBLE) AS lo
+        |FROM orders
+        |GROUP BY bucket ORDER BY bucket ASC""".stripMargin,
     "funnel_steps" ->
       """WITH u AS (
         |  SELECT user_id,

@@ -107,7 +107,48 @@ object SqlOps {
         |GROUP BY c_nationkey ORDER BY c_nationkey ASC""".stripMargin)
   }
 
+  /** Correlated EXISTS + NOT EXISTS in one predicate: market segments of
+    * customers who placed a >200k order but never had an 'F'-status one.
+    * Catalyst rewrites EXISTS to a left-semi and NOT EXISTS to a left-anti
+    * join (`RewritePredicateSubquery`), so both scale as hash joins keyed
+    * on the correlation key — no per-row subquery execution ever happens. */
+  def subqueryExists(spark: SparkSession, dir: String): DataFrame = {
+    Tables.registerAll(spark, dir)
+    spark.sql(
+      """SELECT c_mktsegment, count(*) AS n
+        |FROM customer c
+        |WHERE EXISTS (SELECT 1 FROM orders o
+        |              WHERE o.o_custkey = c.c_custkey AND o.o_totalprice > 200000)
+        |  AND NOT EXISTS (SELECT 1 FROM orders o2
+        |                  WHERE o2.o_custkey = c.c_custkey AND o2.o_orderstatus = 'F')
+        |GROUP BY c_mktsegment ORDER BY c_mktsegment ASC""".stripMargin)
+  }
+
+  /** Recursive CTE (Spark 4's `UnionLoop`): a 12-row month spine built by
+    * recursion, left-joined to per-month order revenue. The recursion here
+    * is deliberately driver-scale (each step materializes one tiny
+    * increment; depth 12 ≪ `spark.sql.cteRecursionLevelLimit`); the
+    * corpus-sized work stays in the one hash aggregate over orders. For
+    * bulk spines prefer `sequence()` + explode (ts_gapfill) — this query
+    * exists to cover the SQL-standard recursive surface, which both
+    * engines execute with identical fixpoint semantics. */
+  def sqlRecursiveCte(spark: SparkSession, dir: String): DataFrame = {
+    Tables.registerAll(spark, dir)
+    spark.sql(
+      """WITH RECURSIVE m(mon) AS (
+        |  SELECT 1
+        |  UNION ALL
+        |  SELECT mon + 1 FROM m WHERE mon < 12
+        |)
+        |SELECT mon, count(o_orderkey) AS n,
+        |  round(coalesce(sum(o_totalprice), 0), 2) AS rev
+        |FROM m LEFT JOIN orders ON month(o_orderdate) = mon
+        |GROUP BY mon ORDER BY mon ASC""".stripMargin)
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "subquery_exists"   -> (subqueryExists _),
+    "sql_recursive_cte" -> (sqlRecursiveCte _),
     "subquery_not_in"   -> (subqueryNotIn _),
     "agg_pivot"         -> (aggPivot _),
     "agg_unpivot"       -> (aggUnpivot _),
@@ -117,6 +158,24 @@ object SqlOps {
     "subquery_in"       -> (subqueryIn _))
 
   val oracleSql: Map[String, String] = Map(
+    "subquery_exists" ->
+      """SELECT c_mktsegment, count(*) AS n
+        |FROM customer c
+        |WHERE EXISTS (SELECT 1 FROM orders o
+        |              WHERE o.o_custkey = c.c_custkey AND o.o_totalprice > 200000)
+        |  AND NOT EXISTS (SELECT 1 FROM orders o2
+        |                  WHERE o2.o_custkey = c.c_custkey AND o2.o_orderstatus = 'F')
+        |GROUP BY c_mktsegment ORDER BY c_mktsegment ASC""".stripMargin,
+    "sql_recursive_cte" ->
+      """WITH RECURSIVE m(mon) AS (
+        |  SELECT 1
+        |  UNION ALL
+        |  SELECT mon + 1 FROM m WHERE mon < 12
+        |)
+        |SELECT mon, count(o_orderkey) AS n,
+        |  round(coalesce(sum(o_totalprice), 0), 2) AS rev
+        |FROM m LEFT JOIN orders ON month(o_orderdate) = mon
+        |GROUP BY mon ORDER BY mon ASC""".stripMargin,
     "subquery_not_in" ->
       """SELECT c_nationkey, count(*) AS n
         |FROM customer

@@ -188,7 +188,33 @@ object Windows {
       .orderBy(col("c_nationkey").asc, col("c_custkey").asc)
   }
 
+  /** Running COUNT(DISTINCT) over an ordered window — which Spark's
+    * WindowExec does not support directly — via the scale-safe idiom:
+    * reduce each (region, customer) to its FIRST active month with a hash
+    * aggregate, count new customers per month, then running-sum that
+    * pre-aggregated frame. The window only ever sees regions × months
+    * rows (bounded by the calendar, not the data), while the distinct
+    * work rides the partial-aggregating groupBy — the formulation that
+    * survives 100 TB where a naive per-row distinct window cannot. */
+  def winDistinctCount(spark: SparkSession, dir: String): DataFrame = {
+    val joined = Tables.orders(spark, dir)
+      .join(Tables.customer(spark, dir), col("o_custkey") === col("c_custkey"))
+      .join(broadcast(Tables.nation(spark, dir)), col("c_nationkey") === col("n_nationkey"))
+      .join(broadcast(Tables.region(spark, dir)), col("n_regionkey") === col("r_regionkey"))
+    val firstMon = joined
+      .groupBy(col("r_name"), col("o_custkey"))
+      .agg(min(date_trunc("month", col("o_orderdate"))).as("mon"))
+    val perMon = firstMon.groupBy("r_name", "mon").agg(count(lit(1)).as("new_cust"))
+    val w = Window.partitionBy("r_name").orderBy(col("mon").asc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    perMon
+      .withColumn("distinct_custs", sum("new_cust").over(w))
+      .select("r_name", "mon", "distinct_custs")
+      .orderBy(col("r_name").asc, col("mon").asc)
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "win_distinct_count" -> (winDistinctCount _),
     "win_ntile_cume"  -> (winNtileCume _),
     "win_streak"      -> (winStreak _),
     "win_percentile"  -> (winPercentile _),
@@ -202,6 +228,19 @@ object Windows {
     "win_first_last"  -> (winFirstLast _))
 
   val oracleSql: Map[String, String] = Map(
+    "win_distinct_count" ->
+      """WITH fm AS (
+        |  SELECT r_name, o_custkey, min(date_trunc('month', o_orderdate)) AS mon
+        |  FROM orders
+        |  JOIN customer ON o_custkey = c_custkey
+        |  JOIN nation ON c_nationkey = n_nationkey
+        |  JOIN region ON n_regionkey = r_regionkey
+        |  GROUP BY r_name, o_custkey),
+        |pm AS (SELECT r_name, mon, count(*) AS new_cust FROM fm GROUP BY r_name, mon)
+        |SELECT r_name, mon,
+        |  CAST(sum(new_cust) OVER (PARTITION BY r_name ORDER BY mon ASC
+        |       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS distinct_custs
+        |FROM pm ORDER BY r_name ASC, mon ASC""".stripMargin,
     "win_ntile_cume" ->
       """SELECT c_nationkey, c_custkey, c_acctbal,
         |  ntile(4) OVER w AS quartile,
