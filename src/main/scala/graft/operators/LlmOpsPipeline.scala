@@ -274,7 +274,38 @@ object LlmOpsPipeline {
       .orderBy(col("lang").asc)
   }
 
+  /** Fixed-size overlapping chunking (context windows of 64 tokens,
+    * stride 48, overlap 16) — the RAG/pretraining doc-split step, distinct
+    * from llm_pack (which concatenates docs INTO windows; this splits
+    * docs ACROSS windows). The chunk rows are genuinely materialized
+    * (explode + array slice — all map-side, no shuffle until the census),
+    * and the census is checked against the closed form: chunk tokens sum
+    * to ntok + 16·(k−1), so the oracle proves the materialized chunks
+    * tile the document with exact overlap. Scales as a pure map
+    * explosion: ~ntok/48 rows per doc, no skew key. */
+  def llmDocSplit(spark: SparkSession, dir: String): DataFrame = {
+    val chunks = Tables.documents(spark, dir)
+      .select(col("doc_id"), col("lang"), split(col("text"), " ").as("toks"))
+      .withColumn("ntok", size(col("toks")))
+      .withColumn("k", when(col("ntok") <= 64, lit(1))
+        .otherwise(lit(1) + expr("(ntok - 17) div 48")))
+      .withColumn("ci", explode(sequence(lit(0), col("k") - 1)))
+      .withColumn("start", col("ci") * 48)
+      .withColumn("chunk_toks", slice(col("toks"), col("start") + 1,
+        least(lit(64), col("ntok") - col("start"))))
+      .withColumn("chunk_tok", size(col("chunk_toks")))
+    chunks
+      .groupBy("lang")
+      .agg(
+        countDistinct("doc_id").as("docs"),
+        count(lit(1)).as("chunks"),
+        round(avg("chunk_tok"), 6).as("avg_chunk_tok"),
+        max("k").cast("bigint").as("max_k"))
+      .orderBy(col("lang").asc)
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "llm_doc_split"         -> (llmDocSplit _),
     "llm_bigram_lm"         -> (llmBigramLm _),
     "llm_pack"              -> (llmPack _),
     "llm_dedup_apply"       -> (llmDedupApply _),
@@ -285,6 +316,16 @@ object LlmOpsPipeline {
     "llm_heuristic_filter"  -> (llmHeuristicFilter _))
 
   val oracleSql: Map[String, String] = Map(
+    "llm_doc_split" ->
+      """WITH d AS (
+        |  SELECT lang, len(string_split(text, ' ')) AS ntok,
+        |    CASE WHEN len(string_split(text, ' ')) <= 64 THEN 1
+        |         ELSE 1 + (len(string_split(text, ' ')) - 17) // 48 END AS k
+        |  FROM documents)
+        |SELECT lang, count(*) AS docs, CAST(sum(k) AS BIGINT) AS chunks,
+        |  round(sum(ntok + 16 * (k - 1)) * 1.0 / sum(k), 6) AS avg_chunk_tok,
+        |  CAST(max(k) AS BIGINT) AS max_k
+        |FROM d GROUP BY lang ORDER BY lang ASC""".stripMargin,
     "llm_bigram_lm" ->
       """WITH t AS (SELECT doc_id, lang, string_split(text, ' ') AS toks FROM documents),
         |bi0 AS (

@@ -274,7 +274,60 @@ object SourcesSinks {
       .orderBy(col("o_orderpriority").asc)
   }
 
+  /** Small-file compaction — the maintenance pass every long-lived 100 TB
+    * table needs: a landing zone accumulates many small files (here: a
+    * 64-way write of a 3-column event slice), and the compactor rewrites
+    * them into few large ones. The rewrite uses `coalesce`, NOT
+    * `repartition`: coalesce merges input splits inside each read task
+    * with ZERO shuffle — the only data movement is the parquet
+    * read/write itself, which is the floor for any compactor. (Real
+    * deployments pick the target count from bytes/`maxRecordsPerFile`;
+    * fixed 4 keeps the query deterministic.) The census re-reads the
+    * compacted table so the oracle proves compaction lost nothing. */
+  def sinkCompact(spark: SparkSession, dir: String): DataFrame = {
+    val small = scratch(dir, "compact_small")
+    val out = scratch(dir, "compact_out")
+    Tables.events(spark, dir).select("event_id", "event_type", "value")
+      .repartition(64)
+      .write.mode("overwrite").parquet(small)
+    spark.read.parquet(small)
+      .coalesce(4)
+      .write.mode("overwrite").parquet(out)
+    def nFiles(p: String): Int =
+      new java.io.File(p).listFiles().count(f => f.getName.endsWith(".parquet"))
+    spark.read.parquet(out)
+      .groupBy("event_type")
+      .agg(count(lit(1)).as("n"), round(sum("value"), 2).as("val_sum"))
+      .withColumn("files_before", lit(nFiles(small)))
+      .withColumn("files_after", lit(nFiles(out)))
+      .orderBy(col("event_type").asc)
+  }
+
+  /** Schema evolution across file generations: generation 1 lands without
+    * the `value` column, generation 2 adds it; `mergeSchema=true` widens
+    * the scan schema to the union and back-fills nulls — the pattern that
+    * lets a 100 TB table grow columns without rewriting history. (Merge
+    * cost is footer-only, per-file, distributed — data pages are never
+    * touched.) Census counts the back-filled nulls per type. */
+  def scanSchemaEvolve(spark: SparkSession, dir: String): DataFrame = {
+    val out = scratch(dir, "evolve")
+    val ev = Tables.events(spark, dir).select("event_id", "event_type", "value")
+    ev.filter(col("event_id") % 2 === 0).drop("value")
+      .write.mode("overwrite").parquet(s"$out/gen=1")
+    ev.filter(col("event_id") % 2 =!= 0)
+      .write.mode("overwrite").parquet(s"$out/gen=2")
+    spark.read.option("mergeSchema", "true").parquet(out)
+      .groupBy("event_type")
+      .agg(
+        count(lit(1)).as("n"),
+        count(when(col("value").isNull, lit(1))).as("value_nulls"),
+        round(sum("value"), 2).as("val_sum"))
+      .orderBy(col("event_type").asc)
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "sink_compact"      -> (sinkCompact _),
+    "scan_schema_evolve" -> (scanSchemaEvolve _),
     "join_bucketed"    -> (joinBucketed _),
     "scan_parquet"     -> (scanParquet _),
     "ingest_csv"       -> (ingestCsv _),
@@ -287,6 +340,15 @@ object SourcesSinks {
     "sink_idempotent"  -> (sinkIdempotent _))
 
   val oracleSql: Map[String, String] = Map(
+    "sink_compact" ->
+      """SELECT event_type, count(*) AS n, round(sum(value), 2) AS val_sum,
+        |  64 AS files_before, 4 AS files_after
+        |FROM events GROUP BY event_type ORDER BY event_type ASC""".stripMargin,
+    "scan_schema_evolve" ->
+      """SELECT event_type, count(*) AS n,
+        |  count(*) FILTER (WHERE event_id % 2 = 0) AS value_nulls,
+        |  round(sum(value) FILTER (WHERE event_id % 2 <> 0), 2) AS val_sum
+        |FROM events GROUP BY event_type ORDER BY event_type ASC""".stripMargin,
     "join_bucketed" ->
       """SELECT o_orderpriority, count(*) AS lines,
         |  round(sum(l_quantity), 2) AS qty

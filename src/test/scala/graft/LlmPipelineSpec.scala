@@ -104,4 +104,35 @@ class LlmPipelineSpec extends AnyFunSuite {
       assert(pass <= docs - flags.max, "a doc with any flag cannot pass")
     }
   }
+
+  test("doc_split: chunks tile each doc with exact 16-token overlap") {
+    import org.apache.spark.sql.functions._
+    // re-derive the chunk rows (the census aggregates them away) and
+    // check the tiling invariant per doc: all non-final chunks are 64
+    // tokens, starts advance by 48, the final chunk ends at ntok.
+    val chunks = Tables.documents(spark, sf0001)
+      .select(col("doc_id"), split(col("text"), " ").as("toks"))
+      .withColumn("ntok", size(col("toks")))
+      .withColumn("k", when(col("ntok") <= 64, lit(1))
+        .otherwise(lit(1) + expr("(ntok - 17) div 48")))
+      .withColumn("ci", explode(sequence(lit(0), col("k") - 1)))
+      .withColumn("start", col("ci") * 48)
+      .withColumn("chunk_tok", least(lit(64), col("ntok") - col("start")))
+      .select(col("doc_id"), col("ntok").cast("long"), col("k").cast("long"),
+        col("ci").cast("long"), col("start").cast("long"), col("chunk_tok").cast("long"))
+      .collect()
+    assert(chunks.nonEmpty)
+    chunks.groupBy(_.getLong(0)).foreach { case (_, rows) =>
+      val ntok = rows.head.getLong(1)
+      val k = rows.head.getLong(2)
+      assert(rows.length == k)
+      rows.sortBy(_.getLong(3)).zipWithIndex.foreach { case (r, i) =>
+        assert(r.getLong(4) == i * 48L, "stride must be 48")
+        val len = r.getLong(5)
+        if (i < k - 1) assert(len == 64L, "non-final chunks are full windows")
+        else assert(r.getLong(4) + len == ntok, "final chunk must end at ntok")
+        assert(len >= 1L)
+      }
+    }
+  }
 }
