@@ -54,6 +54,27 @@ object Aggregates {
         count(lit(1)).as("n"))
       .orderBy("event_type")
 
+  /** Mergeable-sketch ROLLUP — the property that makes sketches matter at
+    * 100 TB: per-(type, day) HLL sketches are built once (a materialized
+    * daily cube in a real deployment), then re-aggregated to per-type
+    * distinct-user estimates by UNIONING SKETCHES, never re-touching the
+    * event rows. `approx_count_distinct` alone can't do this (its result
+    * is a number, not a mergeable state); the Datasketches HLL column is
+    * the re-aggregatable form. No-oracle (sketch layout engine-specific);
+    * OperatorSemantics2Spec bounds the union estimate against the exact
+    * distinct within 5%. */
+  def aggHllUnion(spark: SparkSession, dir: String): DataFrame = {
+    val daily = Tables.events(spark, dir)
+      .groupBy(col("event_type"), date_trunc("day", col("ts")).as("day"))
+      .agg(hll_sketch_agg(col("user_id")).as("sk"))
+    daily
+      .groupBy("event_type")
+      .agg(
+        count(lit(1)).as("days"),
+        hll_sketch_estimate(hll_union_agg(col("sk"))).as("est_users"))
+      .orderBy(col("event_type").asc)
+  }
+
   /** HLL sketch distinct — no-oracle (Spark's HLL ≠ DuckDB's); unit-tested
     * against exact counts within the 5% rsd instead (SURVEY §2.Z.7). */
   def aggApproxHll(spark: SparkSession, dir: String): DataFrame =
@@ -282,6 +303,7 @@ object Aggregates {
     "agg_groupby"       -> (aggGroupby _),
     "agg_distinct"      -> (aggDistinct _),
     "agg_approx_hll"    -> (aggApproxHll _),
+    "agg_hll_union"     -> (aggHllUnion _),
     "agg_grouping_sets" -> (aggGroupingSets _),
     "agg_rollup"        -> (aggRollup _),
     "agg_cube"          -> (aggCube _),

@@ -52,11 +52,47 @@ object DataQuality {
       .orderBy(col("event_id").asc)
   }
 
+  /** CDC apply (SCD-1 / latest-op-wins merge): the event stream as a
+    * change feed keyed by user — each key's final state is its LATEST
+    * event by (ts, event_id), and a terminal 'error' tombstones the key.
+    * The scale shape is the declarative arg-max (`max_by` over a struct):
+    * partial aggregation reduces each task's events to one candidate per
+    * key BEFORE the shuffle, so the merge scales with distinct keys, not
+    * change volume — where the textbook `row_number()=1` window shuffles
+    * and sorts every change row. Census groups survivors/tombstones by
+    * final op. */
+  def cdcApply(spark: SparkSession, dir: String): DataFrame = {
+    val latest = Tables.events(spark, dir)
+      .groupBy("user_id")
+      .agg(max_by(
+        struct(col("event_type"), col("value")),
+        struct(col("ts"), col("event_id"))).as("last"))
+      .select(col("user_id"),
+        col("last.event_type").as("op_type"), col("last.value").as("v"))
+    latest
+      .groupBy("op_type")
+      .agg(count(lit(1)).as("users"), round(sum("v"), 2).as("val_sum"))
+      .withColumn("survives", col("op_type") =!= "error")
+      .orderBy(col("op_type").asc)
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "cdc_apply" -> (cdcApply _),
     "dq_checks" -> (dqChecks _),
     "join_scd2" -> (joinScd2 _))
 
   val oracleSql: Map[String, String] = Map(
+    "cdc_apply" ->
+      """WITH ranked AS (
+        |  SELECT user_id, event_type, value,
+        |    row_number() OVER (PARTITION BY user_id
+        |      ORDER BY ts DESC, event_id DESC) AS rn
+        |  FROM events)
+        |SELECT event_type AS op_type, count(*) AS users,
+        |  round(sum(value), 2) AS val_sum,
+        |  event_type <> 'error' AS survives
+        |FROM ranked WHERE rn = 1
+        |GROUP BY event_type ORDER BY op_type ASC""".stripMargin,
     "dq_checks" ->
       """SELECT count(*) AS rows, count(o_custkey) AS custkey_nonnull,
         | count(DISTINCT o_orderkey) AS distinct_keys,

@@ -51,7 +51,7 @@ class GoldenSmokeSpec extends AnyFunSuite {
     assert(orphans.isEmpty, s"oracleSql without queries: $orphans")
     // the intentional no-oracle ops (engine-specific hashes / stubbed codec)
     assert((qs -- SparkEntry.oracleSql.keySet) ===
-      Set("agg_approx_hll", "agg_approx_pctl", "agg_kmv_distinct",
+      Set("agg_approx_hll", "agg_hll_union", "agg_approx_pctl", "agg_kmv_distinct",
         "agg_countmin", "llm_minhash", "llm_simhash", "llm_mm_features"))
   }
 }

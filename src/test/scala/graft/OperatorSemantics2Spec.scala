@@ -83,4 +83,18 @@ class OperatorSemantics2Spec extends AnyFunSuite {
       .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
     assert(lateral === windowed)
   }
+
+  test("hll union rollup: sketch-merged estimate within 5% of exact distinct") {
+    val est = Aggregates.aggHllUnion(spark, sf001)
+      .collect().map(r => r.getString(0) -> r.getLong(2)).toMap
+    val exact = Tables.events(spark, sf001)
+      .groupBy("event_type").agg(countDistinct("user_id").as("u"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(est.keySet == exact.keySet)
+    exact.foreach { case (k, ex) =>
+      val e = est(k)
+      assert(math.abs(e - ex).toDouble / ex <= 0.05,
+        s"$k: sketch-union estimate $e vs exact $ex drifts > 5%")
+    }
+  }
 }
