@@ -178,7 +178,65 @@ object Clustering {
       .orderBy(col("degree").asc)
   }
 
+  /** PageRank (damping 0.85, 3 unrolled iterations) over the bipartite
+    * part↔supplier supply graph — the join-agg-per-superstep Pregel shape
+    * with an EXACT oracle (DuckDB unrolls the same 3 iterations in CTEs).
+    *
+    * Scale shape per superstep: ranks ⋈ edges on src (both sides
+    * hash-partitioned on the join key), rank/outdeg contributions
+    * partially aggregated per dst BEFORE the shuffle — so a superstep
+    * moves O(distinct dst per task) rows, not O(edges). Node set and
+    * outdegrees are computed once and reused. Undirected-as-two-arcs
+    * means no dangling nodes (every node has outdegree ≥ 1), so rank
+    * mass is conserved without a dangling-redistribution term. N arrives
+    * as a 1-row broadcast (llm_mix_weights pattern) — no driver action.
+    * Fixed 3 iterations keeps the lineage bounded; a run-to-convergence
+    * variant would checkpoint per round exactly like llmDedupClusters.
+    * Constants are written as float literals in BOTH engines (DuckDB bare
+    * `0.15` is DECIMAL and divides differently than DOUBLE — §2.Z trap).
+    * Output ordered by the ROUNDED rank (+ node tie-break) so the top-20
+    * cutoff can't flip on a sub-6dp ulp divergence. */
+  def graphPagerank(spark: SparkSession, dir: String): DataFrame = {
+    val sp = Tables.lineitem(spark, dir)
+      .select(concat(lit("p"), col("l_partkey")).as("p"),
+        concat(lit("s"), col("l_suppkey")).as("s"))
+      .distinct()
+    // the graph structure is static across supersteps — persist it once
+    // (the Pregel invariant state; re-deriving the distinct edge list
+    // from lineitem on every superstep would re-scan the fact table 3×),
+    // and pin its partitioning on the superstep join key so the BIG side
+    // never re-shuffles: each iteration only moves the small ranks frame
+    val edges = sp.select(col("p").as("src"), col("s").as("dst"))
+      .unionAll(sp.select(col("s").as("src"), col("p").as("dst")))
+      .repartition(32, col("src"))
+      .cache()
+    val outdeg = edges.groupBy("src").agg(count(lit(1)).as("deg")).cache()
+    val nodes = edges.select(col("src").as("node")).distinct().cache()
+    val nTotal = nodes.agg(count(lit(1)).as("n_nodes"))
+
+    var ranks = nodes.crossJoin(broadcast(nTotal))
+      .select(col("node"), (lit(1.0) / col("n_nodes")).as("pr"))
+    for (_ <- 1 to 3) {
+      val contribs = ranks
+        .join(edges, col("node") === col("src"))
+        .join(outdeg, "src")
+        .select(col("dst"), (col("pr") / col("deg")).as("c"))
+        .groupBy("dst").agg(sum("c").as("inflow"))
+      ranks = nodes
+        .join(contribs, col("node") === col("dst"), "left")
+        .crossJoin(broadcast(nTotal))
+        .select(col("node"),
+          (lit(0.15) / col("n_nodes") +
+            lit(0.85) * coalesce(col("inflow"), lit(0.0))).as("pr"))
+    }
+    ranks
+      .select(col("node"), round(col("pr"), 6).as("pr"))
+      .orderBy(col("pr").desc, col("node").asc)
+      .limit(20)
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "graph_pagerank"     -> (graphPagerank _),
     "llm_dedup_clusters" -> (llmDedupClusters _),
     "graph_triangles"    -> (graphTriangles _),
     "graph_degree"       -> (graphDegree _))
@@ -196,6 +254,34 @@ object Clustering {
       |  FROM f x JOIN f y ON x.fp = y.fp AND x.doc_id < y.doc_id)""".stripMargin
 
   val oracleSql: Map[String, String] = Map(
+    "graph_pagerank" ->
+      """WITH sp AS (
+        |  SELECT DISTINCT 'p' || l_partkey AS p, 's' || l_suppkey AS s FROM lineitem),
+        |edges AS (SELECT p AS src, s AS dst FROM sp UNION ALL SELECT s, p FROM sp),
+        |outdeg AS (SELECT src, count(*) AS deg FROM edges GROUP BY src),
+        |nodes AS (SELECT DISTINCT src AS node FROM edges),
+        |nn AS (SELECT count(*) AS n_nodes FROM nodes),
+        |r0 AS (SELECT node, 1e0 / (SELECT n_nodes FROM nn) AS pr FROM nodes),
+        |c1 AS (SELECT e.dst, sum(r.pr / d.deg) AS inflow
+        |       FROM r0 r JOIN edges e ON r.node = e.src JOIN outdeg d ON e.src = d.src
+        |       GROUP BY e.dst),
+        |r1 AS (SELECT n.node,
+        |         15e-2 / (SELECT n_nodes FROM nn) + 85e-2 * coalesce(c.inflow, 0e0) AS pr
+        |       FROM nodes n LEFT JOIN c1 c ON n.node = c.dst),
+        |c2 AS (SELECT e.dst, sum(r.pr / d.deg) AS inflow
+        |       FROM r1 r JOIN edges e ON r.node = e.src JOIN outdeg d ON e.src = d.src
+        |       GROUP BY e.dst),
+        |r2 AS (SELECT n.node,
+        |         15e-2 / (SELECT n_nodes FROM nn) + 85e-2 * coalesce(c.inflow, 0e0) AS pr
+        |       FROM nodes n LEFT JOIN c2 c ON n.node = c.dst),
+        |c3 AS (SELECT e.dst, sum(r.pr / d.deg) AS inflow
+        |       FROM r2 r JOIN edges e ON r.node = e.src JOIN outdeg d ON e.src = d.src
+        |       GROUP BY e.dst),
+        |r3 AS (SELECT n.node,
+        |         15e-2 / (SELECT n_nodes FROM nn) + 85e-2 * coalesce(c.inflow, 0e0) AS pr
+        |       FROM nodes n LEFT JOIN c3 c ON n.node = c.dst)
+        |SELECT node, round(pr, 6) AS pr FROM r3
+        |ORDER BY round(pr, 6) DESC, node ASC LIMIT 20""".stripMargin,
     "graph_triangles" ->
       s"""WITH $fpEdgesSql
          |SELECT count(*) AS triangles, count(DISTINCT e1.a) AS apex_nodes
