@@ -347,7 +347,42 @@ object SourcesSinks {
       .orderBy(col("l_returnflag").asc)
   }
 
+  /** Dynamic partition pruning end-to-end: the fact table is written
+    * month-partitioned; the dim side (a tiny month attribute table, also
+    * landed on disk so the optimizer sees two real sources) is filtered
+    * at runtime, and Catalyst injects a `dynamicpruning` subquery into
+    * the fact scan's PartitionFilters — the fact side reads ONLY the
+    * quarters the filtered dim selects, a decision static pruning cannot
+    * make because the surviving months are data, not literals. At 100 TB
+    * this is the difference between scanning 3 months and scanning the
+    * table. ScanDppSpec asserts the dynamicpruning filter is actually on
+    * the scan; the oracle recomputes the same join from raw orders. */
+  def scanDpp(spark: SparkSession, dir: String): DataFrame = {
+    val factDir = scratch(dir, "dpp_fact")
+    val dimDir = scratch(dir, "dpp_dim")
+    val orders = Tables.orders(spark, dir)
+      .withColumn("omonth", date_format(col("o_orderdate"), "yyyy-MM"))
+    orders.repartition(col("omonth"))
+      .write.mode("overwrite").partitionBy("omonth").parquet(factDir)
+    orders.select("omonth").distinct()
+      // the quarter tag is a STRING compared to a literal below: DPP's
+      // isLikelySelective() heuristic accepts attr-vs-literal comparisons
+      // but not a bare boolean column (which BooleanSimplification would
+      // reduce `q = true` to) — with a bare flag the runtime filter is
+      // silently skipped
+      .withColumn("q", when(substring(col("omonth"), 6, 2).isin("01", "02", "03"),
+        lit("Q1")).otherwise(lit("QX")))
+      .write.mode("overwrite").parquet(dimDir)
+    val fact = spark.read.parquet(factDir)
+    val dim = spark.read.parquet(dimDir).filter(col("q") === "Q1")
+    fact.join(dim, "omonth")
+      .groupBy("omonth")
+      .agg(count(lit(1)).as("n"), round(sum("o_totalprice"), 2).as("rev"))
+      .orderBy(col("omonth").asc)
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "scan_dpp"          -> (scanDpp _),
     "ingest_orc"        -> (ingestOrc _),
     "sink_compact"      -> (sinkCompact _),
     "scan_schema_evolve" -> (scanSchemaEvolve _),
@@ -363,6 +398,12 @@ object SourcesSinks {
     "sink_idempotent"  -> (sinkIdempotent _))
 
   val oracleSql: Map[String, String] = Map(
+    "scan_dpp" ->
+      """SELECT strftime(o_orderdate, '%Y-%m') AS omonth,
+        |  count(*) AS n, round(sum(o_totalprice), 2) AS rev
+        |FROM orders
+        |WHERE substring(strftime(o_orderdate, '%Y-%m'), 6, 2) IN ('01', '02', '03')
+        |GROUP BY omonth ORDER BY omonth ASC""".stripMargin,
     "ingest_orc" ->
       """SELECT l_returnflag, count(*) AS n,
         |  round(sum(l_extendedprice), 2) AS rev,
