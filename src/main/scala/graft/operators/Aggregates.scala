@@ -213,6 +213,24 @@ object Aggregates {
         count(lit(1)).as("n"))
       .orderBy(col("l_returnflag").asc)
 
+  /** Linear-regression aggregate family (regr_*): price-vs-quantity fit
+    * per return flag. Same single-pass merged-moment machinery as
+    * agg_stats (partial aggregation composes the (n, Σx, Σy, Σxx, Σxy)
+    * state map-side — regression over 100 TB is one hash agg, never a
+    * solver); both engines implement the SQL-standard definitions, with
+    * 4–6dp rounds absorbing accumulation-order ulps. */
+  def aggRegression(spark: SparkSession, dir: String): DataFrame =
+    Tables.lineitem(spark, dir)
+      .groupBy("l_returnflag")
+      .agg(
+        round(regr_slope(col("l_extendedprice"), col("l_quantity")), 4).as("slope"),
+        round(regr_intercept(col("l_extendedprice"), col("l_quantity")), 4).as("icept"),
+        round(regr_r2(col("l_extendedprice"), col("l_quantity")), 6).as("r2"),
+        regr_count(col("l_extendedprice"), col("l_quantity")).as("n"),
+        round(regr_avgx(col("l_extendedprice"), col("l_quantity")), 6).as("avgx"),
+        round(regr_avgy(col("l_extendedprice"), col("l_quantity")), 4).as("avgy"))
+      .orderBy(col("l_returnflag").asc)
+
   /** Exact interpolated percentiles (SQL `percentile` ↔ DuckDB
     * `quantile_cont` — both linear interpolation). Exact percentiles need
     * a per-group sort; the at-scale variant is `approx_percentile`
@@ -296,6 +314,7 @@ object Aggregates {
     "agg_mode"          -> (aggMode _),
     "agg_approx_pctl"   -> (aggApproxPctl _),
     "agg_stats"         -> (aggStats _),
+    "agg_regression"    -> (aggRegression _),
     "agg_percentiles"   -> (aggPercentiles _),
     "agg_kmv_distinct"  -> (aggKmvDistinct _),
     "agg_countmin"      -> (aggCountmin _),
@@ -338,6 +357,15 @@ object Aggregates {
         |  FROM c)
         |SELECT o_custkey, o_orderpriority AS mode_prio, cnt
         |FROM r WHERE rn = 1 ORDER BY o_custkey ASC""".stripMargin,
+    "agg_regression" ->
+      """SELECT l_returnflag,
+        | round(regr_slope(l_extendedprice, l_quantity), 4) AS slope,
+        | round(regr_intercept(l_extendedprice, l_quantity), 4) AS icept,
+        | round(regr_r2(l_extendedprice, l_quantity), 6) AS r2,
+        | regr_count(l_extendedprice, l_quantity) AS n,
+        | round(regr_avgx(l_extendedprice, l_quantity), 6) AS avgx,
+        | round(regr_avgy(l_extendedprice, l_quantity), 4) AS avgy
+        |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag ASC""".stripMargin,
     "agg_stats" ->
       """SELECT l_returnflag, round(stddev_samp(l_extendedprice), 4) AS sd_price,
         | round(var_samp(l_extendedprice), 2) AS var_price,
