@@ -206,9 +206,13 @@ object Clustering {
     // from lineitem on every superstep would re-scan the fact table 3×),
     // and pin its partitioning on the superstep join key so the BIG side
     // never re-shuffles: each iteration only moves the small ranks frame
+    // ALSO pre-sorted on the key: InMemoryTableScan forwards the cached
+    // plan's outputOrdering, so each superstep's sort-merge join sorts
+    // only the small ranks side — the cached big side is sort-free
     val edges = sp.select(col("p").as("src"), col("s").as("dst"))
       .unionAll(sp.select(col("s").as("src"), col("p").as("dst")))
       .repartition(32, col("src"))
+      .sortWithinPartitions("src")
       .cache()
     val outdeg = edges.groupBy("src").agg(count(lit(1)).as("deg")).cache()
     val nodes = edges.select(col("src").as("node")).distinct().cache()
