@@ -37,6 +37,8 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     // and native interval join (graft.plans.IntervalJoin)
     ext.injectPlannerStrategy(_ => graft.plans.AsofJoinStrategy)
     ext.injectPlannerStrategy(_ => graft.plans.IntervalJoinStrategy)
+    // native per-key top-k with a map-side partial phase (graft.plans.TopKPerKey)
+    ext.injectPlannerStrategy(_ => graft.plans.TopKPerKeyStrategy)
     // optimizer rule: naive SQL jaccard_sim over sorted-distinct inputs →
     // the zero-allocation merge kernel (graft.plans.SortedJaccardRewrite)
     ext.injectOptimizerRule(_ => graft.plans.SortedJaccardRewrite)

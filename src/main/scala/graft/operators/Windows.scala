@@ -213,7 +213,20 @@ object Windows {
       .orderBy(col("r_name").asc, col("mon").asc)
   }
 
+  /** win_topk's semantics through the NATIVE per-key top-k operator
+    * (plans/TopKPerKey.scala): a map-side partial phase reduces each
+    * task to ≤ k rows per local key with bounded heaps BEFORE the
+    * shuffle — the window formulation must shuffle and sort every row.
+    * Same oracle as win_topk (minus the rank column): the custom
+    * operator must be invisible in the results. */
+  def winTopkNative(spark: SparkSession, dir: String): DataFrame =
+    graft.plans.TopKPerKey.topK(
+      Tables.orders(spark, dir).select("o_custkey", "o_orderkey", "o_totalprice"),
+      key = "o_custkey", ord = "o_totalprice", tie = "o_orderkey", k = 3)
+      .orderBy(col("o_custkey").asc, col("o_totalprice").desc, col("o_orderkey").asc)
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "win_topk_native"    -> (winTopkNative _),
     "win_distinct_count" -> (winDistinctCount _),
     "win_ntile_cume"  -> (winNtileCume _),
     "win_streak"      -> (winStreak _),
@@ -228,6 +241,13 @@ object Windows {
     "win_first_last"  -> (winFirstLast _))
 
   val oracleSql: Map[String, String] = Map(
+    "win_topk_native" ->
+      """SELECT o_custkey, o_orderkey, o_totalprice FROM (
+        |  SELECT o_custkey, o_orderkey, o_totalprice,
+        |    row_number() OVER (PARTITION BY o_custkey ORDER BY o_totalprice DESC, o_orderkey ASC) AS rn
+        |  FROM orders) t
+        |WHERE rn <= 3
+        |ORDER BY o_custkey ASC, o_totalprice DESC, o_orderkey ASC""".stripMargin,
     "win_distinct_count" ->
       """WITH fm AS (
         |  SELECT r_name, o_custkey, min(date_trunc('month', o_orderdate)) AS mon
