@@ -381,7 +381,36 @@ object SourcesSinks {
       .orderBy(col("omonth").asc)
   }
 
+  /** Raw text-line ingest with regex field extraction — the log-parsing
+    * shape (the fourth ingest format next to CSV/JSON/ORC): events are
+    * round-tripped through whitespace-delimited text lines and re-parsed
+    * with `regexp_extract` + casts, all map-side on the scan. The
+    * double→string→double round-trip is exact (Double.toString
+    * round-trips by contract), so the census must equal the original —
+    * which is exactly what the oracle checks. */
+  def ingestLogs(spark: SparkSession, dir: String): DataFrame = {
+    val out = scratch(dir, "logs")
+    Tables.events(spark, dir)
+      .select(concat_ws(" ", col("event_id"), col("user_id"),
+        col("event_type"), col("value")).as("value"))
+      .write.mode("overwrite").text(out)
+    val line = "^(\\S+) (\\S+) (\\S+) (\\S+)$"
+    spark.read.text(out)
+      .select(
+        regexp_extract(col("value"), line, 1).cast("long").as("event_id"),
+        regexp_extract(col("value"), line, 2).cast("long").as("user_id"),
+        regexp_extract(col("value"), line, 3).as("event_type"),
+        regexp_extract(col("value"), line, 4).cast("double").as("v"))
+      .groupBy("event_type")
+      .agg(count(lit(1)).as("n"),
+        countDistinct("user_id").as("users"),
+        round(sum("v"), 2).as("val_sum"),
+        max("event_id").cast("bigint").as("max_id"))
+      .orderBy(col("event_type").asc)
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "ingest_logs"       -> (ingestLogs _),
     "scan_dpp"          -> (scanDpp _),
     "ingest_orc"        -> (ingestOrc _),
     "sink_compact"      -> (sinkCompact _),
@@ -398,6 +427,12 @@ object SourcesSinks {
     "sink_idempotent"  -> (sinkIdempotent _))
 
   val oracleSql: Map[String, String] = Map(
+    "ingest_logs" ->
+      """SELECT event_type, count(*) AS n,
+        |  count(DISTINCT user_id) AS users,
+        |  round(sum(value), 2) AS val_sum,
+        |  CAST(max(event_id) AS BIGINT) AS max_id
+        |FROM events GROUP BY event_type ORDER BY event_type ASC""".stripMargin,
     "scan_dpp" ->
       """SELECT strftime(o_orderdate, '%Y-%m') AS omonth,
         |  count(*) AS n, round(sum(o_totalprice), 2) AS rev
