@@ -34,6 +34,31 @@ object JoinsAdvanced {
       .orderBy(col("brand").asc)
   }
 
+  /** FORWARD as-of: each view event picks the same user's FIRST purchase
+    * at/after its timestamp (pandas merge_asof direction='forward' — the
+    * "time to next action" primitive). Same declarative arg-MIN shape as
+    * the backward join, so the same partial-aggregation scale story
+    * applies; inner semantics, so views with no later purchase drop out.
+    * Both sides live in the events table's time range, so the time
+    * predicate genuinely selects (an events→orders pairing would be
+    * vacuous: fixture orders all predate fixture events). */
+  def joinAsofFwd(spark: SparkSession, dir: String): DataFrame = {
+    val e = Tables.events(spark, dir)
+    val v = e.filter(col("event_type") === "view")
+      .select("event_id", "ts", "user_id")
+    val p = e.filter(col("event_type") === "purchase")
+      .select(col("user_id").as("p_user"), col("ts").as("p_ts"),
+        col("event_id").as("p_id"))
+    v.join(p, col("user_id") === col("p_user") && col("p_ts") >= col("ts"))
+      .groupBy("event_id", "ts", "user_id")
+      .agg(min(struct(col("p_ts"), col("p_id"))).as("best"))
+      .select(
+        col("event_id"), col("ts"), col("user_id"),
+        col("best.p_ts").as("next_ts"),
+        col("best.p_id").as("next_id"))
+      .orderBy(col("event_id").asc)
+  }
+
   /** As-of join: each event picks the user's most recent order at/before
     * its timestamp, via group-by arg-max with a (date, key) tie-break. */
   def joinAsof(spark: SparkSession, dir: String): DataFrame = {
@@ -151,6 +176,7 @@ object JoinsAdvanced {
     "join_fuzzy"           -> (joinFuzzy _),
     "join_theta_band"      -> (joinThetaBand _),
     "join_asof"            -> (joinAsof _),
+    "join_asof_fwd"        -> (joinAsofFwd _),
     "join_asof_native"     -> (joinAsofNative _),
     "join_interval"        -> (joinInterval _),
     "join_interval_native" -> (joinIntervalNative _))
@@ -171,6 +197,16 @@ object JoinsAdvanced {
         |  ON a.p_brand = b.p_brand AND a.p_partkey < b.p_partkey
         | AND abs(a.p_size - b.p_size) <= 2
         |GROUP BY brand ORDER BY brand ASC""".stripMargin,
+    "join_asof_fwd" ->
+      """WITH j AS (
+        |  SELECT v.event_id, v.ts, v.user_id, p.ts AS p_ts, p.event_id AS p_id,
+        |    row_number() OVER (PARTITION BY v.event_id
+        |      ORDER BY p.ts ASC, p.event_id ASC) AS rn
+        |  FROM events v JOIN events p
+        |    ON v.user_id = p.user_id AND p.ts >= v.ts
+        |  WHERE v.event_type = 'view' AND p.event_type = 'purchase')
+        |SELECT event_id, ts, user_id, p_ts AS next_ts, p_id AS next_id
+        |FROM j WHERE rn = 1 ORDER BY event_id ASC""".stripMargin,
     "join_asof" ->
       """WITH j AS (
         |  SELECT e.event_id, e.ts, e.user_id, o.o_orderkey, o.o_orderdate,
