@@ -304,7 +304,28 @@ object LlmOpsPipeline {
       .orderBy(col("lang").asc)
   }
 
+  /** Weighted sampling without replacement (Efraimidis–Spirakis A-Res):
+    * key = ln(u)/w with u a deterministic per-doc uniform and w = n_chars
+    * — the top-k by key IS a weighted sample, computed as a pure map
+    * expression + TakeOrdered top-k (no shuffle beyond the k survivors;
+    * the at-scale shape for "sample the mixture by token count" after
+    * llm_mix_weights decides the weights). The uniform is a Knuth
+    * multiplicative hash in plain int64 arithmetic so BOTH engines
+    * compute bit-identical u (md5-hex ranks can't weight; engine RNGs
+    * can't agree); ln()/division are the only libm calls and candidates
+    * are ~1e-3 apart at the cutoff, 13 orders above any ulp divergence. */
+  def llmWeightedSample(spark: SparkSession, dir: String): DataFrame = {
+    val u = ((col("doc_id") * lit(2654435761L)) % lit(1000003L) + lit(1L))
+      .cast("double") / lit(1000004.0)
+    Tables.documents(spark, dir)
+      .select(col("doc_id"), col("lang"), col("n_chars"))
+      .withColumn("akey", round(log(u) / col("n_chars"), 6))
+      .orderBy(col("akey").desc, col("doc_id").asc)
+      .limit(32)
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "llm_weighted_sample"   -> (llmWeightedSample _),
     "llm_doc_split"         -> (llmDocSplit _),
     "llm_bigram_lm"         -> (llmBigramLm _),
     "llm_pack"              -> (llmPack _),
@@ -316,6 +337,12 @@ object LlmOpsPipeline {
     "llm_heuristic_filter"  -> (llmHeuristicFilter _))
 
   val oracleSql: Map[String, String] = Map(
+    "llm_weighted_sample" ->
+      """SELECT doc_id, lang, n_chars,
+        |  round(ln(CAST((doc_id * 2654435761) % 1000003 + 1 AS DOUBLE)
+        |        / 1000004e0) / n_chars, 6) AS akey
+        |FROM documents
+        |ORDER BY akey DESC, doc_id ASC LIMIT 32""".stripMargin,
     "llm_doc_split" ->
       """WITH d AS (
         |  SELECT lang, len(string_split(text, ' ')) AS ntok,
