@@ -319,7 +319,9 @@ object LlmOpsPipeline {
       .cast("double") / lit(1000004.0)
     Tables.documents(spark, dir)
       .select(col("doc_id"), col("lang"), col("n_chars"))
-      .withColumn("akey", round(log(u) / col("n_chars"), 6))
+      // + 0.0 normalizes IEEE negative zero: a key like -4e-7 rounds to
+      // -0.0 in DuckDB but 0.0 in Spark, and the comparator distinguishes
+      .withColumn("akey", round(log(u) / col("n_chars"), 6) + lit(0.0))
       .orderBy(col("akey").desc, col("doc_id").asc)
       .limit(32)
   }
@@ -340,7 +342,7 @@ object LlmOpsPipeline {
     "llm_weighted_sample" ->
       """SELECT doc_id, lang, n_chars,
         |  round(ln(CAST((doc_id * 2654435761) % 1000003 + 1 AS DOUBLE)
-        |        / 1000004e0) / n_chars, 6) AS akey
+        |        / 1000004e0) / n_chars, 6) + 0e0 AS akey
         |FROM documents
         |ORDER BY akey DESC, doc_id ASC LIMIT 32""".stripMargin,
     "llm_doc_split" ->
