@@ -74,12 +74,62 @@ object TimeSeries {
       .orderBy(col("day").asc)
   }
 
+  /** Exponentially-weighted moving average (α = 0.8) of daily revenue per
+    * event type — the smoothing primitive behind alerting baselines.
+    * EWMA's recurrence y_t = (1−α)x_t + α·y_{t−1} can't be a window
+    * aggregate directly (each row depends on the previous RESULT), but it
+    * HAS a closed form over a running sum: with u_i = x_i·α^{−i},
+    * y_t = α^t·(x_0 + (1−α)·(Σ_{i≤t} u_i − x_0)) — so the whole series
+    * is two ordered-window passes (first_value + running sum) over the
+    * day-grain frame, partitioned by type: the recursive definition
+    * becomes a scale-safe declarative plan (per-key frames are
+    * calendar-bounded). Day indexes are measured from each type's own
+    * first day, so the formula is data-driven, and gaps simply decay
+    * (α^t advances with calendar distance). */
+  def tsEwma(spark: SparkSession, dir: String): DataFrame = {
+    val daily = Tables.events(spark, dir)
+      .groupBy(col("event_type"), date_trunc("day", col("ts")).as("day"))
+      .agg(round(sum("value"), 2).as("rev"))
+    val wRun = Window.partitionBy("event_type").orderBy(col("day").asc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    daily
+      .withColumn("tt", datediff(col("day"), first(col("day")).over(wRun)))
+      .withColumn("x0", first("rev").over(wRun))
+      .withColumn("s", sum(col("rev") * pow(lit(1.25), col("tt"))).over(wRun))
+      .select(col("event_type"), col("day"), col("rev"),
+        round(pow(lit(0.8), col("tt")) *
+          (col("x0") + lit(0.2) * (col("s") - col("x0"))), 4).as("ewma"))
+      .orderBy(col("event_type").asc, col("day").asc)
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "ts_ewma"     -> (tsEwma _),
     "ts_gapfill"  -> (tsGapfill _),
     "ts_resample" -> (tsResample _),
     "ts_anomaly"  -> (tsAnomaly _))
 
   val oracleSql: Map[String, String] = Map(
+    "ts_ewma" ->
+      """WITH daily AS (
+        |  SELECT event_type, date_trunc('day', ts) AS day,
+        |    round(sum(value), 2) AS rev
+        |  FROM events GROUP BY event_type, day),
+        |b AS (
+        |  SELECT event_type, day, rev,
+        |    date_diff('day', first_value(day) OVER w, day) AS tt,
+        |    first_value(rev) OVER w AS x0
+        |  FROM daily
+        |  WINDOW w AS (PARTITION BY event_type ORDER BY day ASC
+        |               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)),
+        |c AS (
+        |  SELECT event_type, day, rev, tt, x0,
+        |    sum(rev * pow(125e-2, tt)) OVER (
+        |      PARTITION BY event_type ORDER BY day ASC
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS s
+        |  FROM b)
+        |SELECT event_type, day, rev,
+        |  round(pow(8e-1, tt) * (x0 + 2e-1 * (s - x0)), 4) AS ewma
+        |FROM c ORDER BY event_type ASC, day ASC""".stripMargin,
     "ts_gapfill" ->
       """WITH bounds AS (
         |  SELECT date_trunc('day', min(o_orderdate)) AS mn,
