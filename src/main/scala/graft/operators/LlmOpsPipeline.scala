@@ -326,7 +326,30 @@ object LlmOpsPipeline {
       .limit(32)
   }
 
+  /** Token-distribution (Shannon) entropy per doc, aggregated per lang —
+    * the information-density quality signal next to llm_repetition's
+    * ratio family: low-entropy docs are boilerplate/spam, suspiciously
+    * high entropy is encoding garbage. Same two-level hash-agg shape as
+    * llm_repetition (explode → per-(doc,tok) counts → per-doc entropy →
+    * per-lang stats): partial aggregation at every level, no windows.
+    * ln() on count ratios is the only libm call; 6dp rounds absorb it. */
+  def llmEntropy(spark: SparkSession, dir: String): DataFrame = {
+    val per = Tables.documents(spark, dir)
+      .select(col("doc_id"), col("lang"), explode(toksRaw).as("tok"))
+      .groupBy("doc_id", "lang", "tok").agg(count(lit(1)).as("c"))
+      .groupBy("doc_id", "lang")
+      .agg((log(sum("c")) -
+        sum(col("c") * log(col("c"))) / sum("c")).as("ent"))
+    per.groupBy("lang")
+      .agg(count(lit(1)).as("docs"),
+        round(avg("ent"), 6).as("avg_ent"),
+        round(min("ent"), 6).as("min_ent"),
+        round(max("ent"), 6).as("max_ent"))
+      .orderBy(col("lang").asc)
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "llm_entropy"           -> (llmEntropy _),
     "llm_weighted_sample"   -> (llmWeightedSample _),
     "llm_doc_split"         -> (llmDocSplit _),
     "llm_bigram_lm"         -> (llmBigramLm _),
@@ -339,6 +362,20 @@ object LlmOpsPipeline {
     "llm_heuristic_filter"  -> (llmHeuristicFilter _))
 
   val oracleSql: Map[String, String] = Map(
+    "llm_entropy" ->
+      """WITH t AS (
+        |  SELECT doc_id, lang, unnest(string_split(text, ' ')) AS tok
+        |  FROM documents),
+        |c AS (SELECT doc_id, lang, tok, count(*) AS c
+        |      FROM t GROUP BY doc_id, lang, tok),
+        |d AS (SELECT doc_id, lang,
+        |        ln(sum(c)) - sum(c * ln(c)) / sum(c) AS ent
+        |      FROM c GROUP BY doc_id, lang)
+        |SELECT lang, count(*) AS docs,
+        |  round(avg(ent), 6) AS avg_ent,
+        |  round(min(ent), 6) AS min_ent,
+        |  round(max(ent), 6) AS max_ent
+        |FROM d GROUP BY lang ORDER BY lang ASC""".stripMargin,
     "llm_weighted_sample" ->
       """SELECT doc_id, lang, n_chars,
         |  round(ln(CAST((doc_id * 2654435761) % 1000003 + 1 AS DOUBLE)
