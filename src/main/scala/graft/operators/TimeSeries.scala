@@ -102,13 +102,62 @@ object TimeSeries {
       .orderBy(col("event_type").asc, col("day").asc)
   }
 
+  /** Robust outlier detection via median absolute deviation: per type,
+    * med = median(daily rev), MAD = median(|rev − med|), outlier ⇔
+    * |rev − med| > 3·1.4826·MAD (the Gaussian-consistent robust z-score —
+    * unlike ts_anomaly's mean/stddev, one wild day can't drag the
+    * baseline). Exact medians are fine here because they run on the
+    * DAY-GRAIN frame (O(days·types) rows regardless of event volume);
+    * medians over raw 100 TB data would use the approx_percentile sketch
+    * instead. Two tiny broadcast joins carry the per-type statistics
+    * back. */
+  def tsMad(spark: SparkSession, dir: String): DataFrame = {
+    val daily = Tables.events(spark, dir)
+      .groupBy(col("event_type"), date_trunc("day", col("ts")).as("day"))
+      .agg(round(sum("value"), 2).as("rev"))
+    val med = daily.groupBy("event_type")
+      .agg(expr("percentile(rev, 0.5)").as("med"))
+    val withDev = daily.join(broadcast(med), "event_type")
+      .withColumn("adev", abs(col("rev") - col("med")))
+    val mad = withDev.groupBy("event_type")
+      .agg(expr("percentile(adev, 0.5)").as("mad"))
+    withDev.join(broadcast(mad), "event_type")
+      .groupBy("event_type")
+      .agg(
+        count(lit(1)).as("days"),
+        round(first("med"), 2).as("med"),
+        round(first("mad"), 2).as("mad_"),
+        // 4.4478 as ONE literal: both engines parse the same nearest double
+        // (3 * 1.4826 computed in-engine could differ in the last ulp)
+        count(when(col("adev") > lit(4.4478) * col("mad"), lit(1))).as("outliers"))
+      .orderBy(col("event_type").asc)
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "ts_mad"      -> (tsMad _),
     "ts_ewma"     -> (tsEwma _),
     "ts_gapfill"  -> (tsGapfill _),
     "ts_resample" -> (tsResample _),
     "ts_anomaly"  -> (tsAnomaly _))
 
   val oracleSql: Map[String, String] = Map(
+    "ts_mad" ->
+      """WITH daily AS (
+        |  SELECT event_type, date_trunc('day', ts) AS day,
+        |    round(sum(value), 2) AS rev
+        |  FROM events GROUP BY event_type, day),
+        |m AS (SELECT event_type, quantile_cont(rev, 0.5) AS med
+        |      FROM daily GROUP BY event_type),
+        |d AS (SELECT daily.event_type, rev, med, abs(rev - med) AS adev
+        |      FROM daily JOIN m ON daily.event_type = m.event_type),
+        |md AS (SELECT event_type, quantile_cont(adev, 0.5) AS mad
+        |       FROM d GROUP BY event_type)
+        |SELECT d.event_type, count(*) AS days,
+        |  round(any_value(d.med), 2) AS med,
+        |  round(any_value(md.mad), 2) AS mad_,
+        |  count(*) FILTER (WHERE adev > 4.4478e0 * mad) AS outliers
+        |FROM d JOIN md ON d.event_type = md.event_type
+        |GROUP BY d.event_type ORDER BY d.event_type ASC""".stripMargin,
     "ts_ewma" ->
       """WITH daily AS (
         |  SELECT event_type, date_trunc('day', ts) AS day,

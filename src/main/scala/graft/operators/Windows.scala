@@ -225,7 +225,28 @@ object Windows {
       key = "o_custkey", ord = "o_totalprice", tie = "o_orderkey", k = 3)
       .orderBy(col("o_custkey").asc, col("o_totalprice").desc, col("o_orderkey").asc)
 
+  /** IGNORE NULLS window navigation: previous non-NULL revenue (lag) and
+    * last-observation-carried-forward (last_value) per customer, where
+    * 'F'-status orders contribute NULL. The SQL-standard NULL-skipping
+    * navigation — distinct from a plain lag + coalesce, which can only
+    * reach back ONE row. Same sorted-window scale shape as the rest of
+    * §2.E (high-cardinality customer partitions). */
+  def winIgnoreNulls(spark: SparkSession, dir: String): DataFrame = {
+    val rev = when(col("o_orderstatus") === "F", lit(null))
+      .otherwise(col("o_totalprice"))
+    val w = Window.partitionBy("o_custkey")
+      .orderBy(col("o_orderdate").asc, col("o_orderkey").asc)
+    val wRun = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    Tables.orders(spark, dir)
+      .withColumn("rev", rev)
+      .select(col("o_custkey"), col("o_orderkey"),
+        round(lag(col("rev"), 1, null, ignoreNulls = true).over(w), 2).as("prev_ok"),
+        round(last(col("rev"), ignoreNulls = true).over(wRun), 2).as("locf"))
+      .orderBy(col("o_custkey").asc, col("o_orderkey").asc)
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "win_ignore_nulls"   -> (winIgnoreNulls _),
     "win_topk_native"    -> (winTopkNative _),
     "win_distinct_count" -> (winDistinctCount _),
     "win_ntile_cume"  -> (winNtileCume _),
@@ -241,6 +262,15 @@ object Windows {
     "win_first_last"  -> (winFirstLast _))
 
   val oracleSql: Map[String, String] = Map(
+    "win_ignore_nulls" ->
+      """SELECT o_custkey, o_orderkey,
+        |  round(lag(CASE WHEN o_orderstatus = 'F' THEN NULL ELSE o_totalprice END
+        |        IGNORE NULLS) OVER w, 2) AS prev_ok,
+        |  round(last_value(CASE WHEN o_orderstatus = 'F' THEN NULL ELSE o_totalprice END
+        |        IGNORE NULLS) OVER (w ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 2) AS locf
+        |FROM orders
+        |WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate ASC, o_orderkey ASC)
+        |ORDER BY o_custkey ASC, o_orderkey ASC""".stripMargin,
     "win_topk_native" ->
       """SELECT o_custkey, o_orderkey, o_totalprice FROM (
         |  SELECT o_custkey, o_orderkey, o_totalprice,
