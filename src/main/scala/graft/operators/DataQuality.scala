@@ -76,12 +76,78 @@ object DataQuality {
       .orderBy(col("op_type").asc)
   }
 
+  /** DESCRIBE-style column profiler — the first query anyone runs on an
+    * unknown 100 TB table: per column, row/non-null/distinct counts and
+    * numeric min/max/mean. One UNION ALL of per-column aggregate rows;
+    * Catalyst collapses it into a handful of parallel hash aggs over ONE
+    * scan pass per branch with full column pruning (each branch reads
+    * exactly its column). SQL-form: identical text is the oracle. Numeric
+    * stats are cast to DOUBLE for a uniform schema; string columns
+    * profile counts only (cross-engine double stringification is not
+    * identical, so no lexicographic min/max on numbers — §2.Z). */
+  def dqProfile(spark: SparkSession, dir: String): DataFrame = {
+    graft.Tables.registerAll(spark, dir)
+    spark.sql(
+      """SELECT 'o_orderkey' AS col, count(*) AS n, count(o_orderkey) AS nonnull,
+        |  count(DISTINCT o_orderkey) AS ndist,
+        |  round(CAST(min(o_orderkey) AS DOUBLE), 2) AS mn,
+        |  round(CAST(max(o_orderkey) AS DOUBLE), 2) AS mx,
+        |  round(avg(o_orderkey), 4) AS mean
+        |FROM orders
+        |UNION ALL
+        |SELECT 'o_custkey', count(*), count(o_custkey), count(DISTINCT o_custkey),
+        |  round(CAST(min(o_custkey) AS DOUBLE), 2), round(CAST(max(o_custkey) AS DOUBLE), 2),
+        |  round(avg(o_custkey), 4)
+        |FROM orders
+        |UNION ALL
+        |SELECT 'o_totalprice', count(*), count(o_totalprice), count(DISTINCT o_totalprice),
+        |  round(min(o_totalprice), 2), round(max(o_totalprice), 2),
+        |  round(avg(o_totalprice), 4)
+        |FROM orders
+        |UNION ALL
+        |SELECT 'o_orderstatus', count(*), count(o_orderstatus), count(DISTINCT o_orderstatus),
+        |  NULL, NULL, NULL
+        |FROM orders
+        |UNION ALL
+        |SELECT 'o_orderpriority', count(*), count(o_orderpriority), count(DISTINCT o_orderpriority),
+        |  NULL, NULL, NULL
+        |FROM orders
+        |ORDER BY col ASC""".stripMargin)
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "dq_profile" -> (dqProfile _),
     "cdc_apply" -> (cdcApply _),
     "dq_checks" -> (dqChecks _),
     "join_scd2" -> (joinScd2 _))
 
   val oracleSql: Map[String, String] = Map(
+    "dq_profile" ->
+      """SELECT 'o_orderkey' AS col, count(*) AS n, count(o_orderkey) AS nonnull,
+        |  count(DISTINCT o_orderkey) AS ndist,
+        |  round(CAST(min(o_orderkey) AS DOUBLE), 2) AS mn,
+        |  round(CAST(max(o_orderkey) AS DOUBLE), 2) AS mx,
+        |  round(avg(o_orderkey), 4) AS mean
+        |FROM orders
+        |UNION ALL
+        |SELECT 'o_custkey', count(*), count(o_custkey), count(DISTINCT o_custkey),
+        |  round(CAST(min(o_custkey) AS DOUBLE), 2), round(CAST(max(o_custkey) AS DOUBLE), 2),
+        |  round(avg(o_custkey), 4)
+        |FROM orders
+        |UNION ALL
+        |SELECT 'o_totalprice', count(*), count(o_totalprice), count(DISTINCT o_totalprice),
+        |  round(min(o_totalprice), 2), round(max(o_totalprice), 2),
+        |  round(avg(o_totalprice), 4)
+        |FROM orders
+        |UNION ALL
+        |SELECT 'o_orderstatus', count(*), count(o_orderstatus), count(DISTINCT o_orderstatus),
+        |  NULL, NULL, NULL
+        |FROM orders
+        |UNION ALL
+        |SELECT 'o_orderpriority', count(*), count(o_orderpriority), count(DISTINCT o_orderpriority),
+        |  NULL, NULL, NULL
+        |FROM orders
+        |ORDER BY col ASC""".stripMargin,
     "cdc_apply" ->
       """WITH ranked AS (
         |  SELECT user_id, event_type, value,
