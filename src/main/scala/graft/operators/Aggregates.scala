@@ -213,6 +213,24 @@ object Aggregates {
         count(lit(1)).as("n"))
       .orderBy(col("l_returnflag").asc)
 
+  /** Geometric mean of prices per return flag through the typed
+    * `Aggregator` API (functions/GeoMean.scala) — the user-facing custom
+    * aggregation surface, completing the extension story next to the
+    * three engine-internal TypedImperativeAggregates. Log-domain buffer
+    * merges associatively ⇒ map-side partials like any built-in; the
+    * oracle is the algebraic identity geomean = exp(avg(ln x)), which the
+    * typed implementation must reproduce (4dp absorbs sum-order ulps). */
+  def aggTypedGeomean(spark: SparkSession, dir: String): DataFrame = {
+    val gm = udaf(graft.functions.GeoMean)
+    Tables.lineitem(spark, dir)
+      .groupBy("l_returnflag")
+      .agg(
+        round(gm(col("l_extendedprice")), 4).as("geo_price"),
+        round(avg("l_extendedprice"), 4).as("arith_price"),
+        count(lit(1)).as("n"))
+      .orderBy(col("l_returnflag").asc)
+  }
+
   /** Linear-regression aggregate family (regr_*): price-vs-quantity fit
     * per return flag. Same single-pass merged-moment machinery as
     * agg_stats (partial aggregation composes the (n, Σx, Σy, Σxx, Σxy)
@@ -315,6 +333,7 @@ object Aggregates {
     "agg_approx_pctl"   -> (aggApproxPctl _),
     "agg_stats"         -> (aggStats _),
     "agg_regression"    -> (aggRegression _),
+    "agg_typed_geomean" -> (aggTypedGeomean _),
     "agg_percentiles"   -> (aggPercentiles _),
     "agg_kmv_distinct"  -> (aggKmvDistinct _),
     "agg_countmin"      -> (aggCountmin _),
@@ -357,6 +376,12 @@ object Aggregates {
         |  FROM c)
         |SELECT o_custkey, o_orderpriority AS mode_prio, cnt
         |FROM r WHERE rn = 1 ORDER BY o_custkey ASC""".stripMargin,
+    "agg_typed_geomean" ->
+      """SELECT l_returnflag,
+        | round(exp(avg(ln(l_extendedprice))), 4) AS geo_price,
+        | round(avg(l_extendedprice), 4) AS arith_price,
+        | count(*) AS n
+        |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag ASC""".stripMargin,
     "agg_regression" ->
       """SELECT l_returnflag,
         | round(regr_slope(l_extendedprice, l_quantity), 4) AS slope,
