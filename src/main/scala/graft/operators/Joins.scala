@@ -114,7 +114,27 @@ object Joins {
         (col("r_regionkey") * 100 + col("n_nationkey")).as("pair_score"))
       .orderBy(col("r_name").asc, col("n_name").asc)
 
+  /** NULL-safe equality join (`<=>` / SQL `IS NOT DISTINCT FROM`): the
+    * join key is nullable ('F' orders carry an unknown priority), and the
+    * null-safe operator makes NULL match NULL — a plain equi-join would
+    * silently DROP every NULL-keyed row (three-valued logic), the classic
+    * late-arriving-dimension bug. Catalyst still plans this as a hash
+    * join (null-safe equality is hashable: NULL gets its own hash class),
+    * so the scale story is unchanged from join_broadcast. */
+  def joinNullSafe(spark: SparkSession, dir: String): DataFrame = {
+    val k = when(col("o_orderstatus") === "F", lit(null))
+      .otherwise(col("o_orderpriority"))
+    val fact = Tables.orders(spark, dir).withColumn("k", k)
+    val dim = fact.select(col("k").as("d_k")).distinct()
+      .withColumn("grp", coalesce(col("d_k"), lit("UNKNOWN")))
+    fact.join(broadcast(dim), col("k") <=> col("d_k"))
+      .groupBy("grp")
+      .agg(count(lit(1)).as("n"), round(sum("o_totalprice"), 2).as("rev"))
+      .orderBy(col("grp").asc)
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "join_null_safe"  -> (joinNullSafe _),
     "join_broadcast"  -> (joinBroadcast _),
     "join_shuffle"    -> (joinShuffle _),
     "join_multikey"   -> (joinMultikey _),
@@ -125,6 +145,16 @@ object Joins {
     "join_cross"      -> (joinCross _))
 
   val oracleSql: Map[String, String] = Map(
+    "join_null_safe" ->
+      """WITH f AS (
+        |  SELECT CASE WHEN o_orderstatus = 'F' THEN NULL
+        |              ELSE o_orderpriority END AS k, o_totalprice
+        |  FROM orders),
+        |d AS (SELECT DISTINCT k AS d_k,
+        |        coalesce(k, 'UNKNOWN') AS grp FROM f)
+        |SELECT grp, count(*) AS n, round(sum(o_totalprice), 2) AS rev
+        |FROM f JOIN d ON f.k IS NOT DISTINCT FROM d.d_k
+        |GROUP BY grp ORDER BY grp ASC""".stripMargin,
     "join_broadcast" ->
       """SELECT r_name, n_name, count(*) AS customers, round(sum(c_acctbal),2) AS bal
         |FROM customer JOIN nation ON c_nationkey = n_nationkey
