@@ -57,7 +57,29 @@ object SetOps {
       .orderBy(col("op").asc, col("o_orderpriority").asc)
   }
 
+  /** Schema-flexible union (`unionByName` + allowMissingColumns): two
+    * feeds with overlapping-but-different columns merge by NAME, absent
+    * columns null-filled — the multi-source ingest shape (positional
+    * UNION would silently mis-align columns; a 100 TB pipeline fed by
+    * evolving upstreams needs the by-name contract). Census over the
+    * merged frame proves the null-fill landed on the right rows. */
+  def setUnionByname(spark: SparkSession, dir: String): DataFrame = {
+    val a = Tables.orders(spark, dir)
+      .filter(col("o_orderstatus") === "O")
+      .select(col("o_orderkey"), col("o_totalprice"), col("o_orderpriority"))
+    val b = Tables.orders(spark, dir)
+      .filter(col("o_orderstatus") === "F")
+      .select(col("o_orderkey"), col("o_custkey"), col("o_totalprice"))
+    a.unionByName(b, allowMissingColumns = true)
+      .agg(
+        count(lit(1)).as("n"),
+        count(col("o_orderpriority")).as("with_prio"),
+        count(col("o_custkey")).as("with_cust"),
+        round(sum("o_totalprice"), 2).as("rev"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "set_union_byname" -> (setUnionByname _),
     "set_union_all"      -> (setUnionAll _),
     "set_union_distinct" -> (setUnionDistinct _),
     "set_intersect"      -> (setIntersect _),
@@ -65,6 +87,16 @@ object SetOps {
     "set_all_variants"   -> (setAllVariants _))
 
   val oracleSql: Map[String, String] = Map(
+    "set_union_byname" ->
+      """WITH u AS (
+        |  SELECT o_orderkey, o_totalprice, o_orderpriority, NULL AS o_custkey
+        |  FROM orders WHERE o_orderstatus = 'O'
+        |  UNION ALL
+        |  SELECT o_orderkey, o_totalprice, NULL, o_custkey
+        |  FROM orders WHERE o_orderstatus = 'F')
+        |SELECT count(*) AS n, count(o_orderpriority) AS with_prio,
+        |  count(o_custkey) AS with_cust, round(sum(o_totalprice), 2) AS rev
+        |FROM u""".stripMargin,
     "set_union_all" ->
       """SELECT tag, count(*) AS n, count(DISTINCT o_custkey) AS custs FROM (
         |  SELECT o_custkey, 'F' AS tag FROM orders WHERE o_orderstatus = 'F'
