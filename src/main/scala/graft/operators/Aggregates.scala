@@ -231,6 +231,25 @@ object Aggregates {
       .orderBy(col("l_returnflag").asc)
   }
 
+  /** Discrete percentiles (SQL-standard PERCENTILE_DISC / WITHIN GROUP):
+    * the smallest ACTUAL value with cumulative fraction ≥ p — unlike
+    * agg_percentiles' interpolated quantile_cont, the result is always a
+    * real data point, so cross-engine agreement is EXACT (no
+    * interpolation arithmetic to diverge). The at-scale caveat matches
+    * agg_percentiles': exact quantiles need a per-group sort; sketches
+    * (agg_approx_pctl) are the 100 TB path. */
+  def aggPercentileDisc(spark: SparkSession, dir: String): DataFrame = {
+    Tables.registerAll(spark, dir)
+    spark.sql(
+      """SELECT o_orderpriority,
+        |  percentile_disc(0.25) WITHIN GROUP (ORDER BY o_totalprice) AS p25,
+        |  percentile_disc(0.5) WITHIN GROUP (ORDER BY o_totalprice) AS p50,
+        |  percentile_disc(0.9) WITHIN GROUP (ORDER BY o_totalprice) AS p90,
+        |  count(*) AS n
+        |FROM orders GROUP BY o_orderpriority
+        |ORDER BY o_orderpriority ASC""".stripMargin)
+  }
+
   /** Linear-regression aggregate family (regr_*): price-vs-quantity fit
     * per return flag. Same single-pass merged-moment machinery as
     * agg_stats (partial aggregation composes the (n, Σx, Σy, Σxx, Σxy)
@@ -334,6 +353,7 @@ object Aggregates {
     "agg_stats"         -> (aggStats _),
     "agg_regression"    -> (aggRegression _),
     "agg_typed_geomean" -> (aggTypedGeomean _),
+    "agg_percentile_disc" -> (aggPercentileDisc _),
     "agg_percentiles"   -> (aggPercentiles _),
     "agg_kmv_distinct"  -> (aggKmvDistinct _),
     "agg_countmin"      -> (aggCountmin _),
@@ -376,6 +396,14 @@ object Aggregates {
         |  FROM c)
         |SELECT o_custkey, o_orderpriority AS mode_prio, cnt
         |FROM r WHERE rn = 1 ORDER BY o_custkey ASC""".stripMargin,
+    "agg_percentile_disc" ->
+      """SELECT o_orderpriority,
+        |  quantile_disc(o_totalprice, 0.25) AS p25,
+        |  quantile_disc(o_totalprice, 0.5) AS p50,
+        |  quantile_disc(o_totalprice, 0.9) AS p90,
+        |  count(*) AS n
+        |FROM orders GROUP BY o_orderpriority
+        |ORDER BY o_orderpriority ASC""".stripMargin,
     "agg_typed_geomean" ->
       """SELECT l_returnflag,
         | round(exp(avg(ln(l_extendedprice))), 4) AS geo_price,
