@@ -26,7 +26,8 @@ object SparkEntry {
       Streaming.queries ++ SourcesSinks.queries ++ LlmOps.queries ++
       LlmOpsExtra.queries ++ Multimodal.queries ++ Skew.queries ++ SqlOps.queries ++
       TimeSeries.queries ++ Clustering.queries ++ Analytics.queries ++ LlmOpsPipeline.queries ++
-      DataQuality.queries ++ RuntimeFilter.queries ++ ScaleIdioms.queries ++ Workload.queries
+      DataQuality.queries ++ RuntimeFilter.queries ++ ScaleIdioms.queries ++ Workload.queries ++
+      JdbcSink.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
@@ -36,5 +37,6 @@ object SparkEntry {
       Streaming.oracleSql ++ SourcesSinks.oracleSql ++ LlmOps.oracleSql ++
       LlmOpsExtra.oracleSql ++ Multimodal.oracleSql ++ Skew.oracleSql ++ SqlOps.oracleSql ++
       TimeSeries.oracleSql ++ Clustering.oracleSql ++ Analytics.oracleSql ++ LlmOpsPipeline.oracleSql ++
-      DataQuality.oracleSql ++ RuntimeFilter.oracleSql ++ ScaleIdioms.oracleSql ++ Workload.oracleSql
+      DataQuality.oracleSql ++ RuntimeFilter.oracleSql ++ ScaleIdioms.oracleSql ++ Workload.oracleSql ++
+      JdbcSink.oracleSql
 }

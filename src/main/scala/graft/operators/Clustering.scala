@@ -197,25 +197,44 @@ object Clustering {
     * Output ordered by the ROUNDED rank (+ node tie-break) so the top-20
     * cutoff can't flip on a sub-6dp ulp divergence. */
   def graphPagerank(spark: SparkSession, dir: String): DataFrame = {
+    ensureCheckpointDir(spark)
+    // Nodes travel as LONGS (part → 2k, supplier → 2k+1; the bipartite
+    // sides can't collide) through every shuffle, join, and the
+    // checkpoint — 8-byte keys instead of "p123"/"s45" strings, the same
+    // id-encoding trick as llm_minhash. The display string is rebuilt
+    // only for the final 20 rows, where the oracle's ordering applies.
     val sp = Tables.lineitem(spark, dir)
-      .select(concat(lit("p"), col("l_partkey")).as("p"),
-        concat(lit("s"), col("l_suppkey")).as("s"))
+      .select((col("l_partkey") * 2).as("p"),
+        (col("l_suppkey") * 2 + 1).as("s"))
       .distinct()
-    // the graph structure is static across supersteps — persist it once
-    // (the Pregel invariant state; re-deriving the distinct edge list
-    // from lineitem on every superstep would re-scan the fact table 3×),
-    // and pin its partitioning on the superstep join key so the BIG side
-    // never re-shuffles: each iteration only moves the small ranks frame
-    // ALSO pre-sorted on the key: InMemoryTableScan forwards the cached
-    // plan's outputOrdering, so each superstep's sort-merge join sorts
-    // only the small ranks side — the cached big side is sort-free
-    val edges = sp.select(col("p").as("src"), col("s").as("dst"))
+    // the graph structure is static across supersteps. Round-5 pinned it
+    // with .cache(), which (a) paid a cache-fill double on the first
+    // timed run (6.6 s of the 8.8 s driver worst) and (b) leaked three
+    // never-unpersisted cached plans into the long-lived bench session
+    // (ADVICE r5). Round-6: RELIABLE checkpoint instead — the same
+    // materialize-once mechanism llmDedupClusters uses. The expensive
+    // distinct-over-lineitem runs exactly once (eager checkpoint job);
+    // every superstep rereads the small on-disk edge frame; nothing
+    // occupies block-manager storage after the action, and checkpoint
+    // files survive executor loss on a real cluster. (Plain un-cached
+    // reuse does NOT work here: per-branch column pruning makes each
+    // superstep's exchange canonically different, so ReusedExchange never
+    // fires and the distinct recomputes 8× — verified on the r6 plan.)
+    // Out-degrees are folded INTO the checkpointed frame, removing the
+    // per-superstep outdeg join entirely; the frame is pre-partitioned on
+    // the superstep join key (checkpoint preserves outputPartitioning),
+    // so each iteration only shuffles the small ranks frame.
+    val ed0 = sp.select(col("p").as("src"), col("s").as("dst"))
       .unionAll(sp.select(col("s").as("src"), col("p").as("dst")))
+    val outdeg = ed0.groupBy("src").agg(count(lit(1)).as("deg"))
+    val edges = ed0.join(outdeg, "src")
       .repartition(32, col("src"))
-      .sortWithinPartitions("src")
-      .cache()
-    val outdeg = edges.groupBy("src").agg(count(lit(1)).as("deg")).cache()
-    val nodes = edges.select(col("src").as("node")).distinct().cache()
+      .checkpoint()
+    // nodes stays derived (no second checkpoint job): all four uses below
+    // are the identical distinct-over-the-checkpoint subtree, so its
+    // exchange IS reused within the action — the LogicalRDD source has no
+    // per-branch pruning to defeat canonical equality.
+    val nodes = edges.select(col("src").as("node")).distinct()
     val nTotal = nodes.agg(count(lit(1)).as("n_nodes"))
 
     var ranks = nodes.crossJoin(broadcast(nTotal))
@@ -223,7 +242,6 @@ object Clustering {
     for (_ <- 1 to 3) {
       val contribs = ranks
         .join(edges, col("node") === col("src"))
-        .join(outdeg, "src")
         .select(col("dst"), (col("pr") / col("deg")).as("c"))
         .groupBy("dst").agg(sum("c").as("inflow"))
       ranks = nodes
@@ -234,7 +252,10 @@ object Clustering {
             lit(0.85) * coalesce(col("inflow"), lit(0.0))).as("pr"))
     }
     ranks
-      .select(col("node"), round(col("pr"), 6).as("pr"))
+      .select(
+        when(col("node") % 2 === 0, concat(lit("p"), (col("node") / 2).cast("long")))
+          .otherwise(concat(lit("s"), ((col("node") - 1) / 2).cast("long"))).as("node"),
+        round(col("pr"), 6).as("pr"))
       .orderBy(col("pr").desc, col("node").asc)
       .limit(20)
   }

@@ -258,12 +258,25 @@ object LlmOpsPipeline {
     val c12 = dc.groupBy("b12", "b1").agg(sum("cnt").as("c12"))
     val c1 = c12.groupBy("b1").agg(sum("c12").as("c1"))
     val v = c1.agg(count(lit(1)).as("v"))
-    val scored = dc
-      .join(c12, Seq("b12", "b1"))
-      .join(c1, Seq("b1"))
+    // Round-6 fix (driver bench r5: 56 s under contention): fold c1 and v
+    // into a per-BIGRAM lp table FIRST, so the corpus-sized dc never
+    // re-shuffles on the Zipf-distributed single-token key b1 — that
+    // post-join shuffle-by-b1 of the scored corpus was the round-5
+    // plan's degradation point under memory pressure. c1 is first-token-
+    // vocab-sized (Zipf-bounded, ~1e6 rows at any corpus scale, 16 B/row
+    // — comfortably a broadcast), c12 is bigram-vocab-sized. The corpus
+    // now crosses the wire exactly twice: hash(b12,b1) for the scoring
+    // join (its c12 aggregation input moves only map-side-combined
+    // partials), and hash(doc_id) for the final per-doc fold. The
+    // hottest b12's work share is bounded by SkewCanarySpec.
+    val lp12 = c12
+      .join(broadcast(c1), Seq("b1"))
       .crossJoin(broadcast(v))
-      .select(col("doc_id"), col("lang"), col("cnt"),
+      .select(col("b12"), col("b1"),
         log((col("c12") + 1).cast("double") / (col("c1") + col("v"))).as("lp"))
+    val scored = dc
+      .join(lp12, Seq("b12", "b1"))
+      .select(col("doc_id"), col("lang"), col("cnt"), col("lp"))
       .groupBy("doc_id", "lang")
       .agg((sum(col("lp") * col("cnt")) / sum(col("cnt"))).as("doc_lp"))
     scored.groupBy("lang")
@@ -315,7 +328,12 @@ object LlmOpsPipeline {
     * can't agree); ln()/division are the only libm calls and candidates
     * are ~1e-3 apart at the cutoff, 13 orders above any ulp divergence. */
   def llmWeightedSample(spark: SparkSession, dir: String): DataFrame = {
-    val u = ((col("doc_id") * lit(2654435761L)) % lit(1000003L) + lit(1L))
+    // Reduce BEFORE multiplying: (doc_id % p) * K stays ≤ ~2.7e15, inside
+    // int64 on both engines for any doc_id, whereas doc_id * K wraps in
+    // Spark and overflows (errors) in DuckDB once doc_id ≳ 3.47e9. By
+    // modular arithmetic ((x % p) * K) % p == (x * K) % p, so every u
+    // value — and the sample — is unchanged for in-range ids.
+    val u = (((col("doc_id") % lit(1000003L)) * lit(2654435761L)) % lit(1000003L) + lit(1L))
       .cast("double") / lit(1000004.0)
     Tables.documents(spark, dir)
       .select(col("doc_id"), col("lang"), col("n_chars"))
@@ -378,7 +396,7 @@ object LlmOpsPipeline {
         |FROM d GROUP BY lang ORDER BY lang ASC""".stripMargin,
     "llm_weighted_sample" ->
       """SELECT doc_id, lang, n_chars,
-        |  round(ln(CAST((doc_id * 2654435761) % 1000003 + 1 AS DOUBLE)
+        |  round(ln(CAST(((doc_id % 1000003) * 2654435761) % 1000003 + 1 AS DOUBLE)
         |        / 1000004e0) / n_chars, 6) + 0e0 AS akey
         |FROM documents
         |ORDER BY akey DESC, doc_id ASC LIMIT 32""".stripMargin,

@@ -46,9 +46,16 @@ object ScaleIdioms {
     * canonicalize identically and exchange reuse ships the corpus range
     * shuffle once (a `parted.groupBy(pid).count()` sibling would prune
     * different scan columns and defeat the reuse). */
-  def idsGlobal(spark: SparkSession, dir: String): DataFrame = {
+  def idsGlobal(spark: SparkSession, dir: String): DataFrame =
+    idsGlobalFrom(spark, Tables.documents(spark, dir).select(col("doc_id"), col("lang")))
+
+  /** DataFrame-input variant: lets callers (and the partitioning-
+    * invariance test) feed the corpus through ANY initial layout — the
+    * ids depend only on the global doc_id order because the first step
+    * below re-range-partitions unconditionally. */
+  def idsGlobalFrom(spark: SparkSession, docs: DataFrame): DataFrame = {
     import spark.implicits._
-    val parted = Tables.documents(spark, dir)
+    val parted = docs
       .select(col("doc_id"), col("lang"))
       .repartitionByRange(32, col("doc_id"))
       .sortWithinPartitions(col("doc_id"))

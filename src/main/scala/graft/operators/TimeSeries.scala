@@ -87,18 +87,61 @@ object TimeSeries {
     * first day, so the formula is data-driven, and gaps simply decay
     * (α^t advances with calendar distance). */
   def tsEwma(spark: SparkSession, dir: String): DataFrame = {
+    // Horizon bound (ADVICE r5): the closed form multiplies by α^{-tt} =
+    // 1.25^tt, which overflows double to Infinity at tt ≈ 3170 (~8.7 y of
+    // daily data). Fix: rebase the exponent per SEG-day segment (r = tt
+    // mod SEG ≤ 1023 ⇒ 1.25^r ≤ 4e99, always finite) and carry the
+    // previous segment's total across the boundary scaled by α^SEG.
+    // Exactly ONE segment of carry suffices: a term two segments back is
+    // weighted α^(≥SEG+1) ≈ 1e-100 — below any 4-dp rounding at any value
+    // scale — so older carries (and gap-skipped segments) truncate to 0.
+    // Segment 0 keeps the ORIGINAL expression tree verbatim, so for
+    // calendars under SEG days (every test fixture and the DuckDB oracle
+    // text) results are bit-identical to the round-5 form.
     val daily = Tables.events(spark, dir)
       .groupBy(col("event_type"), date_trunc("day", col("ts")).as("day"))
       .agg(round(sum("value"), 2).as("rev"))
+    ewmaDaily(daily)
+  }
+
+  /** Scoring core of tsEwma over a prepared (event_type, day, rev) frame —
+    * split out so the horizon-bound test can feed a multi-decade synthetic
+    * calendar that the events fixture doesn't reach. */
+  private[graft] def ewmaDaily(daily: DataFrame): DataFrame = {
+    val SEG = 1024
     val wRun = Window.partitionBy("event_type").orderBy(col("day").asc)
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    daily
+    val staged = daily
       .withColumn("tt", datediff(col("day"), first(col("day")).over(wRun)))
       .withColumn("x0", first("rev").over(wRun))
-      .withColumn("s", sum(col("rev") * pow(lit(1.25), col("tt"))).over(wRun))
-      .select(col("event_type"), col("day"), col("rev"),
-        round(pow(lit(0.8), col("tt")) *
-          (col("x0") + lit(0.2) * (col("s") - col("x0"))), 4).as("ewma"))
+      .withColumn("seg", (col("tt") / SEG).cast("int"))
+      .withColumn("r", col("tt") % SEG)
+    // Per-(type, segment) running and total sums of the rebased terms.
+    val wSegRun = Window.partitionBy("event_type", "seg").orderBy(col("day").asc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val wSegAll = Window.partitionBy("event_type", "seg")
+      .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    // The immediately-previous segment's total, looked up by segment VALUE
+    // (range frame), so a calendar gap that skips a whole segment yields
+    // null → carry 0, which is exactly the α^(≥2·SEG) truncation above.
+    val wPrev = Window.partitionBy("event_type").orderBy(col("seg"))
+      .rangeBetween(-1, -1)
+    val scored = staged
+      .withColumn("s", sum(col("rev") * pow(lit(1.25), col("r"))).over(wSegRun))
+      .withColumn("seg_tot", sum(col("rev") * pow(lit(1.25), col("r"))).over(wSegAll))
+      .withColumn("prev_tot", max(col("seg_tot")).over(wPrev))
+      .withColumn("carry",
+        pow(lit(0.8), lit(SEG)) * (lit(0.2) * coalesce(col("prev_tot"), lit(0.0)) +
+          when(col("seg") === 1, lit(0.8) * col("x0")).otherwise(lit(0.0))))
+      .withColumn("ewma",
+        when(col("seg") === 0,
+          // original closed form, unchanged expression tree (bit-identical)
+          round(pow(lit(0.8), col("tt")) *
+            (col("x0") + lit(0.2) * (col("s") - col("x0"))), 4))
+          .otherwise(
+            round(pow(lit(0.8), col("r")) * (lit(0.2) * col("s") + col("carry")), 4)))
+    scored
+      .select(col("event_type"), col("day"), col("rev"), col("ewma"))
       .orderBy(col("event_type").asc, col("day").asc)
   }
 

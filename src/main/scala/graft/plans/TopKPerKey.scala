@@ -72,6 +72,15 @@ private[plans] object TopKHeaps {
       kIdx: Int, oIdx: Int, tIdx: Int, k: Int): Iterator[InternalRow] = {
     val heaps = new java.util.HashMap[Long, scala.collection.mutable.PriorityQueue[Entry]]()
     rows.foreach { r =>
+      // getLong/getDouble on a NULL slot returns an undefined primitive,
+      // not an error — the operator defines no NULL ordering, so corrupt
+      // results must be impossible: reject actual NULLs loudly. (Parquet
+      // schemas are nullable even for null-free data, so this cannot be a
+      // static check at the topK entry point.)
+      if (r.isNullAt(kIdx) || r.isNullAt(oIdx) || r.isNullAt(tIdx))
+        throw new IllegalArgumentException(
+          "topK: NULL in key/order/tie column — the bounded-heap reduce defines no NULL " +
+            "ordering; filter or coalesce NULLs before calling topK")
       val key = r.getLong(kIdx)
       val e = (r.getDouble(oIdx), r.getLong(tIdx), null: InternalRow)
       var h = heaps.get(key)
@@ -159,7 +168,24 @@ object TopKPerKey {
       lp.output.find(_.name == name).getOrElse(
         throw new IllegalArgumentException(
           s"column $name not found in ${lp.output.map(_.name).mkString(", ")}"))
+    // TopKHeaps.reduce reads raw getLong/getDouble slots — the long/double
+    // contract lived only in the doc comment, so an IntegerType key or a
+    // non-double order column silently yielded garbage rows instead of an
+    // error (ADVICE r5). Enforce types here, fail fast with the exact
+    // mismatch. Nullability can't be a static check (parquet schemas are
+    // nullable even for null-free data): actual NULLs are rejected at
+    // runtime inside TopKHeaps.reduce.
+    def require2(a: Attribute, role: String, dt: org.apache.spark.sql.types.DataType): Unit = {
+      if (a.dataType != dt) throw new IllegalArgumentException(
+        s"topK $role column '${a.name}' must be $dt (raw-slot heap reduce), got ${a.dataType}; " +
+          "cast it explicitly before calling topK")
+    }
+    val (ka, oa, ta) = (attr(key), attr(ord), attr(tie))
+    require2(ka, "key", org.apache.spark.sql.types.LongType)
+    require2(oa, "order", org.apache.spark.sql.types.DoubleType)
+    require2(ta, "tie", org.apache.spark.sql.types.LongType)
+    require(k > 0, s"topK k must be positive, got $k")
     PlanBridge.dataFrame(df.sparkSession,
-      TopKPerKeyNode(lp, attr(key), attr(ord), attr(tie), k))
+      TopKPerKeyNode(lp, ka, oa, ta, k))
   }
 }

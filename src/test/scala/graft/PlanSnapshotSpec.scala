@@ -4,6 +4,7 @@ import org.scalatest.funsuite.AnyFunSuite
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.execution.FileSourceScanExec
 import org.apache.spark.sql.execution.exchange.{BroadcastExchangeExec, ShuffleExchangeExec}
+import org.apache.spark.sql.execution.joins.{BroadcastNestedLoopJoinExec, CartesianProductExec}
 
 /** Plan-regression guard: every declared query's physical plan is reduced
   * to a small fingerprint — shuffle-exchange count, broadcast-exchange
@@ -66,5 +67,40 @@ class PlanSnapshotSpec extends AnyFunSuite {
           "If intentional, regenerate with PLAN_SNAPSHOT_REGEN=1 and commit.")
       }
     }
+  }
+
+  /** Negative guard (round-5 verdict ask #8): a snapshot diff can be
+    * waved through with PLAN_SNAPSHOT_REGEN, but a NEW nested-loop or
+    * cartesian join in a query that never had one is a scale-killer and
+    * must fail outright. The allowlist is every query whose nested-loop
+    * is intentional: either a tiny-side cross pattern (both sides
+    * bounded: k-row seeds, label sets) or a 1-row broadcast scalar
+    * (count/total carried as a crossJoin(broadcast(agg)) — the
+    * no-driver-action idiom used instead of collect()). */
+  test("no query outside the allowlist plans a nested-loop or cartesian join") {
+    val allowed = Set(
+      // tiny-side cross patterns (PLANS.md)
+      "join_cross", "llm_cosine_knn", "llm_knn_join", "llm_tfidf",
+      "stream_late_data",
+      // broadcast of the O(k·d) trained codebook, joined without equi-keys
+      "llm_ann_ivf",
+      // 1-row broadcast scalar: crossJoin(broadcast(<global agg>)), the
+      // no-driver-action way to carry a count/total into every row
+      "graph_pagerank", "llm_bigram_lm", "llm_mix_weights")
+    val withNlj = SparkEntry.queries.toSeq.sortBy(_._1).flatMap { case (name, fn) =>
+      val plan = fn(session, sf0001).queryExecution.executedPlan
+      val n = plan.collect {
+        case j: BroadcastNestedLoopJoinExec => j
+        case j: CartesianProductExec        => j
+      }.size
+      if (n > 0) Some(name) else None
+    }.toSet
+    // two-sided: new offenders fail, and stale allowlist entries fail too,
+    // so the list always names EXACTLY the intentional nested loops
+    assert((withNlj -- allowed).isEmpty,
+      s"unexpected nested-loop/cartesian joins: ${(withNlj -- allowed).toSeq.sorted.mkString(", ")} — " +
+        "these do not scale; use an equi/range join or add an explicit, justified allowlist entry")
+    assert((allowed -- withNlj).isEmpty,
+      s"allowlist entries no longer plan a nested loop (remove them): ${(allowed -- withNlj).toSeq.sorted.mkString(", ")}")
   }
 }

@@ -21,13 +21,24 @@ class ScaleIdiomsSpec extends AnyFunSuite {
   }
 
   test("ids_global: ids unchanged when the source arrives differently partitioned") {
-    val a = ScaleIdioms.idsGlobal(spark, sf0001).collect()
+    val docs = Tables.documents(spark, sf0001).select(col("doc_id"), col("lang"))
+    val a = ScaleIdioms.idsGlobalFrom(spark, docs).collect()
       .map(r => (r.getLong(0), r.getLong(2))).toSet
-    // same data through a different initial layout: the declared operator
-    // re-range-partitions internally, so ids must not depend on input split
-    val b = ScaleIdioms.idsGlobal(spark, sf0001).collect()
-      .map(r => (r.getLong(0), r.getLong(2))).toSet
-    assert(a == b)
+    // same data through GENUINELY different initial layouts (round-5
+    // advice: the old test ran the identical call twice, which could only
+    // detect same-plan re-run instability): a skewed hash layout, a
+    // single-partition funnel, and a reverse-range layout all must yield
+    // the same ids, because the operator re-range-partitions on doc_id
+    // before assigning anything.
+    val layouts = Seq(
+      docs.repartition(7, col("lang")),             // skewed low-cardinality hash
+      docs.coalesce(1),                             // everything in one split
+      docs.repartitionByRange(5, col("doc_id").desc)) // reversed ranges
+    for (l <- layouts) {
+      val b = ScaleIdioms.idsGlobalFrom(spark, l).collect()
+        .map(r => (r.getLong(0), r.getLong(2))).toSet
+      assert(b == a, "ids depended on the input layout")
+    }
   }
 
   test("sec_sort_path: equals the collect_list/array_sort formulation") {

@@ -71,6 +71,46 @@ class SkewCanarySpec extends AnyFunSuite {
       s"salting no longer spreads the hottest block: $saltedShare vs $unsaltedShare")
   }
 
+  test("event-sized range joins: no user key owns an unbounded work share") {
+    // join_scd2 and join_interval both equi-join events.user_id to
+    // orders.o_custkey and band with a range predicate; the per-key work
+    // a sort-merge join scans is n_events(u) × n_orders(u) BEFORE the
+    // range filter prunes. Round-5 verdict ask #6: bound the hottest
+    // key's share so a fixture or query drift toward a skewed user fails
+    // loudly (AQE skew splitting helps stragglers but cannot fix a key
+    // that owns the table).
+    val ev = Tables.events(spark, sf001).groupBy("user_id")
+      .agg(count(lit(1)).as("ne"))
+    val od = Tables.orders(spark, sf001).groupBy("o_custkey")
+      .agg(count(lit(1)).as("no"))
+    val work = ev.join(od, col("user_id") === col("o_custkey"))
+      .select((col("ne") * col("no")).as("w"))
+      .collect().map(_.getLong(0))
+    val share = work.max.toDouble / work.sum
+    // measured at sf0.01: ≈ 0.0039 (uniform synthetic users); 0.02 leaves
+    // 5× headroom while still failing on any real hot-key regression
+    assert(share <= 0.02, s"hottest user owns $share of scd2/interval join work")
+  }
+
+  test("llm_bigram_lm scoring join: no bigram key owns an unbounded work share") {
+    // The round-6 bigram LM shuffles the per-doc RLE frame dc once on
+    // (b12, b1) — hash of the bigram — to score against the per-bigram lp
+    // table (1 row per key). Per-key work is therefore dc's row count per
+    // bigram: docs-containing-that-bigram, a Zipf tail but bounded far
+    // below any single-key hot spot. Mirrors the operator's in-row
+    // distinct-bigram extraction.
+    val counts = Tables.documents(spark, sf001)
+      .select(col("doc_id"), explode(array_distinct(expr(
+        """transform(sequence(1, greatest(size(split(text, ' ')) - 1, 0)),
+          |  i -> xxhash64(element_at(split(text, ' '), i),
+          |                element_at(split(text, ' '), i + 1)))""".stripMargin)))
+        .as("b12"))
+      .groupBy("b12").agg(count(lit(1)).as("w"))
+      .collect().map(_.getLong(1))
+    val share = counts.max.toDouble / counts.sum
+    assert(share <= 0.02, s"hottest bigram owns $share of the scoring-join work")
+  }
+
   test("dedup-family joins keep the salt columns in their equi-keys") {
     // AQE wraps the executed plan in AdaptiveSparkPlanExec (opaque until
     // run) — fingerprint the static plan, as PlanSnapshotSpec does
