@@ -68,12 +68,80 @@ object Analytics {
       .withColumn("lo", (col("bucket") * 50000).cast("double"))
       .orderBy(col("bucket").asc)
 
+  /** Equi-DEPTH histogram of order value: 10 buckets holding ~equal row
+    * counts, boundaries = the exact deciles (percentile_disc — actual
+    * data values, so both engines pick the identical cutpoints by rank;
+    * interpolated percentiles would diverge in ulps). Bucket = number of
+    * cutpoints strictly below the value, so ties collapse
+    * deterministically into the lower bucket. Two passes: a 1-row decile
+    * aggregate, then one map-side bucket assignment + hash agg with the
+    * cuts carried by a 1-row broadcast (the crossJoin(broadcast) scalar
+    * idiom — allowlisted in PlanSnapshotSpec). Scale caveat, same as
+    * ts_mad's exact medians: percentile_disc buffers per-value counts on
+    * one reducer — fine for a numeric column's bounded value domain; for
+    * an unbounded 100 TB domain swap the cutpoint pass for the
+    * approx_percentile sketch (agg_approx_pctl), identical plan shape. */
+  def histEqdepth(spark: SparkSession, dir: String): DataFrame = {
+    Tables.registerAll(spark, dir)
+    spark.sql(
+      """WITH c AS (
+        |  SELECT
+        |    percentile_disc(0.1) WITHIN GROUP (ORDER BY o_totalprice) AS c1,
+        |    percentile_disc(0.2) WITHIN GROUP (ORDER BY o_totalprice) AS c2,
+        |    percentile_disc(0.3) WITHIN GROUP (ORDER BY o_totalprice) AS c3,
+        |    percentile_disc(0.4) WITHIN GROUP (ORDER BY o_totalprice) AS c4,
+        |    percentile_disc(0.5) WITHIN GROUP (ORDER BY o_totalprice) AS c5,
+        |    percentile_disc(0.6) WITHIN GROUP (ORDER BY o_totalprice) AS c6,
+        |    percentile_disc(0.7) WITHIN GROUP (ORDER BY o_totalprice) AS c7,
+        |    percentile_disc(0.8) WITHIN GROUP (ORDER BY o_totalprice) AS c8,
+        |    percentile_disc(0.9) WITHIN GROUP (ORDER BY o_totalprice) AS c9
+        |  FROM orders),
+        |b AS (
+        |  SELECT o_totalprice,
+        |    CAST(o_totalprice > c1 AS INT) + CAST(o_totalprice > c2 AS INT) +
+        |    CAST(o_totalprice > c3 AS INT) + CAST(o_totalprice > c4 AS INT) +
+        |    CAST(o_totalprice > c5 AS INT) + CAST(o_totalprice > c6 AS INT) +
+        |    CAST(o_totalprice > c7 AS INT) + CAST(o_totalprice > c8 AS INT) +
+        |    CAST(o_totalprice > c9 AS INT) AS bucket
+        |  FROM orders CROSS JOIN c)
+        |SELECT bucket, count(*) AS n,
+        |  round(min(o_totalprice), 2) AS lo_seen,
+        |  round(max(o_totalprice), 2) AS hi_seen
+        |FROM b GROUP BY bucket ORDER BY bucket ASC""".stripMargin)
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "hist_equiwidth"   -> (histEquiwidth _),
+    "hist_eqdepth"     -> (histEqdepth _),
     "funnel_steps"     -> (funnelSteps _),
     "funnel_retention" -> (funnelRetention _))
 
   val oracleSql: Map[String, String] = Map(
+    "hist_eqdepth" ->
+      """WITH c AS (
+        |  SELECT
+        |    percentile_disc(0.1) WITHIN GROUP (ORDER BY o_totalprice) AS c1,
+        |    percentile_disc(0.2) WITHIN GROUP (ORDER BY o_totalprice) AS c2,
+        |    percentile_disc(0.3) WITHIN GROUP (ORDER BY o_totalprice) AS c3,
+        |    percentile_disc(0.4) WITHIN GROUP (ORDER BY o_totalprice) AS c4,
+        |    percentile_disc(0.5) WITHIN GROUP (ORDER BY o_totalprice) AS c5,
+        |    percentile_disc(0.6) WITHIN GROUP (ORDER BY o_totalprice) AS c6,
+        |    percentile_disc(0.7) WITHIN GROUP (ORDER BY o_totalprice) AS c7,
+        |    percentile_disc(0.8) WITHIN GROUP (ORDER BY o_totalprice) AS c8,
+        |    percentile_disc(0.9) WITHIN GROUP (ORDER BY o_totalprice) AS c9
+        |  FROM orders),
+        |b AS (
+        |  SELECT o_totalprice,
+        |    CAST(o_totalprice > c1 AS INT) + CAST(o_totalprice > c2 AS INT) +
+        |    CAST(o_totalprice > c3 AS INT) + CAST(o_totalprice > c4 AS INT) +
+        |    CAST(o_totalprice > c5 AS INT) + CAST(o_totalprice > c6 AS INT) +
+        |    CAST(o_totalprice > c7 AS INT) + CAST(o_totalprice > c8 AS INT) +
+        |    CAST(o_totalprice > c9 AS INT) AS bucket
+        |  FROM orders CROSS JOIN c)
+        |SELECT bucket, count(*) AS n,
+        |  round(min(o_totalprice), 2) AS lo_seen,
+        |  round(max(o_totalprice), 2) AS hi_seen
+        |FROM b GROUP BY bucket ORDER BY bucket ASC""".stripMargin,
     "hist_equiwidth" ->
       """SELECT CAST(least(9, floor(o_totalprice / 50000)) AS INT) AS bucket,
         |  count(*) AS n,

@@ -229,7 +229,19 @@ object LlmOpsPipeline {
     *    (run starts → run lengths), replacing the (doc, w1, w2) groupBy —
     *    the exploded occurrence stream (the widest table in the query,
     *    driver bench 9.6 s) now never shuffles at all. */
-  def llmBigramLm(spark: SparkSession, dir: String): DataFrame = {
+  def llmBigramLm(spark: SparkSession, dir: String): DataFrame =
+    bigramDocLp(spark, dir)
+      .groupBy("lang")
+      .agg(count(lit(1)).as("docs"),
+        round(avg("doc_lp"), 6).as("avg_lp"),
+        round(min("doc_lp"), 6).as("min_lp"),
+        round(max("doc_lp"), 6).as("max_lp"))
+      .orderBy(col("lang").asc)
+
+  /** Per-document add-one-smoothed bigram log-probability (doc_id, lang,
+    * doc_lp) — the scoring core shared by llm_bigram_lm's per-lang report
+    * and llm_quality_buckets' CCNet-style head/middle/tail split. */
+  private[graft] def bigramDocLp(spark: SparkSession, dir: String): DataFrame = {
     val toks = split(col("text"), " ")
     val nb = greatest(size(toks) - 1, lit(0))
     val pairs = transform(sequence(lit(1), nb),
@@ -274,17 +286,41 @@ object LlmOpsPipeline {
       .crossJoin(broadcast(v))
       .select(col("b12"), col("b1"),
         log((col("c12") + 1).cast("double") / (col("c1") + col("v"))).as("lp"))
-    val scored = dc
+    dc
       .join(lp12, Seq("b12", "b1"))
       .select(col("doc_id"), col("lang"), col("cnt"), col("lp"))
       .groupBy("doc_id", "lang")
       .agg((sum(col("lp") * col("cnt")) / sum(col("cnt"))).as("doc_lp"))
-    scored.groupBy("lang")
+  }
+
+  /** CCNet-style quality bucketing (round-6 addendum): split each
+    * language's documents into head / middle / tail by bigram-LM score.
+    * Thresholds are MOMENTS (μ ± σ/2 per lang), not per-lang percentiles:
+    * the moment pass is a single partial-aggregating scan at any corpus
+    * size (exact order statistics would buffer values per lang AND their
+    * discrete index choice diverges between engines when a lang's doc
+    * count crosses n≡1 mod 3 — §2.Z class trap), and it's the same
+    * rounded-threshold-compare pattern ts_anomaly already proves out.
+    * doc_lp is rounded to 6dp BEFORE thresholding so both engines
+    * bucket identical values. The percentile variant at 100 TB is
+    * agg_approx_pctl's sketch + the identical join/CASE tail. */
+  def llmQualityBuckets(spark: SparkSession, dir: String): DataFrame = {
+    val d = bigramDocLp(spark, dir)
+      .select(col("doc_id"), col("lang"), round(col("doc_lp"), 6).as("lp"))
+    val stats = d.groupBy("lang").agg(
+      round(avg("lp") + stddev_samp(col("lp")) / 2, 6).as("hi"),
+      round(avg("lp") - stddev_samp(col("lp")) / 2, 6).as("lo"))
+    d.join(broadcast(stats), "lang")
+      .withColumn("bucket",
+        when(col("lp") > col("hi"), lit("head"))
+          .when(col("lp") < col("lo"), lit("tail"))
+          .otherwise(lit("middle")))
+      .groupBy("lang", "bucket")
       .agg(count(lit(1)).as("docs"),
-        round(avg("doc_lp"), 6).as("avg_lp"),
-        round(min("doc_lp"), 6).as("min_lp"),
-        round(max("doc_lp"), 6).as("max_lp"))
-      .orderBy(col("lang").asc)
+        round(avg("lp"), 6).as("avg_lp"),
+        round(min("lp"), 6).as("lo_lp"),
+        round(max("lp"), 6).as("hi_lp"))
+      .orderBy(col("lang").asc, col("bucket").asc)
   }
 
   /** Fixed-size overlapping chunking (context windows of 64 tokens,
@@ -371,6 +407,7 @@ object LlmOpsPipeline {
     "llm_weighted_sample"   -> (llmWeightedSample _),
     "llm_doc_split"         -> (llmDocSplit _),
     "llm_bigram_lm"         -> (llmBigramLm _),
+    "llm_quality_buckets"   -> (llmQualityBuckets _),
     "llm_pack"              -> (llmPack _),
     "llm_dedup_apply"       -> (llmDedupApply _),
     "llm_stratified_sample" -> (llmStratifiedSample _),
@@ -434,6 +471,44 @@ object LlmOpsPipeline {
         |SELECT lang, count(*) AS docs, round(avg(doc_lp), 6) AS avg_lp,
         |  round(min(doc_lp), 6) AS min_lp, round(max(doc_lp), 6) AS max_lp
         |FROM scored GROUP BY lang ORDER BY lang ASC""".stripMargin,
+    "llm_quality_buckets" ->
+      """WITH t AS (SELECT doc_id, lang, string_split(text, ' ') AS toks FROM documents),
+        |bi0 AS (
+        |  SELECT doc_id, lang, unnest(list_transform(
+        |    generate_series(1, greatest(len(toks) - 1, 0)),
+        |    i -> struct_pack(w1 := toks[i], w2 := toks[i + 1]))) AS p
+        |  FROM t),
+        |dc AS (SELECT doc_id, lang, p.w1 AS w1, p.w2 AS w2,
+        |         CAST(count(*) AS BIGINT) AS cnt
+        |       FROM bi0 GROUP BY doc_id, lang, w1, w2),
+        |c12 AS (SELECT w1, w2, CAST(sum(cnt) AS BIGINT) AS c12
+        |        FROM dc GROUP BY w1, w2),
+        |c1 AS (SELECT w1, CAST(sum(c12) AS BIGINT) AS c1 FROM c12 GROUP BY w1),
+        |v AS (SELECT count(*) AS v FROM c1),
+        |scored AS (
+        |  SELECT dc.doc_id, dc.lang,
+        |    sum(ln(CAST(c12.c12 + 1 AS DOUBLE) / (c1.c1 + v.v)) * dc.cnt)
+        |      / sum(dc.cnt) AS doc_lp
+        |  FROM dc JOIN c12 ON dc.w1 = c12.w1 AND dc.w2 = c12.w2
+        |          JOIN c1 ON dc.w1 = c1.w1 CROSS JOIN v
+        |  GROUP BY dc.doc_id, dc.lang),
+        |d AS (SELECT doc_id, lang, round(doc_lp, 6) AS lp FROM scored),
+        |stats AS (
+        |  SELECT lang,
+        |    round(avg(lp) + stddev_samp(lp) / 2, 6) AS hi,
+        |    round(avg(lp) - stddev_samp(lp) / 2, 6) AS lo
+        |  FROM d GROUP BY lang),
+        |b AS (
+        |  SELECT d.lang,
+        |    CASE WHEN lp > hi THEN 'head'
+        |         WHEN lp < lo THEN 'tail'
+        |         ELSE 'middle' END AS bucket, lp
+        |  FROM d JOIN stats ON d.lang = stats.lang)
+        |SELECT lang, bucket, count(*) AS docs,
+        |  round(avg(lp), 6) AS avg_lp,
+        |  round(min(lp), 6) AS lo_lp,
+        |  round(max(lp), 6) AS hi_lp
+        |FROM b GROUP BY lang, bucket ORDER BY lang ASC, bucket ASC""".stripMargin,
     "llm_pack" ->
       """WITH t AS (
         |  SELECT doc_id, lang,

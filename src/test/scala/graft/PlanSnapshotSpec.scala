@@ -86,7 +86,8 @@ class PlanSnapshotSpec extends AnyFunSuite {
       "llm_ann_ivf",
       // 1-row broadcast scalar: crossJoin(broadcast(<global agg>)), the
       // no-driver-action way to carry a count/total into every row
-      "graph_pagerank", "llm_bigram_lm", "llm_mix_weights")
+      "graph_pagerank", "llm_bigram_lm", "llm_mix_weights",
+      "llm_quality_buckets", "hist_eqdepth")
     val withNlj = SparkEntry.queries.toSeq.sortBy(_._1).flatMap { case (name, fn) =>
       val plan = fn(session, sf0001).queryExecution.executedPlan
       val n = plan.collect {
