@@ -37,6 +37,10 @@ object Bench {
       .config("spark.sql.extensions", "graft.GraftExtensions")
       // events.parquet carries ns timestamps (FIXTURES.md loading recipe)
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      // reliable checkpoints (pagerank, dedup clusters) delete their files
+      // once the RDD is GC'd — a multi-run session must not accumulate
+      // checkpoint dirs in tmpfs
+      .config("spark.cleaner.referenceTracking.cleanCheckpoints", "true")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
@@ -77,7 +81,11 @@ object Bench {
       s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":$fullQs,"errors":$nerr,"n_queries":${results.size},"sf":"$sfDir"}"""
 
     // Complete map -> repo file (judge-readable even when stdout is clipped).
+    // Delete the previous run's file FIRST: if this run's write fails, a
+    // stale map must not masquerade as current behind the full_map pointer.
     val fullPath = "/root/repo/bench/BENCH_FULL_latest.json"
+    try java.nio.file.Files.deleteIfExists(java.nio.file.Paths.get(fullPath))
+    catch { case _: Throwable => () }
     try {
       java.nio.file.Files.write(
         java.nio.file.Paths.get(fullPath),
@@ -92,8 +100,9 @@ object Bench {
     // whole line plus sbt's epilogue fits the 2000-char tail window.
     val slowest = results.collect { case (k, Right(v)) => k -> v }
       .toSeq.sortBy(-_._2).take(8).map(_._1)
+    // no filter on results.contains: a renamed/removed headline query must
+    // surface as "absent" in the compact line, not silently vanish
     val compactKeys = (headline ++ slowest).distinct
-      .filter(results.contains)
     def line(keys: Seq[String]): String = {
       val qs = keys.map(entry).mkString("{", ",", "}")
       s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":$qs,"errors":$nerr,"n_queries":${results.size},"sf":"$sfDir","full_map":"$fullPath"}"""

@@ -14,6 +14,8 @@ object Verify {
       .config("spark.sql.extensions", "graft.GraftExtensions")
       // events.parquet carries ns timestamps (FIXTURES.md loading recipe)
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      // GC'd reliable checkpoints delete their tmpfs files (see Bench)
+      .config("spark.cleaner.referenceTracking.cleanCheckpoints", "true")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")

@@ -46,7 +46,20 @@ object JdbcSink {
     new java.io.File(root).mkdirs()
     if (System.getProperty("derby.system.home") == null)
       System.setProperty("derby.system.home", root)
-    s"$root/derby_${java.util.UUID.randomUUID().toString.take(8)}"
+    val p = s"$root/derby_${java.util.UUID.randomUUID().toString.take(8)}"
+    // tmpfs hygiene: this JVM's database dir must not outlive it (the
+    // per-JVM UUID prevents boot-lock fights between concurrent JVMs, so
+    // cleanup must also be per-JVM — sweeping other UUIDs could corrupt a
+    // live sibling). Shut Derby down first so the store is quiescent.
+    sys.addShutdownHook {
+      try java.sql.DriverManager.getConnection(s"jdbc:derby:$p;shutdown=true")
+      catch { case _: java.sql.SQLException => () } // XJ015/08006 = clean shutdown
+      def rm(f: java.io.File): Unit = {
+        val kids = f.listFiles(); if (kids != null) kids.foreach(rm); f.delete(): Unit
+      }
+      rm(new java.io.File(p))
+    }
+    p
   }
 
   def jdbcSink(spark: SparkSession, dir: String): DataFrame = {

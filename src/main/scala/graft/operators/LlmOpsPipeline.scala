@@ -241,7 +241,13 @@ object LlmOpsPipeline {
   /** Per-document add-one-smoothed bigram log-probability (doc_id, lang,
     * doc_lp) — the scoring core shared by llm_bigram_lm's per-lang report
     * and llm_quality_buckets' CCNet-style head/middle/tail split. */
-  private[graft] def bigramDocLp(spark: SparkSession, dir: String): DataFrame = {
+  private[graft] def bigramDocLp(spark: SparkSession, dir: String): DataFrame =
+    bigramDocLpFrom(spark, Tables.documents(spark, dir)
+      .repartition(spark.sparkContext.defaultParallelism)) // single-row-group file
+
+  /** DataFrame-input scoring core, so tests can feed degenerate corpora
+    * (single-token / NULL-text docs) the parquet fixture doesn't carry. */
+  private[graft] def bigramDocLpFrom(spark: SparkSession, docs: DataFrame): DataFrame = {
     val toks = split(col("text"), " ")
     val nb = greatest(size(toks) - 1, lit(0))
     val pairs = transform(sequence(lit(1), nb),
@@ -259,8 +265,14 @@ object LlmOpsPipeline {
       element_at(col("sp"), element_at(col("st"), j)).as("p"),
       (when(j === m, n + 1).otherwise(element_at(col("st"), j + 1))
         - element_at(col("st"), j)).cast("bigint").as("cnt")))
-    val dc = Tables.documents(spark, dir)
-      .repartition(spark.sparkContext.defaultParallelism) // single-row-group file
+    val dc = docs
+      // Docs with <2 tokens (or NULL text, size→-1) have no bigrams and
+      // contribute NO dc rows — exactly the oracle's semantics, where
+      // generate_series(1,0) is empty. Spark's sequence(1,0) is NOT empty
+      // (it DESCENDS to [1,0]), so without this guard the transform would
+      // evaluate element_at(toks, 0) and throw where DuckDB returns
+      // normally — an engine-divergent crash on the first such row.
+      .where(size(split(col("text"), " ")) >= 2)
       .select(col("doc_id"), col("lang"), sort_array(pairs).as("sp"))
       .withColumn("st", filter(sequence(lit(1), n),
         i => (i === 1) || (element_at(col("sp"), i) =!= element_at(col("sp"), i - 1))))

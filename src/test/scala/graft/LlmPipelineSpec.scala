@@ -9,6 +9,24 @@ import graft.operators._
 class LlmPipelineSpec extends AnyFunSuite {
   import TestSpark._
 
+  test("bigram LM: single-token and NULL-text docs are excluded, not a crash") {
+    // Spark's sequence(1,0) DESCENDS to [1,0] (it is not empty), so a doc
+    // with no bigrams would reach element_at(toks, 0) and throw where the
+    // DuckDB oracle's generate_series(1,0) quietly yields no rows. The
+    // operator's <2-token guard must make both engines agree: such docs
+    // contribute nothing.
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "alpha beta alpha beta", "en"),
+      (2L, "loneword", "en"),
+      (3L, null.asInstanceOf[String], "en"),
+      (4L, "", "en"))
+      .toDF("doc_id", "text", "lang")
+    val scored = LlmOpsPipeline.bigramDocLpFrom(spark, docs).collect()
+    assert(scored.map(_.getLong(0)).toSet == Set(1L),
+      "only the multi-token doc should be scored")
+  }
+
   test("bigram LM: log-probs are negative and bounded by the vocabulary floor") {
     val rows = LlmOpsPipeline.llmBigramLm(spark, sf0001).collect()
     assert(rows.nonEmpty)

@@ -1,7 +1,6 @@
 package graft
 
 import org.scalatest.funsuite.AnyFunSuite
-import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.execution.FileSourceScanExec
 import org.apache.spark.sql.execution.exchange.{BroadcastExchangeExec, ShuffleExchangeExec}
 import org.apache.spark.sql.execution.joins.{BroadcastNestedLoopJoinExec, CartesianProductExec}
@@ -31,8 +30,16 @@ class PlanSnapshotSpec extends AnyFunSuite {
     s
   }
 
-  private def fingerprint(df: DataFrame): Seq[Int] = {
-    val plan = df.queryExecution.executedPlan
+  // One planning pass for BOTH tests: several constructors are not
+  // side-effect-free (graph_pagerank's eager checkpoint job, jdbc_sink's
+  // Derby write, llm_dedup_clusters' iterative fixpoint), so the NLJ
+  // guard must reuse these plans, not re-construct every query.
+  private lazy val plans: Seq[(String, org.apache.spark.sql.execution.SparkPlan)] =
+    SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
+      name -> fn(session, sf0001).queryExecution.executedPlan
+    }
+
+  private def fingerprint(plan: org.apache.spark.sql.execution.SparkPlan): Seq[Int] = {
     val shuffles = plan.collect { case e: ShuffleExchangeExec => e }.size
     val broadcasts = plan.collect { case e: BroadcastExchangeExec => e }.size
     val scans = plan.collect { case s: FileSourceScanExec => s }
@@ -46,9 +53,7 @@ class PlanSnapshotSpec extends AnyFunSuite {
 
   test("all declared queries match the committed plan snapshot") {
     val snapPath = java.nio.file.Paths.get("src/test/resources/plan_snapshot.json")
-    val actual = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
-      name -> fingerprint(fn(session, sf0001))
-    }
+    val actual = plans.map { case (name, plan) => name -> fingerprint(plan) }
     val rendered = render(actual)
     if (sys.env.contains("PLAN_SNAPSHOT_REGEN") ||
         !java.nio.file.Files.exists(snapPath)) {
@@ -88,8 +93,7 @@ class PlanSnapshotSpec extends AnyFunSuite {
       // no-driver-action way to carry a count/total into every row
       "graph_pagerank", "llm_bigram_lm", "llm_mix_weights",
       "llm_quality_buckets", "hist_eqdepth")
-    val withNlj = SparkEntry.queries.toSeq.sortBy(_._1).flatMap { case (name, fn) =>
-      val plan = fn(session, sf0001).queryExecution.executedPlan
+    val withNlj = plans.flatMap { case (name, plan) =>
       val n = plan.collect {
         case j: BroadcastNestedLoopJoinExec => j
         case j: CartesianProductExec        => j

@@ -100,8 +100,11 @@ class SkewCanarySpec extends AnyFunSuite {
     // below any single-key hot spot. Mirrors the operator's in-row
     // distinct-bigram extraction.
     val counts = Tables.documents(spark, sf001)
+      // same <2-token guard as the operator: sequence(1,0) descends to
+      // [1,0] in Spark, so index 0 would throw on a bigram-less doc
+      .where(size(split(col("text"), " ")) >= 2)
       .select(col("doc_id"), explode(array_distinct(expr(
-        """transform(sequence(1, greatest(size(split(text, ' ')) - 1, 0)),
+        """transform(sequence(1, size(split(text, ' ')) - 1),
           |  i -> xxhash64(element_at(split(text, ' '), i),
           |                element_at(split(text, ' '), i + 1)))""".stripMargin)))
         .as("b12"))

@@ -14,6 +14,10 @@ object TestSpark {
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.extensions", "graft.GraftExtensions")
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      // GC'd reliable checkpoints (pagerank, dedup clusters — eager at
+      // query construction, so every suite writes them) delete their
+      // tmpfs files instead of accumulating across test runs
+      .config("spark.cleaner.referenceTracking.cleanCheckpoints", "true")
       // static conf — needed by BucketingSpec's saveAsTable, kept out of
       // the repo tree
       .config("spark.sql.warehouse.dir",
