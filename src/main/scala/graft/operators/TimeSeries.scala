@@ -176,14 +176,54 @@ object TimeSeries {
       .orderBy(col("event_type").asc)
   }
 
+  /** Lag-1 autocorrelation of daily revenue per event type (round-6
+    * addendum): the persistence diagnostic that separates trending series
+    * (ρ₁ → 1) from mean-reverting noise (ρ₁ → 0) — the statistic behind
+    * "is yesterday predictive of today" before anyone fits a model. One
+    * lag window + one corr aggregate over the day-grain frame (O(days ×
+    * types) rows at any event volume); both engines implement the
+    * sample-Pearson definition, 6dp rounds absorbing accumulation-order
+    * ulps; day pairs must be CONSECUTIVE (calendar diff = 1) so a gap
+    * contributes no spurious pair. */
+  def tsAutocorr(spark: SparkSession, dir: String): DataFrame = {
+    val daily = Tables.events(spark, dir)
+      .groupBy(col("event_type"), date_trunc("day", col("ts")).as("day"))
+      .agg(round(sum("value"), 2).as("rev"))
+    val w = Window.partitionBy("event_type").orderBy(col("day").asc)
+    daily
+      .withColumn("prev_rev", lag(col("rev"), 1).over(w))
+      .withColumn("prev_day", lag(col("day"), 1).over(w))
+      .where(datediff(col("day"), col("prev_day")) === 1)
+      .groupBy("event_type")
+      .agg(count(lit(1)).as("pairs"),
+        round(corr(col("rev"), col("prev_rev")), 6).as("rho1"))
+      .orderBy(col("event_type").asc)
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "ts_mad"      -> (tsMad _),
     "ts_ewma"     -> (tsEwma _),
+    "ts_autocorr" -> (tsAutocorr _),
     "ts_gapfill"  -> (tsGapfill _),
     "ts_resample" -> (tsResample _),
     "ts_anomaly"  -> (tsAnomaly _))
 
   val oracleSql: Map[String, String] = Map(
+    "ts_autocorr" ->
+      """WITH daily AS (
+        |  SELECT event_type, date_trunc('day', ts) AS day,
+        |    round(sum(value), 2) AS rev
+        |  FROM events GROUP BY event_type, day),
+        |l AS (
+        |  SELECT event_type, day, rev,
+        |    lag(rev, 1) OVER w AS prev_rev,
+        |    lag(day, 1) OVER w AS prev_day
+        |  FROM daily
+        |  WINDOW w AS (PARTITION BY event_type ORDER BY day ASC))
+        |SELECT event_type, count(*) AS pairs,
+        |  round(corr(rev, prev_rev), 6) AS rho1
+        |FROM l WHERE date_diff('day', prev_day, day) = 1
+        |GROUP BY event_type ORDER BY event_type ASC""".stripMargin,
     "ts_mad" ->
       """WITH daily AS (
         |  SELECT event_type, date_trunc('day', ts) AS day,
