@@ -11,6 +11,11 @@ libraryDependencies ++= Seq(
 )
 Test / fork := true
 run / fork := true
+// Forked runMain output passes through RAW: the default LoggedOutput
+// strategy prefixes every stdout line with "[info] ", which a strict
+// json.loads on Bench's final JSON line would reject. StdoutOutput also
+// preserves write ordering with sbt's own epilogue.
+run / outputStrategy := Some(OutputStrategy.StdoutOutput)
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside
 // spark-submit (which normally injects them). Matches
 // org.apache.spark.launcher.JavaModuleOptions.defaultModuleOptions().
