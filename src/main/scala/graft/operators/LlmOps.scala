@@ -254,6 +254,33 @@ object LlmOps {
       .orderBy(col("rnk").asc)
   }
 
+  /** Vocabulary coverage curve (round-6 addendum): what share of all
+    * token OCCURRENCES the top-100 / top-1k / top-10k most frequent
+    * terms cover — the tokenizer-budget planning query (how big must the
+    * vocab be before <1% of running text is OOV). Scale shape mirrors
+    * llm_top_terms: the global term-frequency table reduces via
+    * TakeOrdered (per-partition heaps, O(k) memory at any vocab size),
+    * the rank window runs over the ≤10k survivors only, and the
+    * occurrence total arrives as a 1-row broadcast. Shares are exact
+    * integer ratios (long·1.0/long — the identical division in both
+    * engines), 6dp rounds. Ties at each k boundary are total-ordered by
+    * (n DESC, tok ASC), so both engines keep the same term set. */
+  def llmVocabCoverage(spark: SparkSession, dir: String): DataFrame = {
+    val counts = Tables.documents(spark, dir)
+      .select(explode(split(col("text"), " ")).as("tok"))
+      .groupBy("tok").agg(count(lit(1)).as("n"))
+    val top = counts.orderBy(col("n").desc, col("tok").asc).limit(10000)
+      .withColumn("rn", row_number().over(Window.orderBy(col("n").desc, col("tok").asc)))
+    val tot = counts.agg(sum("n").as("tot"), count(lit(1)).as("vocab"))
+    top.crossJoin(broadcast(tot))
+      .agg(
+        first("vocab").as("vocab"),
+        first("tot").as("total_toks"),
+        round(sum(when(col("rn") <= 100, col("n"))) * lit(1.0) / first("tot"), 6).as("top100_share"),
+        round(sum(when(col("rn") <= 1000, col("n"))) * lit(1.0) / first("tot"), 6).as("top1k_share"),
+        round(sum(when(col("rn") <= 10000, col("n"))) * lit(1.0) / first("tot"), 6).as("top10k_share"))
+  }
+
   /** Top TF-IDF term per document (first 100 docs); idf fixed as
     * ln((N+1)/(df+1))+1 on both engines so scores are portable. */
   def llmTfidf(spark: SparkSession, dir: String): DataFrame = {
@@ -297,6 +324,7 @@ object LlmOps {
     "llm_centroid"    -> (llmCentroid _),
     "llm_text_stats"  -> (llmTextStats _),
     "llm_top_terms"   -> (llmTopTerms _),
+    "llm_vocab_coverage" -> (llmVocabCoverage _),
     "llm_tfidf"       -> (llmTfidf _),
     "llm_multimodal"  -> (llmMultimodal _))
 
@@ -366,6 +394,19 @@ object LlmOps {
         |  GROUP BY tok),
         |r AS (SELECT tok, n, row_number() OVER (ORDER BY n DESC, tok ASC) AS rnk FROM c)
         |SELECT rnk, tok, n FROM r WHERE rnk <= 20 ORDER BY rnk ASC""".stripMargin,
+    "llm_vocab_coverage" ->
+      """WITH c AS (
+        |  SELECT tok, count(*) AS n
+        |  FROM (SELECT unnest(string_split(text, ' ')) AS tok FROM documents) t
+        |  GROUP BY tok),
+        |r AS (SELECT n, row_number() OVER (ORDER BY n DESC, tok ASC) AS rn FROM c),
+        |tot AS (SELECT CAST(sum(n) AS BIGINT) AS tot, count(*) AS vocab FROM c)
+        |SELECT vocab, tot AS total_toks,
+        |  round(sum(CASE WHEN rn <= 100 THEN n END) * 1.0 / tot, 6) AS top100_share,
+        |  round(sum(CASE WHEN rn <= 1000 THEN n END) * 1.0 / tot, 6) AS top1k_share,
+        |  round(sum(CASE WHEN rn <= 10000 THEN n END) * 1.0 / tot, 6) AS top10k_share
+        |FROM r CROSS JOIN tot
+        |GROUP BY vocab, tot""".stripMargin,
     "llm_tfidf" ->
       """WITH tf AS (
         |  SELECT doc_id, tok, count(*) AS tf

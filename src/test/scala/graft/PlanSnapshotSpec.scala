@@ -92,7 +92,7 @@ class PlanSnapshotSpec extends AnyFunSuite {
       // 1-row broadcast scalar: crossJoin(broadcast(<global agg>)), the
       // no-driver-action way to carry a count/total into every row
       "graph_pagerank", "llm_bigram_lm", "llm_mix_weights",
-      "llm_quality_buckets", "hist_eqdepth")
+      "llm_quality_buckets", "hist_eqdepth", "llm_vocab_coverage")
     val withNlj = plans.flatMap { case (name, plan) =>
       val n = plan.collect {
         case j: BroadcastNestedLoopJoinExec => j
