@@ -213,9 +213,10 @@ object LlmOpsPipeline {
     * not the occurrence stream — natural text repeats bigrams heavily, so
     * this shrinks the join input by the repetition factor, and the mean
     * log-prob is recovered exactly as the cnt-weighted average. `c12`/`c1`
-    * are derived FROM `dc` (sum of cnt), so the (bigram)-shuffle of `dc`
-    * is shared between the c12 aggregate and the probe side of the join
-    * via exchange reuse. No broadcast hint on the LM join — AQE picks; at
+    * are derived FROM `dc` (sum of cnt), which is checkpointed so the c12
+    * aggregate and the probe side of the join read one materialized frame
+    * (round 7 — exchange reuse can't be relied on across differently-
+    * pruned branches). No broadcast hint on the LM join — AQE picks; at
     * 100 TB both sides shuffle on the bigram key.
     *
     * Round-5 rewrite, two changes that leave every count identical:
@@ -240,10 +241,31 @@ object LlmOpsPipeline {
 
   /** Per-document add-one-smoothed bigram log-probability (doc_id, lang,
     * doc_lp) — the scoring core shared by llm_bigram_lm's per-lang report
-    * and llm_quality_buckets' CCNet-style head/middle/tail split. */
+    * and llm_quality_buckets' CCNet-style head/middle/tail split.
+    *
+    * The scored frame is reliably CHECKPOINTED (one row per doc — tiny)
+    * and memoized per (session, sfDir): the heaviest scoring pipeline in
+    * the suite now runs at most once per session however many consumers
+    * follow (quality_buckets' stats pass + scoring join both read the
+    * checkpoint instead of re-executing the pipeline — the ADVICE r6
+    * double-execution; and a bench session running bigram_lm then
+    * quality_buckets pays the corpus scan once, not twice). WeakHashMap
+    * keying lets a dropped session GC its entry, whereupon
+    * cleanCheckpoints removes the files. */
+  private val docLpCache =
+    new java.util.WeakHashMap[SparkSession, scala.collection.mutable.Map[String, DataFrame]]()
+
   private[graft] def bigramDocLp(spark: SparkSession, dir: String): DataFrame =
-    bigramDocLpFrom(spark, Tables.documents(spark, dir)
-      .repartition(spark.sparkContext.defaultParallelism)) // single-row-group file
+    docLpCache.synchronized {
+      val perSession = docLpCache.computeIfAbsent(spark,
+        _ => scala.collection.mutable.Map.empty[String, DataFrame])
+      perSession.getOrElseUpdate(dir, {
+        Clustering.ensureCheckpointDir(spark)
+        bigramDocLpFrom(spark, Tables.documents(spark, dir)
+          .repartition(spark.sparkContext.defaultParallelism)) // single-row-group file
+          .checkpoint()
+      })
+    }
 
   /** DataFrame-input scoring core, so tests can feed degenerate corpora
     * (single-token / NULL-text docs) the parquet fixture doesn't carry. */
@@ -265,7 +287,7 @@ object LlmOpsPipeline {
       element_at(col("sp"), element_at(col("st"), j)).as("p"),
       (when(j === m, n + 1).otherwise(element_at(col("st"), j + 1))
         - element_at(col("st"), j)).cast("bigint").as("cnt")))
-    val dc = docs
+    val dcRaw = docs
       // Docs with <2 tokens (or NULL text, size→-1) have no bigrams and
       // contribute NO dc rows — exactly the oracle's semantics, where
       // generate_series(1,0) is empty. Spark's sequence(1,0) is NOT empty
@@ -279,7 +301,23 @@ object LlmOpsPipeline {
       .select(col("doc_id"), col("lang"), explode(rle).as("e"))
       .select(col("doc_id"), col("lang"),
         col("e.p.b12").as("b12"), col("e.p.b1").as("b1"), col("e.cnt").as("cnt"))
-    val c12 = dc.groupBy("b12", "b1").agg(sum("cnt").as("c12"))
+    // Round-7: checkpoint dc. The in-row sort+RLE map pass is the query's
+    // single most expensive stage, and dc feeds two branches (the c12
+    // aggregate and the scoring-join probe) whose column pruning differs —
+    // relying on canonical-equality exchange reuse to not run it twice is
+    // exactly the fragility the pagerank comment documents. The checkpoint
+    // pins the RLE output once (bigram-distinct rows, repetition-factor
+    // smaller than the occurrence stream); both branches then read the
+    // materialized frame. On a cluster this is the sensible durable
+    // materialization point for the whole scoring pipeline anyway.
+    Clustering.ensureCheckpointDir(spark)
+    val dc = dcRaw.checkpoint()
+    // Round-7: the bigram id b12 = xxhash64(w1,w2) functionally determines
+    // b1 = xxhash64(w1) (modulo the already-budgeted ~n²/2⁶⁵ collisions),
+    // so every downstream key is the SINGLE long b12 — c12 carries b1
+    // along as max() only to build c1 — and the corpus-sized probe rows
+    // drop the b1 column entirely: narrower wire rows, one-long join key.
+    val c12 = dc.groupBy("b12").agg(sum("cnt").as("c12"), max("b1").as("b1"))
     val c1 = c12.groupBy("b1").agg(sum("c12").as("c1"))
     val v = c1.agg(count(lit(1)).as("v"))
     // Round-6 fix (driver bench r5: 56 s under contention): fold c1 and v
@@ -289,17 +327,18 @@ object LlmOpsPipeline {
     // plan's degradation point under memory pressure. c1 is first-token-
     // vocab-sized (Zipf-bounded, ~1e6 rows at any corpus scale, 16 B/row
     // — comfortably a broadcast), c12 is bigram-vocab-sized. The corpus
-    // now crosses the wire exactly twice: hash(b12,b1) for the scoring
-    // join (its c12 aggregation input moves only map-side-combined
-    // partials), and hash(doc_id) for the final per-doc fold. The
-    // hottest b12's work share is bounded by SkewCanarySpec.
+    // crosses the wire exactly twice: hash(b12) for the scoring join
+    // (its c12 aggregation input moves only map-side-combined partials),
+    // and hash(doc_id) for the final per-doc fold. The hottest b12's
+    // work share is bounded by SkewCanarySpec.
     val lp12 = c12
       .join(broadcast(c1), Seq("b1"))
       .crossJoin(broadcast(v))
-      .select(col("b12"), col("b1"),
+      .select(col("b12"),
         log((col("c12") + 1).cast("double") / (col("c1") + col("v"))).as("lp"))
     dc
-      .join(lp12, Seq("b12", "b1"))
+      .select(col("doc_id"), col("lang"), col("b12"), col("cnt"))
+      .join(lp12, Seq("b12"))
       .select(col("doc_id"), col("lang"), col("cnt"), col("lp"))
       .groupBy("doc_id", "lang")
       .agg((sum(col("lp") * col("cnt")) / sum(col("cnt"))).as("doc_lp"))

@@ -90,9 +90,13 @@ class PlanSnapshotSpec extends AnyFunSuite {
       // broadcast of the O(k·d) trained codebook, joined without equi-keys
       "llm_ann_ivf",
       // 1-row broadcast scalar: crossJoin(broadcast(<global agg>)), the
-      // no-driver-action way to carry a count/total into every row
-      "graph_pagerank", "llm_bigram_lm", "llm_mix_weights",
-      "llm_quality_buckets", "hist_eqdepth", "llm_vocab_coverage")
+      // no-driver-action way to carry a count/total into every row.
+      // (llm_bigram_lm / llm_quality_buckets left this list in round 7:
+      // their V-scalar crossJoin now executes inside the checkpointed
+      // bigramDocLp construction, so the DECLARED plan is checkpoint-scan
+      // + aggregate with no nested loop.)
+      "graph_pagerank", "llm_mix_weights",
+      "hist_eqdepth", "llm_vocab_coverage")
     val withNlj = plans.flatMap { case (name, plan) =>
       val n = plan.collect {
         case j: BroadcastNestedLoopJoinExec => j

@@ -93,8 +93,9 @@ class SkewCanarySpec extends AnyFunSuite {
   }
 
   test("llm_bigram_lm scoring join: no bigram key owns an unbounded work share") {
-    // The round-6 bigram LM shuffles the per-doc RLE frame dc once on
-    // (b12, b1) — hash of the bigram — to score against the per-bigram lp
+    // The bigram LM shuffles the per-doc RLE frame dc once on b12 —
+    // hash of the bigram (round 7: the single long key) — to score
+    // against the per-bigram lp
     // table (1 row per key). Per-key work is therefore dc's row count per
     // bigram: docs-containing-that-bigram, a Zipf tail but bounded far
     // below any single-key hot spot. Mirrors the operator's in-row
