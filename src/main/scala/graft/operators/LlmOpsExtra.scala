@@ -39,33 +39,65 @@ object LlmOpsExtra {
   /** n-gram (3-token shingle) Jaccard near-dup — order-sensitive dedup:
     * token-set Jaccard (llm_dedup_near) treats reshuffled documents as
     * identical; shingle Jaccard does not, which is why corpus dedup runs
-    * both. Shingles are built once per doc (sequence+slice), distinct and
-    * sorted, so the pair stage runs the zero-allocation merge kernel.
-    * Threshold 0.3: shingle similarity is far more discriminative than
-    * token-set similarity (6 true pairs vs 2391 at sf0.01). */
+    * both. Threshold 0.3: shingle similarity is far more discriminative
+    * than token-set similarity (6 true pairs vs 2391 at sf0.01).
+    *
+    * Round-7 rewrite: INVERTED-INDEX intersect counting instead of
+    * blocked pair-verify. The round-6 form enumerated every within-block
+    * pair (588k at sf0.1) and ran a merge kernel over two sorted shingle
+    * arrays per pair, which meant array payloads through the pair
+    * shuffle and fat-row SMJ sorts — the memory-pressure-sensitive stage
+    * behind its 10× driver-vs-local inflation (r6 verdict). The index
+    * form explodes each doc's distinct shingle set once (occurrence
+    * stream of fixed-width longs), self-joins on the SHINGLE hash within
+    * the block, and counts shared shingles per pair: work scales with
+    * pairs that actually share a shingle (74k at sf0.1 — 8× fewer than
+    * the blocked pair space; max per-shingle df 8, so no hot key), every
+    * shuffle row is a handful of longs, and no array ever crosses a
+    * shuffle or sits in a sort buffer. jac = c/(na+nb−c) divides the
+    * SAME integers as the oracle's list_intersect/list_concat form
+    * (shingles hash-encoded map-side; collision odds ~n²/2⁶⁵ — the
+    * round-6 budget — leave every count unchanged). Pairs below the
+    * threshold share few shingles and die in the count aggregate; pairs
+    * with NO shared shingle (jac = 0) never enter the stream at all,
+    * which is exactly the candidate pruning PPJoin-family algorithms
+    * formalize. At 100 TB the df distribution is the thing to watch:
+    * boilerplate shingles with huge df would blow up the df² pair
+    * stream — SkewCanarySpec bounds the hottest shingle's work share,
+    * and a production corpus would cap df (drop non-discriminative
+    * shingles) before the self-join. */
   def llmNgramJaccard(spark: SparkSession, dir: String): DataFrame = {
     val toksRaw = split(col("text"), " ") // order matters for shingles
     val nsh = greatest(size(toksRaw) - 2, lit(1))
     val shingles = array_distinct(transform(sequence(lit(1), nsh),
       i => concat_ws(" ", slice(toksRaw, i, lit(3)))))
-    // hash-encode shingles → sorted long ids before pairing: shingle
-    // string arrays are ~4 KB/side per pair and array MATERIALIZATION
-    // dominates the 588k blocked pairs (same profile as llm_minhash).
-    // `xxhash64(shingle)` is computed map-side INSIDE the document row —
-    // round 1 exploded the shingles into a vocabulary, ranked it with a
-    // single-partition window, and joined back; all three steps are gone.
-    // Collision odds ~n²/2⁶⁵ leave every Jaccard value unchanged.
+    // Checkpoint the encoded doc frame: it feeds both sides of the
+    // intersect join, and the per-doc shingle transform is the query's
+    // heaviest map pass — without a materialization it re-runs per
+    // consumer (the bigramDocLp lesson; exchange reuse across
+    // differently-shaped branches is not a plan property to rely on).
+    // One row per doc (~one long per shingle) — tiny; the explode to the
+    // occurrence stream happens per consumer AFTER the checkpoint read.
+    // The doc's distinct-shingle count n rides along so the Jaccard
+    // denominator needs no size-lookup joins later.
+    Clustering.ensureCheckpointDir(spark)
     val d = Tables.documents(spark, dir)
       .repartition(spark.sparkContext.defaultParallelism) // single-row-group file
       .select(col("doc_id").as("id"), col("lang"), expr("n_chars div 100").as("band"),
-        sort_array(transform(shingles, s => xxhash64(s))).as("sh"))
-    // pair generation via the shared de-skewed candidate path (same pairs
-    // as the plain (lang, band) self-join the oracle runs — see
-    // BlockedPairs' scaladoc for the triangle salting scheme)
-    val jac = graft.functions.sim.jaccardLongSim(col("a.sh"), col("b.sh"))
-    BlockedPairs.saltedSelfPairs(d, Seq("lang", "band"))
-      .select(col("a.id").as("a_id"), col("b.id").as("b_id"),
-        round(jac, 6).as("jac"))
+        transform(shingles, s => xxhash64(s)).as("sh"))
+      .withColumn("n", size(col("sh")).cast("bigint"))
+      .checkpoint()
+    val occ = d.select(col("id"), col("lang"), col("band"), col("n"),
+      explode(col("sh")).as("h"))
+    occ
+      .join(occ.select(col("id").as("b_id"), col("lang").as("r_lang"),
+          col("band").as("r_band"), col("n").as("nb"), col("h").as("r_h")),
+        col("h") === col("r_h") && col("lang") === col("r_lang") &&
+          col("band") === col("r_band") && col("id") < col("b_id"))
+      .groupBy(col("id").as("a_id"), col("b_id"))
+      .agg(count(lit(1)).as("c"), max("n").as("na"), max("nb").as("nb"))
+      .select(col("a_id"), col("b_id"),
+        round(col("c").cast("double") / (col("na") + col("nb") - col("c")), 6).as("jac"))
       .filter(col("jac") >= 0.3)
       .orderBy(col("a_id").asc, col("b_id").asc)
   }

@@ -120,16 +120,50 @@ class SkewCanarySpec extends AnyFunSuite {
     // run) — fingerprint the static plan, as PlanSnapshotSpec does
     val session = spark.newSession()
     session.conf.set("spark.sql.adaptive.enabled", "false")
-    for (q <- Seq("llm_dedup_near", "llm_ngram_jaccard")) {
+    def joinKeys(q: String): Seq[Seq[org.apache.spark.sql.catalyst.expressions.Expression]] = {
       val plan = SparkEntry.queries(q)(session, sf0001).queryExecution.executedPlan
       // equi-join may plan as broadcast at test scale — keys are what matters
-      val maxKeys = plan.collect {
-        case j: SortMergeJoinExec     => j.leftKeys.size
-        case j: ShuffledHashJoinExec  => j.leftKeys.size
-        case j: BroadcastHashJoinExec => j.leftKeys.size
+      plan.collect {
+        case j: SortMergeJoinExec     => j.leftKeys
+        case j: ShuffledHashJoinExec  => j.leftKeys
+        case j: BroadcastHashJoinExec => j.leftKeys
       }
-      assert(maxKeys.nonEmpty && maxKeys.max >= 4,
-        s"$q: expected a pair join keyed on (block keys + 2 salts), got key counts $maxKeys")
     }
+    val nearKeys = joinKeys("llm_dedup_near").map(_.size)
+    assert(nearKeys.nonEmpty && nearKeys.max >= 4,
+      s"llm_dedup_near: expected a pair join keyed on (block keys + 2 salts), got key counts $nearKeys")
+    // llm_ngram_jaccard (round 7) generates candidates from the inverted
+    // index: its intersect join must be keyed on the SHINGLE hash (the
+    // naturally high-cardinality key) plus the block keys — a regression
+    // back to a (lang, band)-only self-join would shrink keys to 2 and
+    // put whole blocks on single keys again.
+    val ngramKeys = joinKeys("llm_ngram_jaccard")
+    val names = ngramKeys.map(_.collect {
+      case a: org.apache.spark.sql.catalyst.expressions.AttributeReference => a.name
+    }.toSet)
+    assert(names.exists(n => n.contains("h") && n.contains("lang") && n.contains("band")),
+      s"llm_ngram_jaccard: expected the intersect join keyed on (h, lang, band), got $names")
+  }
+
+  test("llm_ngram_jaccard inverted index: no shingle owns an unbounded pair-stream share") {
+    // The index form's per-key work is df·(df−1)/2 for a (block, shingle)
+    // with document frequency df — a boilerplate shingle shared by a
+    // whole block would quadratically own the stream. Mirrors the
+    // operator's map-side shingle extraction.
+    val toksRaw = split(col("text"), " ")
+    val nsh = greatest(size(toksRaw) - 2, lit(1))
+    val shingles = array_distinct(transform(sequence(lit(1), nsh),
+      i => concat_ws(" ", slice(toksRaw, i, lit(3)))))
+    val work = Tables.documents(spark, sf001)
+      .select(col("doc_id"), col("lang"), expr("n_chars div 100").as("band"),
+        explode(transform(shingles, s => xxhash64(s))).as("h"))
+      .groupBy("lang", "band", "h").agg(count(lit(1)).as("df"))
+      .select(expr("df*(df-1) div 2").as("w"))
+      .filter(col("w") > 0)
+      .collect().map(_.getLong(0))
+    val share = work.max.toDouble / work.sum
+    // measured at sf0.01: max df is single digits over a ~10k-pair
+    // stream; 0.05 still fails loudly on any hot boilerplate shingle
+    assert(share <= 0.05, s"hottest shingle owns $share of the pair stream")
   }
 }
