@@ -46,10 +46,23 @@ object Bench {
     spark.sparkContext.setLogLevel("WARN")
     // Warm-up outside the timed region: JVM/codegen/parquet-reader init
     // otherwise lands entirely on whichever query happens to run first
-    // (~3-4 s of constant overhead misattributed to one query).
+    // (~3-4 s of constant overhead misattributed to one query), and cold
+    // page cache lands on each table's FIRST scan (round-6 driver run:
+    // scan_parquet 4.2 s vs 0.86 s local purely because it ran first).
+    // Hash-summing every column of every table pulls footer + all data
+    // pages through the OS cache; a bare count() would read metadata only.
     try {
       spark.range(1000000).selectExpr("sum(id)").collect()
-      spark.read.parquet(s"$sfDir/lineitem.parquet").limit(1000).count()
+      val tables = Seq("region", "nation", "customer", "supplier", "part",
+        "orders", "lineitem", "events", "documents", "embeddings")
+      tables.foreach { t =>
+        try {
+          val df = spark.read.parquet(s"$sfDir/$t.parquet")
+          df.select(org.apache.spark.sql.functions.xxhash64(df.columns.map(
+            org.apache.spark.sql.functions.col): _*).as("h"))
+            .selectExpr("sum(h)").collect()
+        } catch { case _: Throwable => () }
+      }
     } catch { case _: Throwable => () }
     // A failed query must be VISIBLE ("err"), not scored as the ~0 s it
     // took to throw — silently swallowing inflated apparent perf.
@@ -83,7 +96,15 @@ object Bench {
     // Complete map -> repo file (judge-readable even when stdout is clipped).
     // Delete the previous run's file FIRST: if this run's write fails, a
     // stale map must not masquerade as current behind the full_map pointer.
-    val fullPath = "/root/repo/bench/BENCH_FULL_latest.json"
+    // Path derives from the working directory (sbt runs from the repo
+    // root) with an env override, so a relocated checkout still gets its
+    // map (ADVICE r6: the hardcoded /root/repo silently degraded).
+    val fullPath = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT",
+      new java.io.File(sys.props.getOrElse("user.dir", "."),
+        "bench/BENCH_FULL_latest.json").getAbsolutePath)
+    try java.nio.file.Files.createDirectories(
+      java.nio.file.Paths.get(fullPath).getParent)
+    catch { case _: Throwable => () }
     try java.nio.file.Files.deleteIfExists(java.nio.file.Paths.get(fullPath))
     catch { case _: Throwable => () }
     try {
