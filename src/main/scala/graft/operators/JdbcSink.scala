@@ -37,6 +37,38 @@ import graft.Tables
   */
 object JdbcSink {
 
+  private def rm(f: java.io.File): Unit = {
+    val kids = f.listFiles(); if (kids != null) kids.foreach(rm); f.delete(): Unit
+  }
+
+  /** Remove sibling `derby_*` dirs that no live JVM owns (ADVICE r6): a
+    * crashed/killed run never executes its shutdown hook, so its UUID dir
+    * would leak tmpfs forever. Stale = older than the age cutoff AND its
+    * `dbex.lck` is not exclusively locked — Derby holds a FileLock on
+    * that file for the whole boot exactly so dual-booters can detect a
+    * live owner; `tryLock` succeeding proves there is none. The age gate
+    * keeps the sweep away from a sibling mid-boot (lock file created a
+    * moment after the dir). */
+  private[graft] def sweepStale(root: java.io.File, cutoffMs: Long): Unit = {
+    val olds = root.listFiles()
+    if (olds == null) return
+    olds.filter(f => f.isDirectory && f.getName.startsWith("derby_") &&
+        f.lastModified < cutoffMs).foreach { d =>
+      val lck = new java.io.File(d, "dbex.lck")
+      val free =
+        if (!lck.exists) true
+        else try {
+          val ch = java.nio.channels.FileChannel.open(lck.toPath,
+            java.nio.file.StandardOpenOption.WRITE)
+          try {
+            val l = ch.tryLock()
+            if (l != null) { l.release(); true } else false
+          } finally ch.close()
+        } catch { case _: Throwable => false } // can't prove it's dead -> keep
+      if (free) rm(d)
+    }
+  }
+
   /** One embedded-Derby path per JVM: concurrent JVMs (sbt test vs
     * Verify) must not fight over Derby's single-JVM boot lock, while
     * repeated calls in one session reuse the database via overwrite. */
@@ -46,17 +78,18 @@ object JdbcSink {
     new java.io.File(root).mkdirs()
     if (System.getProperty("derby.system.home") == null)
       System.setProperty("derby.system.home", root)
+    // reap what crashed predecessors left behind (1 h age + lock probe)
+    try sweepStale(new java.io.File(root), System.currentTimeMillis() - 3600L * 1000)
+    catch { case _: Throwable => () }
     val p = s"$root/derby_${java.util.UUID.randomUUID().toString.take(8)}"
     // tmpfs hygiene: this JVM's database dir must not outlive it (the
     // per-JVM UUID prevents boot-lock fights between concurrent JVMs, so
-    // cleanup must also be per-JVM — sweeping other UUIDs could corrupt a
-    // live sibling). Shut Derby down first so the store is quiescent.
+    // LIVE siblings are protected by sweepStale's lock probe and only
+    // provably-dead dirs are reaped). Shut Derby down first so the store
+    // is quiescent.
     sys.addShutdownHook {
       try java.sql.DriverManager.getConnection(s"jdbc:derby:$p;shutdown=true")
       catch { case _: java.sql.SQLException => () } // XJ015/08006 = clean shutdown
-      def rm(f: java.io.File): Unit = {
-        val kids = f.listFiles(); if (kids != null) kids.foreach(rm); f.delete(): Unit
-      }
       rm(new java.io.File(p))
     }
     p
