@@ -151,13 +151,67 @@ object Analytics {
         |FROM b GROUP BY bucket ORDER BY bucket ASC""".stripMargin)
   }
 
+  /** Batch sessionization (round-7 addendum): split each user's event
+    * stream into sessions at >30-minute inactivity gaps, then summarize
+    * every session. The batch twin of stream_session/stream_stateful —
+    * the backfill query every sessionized product metric needs when the
+    * streaming job gains a new session definition.
+    *
+    * Shape: lag + running-sum windows partitioned by user_id (the
+    * gaps-and-islands idiom) + one hash aggregate on (user, session).
+    * Everything shuffles ONCE on user_id and stays there — the windows
+    * and the final agg share the partitioning, so session assembly is a
+    * single exchange at any event volume. Skew = one hyperactive user;
+    * bounded by per-user event counts, the same exposure stream_session
+    * accepts, and salvageable by splitting on (user, day) if a key ever
+    * exceeds a partition. Gap arithmetic is integer µs on both engines
+    * (Tables.events ns→µs truncation), so session boundaries agree
+    * exactly; the value sum rounds 6dp to absorb accumulation order. */
+  def sessBatch(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy("user_id").orderBy(col("ts").asc, col("event_id").asc)
+    val gapUs = 1800000000L // 30 min
+    Tables.events(spark, dir)
+      .select(col("user_id"), col("event_id"), col("ts"), col("value"))
+      .withColumn("prev_us", lag(unix_micros(col("ts")), 1).over(w))
+      .withColumn("new_sess",
+        when(col("prev_us").isNull ||
+          unix_micros(col("ts")) - col("prev_us") > gapUs, 1L).otherwise(0L))
+      .withColumn("sess_n", sum("new_sess").over(w))
+      .groupBy("user_id", "sess_n")
+      .agg(
+        count(lit(1)).as("n_events"),
+        (max(unix_micros(col("ts"))) - min(unix_micros(col("ts")))).as("dur_us"),
+        round(sum("value"), 6).as("total_value"))
+      .orderBy(col("user_id").asc, col("sess_n").asc)
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "hist_equiwidth"   -> (histEquiwidth _),
     "hist_eqdepth"     -> (histEqdepth _),
     "funnel_steps"     -> (funnelSteps _),
-    "funnel_retention" -> (funnelRetention _))
+    "funnel_retention" -> (funnelRetention _),
+    "sess_batch"       -> (sessBatch _))
 
   val oracleSql: Map[String, String] = Map(
+    "sess_batch" ->
+      """WITH l AS (
+        |  SELECT user_id, event_id, ts, value,
+        |    lag(epoch_us(ts)) OVER (PARTITION BY user_id ORDER BY ts ASC, event_id ASC) AS prev_us
+        |  FROM events),
+        |s AS (
+        |  SELECT *, CASE WHEN prev_us IS NULL OR epoch_us(ts) - prev_us > 1800000000
+        |    THEN 1 ELSE 0 END AS new_sess
+        |  FROM l),
+        |g AS (
+        |  SELECT *, sum(new_sess) OVER (
+        |    PARTITION BY user_id ORDER BY ts ASC, event_id ASC) AS sess_n
+        |  FROM s)
+        |SELECT user_id, CAST(sess_n AS BIGINT) AS sess_n, count(*) AS n_events,
+        |  max(epoch_us(ts)) - min(epoch_us(ts)) AS dur_us,
+        |  round(sum(value), 6) AS total_value
+        |FROM g GROUP BY user_id, sess_n
+        |ORDER BY user_id ASC, sess_n ASC""".stripMargin,
     "hist_eqdepth" ->
       """WITH c AS (
         |  SELECT

@@ -430,7 +430,50 @@ object LlmOpsExtra {
       .orderBy(col("source").asc)
   }
 
+  /** Duplicated-substring share (round-7 addendum): per document, the
+    * fraction of its distinct 8-token shingles that also occur in at
+    * least one OTHER document — the diagnostic behind substring-level
+    * dedup (Lee et al., "Deduplicating Training Data Makes Language
+    * Models Better"): exact-dup docs score 1.0, boilerplate-heavy docs
+    * score high, clean docs near 0. The 8-token grain matches
+    * llm_fingerprint's winnowing shingles.
+    *
+    * Shape: one corpus map pass encodes each doc's DISTINCT shingle set
+    * (xxhash64 longs — counts are hash-collision-exact, the same
+    * concession every hash-keyed op here makes), checkpointed because it
+    * feeds both the df aggregate and the join-back (the bigramDocLp
+    * lesson). The shingle-df table is a partial-agg hash aggregate; the
+    * join-back is keyed on the shingle hash, and its row volume is
+    * exactly the occurrence stream (Σ per-doc distinct shingles — the
+    * df² blowup of pairwise forms never appears, which is why this
+    * diagnostic stays cheap where llm_ngram_jaccard needs its block
+    * keys). Both sides shuffle once on h; per-doc re-aggregation
+    * shuffles the occurrence stream once on doc_id. At 100 TB the only
+    * watch item is a mega-df boilerplate shingle: it contributes df
+    * join rows (linear, not quadratic) — harmless. */
+  def llmSubstringDedup(spark: SparkSession, dir: String): DataFrame = {
+    val toksRaw = split(col("text"), " ") // order matters for shingles
+    val nsh = greatest(size(toksRaw) - 7, lit(1))
+    val shingles = array_distinct(transform(sequence(lit(1), nsh),
+      i => xxhash64(concat_ws(" ", slice(toksRaw, i, lit(8))))))
+    Clustering.ensureCheckpointDir(spark)
+    val occ = Tables.documents(spark, dir)
+      .repartition(spark.sparkContext.defaultParallelism) // single-row-group file
+      .select(col("doc_id"), explode(shingles).as("h"))
+      .checkpoint()
+    val df = occ.groupBy("h").agg(count(lit(1)).as("df"))
+    occ.join(df, "h")
+      .groupBy("doc_id")
+      .agg(
+        count(lit(1)).as("n_shingles"),
+        sum(when(col("df") >= 2, 1L).otherwise(0L)).as("n_dup"))
+      .withColumn("dup_share",
+        round(col("n_dup").cast("double") / col("n_shingles"), 6))
+      .orderBy(col("doc_id").asc)
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "llm_substring_dedup" -> (llmSubstringDedup _),
     "llm_pii_mask"      -> (llmPiiMask _),
     "llm_semdedup"      -> (llmSemdedup _),
     "llm_ngram_jaccard" -> (llmNgramJaccard _),
@@ -445,6 +488,18 @@ object LlmOpsExtra {
     "llm_ann_lsh"     -> (llmAnnLsh _))
 
   val oracleSql: Map[String, String] = Map(
+    "llm_substring_dedup" ->
+      """WITH p AS (
+        |  SELECT doc_id, unnest(list_distinct(list_transform(
+        |    generate_series(1, greatest(len(string_split(text, ' ')) - 7, 1)),
+        |    i -> array_to_string(list_slice(string_split(text, ' '), i, i + 7), ' ')))) AS sh
+        |  FROM documents),
+        |d AS (SELECT sh, count(*) AS df FROM p GROUP BY sh)
+        |SELECT p.doc_id, count(*) AS n_shingles,
+        |  CAST(sum(CASE WHEN d.df >= 2 THEN 1 ELSE 0 END) AS BIGINT) AS n_dup,
+        |  round(CAST(sum(CASE WHEN d.df >= 2 THEN 1 ELSE 0 END) AS DOUBLE) / count(*), 6) AS dup_share
+        |FROM p JOIN d ON p.sh = d.sh
+        |GROUP BY p.doc_id ORDER BY p.doc_id ASC""".stripMargin,
     "llm_pii_mask" ->
       """SELECT source, count(*) AS docs,
         |  count(*) FILTER (len(regexp_extract_all(text, '\b(customer|user|key)\b')) > 0) AS docs_hit,

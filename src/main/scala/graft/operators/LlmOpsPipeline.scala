@@ -453,7 +453,41 @@ object LlmOpsPipeline {
       .orderBy(col("lang").asc)
   }
 
+  /** Per-source document cap (round-7 addendum): keep at most 10 docs per
+    * source, preferring longer documents (n_chars DESC, doc_id tiebreak) —
+    * the RefinedWeb/Gopher-style per-domain cap that stops one crawl
+    * domain from dominating the training mix. Reports kept/dropped/char
+    * counts per source.
+    *
+    * Uses the native two-phase TopKPerKey operator (win_topk_native's
+    * exec): per-partition k-heaps reduce each task's stream to ≤10 rows
+    * per local source BEFORE the exchange, so the shuffle carries
+    * O(tasks × sources × 10) rows — a giant source never concentrates its
+    * row volume on one reducer the way the equivalent row_number window
+    * would. The per-source totals are a separate partial-agg (one row per
+    * source crosses the wire); both sides of the final join are
+    * source-cardinality-sized. The heap key is xxhash64(source) (the
+    * operator's raw slots are long/double/long); a 64-bit collision would
+    * merge two sources' caps — ~2⁻⁶⁴ per pair, the same exposure every
+    * hash-keyed agg in the engine accepts. */
+  def llmSourceCap(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(spark, dir)
+      .select(col("source"), col("doc_id"), col("n_chars"))
+    val kept = graft.plans.TopKPerKey.topK(
+        docs.withColumn("src_h", xxhash64(col("source")))
+          .withColumn("pri", col("n_chars").cast("double")),
+        key = "src_h", ord = "pri", tie = "doc_id", k = 10)
+      .groupBy("source")
+      .agg(count(lit(1)).as("kept"), sum("n_chars").as("kept_chars"))
+    val tot = docs.groupBy("source").agg(count(lit(1)).as("total"))
+    tot.join(kept, Seq("source"))
+      .select(col("source"), col("total"), col("kept"),
+        (col("total") - col("kept")).as("dropped"), col("kept_chars"))
+      .orderBy(col("source").asc)
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "llm_source_cap"        -> (llmSourceCap _),
     "llm_entropy"           -> (llmEntropy _),
     "llm_weighted_sample"   -> (llmWeightedSample _),
     "llm_doc_split"         -> (llmDocSplit _),
@@ -468,6 +502,17 @@ object LlmOpsPipeline {
     "llm_heuristic_filter"  -> (llmHeuristicFilter _))
 
   val oracleSql: Map[String, String] = Map(
+    "llm_source_cap" ->
+      """WITH r AS (
+        |  SELECT source, doc_id, n_chars,
+        |    row_number() OVER (
+        |      PARTITION BY source ORDER BY n_chars DESC, doc_id ASC) AS rn
+        |  FROM documents)
+        |SELECT source, count(*) AS total,
+        |  CAST(sum(CASE WHEN rn <= 10 THEN 1 ELSE 0 END) AS BIGINT) AS kept,
+        |  CAST(sum(CASE WHEN rn > 10 THEN 1 ELSE 0 END) AS BIGINT) AS dropped,
+        |  CAST(sum(CASE WHEN rn <= 10 THEN n_chars ELSE 0 END) AS BIGINT) AS kept_chars
+        |FROM r GROUP BY source ORDER BY source ASC""".stripMargin,
     "llm_entropy" ->
       """WITH t AS (
         |  SELECT doc_id, lang, unnest(string_split(text, ' ')) AS tok
