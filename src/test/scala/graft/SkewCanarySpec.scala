@@ -166,4 +166,37 @@ class SkewCanarySpec extends AnyFunSuite {
     // stream; 0.05 still fails loudly on any hot boilerplate shingle
     assert(share <= 0.05, s"hottest shingle owns $share of the pair stream")
   }
+
+  test("llm_substring_dedup join-back: keyed on the shingle hash, df share bounded") {
+    // The round-7 operator's join-back volume per shingle is df (LINEAR,
+    // unlike the pairwise df²) — but a single mega-df boilerplate shingle
+    // would still concentrate its df rows on one reducer key. Bound the
+    // hottest shingle's share of the occurrence stream, mirroring the
+    // operator's 8-token map-side extraction.
+    val toksRaw = split(col("text"), " ")
+    val nsh = greatest(size(toksRaw) - 7, lit(1))
+    val shingles = array_distinct(transform(sequence(lit(1), nsh),
+      i => xxhash64(concat_ws(" ", slice(toksRaw, i, lit(8))))))
+    val dfs = Tables.documents(spark, sf001)
+      .select(explode(shingles).as("h"))
+      .groupBy("h").agg(count(lit(1)).as("df"))
+      .collect().map(_.getLong(1))
+    val share = dfs.max.toDouble / dfs.sum
+    assert(share <= 0.01, s"hottest shingle owns $share of the join-back stream")
+    // and the physical join-back must be keyed on h — a regression to a
+    // doc-keyed or unkeyed form changes the volume class
+    val session = spark.newSession()
+    session.conf.set("spark.sql.adaptive.enabled", "false")
+    val plan = SparkEntry.queries("llm_substring_dedup")(session, sf0001)
+      .queryExecution.executedPlan
+    val keyNames = plan.collect {
+      case j: SortMergeJoinExec     => j.leftKeys
+      case j: ShuffledHashJoinExec  => j.leftKeys
+      case j: BroadcastHashJoinExec => j.leftKeys
+    }.map(_.collect {
+      case a: org.apache.spark.sql.catalyst.expressions.AttributeReference => a.name
+    }.toSet)
+    assert(keyNames.exists(_.contains("h")),
+      s"expected the df join-back keyed on the shingle hash, got $keyNames")
+  }
 }
