@@ -19,21 +19,80 @@ import graft.Tables
   */
 object LlmOpsExtra {
 
-  /** Winnowing-style document fingerprint: min MD5 over 8-token shingles
-    * (full text when shorter). MD5 is identical across engines, so this is
-    * oracle-able, unlike xxhash-based sketches. n_sharing counts docs with
-    * the same fingerprint — shingle-level dedup at scale. */
-  def llmFingerprint(spark: SparkSession, dir: String): DataFrame = {
+  /** Winnowing fingerprint column: min MD5 over 8-token shingles (full
+    * text when shorter). MD5 is identical across engines, so everything
+    * built on it is oracle-able, unlike xxhash-based sketches. Shared by
+    * llm_fingerprint and llm_bloom_dedup. */
+  private def winnowFp: org.apache.spark.sql.Column = {
     val toks = split(col("text"), " ") // order matters for shingles — no distinct
     val nsh = greatest(size(toks) - 7, lit(1))
-    val fp = array_min(transform(sequence(lit(1), nsh),
+    array_min(transform(sequence(lit(1), nsh),
       i => md5(concat_ws(" ", slice(toks, i, lit(8))).cast("binary"))))
+  }
+
+  /** Winnowing-style document fingerprint; n_sharing counts docs with
+    * the same fingerprint — shingle-level dedup at scale. */
+  def llmFingerprint(spark: SparkSession, dir: String): DataFrame = {
     val w = Window.partitionBy("fp")
     Tables.documents(spark, dir)
       .repartition(spark.sparkContext.defaultParallelism) // single-row-group file
-      .select(col("doc_id"), fp.as("fp"))
+      .select(col("doc_id"), winnowFp.as("fp"))
       .withColumn("n_sharing", count(lit(1)).over(w))
       .orderBy(col("doc_id").asc)
+  }
+
+  /** Incremental corpus dedup against history with a Bloom pre-filter
+    * (round-7 addendum): the arriving batch (doc_id ≡ 0 mod 10 as the
+    * deterministic stand-in for "today's crawl") is deduplicated against
+    * the historical corpus (the other 90%) by winnowing fingerprint.
+    *
+    * The at-scale pattern this encodes: history >> batch, so probing
+    * history with a shuffle join per batch row is the wrong plan. A Bloom
+    * filter over history's fingerprints (built with the PUBLIC
+    * `df.stat.bloomFilter` distributed treeAggregate — a ~1 MB driver
+    * constant, the IVF-codebook class of collect) rides into a map-side
+    * `BloomFilterMightContain` predicate over the batch: bloom-NEGATIVE
+    * rows are definitely new and never enter the join; only
+    * bloom-positives (true dups + fpp·batch false positives) continue to
+    * the exact left-semi verify against history's distinct fingerprints.
+    * No false negatives exist, and the verify join removes the false
+    * positives, so the OUTPUT is exact — the filter only shrinks the
+    * join's probe side, which is why the DuckDB oracle is a plain IN
+    * subquery. Sizing: 1M expected items / 1% fpp ≈ 1.2 MB constant,
+    * far past the fixture's history cardinality at every SF. */
+  def llmBloomDedup(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.catalyst.expressions.{BloomFilterMightContain, Literal}
+    import org.apache.spark.sql.graftshim.ColumnBridge
+    // checkpoint the fingerprint frame: the md5-shingle map pass is the
+    // query's heaviest stage and it feeds THREE consumers (the bloom
+    // build action, the history semi-join side, the batch side) — the
+    // bigramDocLp lesson again. One narrow row per doc.
+    Clustering.ensureCheckpointDir(spark)
+    val docs = Tables.documents(spark, dir)
+      .repartition(spark.sparkContext.defaultParallelism) // single-row-group file
+      .select(col("doc_id"), col("lang"), winnowFp.as("fp"))
+      .checkpoint()
+    val hist = docs.filter(col("doc_id") % 10 =!= 0)
+    val fresh = docs.filter(col("doc_id") % 10 === 0)
+    // build over xxhash64(fp) LONGS: BloomFilterMightContain probes via
+    // mightContainLong, so insert and probe must hash the same 64-bit key
+    val bf = hist.select(xxhash64(col("fp")).as("h"))
+      .stat.bloomFilter("h", 1000000L, 0.01)
+    val bos = new java.io.ByteArrayOutputStream()
+    bf.writeTo(bos)
+    val might = ColumnBridge.column(BloomFilterMightContain(
+      Literal(bos.toByteArray, org.apache.spark.sql.types.BinaryType),
+      ColumnBridge.expression(xxhash64(col("fp")))))
+    // exact verify for bloom-positives only; negatives are new by proof
+    val dropped = fresh.filter(might)
+      .join(hist.select("fp").distinct(), Seq("fp"), "left_semi")
+      .groupBy("lang").agg(count(lit(1)).as("dropped"))
+    fresh.groupBy("lang").agg(count(lit(1)).as("batch"))
+      .join(dropped, Seq("lang"), "left")
+      .select(col("lang"), col("batch"),
+        (col("batch") - coalesce(col("dropped"), lit(0L))).as("kept"),
+        coalesce(col("dropped"), lit(0L)).as("dropped"))
+      .orderBy(col("lang").asc)
   }
 
   /** n-gram (3-token shingle) Jaccard near-dup — order-sensitive dedup:
@@ -473,6 +532,7 @@ object LlmOpsExtra {
   }
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "llm_bloom_dedup"   -> (llmBloomDedup _),
     "llm_substring_dedup" -> (llmSubstringDedup _),
     "llm_pii_mask"      -> (llmPiiMask _),
     "llm_semdedup"      -> (llmSemdedup _),
@@ -488,6 +548,19 @@ object LlmOpsExtra {
     "llm_ann_lsh"     -> (llmAnnLsh _))
 
   val oracleSql: Map[String, String] = Map(
+    "llm_bloom_dedup" ->
+      """WITH f AS (
+        |  SELECT doc_id, lang,
+        |    list_min(list_transform(
+        |      generate_series(1, greatest(len(string_split(text, ' ')) - 7, 1)),
+        |      i -> md5(array_to_string(list_slice(string_split(text, ' '), i, i + 7), ' ')))) AS fp
+        |  FROM documents),
+        |hist AS (SELECT DISTINCT fp FROM f WHERE doc_id % 10 <> 0),
+        |fresh AS (SELECT doc_id, lang, fp FROM f WHERE doc_id % 10 = 0)
+        |SELECT lang, count(*) AS batch,
+        |  CAST(sum(CASE WHEN fp IN (SELECT fp FROM hist) THEN 0 ELSE 1 END) AS BIGINT) AS kept,
+        |  CAST(sum(CASE WHEN fp IN (SELECT fp FROM hist) THEN 1 ELSE 0 END) AS BIGINT) AS dropped
+        |FROM fresh GROUP BY lang ORDER BY lang ASC""".stripMargin,
     "llm_substring_dedup" ->
       """WITH p AS (
         |  SELECT doc_id, unnest(list_distinct(list_transform(

@@ -60,6 +60,31 @@ class Round7OpsSpec extends AnyFunSuite {
     }
   }
 
+  test("llm_bloom_dedup: bloom pre-filter output equals the exact no-bloom join") {
+    // sf0.01: the split produces real drops there (5 of 50 batch docs
+    // share a winnowing fingerprint with history)
+    val got = LlmOpsExtra.llmBloomDedup(spark, sf001).collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2), r.getLong(3))).toMap
+    // exact reference: same fingerprint, plain IN-history semi join, no
+    // bloom anywhere — proves false positives were all verified away and
+    // no false negative dropped a row
+    val toks = split(col("text"), " ")
+    val nsh = greatest(size(toks) - 7, lit(1))
+    val fp = array_min(transform(sequence(lit(1), nsh),
+      i => md5(concat_ws(" ", slice(toks, i, lit(8))).cast("binary"))))
+    val docs = Tables.documents(spark, sf001)
+      .select(col("doc_id"), col("lang"), fp.as("fp"))
+    val histFp = docs.filter(col("doc_id") % 10 =!= 0)
+      .select("fp").distinct().collect().map(_.getString(0)).toSet
+    val ref = docs.filter(col("doc_id") % 10 === 0).collect()
+      .groupBy(_.getString(1)).map { case (lang, rows) =>
+        val dropped = rows.count(r => histFp(r.getString(2)))
+        lang -> (rows.size.toLong, rows.size.toLong - dropped, dropped.toLong)
+      }
+    assert(got === ref)
+    assert(got.values.map(_._3).sum > 0, "fixture split should produce real drops")
+  }
+
   test("llm_substring_dedup: matches an unhashed string-shingle reference; shares bounded") {
     val rows = LlmOpsExtra.llmSubstringDedup(spark, sf001).collect()
     rows.foreach { r =>
