@@ -151,11 +151,18 @@ object Analytics {
         |FROM b GROUP BY bucket ORDER BY bucket ASC""".stripMargin)
   }
 
-  /** Batch sessionization (round-7 addendum): split each user's event
-    * stream into sessions at >30-minute inactivity gaps, then summarize
-    * every session. The batch twin of stream_session/stream_stateful —
-    * the backfill query every sessionized product metric needs when the
-    * streaming job gains a new session definition.
+  /** Batch sessionization (round-7 addendum) under the STRICT-gap
+    * definition: a new session starts when the inactivity gap EXCEEDS
+    * 30 minutes. Deliberate contrast with stream_session, which uses
+    * `>=` because Spark's `session_window` is end-exclusive (an event
+    * exactly 30 min after its predecessor starts a new session there) —
+    * the two definitions disagree on boundary-exact events, a real
+    * interop trap when a batch backfill must match a third-party
+    * sessionizer that treats the timeout as inclusive (most web
+    * analytics stacks do). Output is also disjoint from stream_session:
+    * exact integer-µs session DURATION and the 6dp value sum — the
+    * session-length metrics — where stream_session reports the window
+    * bounds themselves.
     *
     * Shape: lag + running-sum windows partitioned by user_id (the
     * gaps-and-islands idiom) + one hash aggregate on (user, session).
