@@ -14,6 +14,16 @@ import org.apache.spark.sql.SparkSession
   *     room for sbt's `[success] Total time ...` epilogue inside the 2000)
   *     carrying suite totals, the BASELINE.md headline queries, the slowest
   *     queries, and a pointer to the full map file.
+  *
+  * Round-8 instrumentation (verdict task 3): queries run in SORTED name
+  * order — memoized shared cores (bigram doc-lp, winnowing fingerprints)
+  * make timings order-dependent, and a fixed order pins the cold-path
+  * payer deterministically (alphabetically first consumer pays: the
+  * fingerprint family's payer is graph_degree, the bigram family's is
+  * llm_bigram_lm) — and every query runs under its own job group with a
+  * listener counting jobs per group. The full map gains a `"jobs"` object:
+  * the r7 driver regression was job-count × per-job contention overhead
+  * (~0.4 s/job), and this makes that arithmetic visible per round.
   */
 object Bench {
   // The 15 BASELINE.md headline queries plus the round-5 verdict watch list.
@@ -37,13 +47,25 @@ object Bench {
       .config("spark.sql.extensions", "graft.GraftExtensions")
       // events.parquet carries ns timestamps (FIXTURES.md loading recipe)
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
-      // reliable checkpoints (pagerank, dedup clusters) delete their files
-      // once the RDD is GC'd — a multi-run session must not accumulate
-      // checkpoint dirs in tmpfs
+      // reliable checkpoints (dedup clusters) delete their files once the
+      // RDD is GC'd — a multi-run session must not accumulate checkpoint
+      // dirs in tmpfs
       .config("spark.cleaner.referenceTracking.cleanCheckpoints", "true")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    // Jobs-per-group counter. onJobStart fires on the async listener bus,
+    // so per-group counts are read ONCE at the end (after a drain pause),
+    // not inline — attribution stays exact because the group id travels
+    // in the job's own properties.
+    val jobsByGroup = new java.util.concurrent.ConcurrentHashMap[String, Integer]()
+    spark.sparkContext.addSparkListener(new org.apache.spark.scheduler.SparkListener {
+      override def onJobStart(js: org.apache.spark.scheduler.SparkListenerJobStart): Unit = {
+        val g = Option(js.properties)
+          .flatMap(p => Option(p.getProperty("spark.jobGroup.id"))).getOrElse("ungrouped")
+        jobsByGroup.merge(g, 1, (a, b) => a + b); ()
+      }
+    })
     // Warm-up outside the timed region: JVM/codegen/parquet-reader init
     // otherwise lands entirely on whichever query happens to run first
     // (~3-4 s of constant overhead misattributed to one query), and cold
@@ -51,23 +73,36 @@ object Bench {
     // scan_parquet 4.2 s vs 0.86 s local purely because it ran first).
     // Hash-summing every column of every table pulls footer + all data
     // pages through the OS cache; a bare count() would read metadata only.
+    // Per-table timings go to stderr (verdict task 7) so a driver run
+    // records whether pages were actually faulted here — and a FAILED
+    // warm-up is loud: silently skipping a table would revert it to
+    // cold-cache timing that masquerades as a query regression (ADVICE r7).
+    spark.sparkContext.setJobGroup("warmup", "bench warm-up", false)
     try {
       spark.range(1000000).selectExpr("sum(id)").collect()
       val tables = Seq("region", "nation", "customer", "supplier", "part",
         "orders", "lineitem", "events", "documents", "embeddings")
       tables.foreach { t =>
+        val w0 = System.nanoTime()
         try {
           val df = spark.read.parquet(s"$sfDir/$t.parquet")
           df.select(org.apache.spark.sql.functions.xxhash64(df.columns.map(
             org.apache.spark.sql.functions.col): _*).as("h"))
             .selectExpr("sum(h)").collect()
-        } catch { case _: Throwable => () }
+          System.err.println(f"BENCH WARMUP $t%-10s ${(System.nanoTime() - w0) / 1e9}%.3f s")
+        } catch { case e: Throwable =>
+          System.err.println(s"BENCH WARMUP FAILED for $t (will read cold): " +
+            s"${e.getClass.getSimpleName}: ${e.getMessage}")
+        }
       }
-    } catch { case _: Throwable => () }
+    } catch { case e: Throwable =>
+      System.err.println(s"BENCH WARMUP FAILED wholesale: ${e.getMessage}")
+    } finally spark.sparkContext.clearJobGroup()
     // A failed query must be VISIBLE ("err"), not scored as the ~0 s it
     // took to throw — silently swallowing inflated apparent perf.
-    val results: Map[String, Either[String, Double]] =
-      SparkEntry.queries.map { case (name, fn) =>
+    val results: Seq[(String, Either[String, Double])] =
+      SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
+        spark.sparkContext.setJobGroup(s"q:$name", name, false)
         val t0 = System.nanoTime()
         val r = try {
           fn(spark, sfDir).count()
@@ -76,22 +111,29 @@ object Bench {
           case e: Throwable =>
             System.err.println(s"BENCH FAIL $name: ${e.getClass.getSimpleName}: ${e.getMessage}")
             Left("err")
-        }
+        } finally spark.sparkContext.clearJobGroup()
         name -> r
       }
+    val resultMap = results.toMap
     // 3-decimal seconds (1 ms resolution) keeps entries compact.
     def fmt(v: Double): String = BigDecimal(v)
       .setScale(3, BigDecimal.RoundingMode.HALF_UP).toString
-    def entry(k: String): String = results.get(k) match {
+    def entry(k: String): String = resultMap.get(k) match {
       case Some(Right(v)) => "\"" + k + "\":" + fmt(v)
       case Some(Left(m))  => "\"" + k + "\":\"" + m + "\""
       case None           => "\"" + k + "\":\"absent\""
     }
-    val fullQs = results.keys.toSeq.sorted.map(entry).mkString("{", ",", "}")
-    val nerr = results.values.count(_.isLeft)
-    val total = results.values.collect { case Right(v) => v }.sum
+    // Let the listener bus drain before reading the per-group job counts;
+    // all actions have returned, so only event delivery is pending.
+    Thread.sleep(1500)
+    val jobsQs = results.map { case (name, _) =>
+      "\"" + name + "\":" + Option(jobsByGroup.get(s"q:$name")).fold(0)(_.intValue)
+    }.mkString("{", ",", "}")
+    val fullQs = results.map { case (k, _) => entry(k) }.mkString("{", ",", "}")
+    val nerr = results.count(_._2.isLeft)
+    val total = results.collect { case (_, Right(v)) => v }.sum
     val fullLine =
-      s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":$fullQs,"errors":$nerr,"n_queries":${results.size},"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":$fullQs,"jobs":$jobsQs,"errors":$nerr,"n_queries":${results.size},"sf":"$sfDir"}"""
 
     // Complete map -> repo file (judge-readable even when stdout is clipped).
     // Delete the previous run's file FIRST: if this run's write fails, a
@@ -120,7 +162,7 @@ object Bench {
     // Compact final stdout line: headline + slowest-8, hard-capped so the
     // whole line plus sbt's epilogue fits the 2000-char tail window.
     val slowest = results.collect { case (k, Right(v)) => k -> v }
-      .toSeq.sortBy(-_._2).take(8).map(_._1)
+      .sortBy(-_._2).take(8).map(_._1)
     // no filter on results.contains: a renamed/removed headline query must
     // surface as "absent" in the compact line, not silently vanish
     val compactKeys = (headline ++ slowest).distinct

@@ -135,20 +135,15 @@ object Clustering {
     * of the min matches the oracle's. The ORACLES stay in the explicit
     * edge/two-join formulation — an independent derivation that proves the
     * clique combinatorics below. */
-  private def fpGroupSizes(spark: SparkSession, dir: String): DataFrame = {
-    val toks = split(col("text"), " ")
-    val nsh = greatest(size(toks) - 7, lit(1))
-    val fpCol = array_min(transform(sequence(lit(1), nsh),
-      i => concat_ws(" ", slice(toks, i, lit(8)))))
-    // the documents file is one small parquet split, so without a
-    // repartition this ~1000-shingles-per-doc pass runs on ONE task;
-    // spreading the 13 MB scan across the cores costs a tiny shuffle and
-    // parallelizes the heavy map (6 s → sub-second at local[32])
-    Tables.documents(spark, dir)
-      .repartition(spark.sparkContext.defaultParallelism)
-      .select(xxhash64(fpCol).as("fph"))
+  private def fpGroupSizes(spark: SparkSession, dir: String): DataFrame =
+    // Round 8: the shingle map pass moved into the memoized per-(session,
+    // sf) fingerprint frame (LlmOpsExtra.fpFrame) shared with
+    // llm_fingerprint and llm_bloom_dedup — the two graph queries here
+    // were its cold re-runs on the r7 driver bench (graph_degree 10.2 s
+    // for a 0.7 s-local pass). `fph` there is exactly this function's old
+    // xxhash64(min raw shingle) column; the scan prunes to that one long.
+    LlmOpsExtra.fpFrame(spark, dir)
       .groupBy("fph").agg(count(lit(1)).as("k"))
-  }
 
   /** Triangle count over the fingerprint graph. Cliques are disjoint, so
     * triangles = Σ C(k,3) per group, and a node is a triangle's apex (its
@@ -230,26 +225,38 @@ object Clustering {
     val edges = ed0.join(outdeg, "src")
       .repartition(32, col("src"))
       .checkpoint()
-    // nodes stays derived (no second checkpoint job): all four uses below
-    // are the identical distinct-over-the-checkpoint subtree, so its
-    // exchange IS reused within the action — the LogicalRDD source has no
-    // per-branch pruning to defeat canonical equality.
-    val nodes = edges.select(col("src").as("node")).distinct()
-    val nTotal = nodes.agg(count(lit(1)).as("n_nodes"))
+    // N arrives as a 1-row broadcast computed from the checkpoint; the
+    // two crossJoin sites below are canonically equal, so the exchange is
+    // built once and reused within the action.
+    val nTotal = edges.select(col("src")).distinct()
+      .agg(count(lit(1)).as("n_nodes"))
 
-    var ranks = nodes.crossJoin(broadcast(nTotal))
-      .select(col("node"), (lit(1.0) / col("n_nodes")).as("pr"))
-    for (_ <- 1 to 3) {
-      val contribs = ranks
+    // Round-8 stage trim (r7 driver: 14.1 s, job-count × contention):
+    // the per-superstep LEFT join against the node set is dead weight —
+    // undirected-as-two-arcs means every node has an out-arc AND an
+    // in-arc, so the contribution aggregate already emits every node and
+    // coalesce(inflow, 0) can never fire. Dropping it removes a join +
+    // the nodes-distinct subtree from each superstep, and superstep 1
+    // folds pr₀ = 1/N directly into its contribution scan (no uniform
+    // ranks frame to join). Each superstep is now exactly one exchange:
+    // ranks leave groupBy(dst) hash-partitioned on the very column the
+    // next join keys on, and the edges side reads the pre-partitioned
+    // checkpoint — identical arithmetic, per-superstep partial agg and
+    // all, at roughly half the stages.
+    var ranks = edges.crossJoin(broadcast(nTotal))
+      .select(col("dst"), (lit(1.0) / col("n_nodes") / col("deg")).as("c"))
+      .groupBy(col("dst").as("node")).agg(sum("c").as("inflow"))
+      .crossJoin(broadcast(nTotal))
+      .select(col("node"),
+        (lit(0.15) / col("n_nodes") + lit(0.85) * col("inflow")).as("pr"))
+    for (_ <- 1 to 2) {
+      ranks = ranks
         .join(edges, col("node") === col("src"))
         .select(col("dst"), (col("pr") / col("deg")).as("c"))
-        .groupBy("dst").agg(sum("c").as("inflow"))
-      ranks = nodes
-        .join(contribs, col("node") === col("dst"), "left")
+        .groupBy(col("dst").as("node")).agg(sum("c").as("inflow"))
         .crossJoin(broadcast(nTotal))
         .select(col("node"),
-          (lit(0.15) / col("n_nodes") +
-            lit(0.85) * coalesce(col("inflow"), lit(0.0))).as("pr"))
+          (lit(0.15) / col("n_nodes") + lit(0.85) * col("inflow")).as("pr"))
     }
     ranks
       .select(

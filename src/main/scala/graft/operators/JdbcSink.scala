@@ -48,7 +48,15 @@ object JdbcSink {
     * that file for the whole boot exactly so dual-booters can detect a
     * live owner; `tryLock` succeeding proves there is none. The age gate
     * keeps the sweep away from a sibling mid-boot (lock file created a
-    * moment after the dir). */
+    * moment after the dir).
+    *
+    * Caveat (ADVICE r7): Derby's dbex.lck lock is BEST-EFFORT — on
+    * filesystems where java.nio FileLock is unsupported or advisory-broken
+    * (NFS, some container mounts) Derby runs without holding it, and the
+    * probe would "prove" a live sibling dead. Two mitigations: the roots
+    * used here are tmpfs//tmp (local filesystems where FileLock works),
+    * and every boot refreshes its own dir's mtime below, so a LIVE
+    * long-running sibling also stays behind the age gate. */
   private[graft] def sweepStale(root: java.io.File, cutoffMs: Long): Unit = {
     val olds = root.listFiles()
     if (olds == null) return
@@ -97,6 +105,10 @@ object JdbcSink {
 
   def jdbcSink(spark: SparkSession, dir: String): DataFrame = {
     val url = s"jdbc:derby:$dbPath;create=true"
+    // refresh this database dir's mtime on every use so the age gate
+    // alone protects a long-lived JVM even where FileLock is a no-op
+    // (sweepStale's caveat); no-op before Derby first creates the dir
+    new java.io.File(dbPath).setLastModified(System.currentTimeMillis()): Unit
     val agg = Tables.orders(spark, dir)
       .groupBy(col("o_orderpriority"))
       .agg(count(lit(1)).as("n"),

@@ -19,24 +19,42 @@ import graft.Tables
   */
 object LlmOpsExtra {
 
-  /** Winnowing fingerprint column: min MD5 over 8-token shingles (full
-    * text when shorter). MD5 is identical across engines, so everything
-    * built on it is oracle-able, unlike xxhash-based sketches. Shared by
-    * llm_fingerprint and llm_bloom_dedup. */
-  private def winnowFp: org.apache.spark.sql.Column = {
-    val toks = split(col("text"), " ") // order matters for shingles — no distinct
-    val nsh = greatest(size(toks) - 7, lit(1))
-    array_min(transform(sequence(lit(1), nsh),
-      i => md5(concat_ws(" ", slice(toks, i, lit(8))).cast("binary"))))
-  }
+  /** The per-doc winnowing-fingerprint frame (doc_id, lang, fp, fph),
+    * memoized per (session, sfDir) — round-8 verdict task 2: FOUR queries
+    * consume this one corpus map pass (llm_fingerprint, llm_bloom_dedup,
+    * graph_triangles, graph_degree via Clustering.fpGroupSizes), and each
+    * previously re-ran it cold (graph_degree paid 10.2 s on the r7 driver
+    * for a 0.7 s-local pass). One write job; consumers read a pruned
+    * columnar scan of a one-row-per-doc file.
+    *
+    * Two fingerprint variants ride in one pass over the same shingle
+    * slices, because their oracles pin DIFFERENT representatives:
+    *  - `fp`  = min over md5(shingle) — MD5 is engine-identical, so
+    *    llm_fingerprint / llm_bloom_dedup are oracle-able on it;
+    *  - `fph` = xxhash64(min raw shingle) — the graph queries group on
+    *    shingle-string order (their oracle's list_min has no md5), and
+    *    skipping md5 there was a round-2 profiling win. min(md5(s)) and
+    *    md5(min(s)) pick different shingles, so the columns are NOT
+    *    derivable from each other. */
+  private[operators] def fpFrame(spark: SparkSession, dir: String): DataFrame =
+    MemoFrames.frame(spark, s"winnow_fp|$dir") {
+      val toks = split(col("text"), " ") // order matters for shingles — no distinct
+      val nsh = greatest(size(toks) - 7, lit(1))
+      val sh = transform(sequence(lit(1), nsh),
+        i => concat_ws(" ", slice(toks, i, lit(8))))
+      Tables.documents(spark, dir)
+        .repartition(spark.sparkContext.defaultParallelism) // single-row-group file
+        .select(col("doc_id"), col("lang"),
+          array_min(transform(sh, s => md5(s.cast("binary")))).as("fp"),
+          xxhash64(array_min(sh)).as("fph"))
+    }
 
   /** Winnowing-style document fingerprint; n_sharing counts docs with
     * the same fingerprint — shingle-level dedup at scale. */
   def llmFingerprint(spark: SparkSession, dir: String): DataFrame = {
     val w = Window.partitionBy("fp")
-    Tables.documents(spark, dir)
-      .repartition(spark.sparkContext.defaultParallelism) // single-row-group file
-      .select(col("doc_id"), winnowFp.as("fp"))
+    fpFrame(spark, dir)
+      .select(col("doc_id"), col("fp"))
       .withColumn("n_sharing", count(lit(1)).over(w))
       .orderBy(col("doc_id").asc)
   }
@@ -63,15 +81,11 @@ object LlmOpsExtra {
   def llmBloomDedup(spark: SparkSession, dir: String): DataFrame = {
     import org.apache.spark.sql.catalyst.expressions.{BloomFilterMightContain, Literal}
     import org.apache.spark.sql.graftshim.ColumnBridge
-    // checkpoint the fingerprint frame: the md5-shingle map pass is the
+    // the memoized fingerprint frame: the md5-shingle map pass is the
     // query's heaviest stage and it feeds THREE consumers (the bloom
-    // build action, the history semi-join side, the batch side) — the
-    // bigramDocLp lesson again. One narrow row per doc.
-    Clustering.ensureCheckpointDir(spark)
-    val docs = Tables.documents(spark, dir)
-      .repartition(spark.sparkContext.defaultParallelism) // single-row-group file
-      .select(col("doc_id"), col("lang"), winnowFp.as("fp"))
-      .checkpoint()
+    // build action, the history semi-join side, the batch side) — and is
+    // shared with llm_fingerprint and the graph queries besides.
+    val docs = fpFrame(spark, dir).select(col("doc_id"), col("lang"), col("fp"))
     val hist = docs.filter(col("doc_id") % 10 =!= 0)
     val fresh = docs.filter(col("doc_id") % 10 === 0)
     // build over xxhash64(fp) LONGS: BloomFilterMightContain probes via
@@ -130,26 +144,44 @@ object LlmOpsExtra {
     val nsh = greatest(size(toksRaw) - 2, lit(1))
     val shingles = array_distinct(transform(sequence(lit(1), nsh),
       i => concat_ws(" ", slice(toksRaw, i, lit(3)))))
-    // Checkpoint the encoded doc frame: it feeds both sides of the
-    // intersect join, and the per-doc shingle transform is the query's
-    // heaviest map pass — without a materialization it re-runs per
-    // consumer (the bigramDocLp lesson; exchange reuse across
-    // differently-shaped branches is not a plan property to rely on).
-    // One row per doc (~one long per shingle) — tiny; the explode to the
-    // occurrence stream happens per consumer AFTER the checkpoint read.
-    // The doc's distinct-shingle count n rides along so the Jaccard
-    // denominator needs no size-lookup joins later.
-    Clustering.ensureCheckpointDir(spark)
-    val d = Tables.documents(spark, dir)
-      .repartition(spark.sparkContext.defaultParallelism) // single-row-group file
-      .select(col("doc_id").as("id"), col("lang"), expr("n_chars div 100").as("band"),
-        transform(shingles, s => xxhash64(s)).as("sh"))
-      .withColumn("n", size(col("sh")).cast("bigint"))
-      .checkpoint()
+    // Memoize the encoded doc frame (parquet, one write job): it feeds
+    // the df aggregate and both sides of the intersect join, and the
+    // per-doc shingle transform is the query's heaviest map pass. One row
+    // per doc (~one long per shingle); the explode to the occurrence
+    // stream happens per consumer AFTER the scan. The doc's
+    // distinct-shingle count n rides along so the Jaccard denominator
+    // needs no size-lookup joins later.
+    val d = MemoFrames.frame(spark, s"ngram3_sh|$dir") {
+      Tables.documents(spark, dir)
+        .repartition(spark.sparkContext.defaultParallelism) // single-row-group file
+        .select(col("doc_id").as("id"), col("lang"), expr("n_chars div 100").as("band"),
+          transform(shingles, s => xxhash64(s)).as("sh"))
+        .withColumn("n", size(col("sh")).cast("bigint"))
+    }
     val occ = d.select(col("id"), col("lang"), col("band"), col("n"),
       explode(col("sh")).as("h"))
-    occ
-      .join(occ.select(col("id").as("b_id"), col("lang").as("r_lang"),
+    // Round-8 candidate pruning (the PPJoin prefix-filter idea, applied
+    // at the shingle grain): a shingle with document frequency 1 in its
+    // block cannot witness any pair, and on natural text that is the
+    // overwhelming majority of the stream — at sf0.1 the full occurrence
+    // stream is ~5M rows while the df≥2 survivors are ~2% of it. The df
+    // aggregate makes ONE narrow pass over the stream (partial-agg longs),
+    // the surviving (lang, band, h) set is tiny and BROADCAST into a
+    // map-side semi join, so the expensive self-join's inputs shrink by
+    // ~50× and the r7 form's two full-stream shuffle+sorts (the
+    // memory-pressure stage behind its 11× driver inflation) disappear.
+    // Exactness: every shared shingle of every pair has df≥2 by
+    // definition, so no pair loses a witness, and the denominators na/nb
+    // were computed per doc BEFORE pruning. At 100 TB the df≥2 set may
+    // outgrow a broadcast — the fallback is the same semi join shuffled,
+    // still a fraction of the unpruned self-join.
+    val hot = occ.groupBy(col("lang"), col("band"), col("h"))
+      .agg(count(lit(1)).as("df"))
+      .filter(col("df") >= 2)
+      .select(col("lang"), col("band"), col("h"))
+    val occ2 = occ.join(broadcast(hot), Seq("lang", "band", "h"), "left_semi")
+    occ2
+      .join(occ2.select(col("id").as("b_id"), col("lang").as("r_lang"),
           col("band").as("r_band"), col("n").as("nb"), col("h").as("r_h")),
         col("h") === col("r_h") && col("lang") === col("r_lang") &&
           col("band") === col("r_band") && col("id") < col("b_id"))

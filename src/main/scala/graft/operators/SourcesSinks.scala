@@ -49,14 +49,26 @@ object SourcesSinks {
       "supplier" -> "s_suppkey", "part" -> "p_partkey", "orders" -> "o_orderkey",
       "lineitem" -> "l_orderkey", "events" -> "event_id", "documents" -> "doc_id",
       "embeddings" -> "vec_id")
+    // One aggregate over the UNION of (tbl, key) projections instead of
+    // ten independent per-table aggregates (round 8): the per-table form
+    // planned 10 global aggregates, each with its own single-partition
+    // exchange — 21 AQE stage-jobs for a sub-second query, and per-job
+    // scheduling overhead is exactly what a contended driver amplifies
+    // (r7: 4.8 s driver vs 0.8 s local). The union form is one stage
+    // tree: every scan feeds a partial groupBy(tbl) in the same stage,
+    // one 10-row-per-task exchange, one final agg — same scans, same
+    // pushed-down projection (each table reads only its key column),
+    // ~3 jobs. Shuffle volume is identical at any scale: partial
+    // aggregation reduces each task's contribution to one row per table.
     keys.map { case (t, k) =>
-      Tables.byName(spark, dir, t).agg(
-        lit(t).as("tbl"),
-        count(lit(1)).as("rows"),
-        min(col(k)).cast("bigint").as("key_min"),
-        max(col(k)).cast("bigint").as("key_max"))
-        .select("tbl", "rows", "key_min", "key_max")
-    }.reduce(_ unionAll _).orderBy(col("tbl").asc)
+      Tables.byName(spark, dir, t)
+        .select(lit(t).as("tbl"), col(k).cast("bigint").as("key"))
+    }.reduce(_ unionAll _)
+      .groupBy("tbl")
+      .agg(count(lit(1)).as("rows"),
+        min(col("key")).as("key_min"),
+        max(col("key")).as("key_max"))
+      .orderBy(col("tbl").asc)
   }
 
   /** Billing-loader core (reference's dataflow, SURVEY §3.1): export a
