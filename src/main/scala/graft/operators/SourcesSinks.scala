@@ -41,6 +41,17 @@ object SourcesSinks {
   private def scratch(dir: String, op: String): String =
     s"$scratchRoot/${op}_${dir.replaceAll("[^A-Za-z0-9]", "_")}"
 
+  /** Read back a path just written from `written`, reusing its schema: a
+    * schema-less `spark.read.parquet` schedules a footer-inference job
+    * EVERY call (probed round 8), and on a contended driver each job
+    * start is ~0.4 s — pure overhead for a file whose schema the writer
+    * already knows. The written frame produced the file, so its
+    * nullability assertions hold for the data by construction. Works for
+    * partitioned dirs too: Spark matches user-schema fields to partition
+    * columns by name (discovery is a driver-side listing, no job). */
+  private def readBack(spark: SparkSession, written: DataFrame, path: String): DataFrame =
+    spark.read.schema(written.schema).parquet(path)
+
   /** Scan all 10 tables: per-table row count + primary-key min/max —
     * validates every loader (incl. the events ns-timestamp path). */
   def scanParquet(spark: SparkSession, dir: String): DataFrame = {
@@ -125,15 +136,16 @@ object SourcesSinks {
     * partitioned by month, read back, count per partition. */
   def sinkPartitioned(spark: SparkSession, dir: String): DataFrame = {
     val out = scratch(dir, "part")
-    Tables.orders(spark, dir)
+    val staged = Tables.orders(spark, dir)
       .withColumn("month", date_format(col("o_orderdate"), "yyyy-MM"))
+    staged
       // repartition by the partition column: one task per month writes its
       // whole partition (parallel, and exactly one file per partition —
       // the pattern that avoids the N-tasks × M-partitions file explosion
       // at scale)
       .repartition(col("month"))
       .write.mode("overwrite").partitionBy("month").parquet(out)
-    spark.read.parquet(out)
+    readBack(spark, staged, out)
       .groupBy("month")
       .agg(count(lit(1)).as("n"), round(sum("o_totalprice"), 2).as("rev"))
       .orderBy(col("month").asc)
@@ -165,11 +177,12 @@ object SourcesSinks {
     val out = scratch(dir, "upsert")
     val orders = Tables.orders(spark, dir)
       .select("o_orderkey", "o_custkey", "o_totalprice", "o_orderdate")
-    orders.withColumn("_v", lit(1L)).write.mode("overwrite").parquet(out)
+    val base = orders.withColumn("_v", lit(1L))
+    base.write.mode("overwrite").parquet(out)
     val updates = orders.filter(col("o_orderkey") % 10 === 0)
       .withColumn("o_totalprice", round(col("o_totalprice") + 1000, 2))
       .withColumn("_v", lit(2L))
-    val merged = spark.read.parquet(out)
+    val merged = readBack(spark, base, out)
       .unionByName(updates)
       .groupBy("o_orderkey")
       .agg(max_by(
@@ -179,7 +192,7 @@ object SourcesSinks {
         col("r.o_totalprice").as("o_totalprice"),
         col("r.o_orderdate").as("o_orderdate"), col("r._v").as("_v"))
     merged.write.mode("overwrite").parquet(s"${out}_merged")
-    spark.read.parquet(s"${out}_merged")
+    readBack(spark, merged, s"${out}_merged")
       .agg(count(lit(1)).as("n"),
         round(sum("o_totalprice"), 2).as("rev"),
         count(when(col("_v") === 2, lit(1))).as("updated"))
@@ -220,11 +233,11 @@ object SourcesSinks {
     * is the difference between scanning a day and scanning a decade. */
   def scanPruned(spark: SparkSession, dir: String): DataFrame = {
     val out = scratch(dir, "pruned")
-    Tables.orders(spark, dir)
+    val staged = Tables.orders(spark, dir)
       .withColumn("month", date_format(col("o_orderdate"), "yyyy-MM"))
-      .repartition(col("month"))
+    staged.repartition(col("month"))
       .write.mode("overwrite").partitionBy("month").parquet(out)
-    spark.read.parquet(out)
+    readBack(spark, staged, out)
       .filter(col("month") === "1996-03") // prunes to one partition dir
       .groupBy("o_orderpriority")
       .agg(count(lit(1)).as("n"), round(sum("o_totalprice"), 2).as("rev"))
@@ -250,7 +263,7 @@ object SourcesSinks {
       case Some(v) => spark.conf.set("spark.sql.sources.partitionOverwriteMode", v)
       case None    => spark.conf.unset("spark.sql.sources.partitionOverwriteMode")
     }
-    spark.read.parquet(out).agg(
+    readBack(spark, orders, out).agg(
       count(lit(1)).as("total_rows"),
       count(when(col("month") === "1996-03", lit(1))).as("march96_rows"),
       round(sum("o_totalprice"), 2).as("rev"))
@@ -299,15 +312,15 @@ object SourcesSinks {
   def sinkCompact(spark: SparkSession, dir: String): DataFrame = {
     val small = scratch(dir, "compact_small")
     val out = scratch(dir, "compact_out")
-    Tables.events(spark, dir).select("event_id", "event_type", "value")
-      .repartition(64)
+    val slice = Tables.events(spark, dir).select("event_id", "event_type", "value")
+    slice.repartition(64)
       .write.mode("overwrite").parquet(small)
-    spark.read.parquet(small)
+    readBack(spark, slice, small)
       .coalesce(4)
       .write.mode("overwrite").parquet(out)
     def nFiles(p: String): Int =
       new java.io.File(p).listFiles().count(f => f.getName.endsWith(".parquet"))
-    spark.read.parquet(out)
+    readBack(spark, slice, out)
       .groupBy("event_type")
       .agg(count(lit(1)).as("n"), round(sum("value"), 2).as("val_sum"))
       .withColumn("files_before", lit(nFiles(small)))
@@ -347,10 +360,10 @@ object SourcesSinks {
     * source — the round-trip must be lossless. */
   def ingestOrc(spark: SparkSession, dir: String): DataFrame = {
     val out = scratch(dir, "orc")
-    Tables.lineitem(spark, dir)
+    val slice = Tables.lineitem(spark, dir)
       .select("l_orderkey", "l_returnflag", "l_quantity", "l_extendedprice")
-      .write.mode("overwrite").option("compression", "zstd").orc(out)
-    spark.read.orc(out)
+    slice.write.mode("overwrite").option("compression", "zstd").orc(out)
+    spark.read.schema(slice.schema).orc(out)
       .filter(col("l_quantity") > 10) // pushdown reaches the ORC scan
       .groupBy("l_returnflag")
       .agg(count(lit(1)).as("n"),
@@ -376,7 +389,7 @@ object SourcesSinks {
       .withColumn("omonth", date_format(col("o_orderdate"), "yyyy-MM"))
     orders.repartition(col("omonth"))
       .write.mode("overwrite").partitionBy("omonth").parquet(factDir)
-    orders.select("omonth").distinct()
+    val dimStaged = orders.select("omonth").distinct()
       // the quarter tag is a STRING compared to a literal below: DPP's
       // isLikelySelective() heuristic accepts attr-vs-literal comparisons
       // but not a bare boolean column (which BooleanSimplification would
@@ -384,9 +397,9 @@ object SourcesSinks {
       // silently skipped
       .withColumn("q", when(substring(col("omonth"), 6, 2).isin("01", "02", "03"),
         lit("Q1")).otherwise(lit("QX")))
-      .write.mode("overwrite").parquet(dimDir)
-    val fact = spark.read.parquet(factDir)
-    val dim = spark.read.parquet(dimDir).filter(col("q") === "Q1")
+    dimStaged.write.mode("overwrite").parquet(dimDir)
+    val fact = readBack(spark, orders, factDir)
+    val dim = readBack(spark, dimStaged, dimDir).filter(col("q") === "Q1")
     fact.join(dim, "omonth")
       .groupBy("omonth")
       .agg(count(lit(1)).as("n"), round(sum("o_totalprice"), 2).as("rev"))
