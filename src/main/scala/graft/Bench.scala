@@ -80,6 +80,28 @@ object Bench {
     spark.sparkContext.setJobGroup("warmup", "bench warm-up", false)
     try {
       spark.range(1000000).selectExpr("sum(id)").collect()
+      // Exercise the expensive COMPILER paths once on synthetic inputs —
+      // janino classloading + JIT of codegen itself land on whichever
+      // query first plans a big whole-stage tree otherwise (measured
+      // ~3-4 s on the bigram core's first touch in a cold JVM, ~1 s
+      // warm). Synthetic range data only: this warms the process, it
+      // does not pre-compute any fixture work.
+      try {
+        import org.apache.spark.sql.functions._
+        val t = spark.range(1000)
+          .select(col("id"), concat_ws(" ", lit("a"), col("id"), lit("b c d")).as("s"))
+        t.select(col("id"), explode(transform(
+            sequence(lit(1), size(split(col("s"), " ")) - 1),
+            i => xxhash64(element_at(split(col("s"), " "), i)))).as("h"))
+          .groupBy("h").count()
+          .join(broadcast(t.groupBy(col("id") % 7).count()), Seq("count"), "left")
+          .agg(sum("h")).collect()
+        val w = org.apache.spark.sql.expressions.Window
+          .partitionBy(col("id") % 16).orderBy(col("id"))
+        t.select(sum(col("id")).over(w).as("r")).agg(max("r")).collect()
+      } catch { case e: Throwable =>
+        System.err.println(s"BENCH WARMUP (codegen) FAILED: ${e.getMessage}")
+      }
       val tables = Seq("region", "nation", "customer", "supplier", "part",
         "orders", "lineitem", "events", "documents", "embeddings")
       tables.foreach { t =>
