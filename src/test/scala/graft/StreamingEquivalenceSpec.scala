@@ -152,6 +152,17 @@ class StreamingEquivalenceSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("declared stream_dedup_watermark census equals the batch dedup census") {
+    // the DECLARED query stages real files and runs a real AvailableNow
+    // stream; its post-dedup census must equal stream_dedup's batch answer
+    // (both equal the plain events census — re-deliveries are exact copies)
+    val ddw = operators.Streaming.queries("stream_dedup_watermark")(spark, sf0001)
+      .collect().map(_.toSeq).toSeq
+    val batch = operators.Streaming.queries("stream_dedup")(spark, sf0001)
+      .collect().map(_.toSeq).toSeq
+    assert(ddw === batch)
+  }
+
   test("session_window batch agrees with the gaps-and-islands formulation") {
     val gi = operators.Streaming.streamSession(spark, sf0001)
       .groupBy("user_id").agg(count(lit(1)).as("sessions"), sum("n").as("events"))
