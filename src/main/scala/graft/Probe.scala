@@ -36,18 +36,19 @@ object Probe {
     t("minhash full")(operators.LlmOps.llmMinhash(spark, sfDir).count())
     t("dedup_near full")(operators.LlmOps.llmDedupNear(spark, sfDir).count())
     t("clusters full")(operators.Clustering.llmDedupClusters(spark, sfDir).count())
-    // stage breakdown of the clusters pipeline
-    operators.Clustering.ensureCheckpointDir(spark)
+    // stage breakdown of the clusters pipeline (mirrors the operator's
+    // round-8 materialize-based flow — keep in sync with Clustering)
+    import operators.MemoFrames
     val p2 = operators.LlmOps.llmDedupNear(spark, sfDir).select("a_id", "b_id")
     var ed: org.apache.spark.sql.DataFrame = null
-    t("cl: edges ckpt")({ ed = p2.unionAll(p2.select(col("b_id").as("a_id"), col("a_id").as("b_id"))).checkpoint(); ed.count() })
+    t("cl: edges mat")({ ed = MemoFrames.materialize(spark, "probe_edges", p2.unionAll(p2.select(col("b_id").as("a_id"), col("a_id").as("b_id")))); ed.count() })
     var l0: org.apache.spark.sql.DataFrame = null
-    t("cl: lbl0 ckpt")({ l0 = ed.groupBy(col("a_id").as("id")).agg(least(min(col("b_id")), col("a_id")).as("lbl")).checkpoint(); l0.count() })
+    t("cl: lbl0 mat")({ l0 = MemoFrames.materialize(spark, "probe_lbl0", ed.groupBy(col("a_id").as("id")).agg(least(min(col("b_id")), col("a_id")).as("lbl"))); l0.count() })
     var epp: org.apache.spark.sql.DataFrame = null
-    t("cl: contract ckpt")({
+    t("cl: contract mat")({
       val half = ed.join(l0, ed("b_id") === l0("id")).select(ed("a_id").as("a_id"), col("lbl").as("b_lbl"))
-      epp = half.join(l0, half("a_id") === l0("id")).select(col("lbl").as("a_id"), col("b_lbl").as("b_id"))
-        .filter(col("a_id") =!= col("b_id")).distinct().checkpoint()
+      epp = MemoFrames.materialize(spark, "probe_ep", half.join(l0, half("a_id") === l0("id")).select(col("lbl").as("a_id"), col("b_lbl").as("b_id"))
+        .filter(col("a_id") =!= col("b_id")).distinct())
       epp.count()
     })
     var lbls = epp.groupBy(col("a_id").as("id")).agg(least(min(col("b_id")), col("a_id")).as("lbl"))
@@ -59,8 +60,8 @@ object Probe {
         .groupBy("id").agg(min("lbl").as("lbl"), min("prev").as("prev"))
       it += 1
       if (it % 2 == 0) {
-        t(s"cl: round $it ckpt+probe")({
-          val ck = nx.checkpoint()
+        t(s"cl: round $it mat+probe")({
+          val ck = MemoFrames.materialize(spark, s"probe_round$it", nx)
           conv = ck.filter(col("lbl") < col("prev")).limit(1).count() == 0L
           lbls = ck.select("id", "lbl"); lbls.count()
         })
