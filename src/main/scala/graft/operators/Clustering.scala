@@ -235,9 +235,14 @@ object Clustering {
     val ed0 = sp.select(col("p").as("src"), col("s").as("dst"))
       .unionAll(sp.select(col("s").as("src"), col("p").as("dst")))
     val outdeg = ed0.groupBy("src").agg(count(lit(1)).as("deg"))
+    // LAZY checkpoint (round 8): the first action to touch edges — the
+    // nTotal broadcast below — materializes the lineage and the
+    // checkpoint write piggybacks on that job's completion, instead of
+    // an eager standalone count job. One fewer scheduling round-trip;
+    // identical files, partitioning, and superstep reuse.
     val edges = ed0.join(outdeg, "src")
       .repartition(32, col("src"))
-      .checkpoint()
+      .checkpoint(eager = false)
     // N arrives as a 1-row broadcast computed from the checkpoint; the
     // two crossJoin sites below are canonically equal, so the exchange is
     // built once and reused within the action.
