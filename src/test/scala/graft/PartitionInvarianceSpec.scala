@@ -53,14 +53,24 @@ class PartitionInvarianceSpec extends AnyFunSuite {
       rows(LlmOpsPipeline.llmStratifiedSample(alt, sf0001)))
   }
 
-  test("llm_dedup_clusters uses RELIABLE (on-disk) checkpoints, not block-manager blocks") {
+  test("llm_dedup_clusters truncates lineage to DISK, not block-manager blocks") {
+    // Round 8: the CC loop materializes through MemoFrames.materialize
+    // (parquet under the session memo dir) instead of RDD checkpoints —
+    // same executor-loss-survivable on-disk property, one compute instead
+    // of two. The assertion is the same SAFETY property as before: the
+    // truncation artifacts exist on the filesystem (mat_cc_* parquet
+    // dirs), and NOTHING from this query lingers in block-manager
+    // storage (the localCheckpoint failure mode round 2 hit).
     Clustering.llmDedupClusters(spark, sf0001).count()
-    val dir = spark.sparkContext.getCheckpointDir
-    assert(dir.isDefined, "checkpoint dir must be pinned by the CC loop")
-    // reliable checkpoints materialize as rdd-* directories on the
-    // filesystem — the property localCheckpoint (executor memory) lacks
-    val files = new java.io.File(new java.net.URI(dir.get).getPath).listFiles()
-    assert(files != null && files.exists(_.getName.startsWith("rdd-")),
-      s"expected rdd-* checkpoint data under $dir")
+    val base = new java.io.File(
+      if (new java.io.File("/dev/shm").isDirectory) "/dev/shm/graft-memo"
+      else new java.io.File(sys.props("java.io.tmpdir"), "graft-memo").getPath)
+    val matDirs = Option(base.listFiles()).getOrElse(Array.empty)
+      .filter(_.getName.startsWith("jvm_")).flatMap(d => Option(d.listFiles()).getOrElse(Array.empty))
+      .filter(_.getName.startsWith("session_")).flatMap(d => Option(d.listFiles()).getOrElse(Array.empty))
+      .filter(_.getName.startsWith("mat_cc_"))
+    assert(matDirs.nonEmpty, s"expected mat_cc_* materializations under $base")
+    assert(spark.sparkContext.getPersistentRDDs.isEmpty,
+      "CC loop must not leave cached RDDs in block-manager storage")
   }
 }
