@@ -82,12 +82,18 @@ object MemoFrames {
     def run(): Unit = deleteRecursively(path)
   }
 
-  private def entriesFor(spark: SparkSession): scala.collection.mutable.Map[String, String] =
+  private def entriesFor(spark: SparkSession): scala.collection.mutable.Map[String, String] = {
+    // Liveness beacon (same fix as the JdbcSink Derby sweep): refresh our
+    // own base dir's mtime on every use, so a long-lived but active JVM
+    // can never cross a sibling's 2 h staleness cutoff and have its memo
+    // files reaped from under live path entries.
+    jvmBase.toFile.setLastModified(System.currentTimeMillis())
     cache.computeIfAbsent(spark, { s =>
       val dir = java.nio.file.Files.createTempDirectory(jvmBase, "session_")
       cleaner.register(s, new DeleteDir(dir.toString))
       scala.collection.mutable.Map("" -> dir.toString)
     })
+  }
 
   /** Path → schema: the memo file is written exactly once, so its schema
     * is immutable for the JVM lifetime. A schema-less `spark.read.parquet`
