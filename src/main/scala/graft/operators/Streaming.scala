@@ -121,10 +121,24 @@ object Streaming {
       .writeStream.format("memory").queryName(qname)
       .option("checkpointLocation", s"$tmp/ckpt")
       .outputMode("complete").trigger(Trigger.AvailableNow()).start()
-    try q.awaitTermination(300000) finally q.stop()
+    // the memory-sink table is independent of the staged files once the
+    // stream stops, so the staging dir is deleted here — without this,
+    // every invocation (bench + verify + tests, all in one round) leaks
+    // an events-sized copy into tmpfs
+    try q.awaitTermination(300000) finally { q.stop(); deleteStaging(tmp) }
     spark.table(qname)
       .orderBy(col("day").asc, col("event_type").asc)
   }
+
+  /** Best-effort recursive delete of a per-invocation staging dir. */
+  private def deleteStaging(path: String): Unit =
+    try {
+      def rec(f: java.io.File): Unit = {
+        val kids = f.listFiles(); if (kids != null) kids.foreach(rec)
+        f.delete(); ()
+      }
+      rec(new java.io.File(path))
+    } catch { case _: Throwable => () }
 
   /** `dropDuplicatesWithinWatermark` as a DECLARED query (VERDICT r7
     * "what's missing" #3 — previously exercised only inside the unit
@@ -163,7 +177,9 @@ object Streaming {
       .writeStream.format("memory").queryName(qname)
       .option("checkpointLocation", s"$tmp/ckpt")
       .outputMode("complete").trigger(Trigger.AvailableNow()).start()
-    try q.awaitTermination(300000) finally q.stop()
+    // staging deleted once the stream stops — same tmpfs-leak rationale
+    // as stream_incremental
+    try q.awaitTermination(300000) finally { q.stop(); deleteStaging(tmp) }
     spark.table(qname).orderBy(col("event_type").asc)
   }
 
