@@ -30,7 +30,11 @@ import graft.Tables
 object Clustering {
 
   /** Idempotently pin a checkpoint dir (tests and Verify share a session;
-    * real deployments set a durable DFS path before calling). */
+    * real deployments set a durable DFS path before calling). Lifecycle
+    * mirrors MemoFrames: each JVM's UUID subdir is deleted on exit, and
+    * stale sibling dirs (crashed JVMs, > 2 h by mtime) are swept once —
+    * without this every run left its rdd-* files in tmpfs for the host's
+    * lifetime. */
   private[graft] def ensureCheckpointDir(spark: SparkSession): Unit =
     if (spark.sparkContext.getCheckpointDir.isEmpty) {
       // local-mode default only — tmpfs when present, else java.io.tmpdir;
@@ -38,9 +42,27 @@ object Clustering {
       val shm = new java.io.File("/dev/shm")
       val base = if (shm.isDirectory && shm.canWrite) "/dev/shm"
                  else sys.props.getOrElse("java.io.tmpdir", "/tmp")
-      spark.sparkContext.setCheckpointDir(
-        new java.io.File(base, "graft-checkpoints").getAbsolutePath)
+      val root = new java.io.File(base, "graft-checkpoints")
+      try {
+        val cutoff = System.currentTimeMillis() - 2L * 3600 * 1000
+        val kids = root.listFiles()
+        if (kids != null) kids.filter(f => f.isDirectory && f.lastModified() < cutoff)
+          .foreach(deleteRecursively)
+      } catch { case _: Throwable => () }
+      spark.sparkContext.setCheckpointDir(root.getAbsolutePath)
+      // setCheckpointDir created a fresh UUID subdir for THIS context —
+      // remove it when the JVM exits
+      spark.sparkContext.getCheckpointDir.foreach { d =>
+        val f = new java.io.File(new java.net.URI(d).getPath)
+        sys.addShutdownHook(deleteRecursively(f)); ()
+      }
     }
+
+  private def deleteRecursively(f: java.io.File): Unit =
+    try {
+      val kids = f.listFiles(); if (kids != null) kids.foreach(deleteRecursively)
+      f.delete(); ()
+    } catch { case _: Throwable => () }
 
   def llmDedupClusters(spark: SparkSession, dir: String): DataFrame = {
     // Round 8: every lineage-truncation point switched from eager
