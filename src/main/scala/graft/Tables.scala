@@ -46,19 +46,30 @@ object Tables {
   def documents(spark: SparkSession, dir: String): DataFrame  = read(spark, dir, "documents")
   def embeddings(spark: SparkSession, dir: String): DataFrame = read(spark, dir, "embeddings")
 
-  /** `events.ts` is parquet `timestamp[ns]`, which Spark 4.1 can only read
-    * as a raw Long under `spark.sql.legacy.parquet.nanosAsLong=true`
-    * (FIXTURES.md "Loading recipes"). Convert ns→µs with integer division
-    * (`div`) — exact for positive epochs and identical to DuckDB's native
-    * ns→µs truncation, so oracle comparisons on `ts` agree to the µs.
+  /** `events.ts` has shipped in two physical encodings across fixture
+    * generations (FIXTURES.md "Loading recipes"): parquet `timestamp[ns]`
+    * (readable by Spark 4.1 only as a raw Long under
+    * `spark.sql.legacy.parquet.nanosAsLong=true`) and, since 2026-08-13,
+    * plain naive `timestamp[us]` (read as TIMESTAMP_NTZ). Branch on the
+    * inferred type so the loader accepts both, and normalize to
+    * `TimestampType` — the type every downstream window/watermark/oracle
+    * query was built against. The ns→µs integer division (`div`) is exact
+    * for positive epochs and identical to DuckDB's native ns→µs
+    * truncation; the NTZ→LTZ cast is wall-clock-preserving because every
+    * graft session pins `spark.sql.session.timeZone=UTC`.
     */
   def events(spark: SparkSession, dir: String): DataFrame = {
-    require(
-      spark.conf.getOption("spark.sql.legacy.parquet.nanosAsLong").contains("true"),
-      "events.parquet has ns timestamps: set spark.sql.legacy.parquet.nanosAsLong=true " +
-        "on the SparkSession before reading it (see FIXTURES.md loading recipe)")
-    read(spark, dir, "events")
-      .withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+    val df = read(spark, dir, "events")
+    df.schema("ts").dataType match {
+      case org.apache.spark.sql.types.LongType =>
+        // ns-as-long fixture generation (requires nanosAsLong=true, or the
+        // footer inference above would already have failed with
+        // PARQUET_TYPE_ILLEGAL)
+        df.withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+      case org.apache.spark.sql.types.TimestampNTZType =>
+        df.withColumn("ts", col("ts").cast(org.apache.spark.sql.types.TimestampType))
+      case _ => df // already TIMESTAMP (e.g. tz-aware µs/ms parquet)
+    }
   }
 
   def byName(spark: SparkSession, dir: String, name: String): DataFrame = name match {

@@ -25,11 +25,15 @@ class GoldenSmokeSpec extends AnyFunSuite {
     assert(mm.getString(1).startsWith("2024-01-"))
   }
 
-  test("events loader fails fast without nanosAsLong") {
+  test("events loader normalizes ts to TimestampType without the legacy ns flag") {
+    // The 2026-08-13 fixture generation writes ts as naive timestamp[us],
+    // which Spark reads as TIMESTAMP_NTZ with no legacy flag needed; the
+    // loader must hand every consumer the TimestampType they were built on.
     val bare = spark.newSession()
     bare.conf.unset("spark.sql.legacy.parquet.nanosAsLong")
-    val e = intercept[IllegalArgumentException](Tables.events(bare, sf0001))
-    assert(e.getMessage.contains("nanosAsLong"))
+    val df = Tables.events(bare, sf0001)
+    assert(df.schema("ts").dataType === org.apache.spark.sql.types.TimestampType)
+    assert(df.select(max("ts").cast("string")).head().getString(0).startsWith("2024-01-"))
   }
 
   test("distinct event types and embedding dimensionality") {
