@@ -45,7 +45,7 @@ object Bench {
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.extensions", "graft.GraftExtensions")
-      // events.parquet carries ns timestamps (FIXTURES.md loading recipe)
+      // harmless on current µs fixtures; required for the pre-2026-08-13 ns generation
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       // reliable checkpoints (dedup clusters) delete their files once the
       // RDD is GC'd — a multi-run session must not accumulate checkpoint

@@ -12,7 +12,7 @@ object Verify {
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.extensions", "graft.GraftExtensions")
-      // events.parquet carries ns timestamps (FIXTURES.md loading recipe)
+      // harmless on current µs fixtures; required for the pre-2026-08-13 ns generation
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       // GC'd reliable checkpoints delete their tmpfs files (see Bench)
       .config("spark.cleaner.referenceTracking.cleanCheckpoints", "true")
