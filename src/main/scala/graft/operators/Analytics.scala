@@ -193,14 +193,64 @@ object Analytics {
       .orderBy(col("user_id").asc, col("sess_n").asc)
   }
 
+  /** Sequence-pattern match over per-user event histories (round-8
+    * addendum) — the MATCH_RECOGNIZE / CEP class of operator, which Spark
+    * SQL lacks natively. Each user's events are rendered as a symbol
+    * string in (ts, event_id) order (v=view c=click p=purchase s=signup
+    * e=error) and matched against the conversion pattern
+    * `v[^e]*c[^e]*p`: a view, later a click, later a purchase, with no
+    * error anywhere between — the "clean conversion path" question a
+    * fixed-column funnel (funnel_steps) cannot express, because the
+    * NEGATION (no intervening error) and the ORDER constraint live in the
+    * same predicate.
+    *
+    * Shape: ONE exchange. The symbol projection is map-side; collect_list
+    * partially aggregates per user inside each task; the regex runs
+    * map-side on the final per-user row. State per key is the user's
+    * event count — at 100 TB the same query windows the history (e.g.
+    * sessionize first, match per session) so per-key state stays bounded;
+    * the operator shape (group → ordered render → regex) is unchanged.
+    * Determinism: ties on ts break by the unique event_id, and both
+    * engines do leftmost unanchored regex search with identical character
+    * class semantics, so the boolean agrees row-for-row with DuckDB. */
+  def seqPattern(spark: SparkSession, dir: String): DataFrame = {
+    val sym = when(col("event_type") === "view", "v")
+      .when(col("event_type") === "click", "c")
+      .when(col("event_type") === "purchase", "p")
+      .when(col("event_type") === "signup", "s")
+      .otherwise("e")
+    Tables.events(spark, dir)
+      .select(col("user_id"), col("ts"), col("event_id"), sym.as("sym"))
+      .groupBy("user_id")
+      .agg(
+        count(lit(1)).as("n_events"),
+        array_join(transform(
+          array_sort(collect_list(struct(col("ts"), col("event_id"), col("sym")))),
+          x => x.getField("sym")), "").as("seq"))
+      .select(col("user_id"), col("n_events"),
+        col("seq").rlike("v[^e]*c[^e]*p").cast("int").as("matched"))
+      .orderBy(col("user_id").asc)
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "hist_equiwidth"   -> (histEquiwidth _),
     "hist_eqdepth"     -> (histEqdepth _),
     "funnel_steps"     -> (funnelSteps _),
     "funnel_retention" -> (funnelRetention _),
-    "sess_batch"       -> (sessBatch _))
+    "sess_batch"       -> (sessBatch _),
+    "seq_pattern"      -> (seqPattern _))
 
   val oracleSql: Map[String, String] = Map(
+    "seq_pattern" ->
+      """WITH s AS (
+        |  SELECT user_id, count(*) AS n_events,
+        |    string_agg(CASE event_type WHEN 'view' THEN 'v' WHEN 'click' THEN 'c'
+        |      WHEN 'purchase' THEN 'p' WHEN 'signup' THEN 's' ELSE 'e' END, ''
+        |      ORDER BY ts ASC, event_id ASC) AS seq
+        |  FROM events GROUP BY user_id)
+        |SELECT user_id, n_events,
+        |  CAST(regexp_matches(seq, 'v[^e]*c[^e]*p') AS INTEGER) AS matched
+        |FROM s ORDER BY user_id ASC""".stripMargin,
     "sess_batch" ->
       """WITH l AS (
         |  SELECT user_id, event_id, ts, value,

@@ -434,7 +434,55 @@ object SourcesSinks {
       .orderBy(col("event_type").asc)
   }
 
+  /** Z-order clustered rewrite + multi-dimension data skipping (round-8
+    * addendum) — the table-layout lever behind Delta OPTIMIZE ZORDER BY /
+    * Iceberg sort orders. A single sort key clusters ONE dimension;
+    * interleaving the bits of two rank-normalized keys (l_partkey,
+    * l_suppkey) gives a space-filling curve where every contiguous file
+    * covers a compact rectangle in BOTH dimensions, so per-file min/max
+    * stats prune a two-predicate scan that a single-column sort could
+    * only prune on its leading key. At 100 TB this is the difference
+    * between touching ~√N of the files and touching all of them for the
+    * non-leading predicate.
+    *
+    * Mechanics: one metadata-scale stats job reads the two dimension
+    * maxima (at scale these come from catalog/file statistics, not a
+    * scan); each key is normalized to 16 bits of its own value range so
+    * dimensions of different magnitudes contribute interleaved bits
+    * evenly; `repartitionByRange(z)` + in-partition sort lays files out
+    * along the curve. The declared output re-reads the clustered files
+    * under a two-dimension predicate and aggregates — oracle equality
+    * proves the rewrite preserved content; ZorderSpec measures the
+    * clustering itself (per-file key spans shrink vs the global span). */
+  def sinkZorder(spark: SparkSession, dir: String): DataFrame = {
+    val out = scratch(dir, "zorder")
+    val li = Tables.lineitem(spark, dir)
+      .select("l_orderkey", "l_partkey", "l_suppkey", "l_linenumber",
+        "l_quantity", "l_extendedprice", "l_returnflag")
+    val mx = li.agg(max("l_partkey"), max("l_suppkey")).head()
+    val (maxP, maxS) = (math.max(mx.getLong(0), 1L), math.max(mx.getLong(1), 1L))
+    def norm16(c: org.apache.spark.sql.Column, mx: Long) =
+      least(lit(65535L), floor(c * 65536.0 / (mx + 1))).cast("long")
+    val zp = norm16(col("l_partkey"), maxP)
+    val zs = norm16(col("l_suppkey"), maxS)
+    val z = (0 until 16).map { i =>
+      shiftleft(shiftrightunsigned(zp, i).bitwiseAND(lit(1L)), 2 * i)
+        .bitwiseOR(shiftleft(shiftrightunsigned(zs, i).bitwiseAND(lit(1L)), 2 * i + 1))
+    }.reduce(_ bitwiseOR _)
+    val staged = li.withColumn("z", z)
+    staged.repartitionByRange(32, col("z")).sortWithinPartitions("z")
+      .drop("z")
+      .write.mode("overwrite").parquet(out)
+    readBack(spark, staged.drop("z"), out)
+      .filter(col("l_partkey").between(1, 50) && col("l_suppkey").between(1, 5))
+      .groupBy("l_returnflag")
+      .agg(count(lit(1)).as("n"), round(sum("l_quantity"), 2).as("qty"),
+        round(sum("l_extendedprice"), 2).as("rev"))
+      .orderBy(col("l_returnflag").asc)
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "sink_zorder"       -> (sinkZorder _),
     "ingest_logs"       -> (ingestLogs _),
     "scan_dpp"          -> (scanDpp _),
     "ingest_orc"        -> (ingestOrc _),
@@ -452,6 +500,13 @@ object SourcesSinks {
     "sink_idempotent"  -> (sinkIdempotent _))
 
   val oracleSql: Map[String, String] = Map(
+    "sink_zorder" ->
+      """SELECT l_returnflag, count(*) AS n,
+        |  round(sum(l_quantity), 2) AS qty,
+        |  round(sum(l_extendedprice), 2) AS rev
+        |FROM lineitem
+        |WHERE l_partkey BETWEEN 1 AND 50 AND l_suppkey BETWEEN 1 AND 5
+        |GROUP BY l_returnflag ORDER BY l_returnflag ASC""".stripMargin,
     "ingest_logs" ->
       """SELECT event_type, count(*) AS n,
         |  count(DISTINCT user_id) AS users,

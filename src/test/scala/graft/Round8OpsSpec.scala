@@ -1,0 +1,71 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.functions._
+
+/** Round-8 addenda semantics: seq_pattern (CEP-class sequence match) and
+  * sink_zorder (space-filling-curve clustering). The DuckDB oracle proves
+  * value equality; these tests pin the properties the oracle cannot see —
+  * the pattern's necessary conditions and the physical clustering quality
+  * of the z-ordered files. */
+class Round8OpsSpec extends AnyFunSuite {
+  import TestSpark._
+
+  test("seq_pattern: matched users satisfy the pattern's necessary conditions") {
+    val out = operators.Analytics.seqPattern(spark, sf0001).collect()
+    val users = Tables.events(spark, sf0001)
+      .groupBy("user_id")
+      .agg(
+        sum(when(col("event_type") === "view", 1).otherwise(0)).as("v"),
+        sum(when(col("event_type") === "click", 1).otherwise(0)).as("c"),
+        sum(when(col("event_type") === "purchase", 1).otherwise(0)).as("p"))
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getLong(3))).toMap
+    assert(out.nonEmpty)
+    out.foreach { r =>
+      val (uid, matched) = (r.getLong(0), r.getInt(2))
+      if (matched == 1) {
+        val (v, c, p) = users(uid)
+        // v→c→p with no intervening error REQUIRES at least one of each
+        assert(v >= 1 && c >= 1 && p >= 1,
+          s"user $uid matched but has v=$v c=$c p=$p")
+      }
+    }
+    // the fixture's event mix makes clean conversions common enough that a
+    // zero count would mean the pattern or the ordering broke
+    assert(out.count(_.getInt(2) == 1) > 0)
+  }
+
+  test("seq_pattern: result is deterministic across shuffle partitionings") {
+    val a = operators.Analytics.seqPattern(spark, sf0001).collect().toSeq
+    val s2 = spark.newSession()
+    s2.conf.set("spark.sql.shuffle.partitions", "7")
+    val b = operators.Analytics.seqPattern(s2, sf0001).collect().toSeq
+    assert(a === b)
+  }
+
+  test("sink_zorder: files cover compact rectangles in BOTH dimensions") {
+    // run the operator (writes the clustered files as a side effect)
+    val res = operators.SourcesSinks.sinkZorder(spark, sf0001).collect()
+    assert(res.nonEmpty)
+    // same scratch-path construction as SourcesSinks.scratch
+    val root =
+      if (new java.io.File("/dev/shm").isDirectory) "/dev/shm/graft_io" else "/tmp/graft_io"
+    val out = s"$root/zorder_${sf0001.replaceAll("[^A-Za-z0-9]", "_")}"
+    val spans = spark.read.parquet(out)
+      .select(input_file_name().as("f"), col("l_partkey"), col("l_suppkey"))
+      .groupBy("f")
+      .agg(
+        (max("l_partkey") - min("l_partkey")).as("p_span"),
+        (max("l_suppkey") - min("l_suppkey")).as("s_span"))
+      .agg(avg("p_span"), avg("s_span"), count(lit(1)))
+      .head()
+    val (pSpan, sSpan, nFiles) = (spans.getDouble(0), spans.getDouble(1), spans.getLong(2))
+    assert(nFiles >= 8, s"expected many clustered files, got $nFiles")
+    // global spans at sf0.001: l_partkey 1..200, l_suppkey 1..10. A random
+    // layout puts ~the whole range in every file (span ≈ max); the z-curve
+    // must shrink the AVERAGE file's rectangle on BOTH keys at once —
+    // that simultaneous shrink is the property a single-column sort lacks.
+    assert(pSpan < 200 * 0.6, s"avg per-file l_partkey span $pSpan not clustered")
+    assert(sSpan < 10 * 0.6, s"avg per-file l_suppkey span $sSpan not clustered")
+  }
+}
