@@ -13,10 +13,21 @@ object Probe {
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .config("spark.ui.enabled", "false").getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    // per-phase job counter (async listener bus — drained with a short
+    // sleep before each read; fine for a dev probe)
+    val jobs = new java.util.concurrent.atomic.AtomicInteger()
+    spark.sparkContext.addSparkListener(new org.apache.spark.scheduler.SparkListener {
+      override def onJobStart(js: org.apache.spark.scheduler.SparkListenerJobStart): Unit = {
+        jobs.incrementAndGet(); ()
+      }
+    })
     spark.range(1000000).selectExpr("sum(id)").collect() // warm
     def t(name: String)(f: => Long): Unit = {
+      Thread.sleep(300); val j0 = jobs.get()
       val t0 = System.nanoTime(); val n = f
-      println(f"PROBE $name%-28s ${(System.nanoTime()-t0)/1e9}%8.2f s  rows=$n")
+      val dt = (System.nanoTime() - t0) / 1e9
+      Thread.sleep(300)
+      println(f"PROBE $name%-28s $dt%8.2f s  rows=$n jobs=${jobs.get() - j0}")
     }
     val toksRaw = split(col("text"), " ")
     val nsh = greatest(size(toksRaw) - 2, lit(1))
@@ -39,9 +50,13 @@ object Probe {
     // stage breakdown of the clusters pipeline (mirrors the operator's
     // round-8 materialize-based flow — keep in sync with Clustering)
     import operators.MemoFrames
-    val p2 = operators.LlmOps.llmDedupNear(spark, sfDir).select("a_id", "b_id")
     var ed: org.apache.spark.sql.DataFrame = null
-    t("cl: edges mat")({ ed = MemoFrames.materialize(spark, "probe_edges", p2.unionAll(p2.select(col("b_id").as("a_id"), col("a_id").as("b_id")))); ed.count() })
+    t("cl: pairs mat")({
+      val pm = MemoFrames.materialize(spark, "probe_pairs",
+        operators.LlmOps.nearDupPairs(spark, sfDir).select("a_id", "b_id"))
+      ed = pm.unionAll(pm.select(col("b_id").as("a_id"), col("a_id").as("b_id")))
+      ed.count()
+    })
     var l0: org.apache.spark.sql.DataFrame = null
     t("cl: lbl0 mat")({ l0 = MemoFrames.materialize(spark, "probe_lbl0", ed.groupBy(col("a_id").as("id")).agg(least(min(col("b_id")), col("a_id")).as("lbl"))); l0.count() })
     var epp: org.apache.spark.sql.DataFrame = null
@@ -59,11 +74,11 @@ object Probe {
       val nx = lbls.select(col("id"), col("lbl"), col("lbl").as("prev")).unionAll(nbr)
         .groupBy("id").agg(min("lbl").as("lbl"), min("prev").as("prev"))
       it += 1
-      if (it % 2 == 0) {
+      if (it == 4 || (it > 4 && it % 2 == 0)) {
         t(s"cl: round $it mat+probe")({
           val ck = MemoFrames.materialize(spark, s"probe_round$it", nx)
           conv = ck.filter(col("lbl") < col("prev")).limit(1).count() == 0L
-          lbls = ck.select("id", "lbl"); lbls.count()
+          lbls = ck.select("id", "lbl"); 0L
         })
       } else lbls = nx.select("id", "lbl")
     }

@@ -21,9 +21,10 @@ import graft.Tables
   * mid-iteration kills the query, and the label table is corpus-sized.
   * On-disk materializations survive executor loss and spill nothing onto
   * the block-manager heap; the extra write per round is one small shuffle
-  * output's worth of IO. Convergence is probed every SECOND round (a
-  * fixpoint is stable, so overshooting by one round cannot change the
-  * labels) — halving the probe jobs on the usual 3–4-round run.
+  * output's worth of IO. Convergence is probed first at round 4 and every
+  * second round after (a fixpoint is stable, so lazy overshoot rounds
+  * cannot change the labels) — the usual 3-round run pays exactly one
+  * materialization and one probe.
   * The fixpoint (min reachable doc_id per node) is order-independent and
   * engine-independent, so the result is oracle-able via a recursive CTE.
   */
@@ -74,9 +75,16 @@ object Clustering {
     // for its write job) and drops a scheduling round-trip — the
     // contended-driver tax (this was the suite's most job-laden query:
     // 35 jobs, BENCH r8 local).
-    val pairs = LlmOps.llmDedupNear(spark, dir).select("a_id", "b_id")
-    val edges = MemoFrames.materialize(spark, "cc_edges", pairs
-      .unionAll(pairs.select(col("b_id").as("a_id"), col("a_id").as("b_id"))))
+    // Round-8b: consume the UNORDERED pair stream (the declared query's
+    // global sort cost a range-sample job + sort exchange, destroyed by
+    // the very next hash shuffle) and materialize the HALF pair set —
+    // the symmetric closure is a lazy union of two projections over the
+    // same small file, so the write moves half the bytes for the same
+    // downstream cost.
+    val pairsM = MemoFrames.materialize(spark, "cc_pairs",
+      LlmOps.nearDupPairs(spark, dir).select("a_id", "b_id"))
+    val edges = pairsM
+      .unionAll(pairsM.select(col("b_id").as("a_id"), col("a_id").as("b_id")))
     // STAR CONTRACTION (the large-star move of Kiveris et al.'s
     // alternating algorithm): lbl₀ = min(self, direct neighbors) — one
     // aggregate, no join — then contract every edge to its endpoints'
@@ -109,13 +117,34 @@ object Clustering {
     var converged = false
     var iter = 0
     while (!converged && iter < 50) {
+      // The label table on the CONTRACTED graph has one row per surviving
+      // contracted node — cluster-label count, orders of magnitude below
+      // the corpus (405 rows vs 215k raw pairs at sf0.1) — so this join
+      // is broadcast-sized in practice. Deliberately NO explicit hint:
+      // AQE converts it to a broadcast join at runtime from the real
+      // measured size (A/B-probed in round 8: the explicit hint scheduled
+      // 2 MORE jobs, because a planned broadcast builds its relation in a
+      // dedicated job per round while AQE reuses the already-materialized
+      // shuffle output), and for a corpus whose contracted label set
+      // exceeds the broadcast budget the same plan degrades gracefully to
+      // the shuffle form with identical semantics.
       val nbr = ep.join(labels, ep("b_id") === labels("id"))
         .select(ep("a_id").as("id"), col("lbl"), lit(Long.MaxValue).as("prev"))
       val next = labels.select(col("id"), col("lbl"), col("lbl").as("prev"))
         .unionAll(nbr)
         .groupBy("id").agg(min("lbl").as("lbl"), min("prev").as("prev"))
       iter += 1
-      if (iter % 2 == 0 || iter >= 50) {
+      // First probe at round 4, then every second round: near-dup graphs
+      // contract to diameter ≤ 3 almost always (this fixture's fixpoint
+      // lands at round 3 at every SF), so the first probe usually IS the
+      // last — the whole loop becomes rounds 1-3 lazy (each one bounded
+      // broadcast join + agg deepening the plan, no job) plus ONE
+      // materialization and ONE tiny-file convergence read. The r8 probe
+      // decomposition measured the old every-2nd-round cadence at 22 of
+      // the operator's 31 jobs (two deep materialize+probe pairs); this
+      // cadence schedules one. A fixpoint is stable, so lazy overshoot
+      // rounds past convergence can never change the labels.
+      if (iter == 4 || (iter > 4 && iter % 2 == 0) || iter >= 50) {
         val ck = MemoFrames.materialize(spark, s"cc_round$iter", next)
         // min(lbl) ≤ prev always, so "changed" ⇔ lbl < prev
         converged = ck.filter(col("lbl") < col("prev")).limit(1).count() == 0L
@@ -135,6 +164,9 @@ object Clustering {
     val roots = labels.select(col("id").as("r_id"), col("lbl").as("root"))
     val w = Window.partitionBy("cluster")
     lbl0
+      // roots is the converged contracted-label table — same
+      // broadcast-sized class as the loop's labels frame above, and the
+      // same no-hint reasoning: AQE picks broadcast from measured size
       .join(roots, col("lbl") === col("r_id"), "left")
       .select(col("id").as("doc_id"),
         coalesce(col("root"), col("lbl")).as("cluster"))

@@ -59,7 +59,15 @@ object LlmOps {
     * goes through BlockedPairs.saltedSelfPairs — the shared de-skewed
     * candidate path of the dedup family (same pairs as a plain blocked
     * self-join; see that object's scaladoc for the triangle scheme). */
-  def llmDedupNear(spark: SparkSession, dir: String): DataFrame = {
+  def llmDedupNear(spark: SparkSession, dir: String): DataFrame =
+    nearDupPairs(spark, dir).orderBy(col("a_id").asc, col("b_id").asc)
+
+  /** The UNORDERED near-dup pair stream behind llmDedupNear. The cluster
+    * pipeline (Clustering.llmDedupClusters) consumes this directly: its
+    * edge materialization hashes the pairs by endpoint anyway, so the
+    * declared query's global sort would cost a range-sample job plus a
+    * sort exchange only to be destroyed one step later. */
+  private[graft] def nearDupPairs(spark: SparkSession, dir: String): DataFrame = {
     // Tokens hash-encoded to sorted long ids map-side (xxhash64): the
     // ~600k blocked pairs at sf0.1 then move/compare fixed-width longs
     // instead of string arrays — same set cardinalities (collision odds
@@ -79,7 +87,6 @@ object LlmOps {
       .select(col("a.id").as("a_id"), col("b.id").as("b_id"),
         round(jac, 6).as("jac"))
       .filter(col("jac") >= 0.8)
-      .orderBy(col("a_id").asc, col("b_id").asc)
   }
 
   /** MinHash-LSH near-dup dedup at scale: 16 min-hashes per doc (4 bands
