@@ -10,13 +10,28 @@ object TimeQ {
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .config("spark.ui.enabled", "false").getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    val jobs = new java.util.concurrent.atomic.AtomicInteger()
+    val traceJobs = sys.env.contains("SPARK_GRAFT_TRACE_JOBS")
+    spark.sparkContext.addSparkListener(new org.apache.spark.scheduler.SparkListener {
+      override def onJobStart(js: org.apache.spark.scheduler.SparkListenerJobStart): Unit = {
+        jobs.incrementAndGet()
+        if (traceJobs) {
+          val s = js.stageInfos.map(si => s"${si.name.takeWhile(_ != '(').trim}:${si.numTasks}")
+            .mkString(" | ")
+          println(s"JOB ${js.jobId} stages=${js.stageInfos.size} [$s]")
+        }
+      }
+    })
     spark.range(1000000).selectExpr("sum(id)").collect()
     spark.read.parquet(s"$sfDir/lineitem.parquet").limit(1000).count()
     names.foreach { n =>
       (1 to reps).foreach { r =>
+        Thread.sleep(300); val j0 = jobs.get()
         val t0 = System.nanoTime()
         val c = SparkEntry.queries(n)(spark, sfDir).count()
-        println(f"TIME $n rep=$r ${(System.nanoTime()-t0)/1e9}%.2f s rows=$c")
+        val dt = (System.nanoTime() - t0) / 1e9
+        Thread.sleep(300)
+        println(f"TIME $n rep=$r $dt%.2f s rows=$c jobs=${jobs.get() - j0}")
       }
     }
     spark.stop()

@@ -331,31 +331,48 @@ object LlmOpsExtra {
     * each query then probes its 8 nearest cells and ranks only those
     * cells' vectors — searching nprobe/K of the corpus.
     *
-    * Scale shape: training is the same driver-coordinated loop as the CC
-    * fixpoint — per iteration ONE distributed pass (broadcast 16 pivots,
-    * map-side argmax assignment, per-(cell,dim) partial-agg means) and an
-    * O(k·d) collect (16×64 doubles — a codebook is by construction a
-    * driver/broadcast-scale object; at 100 TB you train on a deterministic
-    * sample, identical loop). Centroids and similarities are rounded to 6
-    * decimals so both engines' float sums agree; empty cells keep their
-    * previous pivot. Recall vs brute force is unit-tested against
-    * llm_knn_join; the oracle re-derives the SAME 3 unrolled iterations in
-    * SQL. */
+    * Scale shape: the codebook is a k·d-sized CONSTANT of the query (16×64
+    * doubles — the same class as llm_ann_lsh's planes), so it rides into
+    * the plan as a LITERAL pivot array and assignment is a pure MAP-SIDE
+    * fold: each vector picks its argmax-cosine cell locally, zero shuffle.
+    * (Round 7 instead crossJoined a broadcast pivot frame and ran a
+    * row_number window partitioned by vec_id — that shuffled 16× the
+    * corpus per training pass, three corpus shuffles total, plus a
+    * broadcast-build job each; the r8 job decomposition charged 19 jobs to
+    * this operator, most of them those windows.) A training iteration is
+    * now one distributed pass — map-side assignment, per-(cell,dim)
+    * partial-agg means — ending in an O(k·d) collect (a codebook is by
+    * construction a driver/broadcast-scale object; at 100 TB you train on
+    * a deterministic sample, identical loop). The fold visits pivots in
+    * p_id order and replaces only on STRICTLY greater rounded cosine, so
+    * ties keep the lower p_id — bit-identical to the old window's
+    * (psim DESC, p_id ASC) pick and to the SQL oracle's unrolled
+    * iterations. Centroids and similarities are rounded to 6 decimals so
+    * both engines' float sums agree; empty cells keep their previous
+    * pivot. Recall vs brute force is unit-tested against llm_knn_join. */
   def llmAnnIvf(spark: SparkSession, dir: String): DataFrame = {
     val e = embDouble(spark, dir)
-    val wAssign = Window.partitionBy("vec_id").orderBy(col("psim").desc, col("p_id").asc)
-    def pivDf(pivots: Seq[(Long, Seq[Double])]): DataFrame =
-      spark.createDataFrame(pivots).toDF("p_id", "pe")
-    // assignment: argmax cosine over pivots, tie → lower pivot id
-    def assignTo(piv: DataFrame): DataFrame = e.crossJoin(broadcast(piv))
-      .withColumn("psim", round(cos(col("e"), col("pe")), 6))
-      .withColumn("rn", row_number().over(wAssign)).filter(col("rn") === 1)
-      .select(col("vec_id").as("n_id"), col("p_id").as("cell"), col("e").as("ne"))
+    def pivArr(pivots: Seq[(Long, Seq[Double])]) =
+      array(pivots.sortBy(_._1).map { case (id, v) =>
+        struct(lit(id).as("p_id"), array(v.map(lit): _*).as("pe")) }: _*)
+    // argmax cosine over the literal pivots, tie → lower pivot id
+    def best(vec: org.apache.spark.sql.Column,
+             pivots: Seq[(Long, Seq[Double])]): org.apache.spark.sql.Column =
+      aggregate(pivArr(pivots),
+        struct(lit(-2.0).as("sim"), lit(-1L).as("cell")),
+        (acc, p) => {
+          val s = round(cos(vec, p.getField("pe")), 6)
+          when(s > acc.getField("sim"),
+            struct(s.as("sim"), p.getField("p_id").as("cell"))).otherwise(acc)
+        })
+    def assignTo(pivots: Seq[(Long, Seq[Double])]): DataFrame =
+      e.select(col("vec_id").as("n_id"),
+        best(col("e"), pivots).getField("cell").as("cell"), col("e").as("ne"))
     var pivots: Seq[(Long, Seq[Double])] =
       gaussianVectors(16, 64, base = 1L << 20).zipWithIndex
         .map { case (v, j) => j.toLong -> v }
     for (_ <- 1 to 3) {
-      val means = assignTo(pivDf(pivots))
+      val means = assignTo(pivots)
         .select(col("cell"), posexplode(col("ne")))
         .groupBy("cell", "pos").agg(round(avg("col"), 6).as("m"))
         .collect()
@@ -364,16 +381,16 @@ object LlmOpsExtra {
         .map { case (c, rs) => c -> rs.sortBy(_.getInt(1)).map(_.getDouble(2)).toSeq }
       pivots = pivots.map { case (id, old) => id -> byCell.getOrElse(id, old) }
     }
-    val piv = pivDf(pivots)
-    val assign = assignTo(piv)
-    // probe list: 4 nearest pivots per query
-    val wProbe = Window.partitionBy("q_id").orderBy(col("qsim").desc, col("p_id").asc)
+    val assign = assignTo(pivots)
+    // probe list: 8 nearest pivots per query — the same literal-array
+    // trick, sorted map-side ((-sim, p_id) struct order ≡ sim DESC,
+    // p_id ASC), so the probe fan-out never touches a window
     val probes = e.filter(col("vec_id") < 3)
-      .select(col("vec_id").as("q_id"), col("e").as("qe"))
-      .crossJoin(broadcast(piv))
-      .withColumn("qsim", round(cos(col("qe"), col("pe")), 6))
-      .withColumn("rn", row_number().over(wProbe)).filter(col("rn") <= 8)
-      .select(col("q_id"), col("qe"), col("p_id").as("cell"))
+      .select(col("vec_id").as("q_id"), col("e").as("qe"),
+        explode(slice(array_sort(transform(pivArr(pivots), p =>
+          struct((lit(0.0) - round(cos(col("e"), p.getField("pe")), 6)).as("ns"),
+            p.getField("p_id").as("cell")))), 1, 8)).as("pc"))
+      .select(col("q_id"), col("qe"), col("pc.cell").as("cell"))
     // search only the probed cells
     val wTop = Window.partitionBy("q_id").orderBy(col("sim").desc, col("n_id").asc)
     probes.join(assign, "cell")

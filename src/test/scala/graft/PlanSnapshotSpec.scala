@@ -87,8 +87,9 @@ class PlanSnapshotSpec extends AnyFunSuite {
       // tiny-side cross patterns (PLANS.md)
       "join_cross", "llm_cosine_knn", "llm_knn_join", "llm_tfidf",
       "stream_late_data",
-      // broadcast of the O(k·d) trained codebook, joined without equi-keys
-      "llm_ann_ivf",
+      // (llm_ann_ivf left this list in round 8: the trained codebook now
+      // rides into the plan as a literal pivot array folded map-side, so
+      // the DECLARED plan has no crossJoin at all.)
       // 1-row broadcast scalar: crossJoin(broadcast(<global agg>)), the
       // no-driver-action way to carry a count/total into every row.
       // (llm_bigram_lm / llm_quality_buckets left this list in round 7:
