@@ -172,7 +172,45 @@ object JoinsAdvanced {
       .orderBy(col("brand").asc)
   }
 
+  /** Nearest temporal join (round-8 addendum): each event pairs with the
+    * SAME-USER order whose o_orderdate sits closest in ABSOLUTE time —
+    * the bidirectional cousin of join_asof, whose directional "latest
+    * at-or-before" misses an order placed one second after the event.
+    * Sensor/transaction alignment runs this shape constantly and neither
+    * Spark nor ANSI SQL names an operator for it.
+    *
+    * Declared form: per-user equi-join + arg-min via min(struct(dt,
+    * o_orderdate, o_orderkey)) — partial aggregation reduces every map
+    * task to ≤1 row per event BEFORE the shuffle, so the wire carries
+    * O(events) rows however many same-user orders exist (join_asof's
+    * declared class). Where per-user pair volume itself is the bottleneck
+    * the operator decomposes into the two directional as-ofs (≤1
+    * candidate each from the native sort-merge AsofJoinExec) followed by
+    * this same arg-min over ≤2 rows — identical semantics, linear work.
+    * The distance is compared in integer MICROSECONDS on both engines
+    * (unix_micros / epoch_us): no float in the ordering key, and the
+    * (dt, o_orderdate, o_orderkey) tie-break means an equidistant
+    * before/after pair resolves to the earlier order deterministically. */
+  def joinNearest(spark: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(spark, dir).select("event_id", "ts", "user_id")
+    val od = Tables.orders(spark, dir).select("o_custkey", "o_orderkey", "o_orderdate")
+    ev.join(od, col("user_id") === col("o_custkey"))
+      // the fixtures' naive-µs columns load as TIMESTAMP_NTZ; the cast to
+      // TIMESTAMP reads them in the session zone (pinned UTC), so the
+      // microsecond line matches DuckDB's epoch_us over the same naive values
+      .withColumn("dt", abs(unix_micros(col("ts").cast("timestamp"))
+        - unix_micros(col("o_orderdate").cast("timestamp"))))
+      .groupBy("event_id", "ts", "user_id")
+      .agg(min(struct(col("dt"), col("o_orderdate"), col("o_orderkey"))).as("best"))
+      .select(col("event_id"), col("ts"), col("user_id"),
+        col("best.o_orderdate").as("nearest_orderdate"),
+        col("best.o_orderkey").as("nearest_orderkey"),
+        col("best.dt").as("dist_us"))
+      .orderBy(col("event_id").asc)
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "join_nearest"         -> (joinNearest _),
     "join_fuzzy"           -> (joinFuzzy _),
     "join_theta_band"      -> (joinThetaBand _),
     "join_asof"            -> (joinAsof _),
@@ -182,6 +220,17 @@ object JoinsAdvanced {
     "join_interval_native" -> (joinIntervalNative _))
 
   val oracleSql: Map[String, String] = Map(
+    "join_nearest" ->
+      """WITH j AS (
+        |  SELECT e.event_id, e.ts, e.user_id, o.o_orderkey, o.o_orderdate,
+        |    abs(epoch_us(e.ts) - epoch_us(o.o_orderdate)) AS dt,
+        |    row_number() OVER (PARTITION BY e.event_id
+        |      ORDER BY abs(epoch_us(e.ts) - epoch_us(o.o_orderdate)) ASC,
+        |               o.o_orderdate ASC, o.o_orderkey ASC) AS rn
+        |  FROM events e JOIN orders o ON e.user_id = o.o_custkey)
+        |SELECT event_id, ts, user_id, o_orderdate AS nearest_orderdate,
+        |  o_orderkey AS nearest_orderkey, dt AS dist_us
+        |FROM j WHERE rn = 1 ORDER BY event_id ASC""".stripMargin,
     "join_fuzzy" ->
       """SELECT a.p_brand AS brand, count(*) AS pairs, round(avg(dist), 6) AS avg_dist
         |FROM (

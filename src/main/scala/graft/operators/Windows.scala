@@ -245,7 +245,38 @@ object Windows {
       .orderBy(col("o_custkey").asc, col("o_orderkey").asc)
   }
 
+  /** SQL:2011 GROUPS frame mode (round-8 addendum) — the third standard
+    * window frame unit, which Spark implements for neither SQL nor the
+    * DataFrame API (ROWS and RANGE only; so does DuckDB — "GROUPS mode …
+    * not implemented yet"). `GROUPS BETWEEN 1 PRECEDING AND 1 FOLLOWING`
+    * frames a row by PEER GROUPS of the order key: the previous distinct
+    * key's rows + all peers of the current key + the next distinct key's
+    * rows, regardless of how many rows each group holds or how far apart
+    * the key values sit (RANGE would use value distance, ROWS would cut
+    * peer groups in half).
+    *
+    * Re-expression: dense_rank() assigns each peer group a consecutive
+    * integer, and a RANGE frame of ±1 over that rank IS the GROUPS frame
+    * — consecutive ranks ⇔ adjacent groups, and rows sharing a rank are
+    * exactly the peers. Both windows share one (event_type, day)
+    * exchange+sort: the rank window and the frame window sort compatibly,
+    * so the plan pays a single shuffle like every other §2.E entry. */
+  def winGroupsFrame(spark: SparkSession, dir: String): DataFrame = {
+    val wRank = Window.partitionBy("event_type").orderBy(col("day").asc)
+    val wFrame = Window.partitionBy("event_type").orderBy(col("g").asc)
+      .rangeBetween(-1, 1)
+    Tables.events(spark, dir)
+      .select(col("event_id"), col("event_type"),
+        to_date(col("ts")).as("day"), col("value"))
+      .withColumn("g", dense_rank().over(wRank))
+      .select(col("event_id"), col("event_type"), col("day"),
+        round(sum("value").over(wFrame), 2).as("grp_sum"),
+        count(lit(1)).over(wFrame).as("grp_n"))
+      .orderBy(col("event_id").asc)
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "win_groups_frame"   -> (winGroupsFrame _),
     "win_ignore_nulls"   -> (winIgnoreNulls _),
     "win_topk_native"    -> (winTopkNative _),
     "win_distinct_count" -> (winDistinctCount _),
@@ -262,6 +293,22 @@ object Windows {
     "win_first_last"  -> (winFirstLast _))
 
   val oracleSql: Map[String, String] = Map(
+    // DuckDB lacks GROUPS mode too, so the oracle states the same
+    // dense_rank + RANGE-over-rank identity — an equivalence both engines
+    // evaluate through entirely different window machinery.
+    "win_groups_frame" ->
+      """WITH r AS (
+        |  SELECT event_id, event_type, CAST(ts AS DATE) AS day, value,
+        |    dense_rank() OVER (PARTITION BY event_type
+        |      ORDER BY CAST(ts AS DATE) ASC) AS g
+        |  FROM events)
+        |SELECT event_id, event_type, day,
+        |  round(sum(value) OVER w, 2) AS grp_sum,
+        |  count(*) OVER w AS grp_n
+        |FROM r
+        |WINDOW w AS (PARTITION BY event_type ORDER BY g ASC
+        |  RANGE BETWEEN 1 PRECEDING AND 1 FOLLOWING)
+        |ORDER BY event_id ASC""".stripMargin,
     "win_ignore_nulls" ->
       """SELECT o_custkey, o_orderkey,
         |  round(lag(CASE WHEN o_orderstatus = 'F' THEN NULL ELSE o_totalprice END

@@ -43,6 +43,42 @@ class Round8OpsSpec extends AnyFunSuite {
     assert(a === b)
   }
 
+  test("win_groups_frame: frame counts whole peer GROUPS, not rows or value range") {
+    val out = operators.Windows.winGroupsFrame(spark, sf0001).collect()
+    assert(out.nonEmpty)
+    // brute-force the GROUPS semantics: per event_type, group rows by day;
+    // a row's frame = its day-group plus the adjacent day-groups by RANK
+    // (not by calendar distance — a 3-day gap is still ONE group step)
+    val rows = out.map(r => (r.getString(1), r.getDate(2).toString, r.getLong(0), r.getLong(4)))
+    rows.groupBy(_._1).foreach { case (_, part) =>
+      val days = part.map(_._2).distinct.sorted
+      val rank = days.zipWithIndex.toMap
+      val sizeOf = part.groupBy(_._2).view.mapValues(_.size.toLong).toMap
+      part.foreach { case (_, day, eid, grpN) =>
+        val g = rank(day)
+        val expected = days.filter(d => math.abs(rank(d) - g) <= 1).map(sizeOf).sum
+        assert(grpN === expected, s"event $eid day $day: grp_n $grpN != $expected")
+      }
+    }
+  }
+
+  test("join_nearest: no same-user order is strictly closer than the chosen one") {
+    val out = operators.JoinsAdvanced.joinNearest(spark, sf0001).collect()
+    assert(out.nonEmpty)
+    val orders = Tables.orders(spark, sf0001)
+      .select(col("o_custkey"), col("o_orderkey"),
+        unix_micros(col("o_orderdate").cast("timestamp")).as("ous"))
+      .collect().groupBy(_.getLong(0))
+    val evUs = Tables.events(spark, sf0001)
+      .select(col("event_id"), unix_micros(col("ts").cast("timestamp")))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    out.foreach { r =>
+      val (eid, uid, dist) = (r.getLong(0), r.getLong(2), r.getLong(5))
+      val best = orders(uid).map(o => math.abs(evUs(eid) - o.getLong(2))).min
+      assert(dist === best, s"event $eid: picked dist $dist, true min $best")
+    }
+  }
+
   test("sink_zorder: files cover compact rectangles in BOTH dimensions") {
     // run the operator (writes the clustered files as a side effect)
     val res = operators.SourcesSinks.sinkZorder(spark, sf0001).collect()
