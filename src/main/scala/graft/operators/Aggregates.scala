@@ -303,6 +303,38 @@ object Aggregates {
     * engines' built-in mode() functions have engine-specific tie rules,
     * so both sides spell out the same count+rank formulation. Two hash
     * aggs + a window partitioned by the (high-cardinality) group key. */
+  /** Weighted median (round-8 addendum) — the weighted-quantile primitive
+    * behind training-data mixture weighting, which no SQL dialect ships
+    * as a builtin (percentile_disc/cont are unweighted): per return flag,
+    * the smallest l_extendedprice whose CUMULATIVE l_quantity reaches
+    * half the flag's total quantity. One running-sum window over
+    * (price, orderkey, linenumber) — the full tie-break makes the
+    * cumulative weight at every row engine-identical, not just the picked
+    * value — then a min-over-crossing aggregate that reuses the window's
+    * hash(flag) partitioning, so the whole operator after the scan is one
+    * exchange plus the declared sort. Scale: the window sort is per-flag;
+    * a skewed single flag sorts corpus-sized — at 100 TB the same
+    * semantics run on a pre-aggregated (flag, price)→weight table
+    * (identical crossing math, vocabulary-sized sort). */
+  def aggWeightedMedian(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy("l_returnflag")
+      .orderBy(col("l_extendedprice").asc, col("l_orderkey").asc,
+        col("l_linenumber").asc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val wAll = Window.partitionBy("l_returnflag")
+    Tables.lineitem(spark, dir)
+      .select("l_returnflag", "l_extendedprice", "l_quantity",
+        "l_orderkey", "l_linenumber")
+      .withColumn("cumw", sum("l_quantity").over(w))
+      .withColumn("tot", sum("l_quantity").over(wAll))
+      .filter(col("cumw") >= col("tot") / 2)
+      .groupBy(col("l_returnflag"))
+      .agg(count(lit(1)).as("n_above"),
+        round(min("l_extendedprice"), 2).as("w_median"),
+        round(max("tot"), 2).as("total_qty"))
+      .orderBy(col("l_returnflag").asc)
+  }
+
   def aggMode(spark: SparkSession, dir: String): DataFrame = {
     val counts = Tables.orders(spark, dir)
       .groupBy("o_custkey", "o_orderpriority")
@@ -349,6 +381,7 @@ object Aggregates {
     "agg_topk_sketch"   -> (aggTopkSketch _),
     "agg_bool"          -> (aggBool _),
     "agg_mode"          -> (aggMode _),
+    "agg_weighted_median" -> (aggWeightedMedian _),
     "agg_approx_pctl"   -> (aggApproxPctl _),
     "agg_stats"         -> (aggStats _),
     "agg_regression"    -> (aggRegression _),
@@ -386,6 +419,19 @@ object Aggregates {
         | bool_and(l_discount > 0.03) AS all_mid_disc,
         | count(*) AS n
         |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag ASC""".stripMargin,
+    "agg_weighted_median" ->
+      """WITH c AS (
+        |  SELECT l_returnflag, l_extendedprice, l_quantity,
+        |    sum(l_quantity) OVER (PARTITION BY l_returnflag
+        |      ORDER BY l_extendedprice ASC, l_orderkey ASC, l_linenumber ASC
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cumw,
+        |    sum(l_quantity) OVER (PARTITION BY l_returnflag) AS tot
+        |  FROM lineitem)
+        |SELECT l_returnflag, count(*) AS n_above,
+        |  round(min(l_extendedprice), 2) AS w_median,
+        |  round(max(tot), 2) AS total_qty
+        |FROM c WHERE cumw >= tot / 2
+        |GROUP BY l_returnflag ORDER BY l_returnflag ASC""".stripMargin,
     "agg_mode" ->
       """WITH c AS (
         |  SELECT o_custkey, o_orderpriority, count(*) AS cnt

