@@ -501,7 +501,52 @@ object LlmOpsPipeline {
       .orderBy(tot("source").asc)
   }
 
+  /** T5-style span corruption (round-8 addendum) — the masked-input /
+    * target-pair generator behind span-denoising pretraining: ~20% of
+    * tokens are masked by a DETERMINISTIC predicate in plain int64
+    * arithmetic ((doc_id·31 + pos·7) mod 10 < 2 — engine RNGs can't
+    * agree, arithmetic can), consecutive masked positions collapse into
+    * one span, the input keeps one `<extra_id_k>` sentinel per span and
+    * the target lists each sentinel followed by the tokens it hides.
+    *
+    * Shape: the token explode is map-side off the scan (llm_tfidf's
+    * class); span starts come from ONE lag window and span ids from a
+    * running sum over the SAME (doc_id, pos) sort — one exchange serves
+    * both, and the per-doc reassembly groupBy reuses that partitioning.
+    * Pieces are rebuilt with the seq_pattern trick (collect struct(pos,
+    * piece), array_sort, join — collect_list order is never trusted);
+    * array_join and string_agg both drop NULL pieces, which is what
+    * removes non-start masked tokens from the input text on each engine. */
+  def llmSpanMask(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy("doc_id").orderBy(col("pos").asc)
+    val wRun = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val toks = Tables.documents(spark, dir)
+      .select(col("doc_id"), posexplode(split(col("text"), " ")).as(Seq("pos0", "tok")))
+      .select(col("doc_id"), (col("pos0") + 1).as("pos"), col("tok"))
+      .withColumn("m", (col("doc_id") * 31 + col("pos") * 7) % 10 < 2)
+    val spanned = toks
+      .withColumn("strt", col("m") && !coalesce(lag(col("m"), 1).over(w), lit(false)))
+      .withColumn("k", sum(when(col("strt"), 1L).otherwise(0L)).over(wRun))
+    val sentinel = concat(lit("<extra_id_"), (col("k") - 1).cast("string"), lit(">"))
+    val inPiece = when(!col("m"), col("tok")).when(col("strt"), sentinel)
+    val tgtPiece = when(col("m"),
+      when(col("strt"), concat(sentinel, lit(" "), col("tok"))).otherwise(col("tok")))
+    def joined(piece: org.apache.spark.sql.Column) =
+      array_join(transform(
+        array_sort(collect_list(struct(col("pos"), piece.as("p")))),
+        x => x.getField("p")), " ")
+    spanned
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_toks"),
+        sum(col("m").cast("long")).as("n_masked"),
+        max("k").as("n_spans"),
+        joined(inPiece).as("masked_text"),
+        joined(tgtPiece).as("target_text"))
+      .orderBy(col("doc_id").asc)
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "llm_span_mask"         -> (llmSpanMask _),
     "llm_source_cap"        -> (llmSourceCap _),
     "llm_entropy"           -> (llmEntropy _),
     "llm_weighted_sample"   -> (llmWeightedSample _),
@@ -517,6 +562,38 @@ object LlmOpsPipeline {
     "llm_heuristic_filter"  -> (llmHeuristicFilter _))
 
   val oracleSql: Map[String, String] = Map(
+    "llm_span_mask" ->
+      """WITH s AS (
+        |  SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+        |t AS (
+        |  SELECT doc_id, toks,
+        |    unnest(generate_series(1, len(toks))) AS pos
+        |  FROM s),
+        |p AS (
+        |  SELECT doc_id, pos, toks[pos] AS tok,
+        |    ((doc_id * 31 + pos * 7) % 10) < 2 AS m
+        |  FROM t),
+        |w AS (
+        |  SELECT doc_id, pos, tok, m,
+        |    m AND NOT coalesce(lag(m) OVER (PARTITION BY doc_id ORDER BY pos ASC), false) AS strt
+        |  FROM p),
+        |k AS (
+        |  SELECT doc_id, pos, tok, m, strt,
+        |    CAST(sum(CASE WHEN strt THEN 1 ELSE 0 END) OVER (
+        |      PARTITION BY doc_id ORDER BY pos ASC
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS k
+        |  FROM w)
+        |SELECT doc_id,
+        |  count(*) AS n_toks,
+        |  CAST(sum(CASE WHEN m THEN 1 ELSE 0 END) AS BIGINT) AS n_masked,
+        |  CAST(max(k) AS BIGINT) AS n_spans,
+        |  string_agg(CASE WHEN NOT m THEN tok
+        |    WHEN strt THEN '<extra_id_' || (k - 1) || '>' END,
+        |    ' ' ORDER BY pos ASC) AS masked_text,
+        |  string_agg(CASE WHEN m THEN
+        |      CASE WHEN strt THEN '<extra_id_' || (k - 1) || '> ' || tok ELSE tok END
+        |    END, ' ' ORDER BY pos ASC) AS target_text
+        |FROM k GROUP BY doc_id ORDER BY doc_id ASC""".stripMargin,
     "llm_source_cap" ->
       """WITH r AS (
         |  SELECT source, doc_id, n_chars,

@@ -133,6 +133,30 @@ class Round8OpsSpec extends AnyFunSuite {
     assert(out.nonEmpty && out.forall(_.getLong(1) > 0))
   }
 
+  test("llm_span_mask: splicing target spans back into the input restores the text") {
+    val out = operators.LlmOpsPipeline.llmSpanMask(spark, sf0001).collect()
+    val orig = Tables.documents(spark, sf0001)
+      .select("doc_id", "text").collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(out.nonEmpty)
+    val sentinel = "<extra_id_(\\d+)>".r
+    out.foreach { r =>
+      val (docId, masked, target) = (r.getLong(0), r.getString(4), r.getString(5))
+      // target = "<extra_id_0> t1 t2 <extra_id_1> t3 ..." → span k → tokens
+      val spans: Map[Int, Seq[String]] = {
+        val parts = sentinel.split(target).toSeq // leading "" before first sentinel
+        val ids = sentinel.findAllMatchIn(target).map(_.group(1).toInt).toSeq
+        ids.zip(parts.drop(1).map(_.trim.split(" ").filter(_.nonEmpty).toSeq)).toMap
+      }
+      val rebuilt = masked.split(" ").flatMap {
+        case tok if sentinel.matches(tok) =>
+          spans(tok match { case sentinel(k) => k.toInt })
+        case tok => Seq(tok)
+      }.mkString(" ")
+      assert(rebuilt === orig(docId), s"doc $docId did not round-trip")
+    }
+  }
+
   test("sink_zorder: files cover compact rectangles in BOTH dimensions") {
     // run the operator (writes the clustered files as a side effect)
     val res = operators.SourcesSinks.sinkZorder(spark, sf0001).collect()
