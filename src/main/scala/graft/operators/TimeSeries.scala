@@ -240,7 +240,39 @@ object TimeSeries {
       .orderBy(col("event_type").asc)
   }
 
+  /** Day-of-week seasonal decomposition (round-8 addendum) — the additive
+    * seasonal-profile model behind every ops dashboard's "adjusted"
+    * series: each event_type's daily revenue splits into a DOW profile
+    * (the mean of its weekday) and a deseasonalized residual, and the
+    * variance drop from raw to residual is the seasonality strength
+    * (1 − var(resid)/var(raw), the STL-style strength statistic).
+    * The profile is a window mean over (event_type, dow) — no self-join
+    * back onto the dailies, which is how the textbook SQL does it — and
+    * the final per-type aggregate reuses the window output directly.
+    * Weekday alignment across engines: Spark's weekday() (Mon=0) equals
+    * DuckDB's isodow−1; Spark dayofweek()/DuckDB dayofweek() disagree on
+    * the week start and are avoided (§2.Z class of trap). Variances
+    * round at 2dp and the strength ratio at 4dp, far above float-sum
+    * order noise. */
+  def tsSeasonal(spark: SparkSession, dir: String): DataFrame = {
+    val daily = Tables.events(spark, dir)
+      .groupBy(col("event_type"), date_trunc("day", col("ts")).as("day"))
+      .agg(round(sum("value"), 2).as("rev"))
+      .withColumn("dow", weekday(col("day")))
+    val wDow = Window.partitionBy("event_type", "dow")
+    daily
+      .withColumn("resid", col("rev") - avg("rev").over(wDow))
+      .groupBy("event_type")
+      .agg(count(lit(1)).as("days"),
+        round(avg("rev"), 2).as("mean_rev"),
+        round(var_pop("rev"), 2).as("raw_var"),
+        round(var_pop("resid"), 2).as("deseason_var"),
+        round(lit(1.0) - var_pop("resid") / var_pop("rev"), 4).as("strength"))
+      .orderBy(col("event_type").asc)
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "ts_seasonal" -> (tsSeasonal _),
     "ts_cusum"    -> (tsCusum _),
     "ts_mad"      -> (tsMad _),
     "ts_ewma"     -> (tsEwma _),
@@ -250,6 +282,21 @@ object TimeSeries {
     "ts_anomaly"  -> (tsAnomaly _))
 
   val oracleSql: Map[String, String] = Map(
+    "ts_seasonal" ->
+      """WITH daily AS (
+        |  SELECT event_type, date_trunc('day', ts) AS day,
+        |    round(sum(value), 2) AS rev
+        |  FROM events GROUP BY event_type, day),
+        |d AS (
+        |  SELECT event_type, rev,
+        |    rev - avg(rev) OVER (PARTITION BY event_type, isodow(day) - 1) AS resid
+        |  FROM daily)
+        |SELECT event_type, count(*) AS days,
+        |  round(avg(rev), 2) AS mean_rev,
+        |  round(var_pop(rev), 2) AS raw_var,
+        |  round(var_pop(resid), 2) AS deseason_var,
+        |  round(1e0 - var_pop(resid) / var_pop(rev), 4) AS strength
+        |FROM d GROUP BY event_type ORDER BY event_type ASC""".stripMargin,
     "ts_cusum" ->
       """WITH daily AS (
         |  SELECT event_type, date_trunc('day', ts) AS day,

@@ -157,6 +157,39 @@ class Round8OpsSpec extends AnyFunSuite {
     }
   }
 
+  test("ts_seasonal: planted weekly pattern yields strength near 1; fixture strength in [0,1]") {
+    import spark.implicits._
+    // 8 weeks of a pure weekday pattern (rev = 10*dow) + tiny noise:
+    // the DOW profile explains almost all variance
+    val rows = (0 until 56).map { d =>
+      val date = java.time.LocalDate.of(2024, 1, 1).plusDays(d.toLong)
+      val ts = java.sql.Timestamp.valueOf(date.atTime(12, 0))
+      // value keyed to the REAL weekday of consecutive dates
+      (d.toLong, ts, 1L, "weekly",
+        10.0 * date.getDayOfWeek.getValue + 0.01 * (d % 5), "{}")
+    }
+    val df = rows.toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+    val daily = df.groupBy(col("event_type"),
+        date_trunc("day", col("ts")).as("day"))
+      .agg(round(sum("value"), 2).as("rev"))
+      .withColumn("dow", weekday(col("day")))
+    val wDow = org.apache.spark.sql.expressions.Window.partitionBy("event_type", "dow")
+    val strength = daily
+      .withColumn("resid", col("rev") - avg("rev").over(wDow))
+      .groupBy("event_type")
+      .agg((lit(1.0) - var_pop("resid") / var_pop("rev")).as("s"))
+      .head().getDouble(1)
+    assert(strength > 0.95, s"planted weekly pattern scored $strength")
+    // fixture: residual variance can never exceed raw (law of total
+    // variance), so strength must land in [0, 1]
+    val out = operators.TimeSeries.tsSeasonal(spark, sf0001).collect()
+    assert(out.nonEmpty)
+    out.foreach { r =>
+      val s = r.getDouble(5)
+      assert(s >= 0.0 && s <= 1.0, s"strength $s out of range")
+    }
+  }
+
   test("sink_zorder: files cover compact rectangles in BOTH dimensions") {
     // run the operator (writes the clustered files as a side effect)
     val res = operators.SourcesSinks.sinkZorder(spark, sf0001).collect()
