@@ -324,6 +324,56 @@ object LlmOpsExtra {
       .orderBy(col("a_id").asc, col("b_id").asc)
   }
 
+  /** Hard-negative mining (round-8 addendum) — the contrastive-training
+    * data step (SimCLR/DPR class): for every anchor, the single most
+    * similar DIFFERENT-label vector (the "hardest negative") plus the
+    * most similar same-label vector (the positive), and the margin
+    * between them — negative-margin anchors are the ones whose nearest
+    * neighbor crosses the class boundary, exactly the examples a
+    * contrastive batch builder wants.
+    *
+    * One all-pairs pass, both argmaxes as conditional struct-max
+    * aggregates in a SINGLE groupBy: partial aggregation reduces every
+    * map task to one row per anchor before the shuffle, so however many
+    * candidates a pair generator emits the wire carries O(anchors) rows.
+    * Declared form scans all pairs (the corpus is codebook-scale at
+    * bench SF; same nested-loop class as llm_cosine_knn/llm_knn_join) —
+    * at real corpus scale the pair stream comes from the LSH sign-bucket
+    * or trained-IVF candidate generators (llm_ann_lsh / llm_ann_ivf) and
+    * this operator's aggregate is UNCHANGED. Similarities round to 6dp
+    * before the argmax and ties break on the lower candidate id via the
+    * struct's (sim, -b_id) ordering, mirroring the oracle's
+    * (sim DESC, id ASC) row_number. */
+  def llmHardNegatives(spark: SparkSession, dir: String): DataFrame = {
+    val e = embDouble(spark, dir)
+    val a = e.select(col("vec_id").as("a_id"), col("label").as("a_label"),
+      col("e").as("ae"))
+    val b = e.select(col("vec_id").as("b_id"), col("label").as("b_label"),
+      col("e").as("be"))
+    val sim = round(cos(col("ae"), col("be")), 6)
+    a.join(b, col("a_id") =!= col("b_id"))
+      .select(col("a_id"), col("a_label"), col("b_id"), col("b_label"),
+        sim.as("sim"))
+      .groupBy(col("a_id"), col("a_label"))
+      .agg(
+        max(when(col("a_label") =!= col("b_label"),
+          struct(col("sim"), (-col("b_id")).as("nb"), col("b_label")))).as("hn"),
+        max(when(col("a_label") === col("b_label"),
+          struct(col("sim"), (-col("b_id")).as("nb")))).as("pos"))
+      // an anchor whose label has no second member has no positive, and
+      // one whose label covers the whole corpus has no negative — both
+      // are excluded BY DEFINITION (mining needs the pair), matching the
+      // oracle's inner join; the fixture's 10×50 labels hit neither case,
+      // but the semantics must not depend on fixture shape
+      .filter(col("hn").isNotNull && col("pos").isNotNull)
+      .select(col("a_id").as("vec_id"), col("a_label").as("label"),
+        (-col("hn.nb")).as("hn_id"), col("hn.b_label").as("hn_label"),
+        col("hn.sim").as("hn_sim"),
+        col("pos.sim").as("pos_sim"),
+        round(col("pos.sim") - col("hn.sim"), 6).as("margin"))
+      .orderBy(col("vec_id").asc)
+  }
+
   /** IVF ANN with a TRAINED coarse codebook: 3 Lloyd's iterations of
     * spherical k-means (assign to argmax-cosine pivot, re-center each cell
     * at its member mean) from 16 seeded-Gaussian pivots (gauss(), base
@@ -596,7 +646,8 @@ object LlmOpsExtra {
     "llm_emb_neardup" -> (llmEmbNeardup _),
     "llm_ann_ivf"     -> (llmAnnIvf _),
     "llm_quantize"    -> (llmQuantize _),
-    "llm_ann_lsh"     -> (llmAnnLsh _))
+    "llm_ann_lsh"       -> (llmAnnLsh _),
+    "llm_hard_negatives" -> (llmHardNegatives _))
 
   val oracleSql: Map[String, String] = Map(
     "llm_bloom_dedup" ->
@@ -726,6 +777,30 @@ object LlmOpsExtra {
         |  count(*) FILTER (drp.vec_id IS NOT NULL) AS dropped
         |FROM ev LEFT JOIN drp ON ev.vec_id = drp.vec_id
         |GROUP BY label ORDER BY label ASC""".stripMargin,
+    "llm_hard_negatives" ->
+      """WITH e AS (
+        |  SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+        |p AS (
+        |  SELECT a.vec_id AS a_id, a.label AS a_label,
+        |    b.vec_id AS b_id, b.label AS b_label,
+        |    round(list_cosine_similarity(a.v, b.v), 6) AS sim
+        |  FROM e a JOIN e b ON a.vec_id <> b.vec_id),
+        |hn AS (
+        |  SELECT a_id, a_label, b_id, b_label, sim,
+        |    row_number() OVER (PARTITION BY a_id
+        |      ORDER BY sim DESC, b_id ASC) AS rn
+        |  FROM p WHERE a_label <> b_label),
+        |pos AS (
+        |  SELECT a_id, sim,
+        |    row_number() OVER (PARTITION BY a_id
+        |      ORDER BY sim DESC, b_id ASC) AS rn
+        |  FROM p WHERE a_label = b_label)
+        |SELECT hn.a_id AS vec_id, hn.a_label AS label,
+        |  hn.b_id AS hn_id, hn.b_label AS hn_label, hn.sim AS hn_sim,
+        |  pos.sim AS pos_sim,
+        |  round(pos.sim - hn.sim, 6) AS margin
+        |FROM hn JOIN pos ON hn.a_id = pos.a_id AND hn.rn = 1 AND pos.rn = 1
+        |ORDER BY vec_id ASC""".stripMargin,
     "llm_ann_lsh" ->
       """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
         |planes AS (

@@ -87,6 +87,10 @@ class PlanSnapshotSpec extends AnyFunSuite {
       // tiny-side cross patterns (PLANS.md)
       "join_cross", "llm_cosine_knn", "llm_knn_join", "llm_tfidf",
       "stream_late_data",
+      // all-pairs mining over the codebook-scale embedding table; at
+      // corpus scale the pair stream swaps to the LSH/IVF candidate
+      // generators with the same aggregate (scaladoc)
+      "llm_hard_negatives",
       // (llm_ann_ivf left this list in round 8: the trained codebook now
       // rides into the plan as a literal pivot array folded map-side, so
       // the DECLARED plan has no crossJoin at all.)

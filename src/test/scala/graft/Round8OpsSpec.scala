@@ -190,6 +190,32 @@ class Round8OpsSpec extends AnyFunSuite {
     }
   }
 
+  test("llm_hard_negatives: no different-label vector beats the mined negative") {
+    val out = operators.LlmOpsExtra.llmHardNegatives(spark, sf0001).collect()
+    assert(out.nonEmpty)
+    val vecs = Tables.embeddings(spark, sf0001)
+      .selectExpr("vec_id", "label", "cast(embedding as array<double>) as e")
+      .collect()
+      .map(r => (r.getLong(0), r.get(1), r.getSeq[Double](2).toArray))
+    def cos(a: Array[Double], b: Array[Double]): Double = {
+      var dot = 0.0; var na = 0.0; var nb = 0.0; var i = 0
+      while (i < a.length) { dot += a(i)*b(i); na += a(i)*a(i); nb += b(i)*b(i); i += 1 }
+      math.rint(dot / (math.sqrt(na) * math.sqrt(nb)) * 1e6) / 1e6
+    }
+    val byId = vecs.map(v => v._1 -> v).toMap
+    out.foreach { r =>
+      val (vid, label, hnSim, posSim) =
+        (r.getLong(0), r.get(1), r.getDouble(4), r.getDouble(5))
+      val (_, _, ae) = byId(vid)
+      val bestNeg = vecs.filter(v => v._1 != vid && v._2 != label)
+        .map(v => cos(ae, v._3)).max
+      val bestPos = vecs.filter(v => v._1 != vid && v._2 == label)
+        .map(v => cos(ae, v._3)).max
+      assert(math.abs(bestNeg - hnSim) < 1e-9, s"anchor $vid: hn $hnSim vs brute $bestNeg")
+      assert(math.abs(bestPos - posSim) < 1e-9, s"anchor $vid: pos $posSim vs brute $bestPos")
+    }
+  }
+
   test("sink_zorder: files cover compact rectangles in BOTH dimensions") {
     // run the operator (writes the clustered files as a side effect)
     val res = operators.SourcesSinks.sinkZorder(spark, sf0001).collect()
