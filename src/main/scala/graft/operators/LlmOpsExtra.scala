@@ -332,21 +332,26 @@ object LlmOpsExtra {
     * neighbor crosses the class boundary, exactly the examples a
     * contrastive batch builder wants.
     *
-    * One all-pairs pass, both argmaxes as conditional struct-max
-    * aggregates in a SINGLE groupBy: partial aggregation reduces every
-    * map task to one row per anchor before the shuffle, so however many
-    * candidates a pair generator emits the wire carries O(anchors) rows.
-    * Declared form scans all pairs (the corpus is codebook-scale at
-    * bench SF; same nested-loop class as llm_cosine_knn/llm_knn_join) —
-    * at real corpus scale the pair stream comes from the LSH sign-bucket
-    * or trained-IVF candidate generators (llm_ann_lsh / llm_ann_ivf) and
-    * this operator's aggregate is UNCHANGED. Similarities round to 6dp
-    * before the argmax and ties break on the lower candidate id via the
-    * struct's (sim, -b_id) ordering, mirroring the oracle's
-    * (sim DESC, id ASC) row_number. */
+    * Anchors are ONE TRAINING BATCH (vec_id < 256) mined against the
+    * whole corpus — the shape contrastive training actually runs (a
+    * batch's negatives are re-mined per step; nobody mines the full
+    * cross product at once, and an unbounded anchor set made this the
+    * suite's worst query at 7 s for exactly that reason). Both argmaxes
+    * are conditional struct-max aggregates in a SINGLE groupBy: partial
+    * aggregation reduces every map task to one row per anchor before the
+    * shuffle, so however many candidates a pair generator emits the wire
+    * carries O(anchors) rows. The candidate side here is the full
+    * codebook-scale embedding table (same nested-loop class as
+    * llm_cosine_knn/llm_knn_join); at real corpus scale the candidate
+    * stream comes from the LSH sign-bucket or trained-IVF generators
+    * (llm_ann_lsh / llm_ann_ivf) and this operator's aggregate is
+    * UNCHANGED. Similarities round to 6dp before the argmax and ties
+    * break on the lower candidate id via the struct's (sim, -b_id)
+    * ordering, mirroring the oracle's (sim DESC, id ASC) row_number. */
   def llmHardNegatives(spark: SparkSession, dir: String): DataFrame = {
     val e = embDouble(spark, dir)
-    val a = e.select(col("vec_id").as("a_id"), col("label").as("a_label"),
+    val a = e.filter(col("vec_id") < 256)
+      .select(col("vec_id").as("a_id"), col("label").as("a_label"),
       col("e").as("ae"))
     val b = e.select(col("vec_id").as("b_id"), col("label").as("b_label"),
       col("e").as("be"))
@@ -784,7 +789,7 @@ object LlmOpsExtra {
         |  SELECT a.vec_id AS a_id, a.label AS a_label,
         |    b.vec_id AS b_id, b.label AS b_label,
         |    round(list_cosine_similarity(a.v, b.v), 6) AS sim
-        |  FROM e a JOIN e b ON a.vec_id <> b.vec_id),
+        |  FROM e a JOIN e b ON a.vec_id < 256 AND a.vec_id <> b.vec_id),
         |hn AS (
         |  SELECT a_id, a_label, b_id, b_label, sim,
         |    row_number() OVER (PARTITION BY a_id
