@@ -347,7 +347,19 @@ object LlmOpsExtra {
     * (llm_ann_lsh / llm_ann_ivf) and this operator's aggregate is
     * UNCHANGED. Similarities round to 6dp before the argmax and ties
     * break on the lower candidate id via the struct's (sim, -b_id)
-    * ordering, mirroring the oracle's (sim DESC, id ASC) row_number. */
+    * ordering, mirroring the oracle's (sim DESC, id ASC) row_number.
+    *
+    * Join orientation matters: the BATCH is the broadcast side and the
+    * CORPUS is the streamed side — the r8-initial form let Spark build-
+    * right on the corpus and stream the 256 anchors off a single-file
+    * parquet scan, serializing every cosine plus the sort-aggregate into
+    * ONE task (7.1 s in the bench; suite maximum). Streaming the
+    * candidates also matches the scale story (a corpus, or an LSH/IVF
+    * candidate stream, arrives partitioned; a training batch is a
+    * broadcast-scale constant). At bench SF the single parquet file
+    * yields one input split, so the candidate side is explicitly spread
+    * across cores first — a 2000-row round-robin exchange, free at any
+    * scale where it isn't already unnecessary. */
   def llmHardNegatives(spark: SparkSession, dir: String): DataFrame = {
     val e = embDouble(spark, dir)
     val a = e.filter(col("vec_id") < 256)
@@ -355,8 +367,9 @@ object LlmOpsExtra {
       col("e").as("ae"))
     val b = e.select(col("vec_id").as("b_id"), col("label").as("b_label"),
       col("e").as("be"))
+      .repartition(spark.sparkContext.defaultParallelism)
     val sim = round(cos(col("ae"), col("be")), 6)
-    a.join(b, col("a_id") =!= col("b_id"))
+    b.join(broadcast(a), col("a_id") =!= col("b_id"))
       .select(col("a_id"), col("a_label"), col("b_id"), col("b_label"),
         sim.as("sim"))
       .groupBy(col("a_id"), col("a_label"))
