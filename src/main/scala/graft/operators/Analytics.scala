@@ -232,15 +232,101 @@ object Analytics {
       .orderBy(col("user_id").asc)
   }
 
+  /** Interval union / coverage (round-8 addendum) — the sweep-line
+    * "merge overlapping intervals" operator (Allen-algebra union) that
+    * plain SQL aggregates cannot express: each supplier's lineitems open
+    * a shipping window [shipdate, shipdate + quantity days), and the
+    * question is how many DISTINCT days the union of those windows
+    * covers, in how many disjoint busy stretches (islands) — double-
+    * counting overlaps is exactly the bug naive sum(duration) has.
+    *
+    * Classic gaps-and-islands sweep: order each supplier's windows by
+    * start, carry a running max of window ends over STRICTLY PRIOR rows;
+    * a row opens a new island iff its start exceeds every prior end.
+    * island id = running count of openers; per-island coverage is
+    * max(end) − min(start) (valid because islands are overlap-chained by
+    * construction).
+    *
+    * Shape: ONE (l_suppkey) exchange serves both windows (compatible
+    * sorts) AND the island rollup AND the final per-supplier aggregate —
+    * the plan is scan → exchange → window ×2 → two hash aggs reusing the
+    * partitioning. At 100 TB per-key state is the supplier's line count;
+    * skewed suppliers would sessionize by coarse time range first
+    * (identical operator tree per range, island stitching at range
+    * edges).
+    *
+    * Determinism: ends derive as integer day numbers (datediff from
+    * epoch + int-cast quantity — pure int64 arithmetic both engines
+    * agree on); equal-start rows land in the same island whichever sorts
+    * first (start ≤ running end follows from qty ≥ 1), so the sweep is
+    * insensitive to the one unordered tie. */
+  def intervalCoverage(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val base = Tables.lineitem(spark, dir)
+      .select(col("l_suppkey").as("suppkey"),
+        datediff(date_trunc("day", col("l_shipdate")), lit("1970-01-01").cast("date"))
+          .cast("long").as("sd"),
+        col("l_quantity").cast("long").as("qty"))
+      .withColumn("ed", col("sd") + col("qty"))
+    val w = Window.partitionBy("suppkey").orderBy(col("sd").asc, col("ed").asc)
+    base
+      .withColumn("prev_max_ed",
+        max(col("ed")).over(w.rowsBetween(Window.unboundedPreceding, -1)))
+      .withColumn("opener",
+        when(col("prev_max_ed").isNull || col("sd") > col("prev_max_ed"), 1L)
+          .otherwise(0L))
+      .withColumn("island",
+        sum(col("opener")).over(w.rowsBetween(Window.unboundedPreceding, 0)))
+      .groupBy(col("suppkey"), col("island"))
+      .agg(count(lit(1)).as("lines"),
+        min(col("sd")).as("isl_start"), max(col("ed")).as("isl_end"))
+      .groupBy("suppkey")
+      .agg(sum("lines").as("n_lines"),
+        count(lit(1)).as("islands"),
+        sum(col("isl_end") - col("isl_start")).as("covered_days"),
+        (max(col("isl_end")) - min(col("isl_start"))).as("span_days"))
+      .orderBy(col("suppkey").asc)
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "hist_equiwidth"   -> (histEquiwidth _),
     "hist_eqdepth"     -> (histEqdepth _),
     "funnel_steps"     -> (funnelSteps _),
     "funnel_retention" -> (funnelRetention _),
     "sess_batch"       -> (sessBatch _),
+    "interval_coverage" -> (intervalCoverage _),
     "seq_pattern"      -> (seqPattern _))
 
   val oracleSql: Map[String, String] = Map(
+    "interval_coverage" ->
+      """WITH base AS (
+        |  SELECT l_suppkey AS suppkey,
+        |    date_diff('day', DATE '1970-01-01', date_trunc('day', l_shipdate)) AS sd,
+        |    date_diff('day', DATE '1970-01-01', date_trunc('day', l_shipdate))
+        |      + CAST(l_quantity AS BIGINT) AS ed
+        |  FROM lineitem),
+        |sweep AS (
+        |  SELECT suppkey, sd, ed,
+        |    max(ed) OVER (PARTITION BY suppkey ORDER BY sd ASC, ed ASC
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS prev_max_ed
+        |  FROM base),
+        |op AS (
+        |  SELECT *, CASE WHEN prev_max_ed IS NULL OR sd > prev_max_ed
+        |    THEN 1 ELSE 0 END AS opener
+        |  FROM sweep),
+        |isl AS (
+        |  SELECT suppkey, sd, ed,
+        |    sum(opener) OVER (PARTITION BY suppkey ORDER BY sd ASC, ed ASC
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS island
+        |  FROM op),
+        |g AS (
+        |  SELECT suppkey, island, count(*) AS lines,
+        |    min(sd) AS isl_start, max(ed) AS isl_end
+        |  FROM isl GROUP BY suppkey, island)
+        |SELECT suppkey, CAST(sum(lines) AS BIGINT) AS n_lines, count(*) AS islands,
+        |  CAST(sum(isl_end - isl_start) AS BIGINT) AS covered_days,
+        |  max(isl_end) - min(isl_start) AS span_days
+        |FROM g GROUP BY suppkey ORDER BY suppkey ASC""".stripMargin,
     "seq_pattern" ->
       """WITH s AS (
         |  SELECT user_id, count(*) AS n_events,

@@ -35,6 +35,35 @@ class Round8OpsSpec extends AnyFunSuite {
     assert(out.count(_.getInt(2) == 1) > 0)
   }
 
+  test("interval_coverage: union bounds — covered ≤ naive sum, covered ≤ span, islands consistent") {
+    val out = operators.Analytics.intervalCoverage(spark, sf0001).collect()
+    assert(out.nonEmpty)
+    // naive per-supplier totals: sum of window lengths (double-counts
+    // overlaps) and line counts, computed independently of the sweep
+    val naive = Tables.lineitem(spark, sf0001)
+      .groupBy(col("l_suppkey"))
+      .agg(count(lit(1)).as("n"),
+        sum(col("l_quantity").cast("long")).as("sumlen"),
+        max(col("l_quantity").cast("long")).as("maxlen"))
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getLong(3))).toMap
+    out.foreach { r =>
+      val (sk, nLines, islands, covered, span) =
+        (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4))
+      val (n, sumlen, maxlen) = naive(sk)
+      assert(nLines === n)
+      // the union can never cover more days than the windows total …
+      assert(covered <= sumlen, s"supplier $sk covered $covered > naive $sumlen")
+      // … nor more than the overall span, and at least one full window
+      assert(covered <= span && covered >= maxlen)
+      assert(islands >= 1 && islands <= nLines)
+      // islands are separated by ≥1 uncovered day each
+      assert(span - covered >= islands - 1)
+    }
+    // overlap must actually occur in the fixture — otherwise the sweep
+    // degenerates to the naive sum and proves nothing
+    assert(out.exists(r => r.getLong(3) < naive(r.getLong(0))._2))
+  }
+
   test("seq_pattern: result is deterministic across shuffle partitionings") {
     val a = operators.Analytics.seqPattern(spark, sf0001).collect().toSeq
     val s2 = spark.newSession()
