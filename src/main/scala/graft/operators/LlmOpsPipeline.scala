@@ -545,7 +545,81 @@ object LlmOpsPipeline {
       .orderBy(col("doc_id").asc)
   }
 
+  /** BPE merge-pair counting (round-8 addendum) — the inner statistic of
+    * byte-pair-encoding tokenizer training: the frequency of every
+    * adjacent symbol pair across the corpus, whose argmax is the next
+    * merge rule. The operator computes the FIRST iteration's pair table
+    * (symbols = characters) — exactly the step BPE/WordPiece trainers
+    * loop — plus each pair's vocabulary support (distinct words
+    * containing it).
+    *
+    * Scale shape is the classic BPE trick: pairs are counted on the
+    * VOCABULARY, not the corpus. The only corpus-scale work is one
+    * word-frequency hash aggregate (map-side partials compress each task
+    * to its distinct words); the pair explosion, weighting
+    * (sum over freq) and top-k all run on the distinct-word frame —
+    * vocabulary-sized however many petabytes the text is. The top-20 is
+    * TakeOrderedAndProject (per-partition heaps, no global sort), ties
+    * broken by pair text so the cut is deterministic in both engines.
+    * Words shorter than 2 symbols carry no pair and are filtered BEFORE
+    * the vocab aggregate (cheaper and keeps sequence(1, len-1) well-
+    * defined — Spark's sequence(1, 0) would count DOWN, not return
+    * empty; §2.Z-class trap). */
+  def llmBpePairs(spark: SparkSession, dir: String): DataFrame = {
+    val vocab = Tables.documents(spark, dir)
+      .select(explode(split(col("text"), " ")).as("w"))
+      .filter(length(col("w")) >= 2)
+      .groupBy("w").agg(count(lit(1)).as("freq"))
+    vocab
+      .select(col("w"), col("freq"),
+        explode(expr("transform(sequence(1, length(w) - 1), i -> substr(w, i, 2))")).as("pair"))
+      .groupBy("pair")
+      .agg(sum("freq").as("cnt"), countDistinct(col("w")).as("n_words"))
+      .orderBy(col("cnt").desc, col("pair").asc)
+      .limit(20)
+  }
+
+  /** Per-source token-distribution divergence (round-8 addendum) — the
+    * domain-drift statistic a mixture builder watches: KL(source ‖
+    * corpus) over the corpus's top-k tokens, the cheap answer to "which
+    * data source's unigram distribution has drifted furthest from the
+    * blend it feeds". Restricting to the corpus top-50 support (count
+    * desc, token asc — a deterministic cut) keeps the reference
+    * distribution well-defined without smoothing: q(t) > 0 by
+    * construction, and source terms with n_st = 0 contribute 0 (the
+    * p·ln p convention at p→0).
+    *
+    * Scale shape: two token hash aggregates off one explode (map-side
+    * partials bound both by vocab × sources, not corpus size); the top-50
+    * is a TakeOrdered heap; the reference table rides back as a BROADCAST
+    * join onto the per-source counts, and the final KL sum is one more
+    * vocabulary-sized aggregate. Nothing here scales with document
+    * count except the first explode+partial. ln sums round at 6dp —
+    * ~100 double terms of O(1), far above accumulation-order ulps. */
+  def llmSourceKl(spark: SparkSession, dir: String): DataFrame = {
+    val toks = Tables.documents(spark, dir)
+      .select(col("source"), explode(split(col("text"), " ")).as("tok"))
+    val corpus = toks.groupBy("tok").agg(count(lit(1)).as("n_t"))
+      .orderBy(col("n_t").desc, col("tok").asc).limit(50)
+    val bySrc = toks.groupBy("source", "tok").agg(count(lit(1)).as("n_st"))
+    val joined = bySrc.join(broadcast(corpus), "tok")
+      .crossJoin(broadcast(corpus.agg(sum("n_t").as("n_corpus"))))
+    joined
+      .groupBy("source")
+      .agg(sum("n_st").as("n_source"), count(lit(1)).as("tokens_used"),
+        // Σ n_st·ln(n_st/n_t) and Σ n_st·ln(N/N_s) assembled after the
+        // aggregate: KL = Σ p·ln(p/q) with p = n_st/N_s, q = n_t/N
+        sum(col("n_st") * (log(col("n_st")) - log(col("n_t")))).as("s1"),
+        first(col("n_corpus")).as("n_corpus"))
+      .select(col("source"), col("n_source"), col("tokens_used"),
+        round((col("s1") / col("n_source"))
+          + (log(col("n_corpus")) - log(col("n_source"))), 6).as("kl"))
+      .orderBy(col("source").asc)
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "llm_bpe_pairs"         -> (llmBpePairs _),
+    "llm_source_kl"         -> (llmSourceKl _),
     "llm_span_mask"         -> (llmSpanMask _),
     "llm_source_cap"        -> (llmSourceCap _),
     "llm_entropy"           -> (llmEntropy _),
@@ -562,6 +636,36 @@ object LlmOpsPipeline {
     "llm_heuristic_filter"  -> (llmHeuristicFilter _))
 
   val oracleSql: Map[String, String] = Map(
+    "llm_bpe_pairs" ->
+      """WITH v AS (
+        |  SELECT w, count(*) AS freq FROM (
+        |    SELECT unnest(string_split(text, ' ')) AS w FROM documents)
+        |  WHERE length(w) >= 2 GROUP BY w),
+        |p AS (
+        |  SELECT w, freq,
+        |    unnest(list_transform(generate_series(1, length(w) - 1),
+        |      i -> substr(w, CAST(i AS INT), 2))) AS pair
+        |  FROM v)
+        |SELECT pair, CAST(sum(freq) AS BIGINT) AS cnt,
+        |  count(DISTINCT w) AS n_words
+        |FROM p GROUP BY pair ORDER BY cnt DESC, pair ASC LIMIT 20""".stripMargin,
+    "llm_source_kl" ->
+      """WITH toks AS (
+        |  SELECT source, unnest(string_split(text, ' ')) AS tok FROM documents),
+        |corpus AS (
+        |  SELECT tok, count(*) AS n_t FROM toks GROUP BY tok
+        |  ORDER BY n_t DESC, tok ASC LIMIT 50),
+        |n AS (SELECT CAST(sum(n_t) AS BIGINT) AS n_corpus FROM corpus),
+        |bysrc AS (
+        |  SELECT source, t.tok, count(*) AS n_st
+        |  FROM toks t JOIN corpus c ON t.tok = c.tok
+        |  GROUP BY source, t.tok),
+        |j AS (SELECT b.source, b.n_st, c.n_t FROM bysrc b JOIN corpus c ON b.tok = c.tok)
+        |SELECT source, CAST(sum(n_st) AS BIGINT) AS n_source,
+        |  count(*) AS tokens_used,
+        |  round(sum(n_st * (ln(n_st) - ln(n_t))) / sum(n_st)
+        |    + ln(n.n_corpus) - ln(sum(n_st)), 6) AS kl
+        |FROM j, n GROUP BY source, n.n_corpus ORDER BY source ASC""".stripMargin,
     "llm_span_mask" ->
       """WITH s AS (
         |  SELECT doc_id, string_split(text, ' ') AS toks FROM documents),

@@ -101,7 +101,10 @@ class PlanSnapshotSpec extends AnyFunSuite {
       // bigramDocLp construction, so the DECLARED plan is checkpoint-scan
       // + aggregate with no nested loop.)
       "graph_pagerank", "llm_mix_weights",
-      "hist_eqdepth", "llm_vocab_coverage")
+      "hist_eqdepth", "llm_vocab_coverage",
+      // llm_source_kl: crossJoin(broadcast(sum over the top-50 corpus
+      // table)) — the KL reference total N carried as a 1-row scalar
+      "llm_source_kl")
     val withNlj = plans.flatMap { case (name, plan) =>
       val n = plan.collect {
         case j: BroadcastNestedLoopJoinExec => j

@@ -64,6 +64,48 @@ class Round8OpsSpec extends AnyFunSuite {
     assert(out.exists(r => r.getLong(3) < naive(r.getLong(0))._2))
   }
 
+  test("llm_bpe_pairs: matches a driver-side brute force over the vocabulary") {
+    val out = operators.LlmOpsPipeline.llmBpePairs(spark, sf0001).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+    assert(out.nonEmpty && out.forall(_._1.length == 2))
+    // brute force: word frequencies, then per-word adjacent char pairs
+    val freq = Tables.documents(spark, sf0001)
+      .select(explode(split(col("text"), " ")).as("w")).collect()
+      .map(_.getString(0)).filter(_.length >= 2)
+      .groupBy(identity).view.mapValues(_.size.toLong).toMap
+    val cnt = collection.mutable.Map[String, Long]().withDefaultValue(0L)
+    val support = collection.mutable.Map[String, Set[String]]().withDefaultValue(Set.empty)
+    freq.foreach { case (w, f) =>
+      w.sliding(2).foreach { p => cnt(p) += f; support(p) += w }
+    }
+    val expected = cnt.toSeq.map { case (p, c) => (p, c, support(p).size.toLong) }
+      .sortBy { case (p, c, _) => (-c, p) }.take(20)
+    assert(out.toSeq === expected)
+  }
+
+  test("llm_source_kl: non-negative (Gibbs) and matches a driver-side recomputation") {
+    val out = operators.LlmOpsPipeline.llmSourceKl(spark, sf0001).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+    assert(out.nonEmpty)
+    val toks = Tables.documents(spark, sf0001)
+      .select(col("source"), explode(split(col("text"), " ")).as("tok")).collect()
+      .map(r => (r.getString(0), r.getString(1)))
+    val corpusAll = toks.groupBy(_._2).view.mapValues(_.size.toLong).toMap
+    val top = corpusAll.toSeq.sortBy { case (t, n) => (-n, t) }.take(50).toMap
+    val nCorpus = top.values.sum.toDouble
+    out.foreach { case (src, nSource, used, kl) =>
+      assert(kl >= 0.0, s"KL($src) = $kl < 0 — impossible for distributions on shared support")
+      val st = toks.filter(x => x._1 == src && top.contains(x._2))
+        .groupBy(_._2).view.mapValues(_.size.toLong).toMap
+      assert(st.values.sum === nSource && st.size === used)
+      val expected = st.map { case (t, n) =>
+        val p = n / nSource.toDouble; val q = top(t) / nCorpus
+        p * math.log(p / q)
+      }.sum
+      assert(math.abs(kl - expected) < 1e-5, s"KL($src) $kl != $expected")
+    }
+  }
+
   test("seq_pattern: result is deterministic across shuffle partitionings") {
     val a = operators.Analytics.seqPattern(spark, sf0001).collect().toSeq
     val s2 = spark.newSession()
