@@ -307,29 +307,35 @@ object Aggregates {
     * behind training-data mixture weighting, which no SQL dialect ships
     * as a builtin (percentile_disc/cont are unweighted): per return flag,
     * the smallest l_extendedprice whose CUMULATIVE l_quantity reaches
-    * half the flag's total quantity. One running-sum window over
-    * (price, orderkey, linenumber) — the full tie-break makes the
-    * cumulative weight at every row engine-identical, not just the picked
-    * value — then a min-over-crossing aggregate that reuses the window's
-    * hash(flag) partitioning, so the whole operator after the scan is one
-    * exchange plus the declared sort. Scale: the window sort is per-flag;
-    * a skewed single flag sorts corpus-sized — at 100 TB the same
-    * semantics run on a pre-aggregated (flag, price)→weight table
-    * (identical crossing math, vocabulary-sized sort). */
+    * half the flag's total quantity.
+    *
+    * The declared form IS the scale form (promoted from a scaladoc note
+    * in the first r8 cut, which windowed the RAW fact table partitioned
+    * by a 3-value flag — per-flag corpus-sized sorts, precisely the
+    * partition strategy that dies at 1000×): first a (flag, price) hash
+    * aggregate collapses the fact table to a weight table — map-side
+    * partials make this the only corpus-scale pass, and the output is
+    * price-vocabulary-sized at ANY volume — then the running-sum window,
+    * crossing filter, and min-over-crossing aggregate all run on that
+    * frame, reusing one hash(flag) partitioning. Collapsing equal prices
+    * also makes the tie-break question vanish: price alone fully orders
+    * the rows, so the cumulative weight at every row is engine-identical
+    * by construction (the row-grain form needed a three-key tie-break
+    * for the same guarantee). */
   def aggWeightedMedian(spark: SparkSession, dir: String): DataFrame = {
+    val byPrice = Tables.lineitem(spark, dir)
+      .groupBy(col("l_returnflag"), col("l_extendedprice"))
+      .agg(sum("l_quantity").as("wgt"))
     val w = Window.partitionBy("l_returnflag")
-      .orderBy(col("l_extendedprice").asc, col("l_orderkey").asc,
-        col("l_linenumber").asc)
+      .orderBy(col("l_extendedprice").asc)
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     val wAll = Window.partitionBy("l_returnflag")
-    Tables.lineitem(spark, dir)
-      .select("l_returnflag", "l_extendedprice", "l_quantity",
-        "l_orderkey", "l_linenumber")
-      .withColumn("cumw", sum("l_quantity").over(w))
-      .withColumn("tot", sum("l_quantity").over(wAll))
+    byPrice
+      .withColumn("cumw", sum("wgt").over(w))
+      .withColumn("tot", sum("wgt").over(wAll))
       .filter(col("cumw") >= col("tot") / 2)
       .groupBy(col("l_returnflag"))
-      .agg(count(lit(1)).as("n_above"),
+      .agg(count(lit(1)).as("n_prices_above"),
         round(min("l_extendedprice"), 2).as("w_median"),
         round(max("tot"), 2).as("total_qty"))
       .orderBy(col("l_returnflag").asc)
@@ -420,14 +426,17 @@ object Aggregates {
         | count(*) AS n
         |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag ASC""".stripMargin,
     "agg_weighted_median" ->
-      """WITH c AS (
-        |  SELECT l_returnflag, l_extendedprice, l_quantity,
-        |    sum(l_quantity) OVER (PARTITION BY l_returnflag
-        |      ORDER BY l_extendedprice ASC, l_orderkey ASC, l_linenumber ASC
+      """WITH bp AS (
+        |  SELECT l_returnflag, l_extendedprice, sum(l_quantity) AS wgt
+        |  FROM lineitem GROUP BY l_returnflag, l_extendedprice),
+        |c AS (
+        |  SELECT l_returnflag, l_extendedprice,
+        |    sum(wgt) OVER (PARTITION BY l_returnflag
+        |      ORDER BY l_extendedprice ASC
         |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cumw,
-        |    sum(l_quantity) OVER (PARTITION BY l_returnflag) AS tot
-        |  FROM lineitem)
-        |SELECT l_returnflag, count(*) AS n_above,
+        |    sum(wgt) OVER (PARTITION BY l_returnflag) AS tot
+        |  FROM bp)
+        |SELECT l_returnflag, count(*) AS n_prices_above,
         |  round(min(l_extendedprice), 2) AS w_median,
         |  round(max(tot), 2) AS total_qty
         |FROM c WHERE cumw >= tot / 2
