@@ -341,8 +341,63 @@ object Clustering {
       .limit(20)
   }
 
+  /** Label propagation (round-8 addendum) — the community-detection
+    * member of the Pregel family (pagerank = weighted mass, connected
+    * components = min-label fixpoint, LPA = MAJORITY label): two
+    * synchronized supersteps over the bipartite part↔supplier graph
+    * from singleton labels, each node adopting its neighbors' most
+    * frequent label (ties to the SMALLEST label — the deterministic
+    * variant; async/random LPA is irreproducible by construction and
+    * useless under an exact oracle). Output: the 20 largest label
+    * communities after round 2.
+    *
+    * Scale shape per superstep: labels ⋈ edges on the hash-partitioned
+    * src key, then TWO hash aggregates — (dst, lbl) counts with
+    * map-side partials (the wire carries per-task distinct (dst, lbl)
+    * pairs, not raw messages), then the per-dst argmax as a struct-max
+    * that rides the same hash(dst) partitioning. The edge frame is the
+    * same lazily-checkpointed, pre-partitioned long-encoded arc table
+    * as graphPagerank (per-branch column pruning would otherwise defeat
+    * exchange reuse and recompute the distinct per superstep — the r6
+    * measurement). Two fixed rounds keep the lineage bounded; a
+    * run-to-convergence variant checkpoints per round exactly like
+    * llmDedupClusters' fixpoint. */
+  def graphLabelProp(spark: SparkSession, dir: String): DataFrame = {
+    ensureCheckpointDir(spark)
+    val sp = Tables.lineitem(spark, dir)
+      .select((col("l_partkey") * 2).as("p"),
+        (col("l_suppkey") * 2 + 1).as("s"))
+      .distinct()
+    val edges = sp.select(col("p").as("src"), col("s").as("dst"))
+      .unionAll(sp.select(col("s").as("src"), col("p").as("dst")))
+      .repartition(32, col("src"))
+      .checkpoint(eager = false)
+    // round 0: every node its own label; the node set is exactly the
+    // src side (undirected-as-two-arcs ⇒ every node has an out-arc)
+    var labels = edges.select(col("src").as("node")).distinct()
+      .select(col("node"), col("node").as("lbl"))
+    for (_ <- 1 to 2) {
+      labels = labels
+        .join(edges, col("node") === col("src"))
+        .groupBy(col("dst"), col("lbl")).agg(count(lit(1)).as("cnt"))
+        .groupBy(col("dst").as("node"))
+        .agg(max(struct(col("cnt"), (-col("lbl")).as("nl"))).as("m"))
+        .select(col("node"), (-col("m.nl")).as("lbl"))
+    }
+    labels
+      .groupBy("lbl").agg(count(lit(1)).as("n_nodes"))
+      .select(
+        when(col("lbl") % 2 === 0, concat(lit("p"), (col("lbl") / 2).cast("long")))
+          .otherwise(concat(lit("s"), ((col("lbl") - 1) / 2).cast("long")))
+          .as("community"),
+        col("n_nodes"))
+      .orderBy(col("n_nodes").desc, col("community").asc)
+      .limit(20)
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "graph_pagerank"     -> (graphPagerank _),
+    "graph_label_prop"   -> (graphLabelProp _),
     "llm_dedup_clusters" -> (llmDedupClusters _),
     "graph_triangles"    -> (graphTriangles _),
     "graph_degree"       -> (graphDegree _))
@@ -360,6 +415,33 @@ object Clustering {
       |  FROM f x JOIN f y ON x.fp = y.fp AND x.doc_id < y.doc_id)""".stripMargin
 
   val oracleSql: Map[String, String] = Map(
+    "graph_label_prop" ->
+      """WITH sp AS (
+        |  SELECT DISTINCT l_partkey * 2 AS p, l_suppkey * 2 + 1 AS s FROM lineitem),
+        |e AS (SELECT p AS src, s AS dst FROM sp
+        |      UNION ALL SELECT s AS src, p AS dst FROM sp),
+        |l0 AS (SELECT DISTINCT src AS node, src AS lbl FROM e),
+        |c1 AS (
+        |  SELECT e.dst, l0.lbl, count(*) AS cnt
+        |  FROM l0 JOIN e ON l0.node = e.src GROUP BY e.dst, l0.lbl),
+        |l1 AS (
+        |  SELECT dst AS node, lbl FROM (
+        |    SELECT dst, lbl,
+        |      row_number() OVER (PARTITION BY dst ORDER BY cnt DESC, lbl ASC) AS rn
+        |    FROM c1) WHERE rn = 1),
+        |c2 AS (
+        |  SELECT e.dst, l1.lbl, count(*) AS cnt
+        |  FROM l1 JOIN e ON l1.node = e.src GROUP BY e.dst, l1.lbl),
+        |l2 AS (
+        |  SELECT dst AS node, lbl FROM (
+        |    SELECT dst, lbl,
+        |      row_number() OVER (PARTITION BY dst ORDER BY cnt DESC, lbl ASC) AS rn
+        |    FROM c2) WHERE rn = 1)
+        |SELECT CASE WHEN lbl % 2 = 0 THEN 'p' || CAST(lbl // 2 AS VARCHAR)
+        |  ELSE 's' || CAST((lbl - 1) // 2 AS VARCHAR) END AS community,
+        |  count(*) AS n_nodes
+        |FROM l2 GROUP BY lbl
+        |ORDER BY n_nodes DESC, community ASC LIMIT 20""".stripMargin,
     "graph_pagerank" ->
       """WITH sp AS (
         |  SELECT DISTINCT 'p' || l_partkey AS p, 's' || l_suppkey AS s FROM lineitem),

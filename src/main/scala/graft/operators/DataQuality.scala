@@ -122,13 +122,76 @@ object DataQuality {
       .orderBy(col("col").asc)
   }
 
+  /** Functional-dependency check (round-8 addendum) — the dependency-
+    * discovery primitive data profilers (Metanome/HyFD class) run per
+    * candidate: does X → Y hold, and if not, how badly is it violated?
+    * Reports, per candidate FD, the standard g3 metric (minimum rows to
+    * delete for the FD to hold = rows − Σ_x max_y count(x,y)) plus the
+    * violating-group count. Three candidates over orders: a true key
+    * dependency (orderkey → custkey, holds by keyness), a false
+    * attribute dependency (custkey → orderpriority), and a false
+    * temporal one (orderdate → orderpriority).
+    *
+    * Shape per candidate: groupBy(X, Y) count → groupBy(X) keep the
+    * max count + distinct-Y + total → one global rollup. Every level is
+    * a hash aggregate with map-side partials; the (X, Y) pass is the
+    * only corpus-scale one and each later frame shrinks by the group
+    * cardinality. The three candidates scan orders independently —
+    * at 100 TB a profiler would fuse them into one pass per X
+    * (several Ys share a grouping), which composes from this same
+    * shape. */
+  def dqFdCheck(spark: SparkSession, dir: String): DataFrame = {
+    def fd(x: String, y: String): DataFrame =
+      Tables.orders(spark, dir)
+        .groupBy(col(x).as("xv"), col(y).as("yv"))
+        .agg(count(lit(1)).as("n"))
+        .groupBy("xv")
+        .agg(sum("n").as("rows_x"), max("n").as("maj"),
+          count(lit(1)).as("ndist_y"))
+        .agg(
+          lit(x + " -> " + y).as("fd"),
+          count(lit(1)).as("lhs_groups"),
+          count(when(col("ndist_y") > 1, lit(1))).as("violating_groups"),
+          sum("rows_x").as("rows"),
+          (sum("rows_x") - sum("maj")).as("g3_rows_to_delete"),
+          (max(col("ndist_y")) === 1).cast("int").as("holds"))
+    fd("o_orderkey", "o_custkey")
+      .unionAll(fd("o_custkey", "o_orderpriority"))
+      .unionAll(fd("o_orderdate", "o_orderpriority"))
+      .orderBy(col("fd").asc)
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "dq_fd_check" -> (dqFdCheck _),
     "dq_profile" -> (dqProfile _),
     "cdc_apply" -> (cdcApply _),
     "dq_checks" -> (dqChecks _),
     "join_scd2" -> (joinScd2 _))
 
   val oracleSql: Map[String, String] = Map(
+    "dq_fd_check" ->
+      """WITH p1 AS (
+        |  SELECT 'o_orderkey -> o_custkey' AS fd, o_orderkey AS xv, o_custkey AS yv, count(*) AS n
+        |  FROM orders GROUP BY xv, yv),
+        |p2 AS (
+        |  SELECT 'o_custkey -> o_orderpriority' AS fd, o_custkey AS xv, o_orderpriority AS yv, count(*) AS n
+        |  FROM orders GROUP BY xv, yv),
+        |p3 AS (
+        |  SELECT 'o_orderdate -> o_orderpriority' AS fd,
+        |    CAST(epoch_us(o_orderdate) AS VARCHAR) AS xv, o_orderpriority AS yv, count(*) AS n
+        |  FROM orders GROUP BY xv, yv),
+        |g AS (
+        |  SELECT fd, xv, CAST(sum(n) AS BIGINT) AS rows_x, max(n) AS maj, count(*) AS ndist_y
+        |  FROM (SELECT fd, CAST(xv AS VARCHAR) AS xv, yv, n FROM p1
+        |        UNION ALL SELECT fd, CAST(xv AS VARCHAR), yv, n FROM p2
+        |        UNION ALL SELECT * FROM p3)
+        |  GROUP BY fd, xv)
+        |SELECT fd, count(*) AS lhs_groups,
+        |  count(*) FILTER (ndist_y > 1) AS violating_groups,
+        |  CAST(sum(rows_x) AS BIGINT) AS rows,
+        |  CAST(sum(rows_x) - sum(maj) AS BIGINT) AS g3_rows_to_delete,
+        |  CAST(max(ndist_y) = 1 AS INT) AS holds
+        |FROM g GROUP BY fd ORDER BY fd ASC""".stripMargin,
     "dq_profile" ->
       """SELECT 'o_orderkey' AS col, count(*) AS n, count(o_orderkey) AS nonnull,
         |  count(DISTINCT o_orderkey) AS ndist,

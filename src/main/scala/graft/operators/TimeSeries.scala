@@ -271,7 +271,64 @@ object TimeSeries {
       .orderBy(col("event_type").asc)
   }
 
+  /** Linear interpolation of censored observations (round-8 addendum) —
+    * the "fill sensor dropout" operator ts_gapfill's LOCF cannot express
+    * (carrying the last value forward biases a trending series; the
+    * textbook fix interpolates between the BRACKETING observations):
+    * per order priority, daily revenue below a 300k reporting threshold
+    * is treated as unobserved, and each censored day fills with the
+    * line between its nearest observed neighbors — edge days with only
+    * one neighbor fall back to it.
+    *
+    * Shape: the daily rollup is the one corpus-scale pass; both
+    * direction-scans are last/first IGNORE NULLS window frames over the
+    * SAME (prio, day) sort, so all four lookups (prev/next value and
+    * day) share one exchange, and the arithmetic is row-local.
+    *
+    * Cross-engine exactness (two traps, both hit): (1) the naive
+    * pv + (nv−pv)·Δ/Δ' float form diverged by one ulp on ~4 of 8600
+    * rows; (2) even with an exact int64 numerator and ONE shared
+    * division, the quotient lands EXACTLY on .xxxx5 whenever the gap
+    * divides nicely (denominator 800 ⇒ ties at the 4th decimal are
+    * systematic, not flukes) — and Spark's round (exact decimal
+    * HALF_UP) disagrees with DuckDB's (float-multiply) precisely on
+    * ties. So the 4dp HALF-UP ROUND ITSELF runs in integer arithmetic:
+    * r4 = (num·20000 + den) DIV (2·den), exact in int64 (num ≲ 10¹³,
+    * ×2·10⁴ < 2⁶³), then one exact /10⁴ display division. Both engines
+    * floor-divide positive int64 identically, so ties are decided
+    * identically by construction. At 100 TB the frame is day-grain
+    * (O(days × priorities) regardless of order volume). */
+  def tsInterp(spark: SparkSession, dir: String): DataFrame = {
+    val daily = Tables.orders(spark, dir)
+      .groupBy(col("o_orderpriority").as("prio"),
+        date_trunc("day", col("o_orderdate")).as("day"))
+      .agg(round(sum("o_totalprice"), 2).as("rev"))
+      .withColumn("d", datediff(col("day"), lit("1970-01-01").cast("date")).cast("long"))
+      .withColumn("obs", when(col("rev") >= 300000, col("rev")))
+    val ord = Window.partitionBy("prio").orderBy(col("day").asc)
+    val wPrev = ord.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val wNext = ord.rowsBetween(Window.currentRow, Window.unboundedFollowing)
+    daily
+      .withColumn("obs_c", round(col("obs") * 100, 0).cast("long"))
+      .withColumn("pv", last(col("obs_c"), ignoreNulls = true).over(wPrev))
+      .withColumn("pd", last(when(col("obs").isNotNull, col("d")), ignoreNulls = true).over(wPrev))
+      .withColumn("nv", first(col("obs_c"), ignoreNulls = true).over(wNext))
+      .withColumn("nd", first(when(col("obs").isNotNull, col("d")), ignoreNulls = true).over(wNext))
+      .withColumn("num",
+        col("pv") * (col("nd") - col("d")) + col("nv") * (col("d") - col("pd")))
+      .withColumn("den", (col("nd") - col("pd")) * 100L)
+      .withColumn("rev_interp",
+        when(col("obs").isNotNull, round(col("obs"), 4))
+          .when(col("pv").isNotNull && col("nv").isNotNull,
+            expr("(num * 20000 + den) DIV (den * 2)") / 10000.0)
+          .otherwise(round(coalesce(col("pv"), col("nv")) / 100.0, 4)))
+      .select(col("prio"), col("day"), col("rev"),
+        col("obs").isNotNull.cast("int").as("observed"), col("rev_interp"))
+      .orderBy(col("prio").asc, col("day").asc)
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "ts_interp"   -> (tsInterp _),
     "ts_seasonal" -> (tsSeasonal _),
     "ts_cusum"    -> (tsCusum _),
     "ts_mad"      -> (tsMad _),
@@ -282,6 +339,37 @@ object TimeSeries {
     "ts_anomaly"  -> (tsAnomaly _))
 
   val oracleSql: Map[String, String] = Map(
+    "ts_interp" ->
+      """WITH daily AS (
+        |  SELECT o_orderpriority AS prio, date_trunc('day', o_orderdate) AS day,
+        |    round(sum(o_totalprice), 2) AS rev
+        |  FROM orders GROUP BY prio, day),
+        |d AS (
+        |  SELECT prio, day, rev,
+        |    date_diff('day', DATE '1970-01-01', date_trunc('day', day)) AS d,
+        |    CASE WHEN rev >= 300000 THEN rev END AS obs
+        |  FROM daily),
+        |w AS (
+        |  SELECT prio, day, rev, d, obs,
+        |    last_value(CAST(round(obs * 100, 0) AS BIGINT) IGNORE NULLS) OVER wp AS pv,
+        |    last_value(CASE WHEN obs IS NOT NULL THEN d END IGNORE NULLS) OVER wp AS pd,
+        |    first_value(CAST(round(obs * 100, 0) AS BIGINT) IGNORE NULLS) OVER wn AS nv,
+        |    first_value(CASE WHEN obs IS NOT NULL THEN d END IGNORE NULLS) OVER wn AS nd
+        |  FROM d
+        |  WINDOW
+        |    wp AS (PARTITION BY prio ORDER BY day ASC
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),
+        |    wn AS (PARTITION BY prio ORDER BY day ASC
+        |      ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING))
+        |SELECT prio, day, rev,
+        |  CAST(obs IS NOT NULL AS INT) AS observed,
+        |  CASE
+        |    WHEN obs IS NOT NULL THEN round(obs, 4)
+        |    WHEN pv IS NOT NULL AND nv IS NOT NULL
+        |      THEN (((pv * (nd - d) + nv * (d - pd)) * 20000 + (nd - pd) * 100)
+        |        // ((nd - pd) * 200)) / 10000.0
+        |    ELSE round(coalesce(pv, nv) / 100.0, 4) END AS rev_interp
+        |FROM w ORDER BY prio ASC, day ASC""".stripMargin,
     "ts_seasonal" ->
       """WITH daily AS (
         |  SELECT event_type, date_trunc('day', ts) AS day,

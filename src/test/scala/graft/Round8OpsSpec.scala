@@ -106,6 +106,66 @@ class Round8OpsSpec extends AnyFunSuite {
     }
   }
 
+  test("ts_interp: matches a driver-side sweep; censored rows stay inside their bracket") {
+    val out = operators.TimeSeries.tsInterp(spark, sf0001).collect()
+      .map(r => (r.getString(0), r.getTimestamp(1).toString, r.getDouble(2),
+        r.getInt(3), r.getDouble(4)))
+    assert(out.nonEmpty && out.exists(_._4 == 0) && out.exists(_._4 == 1))
+    out.groupBy(_._1).foreach { case (_, part) =>
+      val sorted = part.sortBy(_._2)
+      val obsIdx = sorted.zipWithIndex.filter(_._1._4 == 1).map(_._2)
+      sorted.zipWithIndex.foreach { case ((_, _, rev, observed, interp), i) =>
+        if (observed == 1) assert(interp === rev)
+        else {
+          val prev = obsIdx.filter(_ < i).lastOption.map(j => sorted(j)._3)
+          val next = obsIdx.find(_ > i).map(j => sorted(j)._3)
+          (prev, next) match {
+            case (Some(p), Some(n)) =>
+              // interpolated value must lie inside the bracketing pair
+              assert(interp >= math.min(p, n) - 1e-9 && interp <= math.max(p, n) + 1e-9)
+            case (Some(p), None) => assert(math.abs(interp - p) < 1e-9)
+            case (None, Some(n)) => assert(math.abs(interp - n) < 1e-9)
+            case (None, None)    => fail("a priority with zero observations")
+          }
+        }
+      }
+    }
+  }
+
+  test("dq_fd_check: the key FD holds with zero g3; false FDs report violations") {
+    val out = operators.DataQuality.dqFdCheck(spark, sf0001).collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getInt(5))).toMap
+    val nOrders = Tables.orders(spark, sf0001).count()
+    assert(out.size === 3)
+    out.values.foreach { case (_, _, rows, _, _) => assert(rows === nOrders) }
+    val (_, viol, _, g3, holds) = out("o_orderkey -> o_custkey")
+    assert(holds === 1 && viol === 0L && g3 === 0L,
+      "orderkey is a key, so orderkey -> custkey must hold exactly")
+    Seq("o_custkey -> o_orderpriority", "o_orderdate -> o_orderpriority").foreach { fd =>
+      val (lhs, viol, rows, g3, holds) = out(fd)
+      assert(holds === 0 && viol > 0 && g3 > 0, s"$fd should be violated in the fixture")
+      // g3 can never exceed rows minus one surviving row per lhs group
+      assert(g3 <= rows - lhs)
+    }
+  }
+
+  test("graph_label_prop: deterministic across partitionings; sizes bounded by node count") {
+    val a = operators.Clustering.graphLabelProp(spark, sf0001).collect().toSeq
+    assert(a.nonEmpty)
+    val nNodes = Tables.lineitem(spark, sf0001)
+      .selectExpr("l_partkey * 2 AS n").union(
+        Tables.lineitem(spark, sf0001).selectExpr("l_suppkey * 2 + 1 AS n"))
+      .distinct().count()
+    val sizes = a.map(_.getLong(1))
+    assert(sizes === sizes.sortBy(-_), "communities must arrive largest-first")
+    assert(sizes.sum <= nNodes)
+    val s2 = spark.newSession()
+    s2.conf.set("spark.sql.shuffle.partitions", "7")
+    val b = operators.Clustering.graphLabelProp(s2, sf0001).collect().toSeq
+    assert(a === b, "the (cnt DESC, lbl ASC) tie-break must make LPA partition-invariant")
+  }
+
   test("seq_pattern: result is deterministic across shuffle partitionings") {
     val a = operators.Analytics.seqPattern(spark, sf0001).collect().toSeq
     val s2 = spark.newSession()
