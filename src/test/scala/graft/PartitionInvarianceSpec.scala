@@ -73,4 +73,34 @@ class PartitionInvarianceSpec extends AnyFunSuite {
     assert(spark.sparkContext.getPersistentRDDs.isEmpty,
       "CC loop must not leave cached RDDs in block-manager storage")
   }
+
+  // Round-8 wave-4/5 addenda: each relies on an explicit tie-break or an
+  // order-insensitive formulation (sweep-island membership, TakeOrdered
+  // (cnt, pair) cut, top-50 support cut, IGNORE-NULLS frames, struct-max
+  // argmax) — partition-invariance is exactly the property those claims
+  // reduce to, so pin each one.
+  test("interval_coverage is identical under a different shuffle partitioning") {
+    assert(rows(Analytics.intervalCoverage(spark, sf0001)) ===
+      rows(Analytics.intervalCoverage(alt, sf0001)))
+  }
+
+  test("llm_bpe_pairs top-20 is identical under a different shuffle partitioning") {
+    assert(rows(LlmOpsPipeline.llmBpePairs(spark, sf0001)) ===
+      rows(LlmOpsPipeline.llmBpePairs(alt, sf0001)))
+  }
+
+  test("llm_source_kl is identical under a different shuffle partitioning") {
+    assert(rows(LlmOpsPipeline.llmSourceKl(spark, sf0001)) ===
+      rows(LlmOpsPipeline.llmSourceKl(alt, sf0001)))
+  }
+
+  test("ts_interp is identical under a different shuffle partitioning") {
+    assert(rows(TimeSeries.tsInterp(spark, sf0001)) ===
+      rows(TimeSeries.tsInterp(alt, sf0001)))
+  }
+
+  test("llm_hard_negatives is identical under a different shuffle partitioning") {
+    assert(rows(LlmOpsExtra.llmHardNegatives(spark, sf0001)) ===
+      rows(LlmOpsExtra.llmHardNegatives(alt, sf0001)))
+  }
 }
