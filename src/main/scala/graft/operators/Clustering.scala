@@ -366,20 +366,23 @@ object Clustering {
     * src key, then TWO hash aggregates — (dst, lbl) counts with
     * map-side partials (the wire carries per-task distinct (dst, lbl)
     * pairs, not raw messages), then the per-dst argmax as a struct-max
-    * that rides the same hash(dst) partitioning. The edge frame is the
-    * same lazily-checkpointed, pre-partitioned long-encoded arc table
-    * as graphPagerank (per-branch column pruning would otherwise defeat
-    * exchange reuse and recompute the distinct per superstep — the r6
-    * measurement). Two fixed rounds keep the lineage bounded; a
-    * run-to-convergence variant checkpoints per round exactly like
+    * that rides the same hash(dst) partitioning. The arcs derive from
+    * the MEMOIZED pair frame (graphPairs), and deliberately carry NO
+    * checkpoint: with the expensive distinct already behind a parquet
+    * file, each superstep's lineage recompute is a columnar scan +
+    * union, and the A/B showed the lazy checkpoint was pure overhead
+    * here — 11 → 8 scheduled jobs, warm 2.4 → 1.6 s without it.
+    * (graphPagerank KEEPS its checkpoint: its supersteps exploit the
+    * preserved hash(src) partitioning, which parquet forgets — the
+    * MemoFrames.materialize scaladoc's dividing line, measured on both
+    * sides.) Two fixed rounds keep the lineage bounded; a
+    * run-to-convergence variant materializes per round exactly like
     * llmDedupClusters' fixpoint. */
   def graphLabelProp(spark: SparkSession, dir: String): DataFrame = {
-    ensureCheckpointDir(spark)
     val sp = graphPairs(spark, dir)
     val edges = sp.select(col("p").as("src"), col("s").as("dst"))
       .unionAll(sp.select(col("s").as("src"), col("p").as("dst")))
       .repartition(32, col("src"))
-      .checkpoint(eager = false)
     // round 0: every node its own label; the node set is exactly the
     // src side (undirected-as-two-arcs ⇒ every node has an out-arc)
     var labels = edges.select(col("src").as("node")).distinct()
