@@ -650,7 +650,64 @@ object LlmOpsExtra {
       .orderBy(col("doc_id").asc)
   }
 
+  /** BM25 lexical retrieval over an inverted index (round-8 addendum) —
+    * the sparse-retrieval counterpart of the dense ANN family
+    * (llm_ann_lsh / llm_ann_ivf) and the lookup shape contamination
+    * checks and dedup candidates actually run at corpus scale: an 8-doc
+    * query batch retrieves its top-3 BM25-scored documents (self
+    * excluded) through a TERM equi-join against the posting list —
+    * work ∝ postings sharing a query term, NEVER all query×doc pairs.
+    *
+    * Scale shape: the posting list (doc, term, tf) and doc lengths are
+    * one explode + two hash aggregates off the corpus scan (map-side
+    * partials); document frequencies and the query-term table are
+    * vocabulary-sized and BROADCAST; the per-(query, doc) score is a
+    * partial-aggregated sum keyed by the pair, so the shuffle carries
+    * one row per scored pair; ranking is a per-query row_number over
+    * the scored candidates (bounded by the query batch). In production
+    * the df table adds a max-df stoplist cap so a universal term can't
+    * explode the candidate stream — noted, not needed at fixture vocab.
+    *
+    * BM25 constants k1 = 1.2, b = 0.75 as literals; idf is the
+    * Robertson-Sparck-Jones ln(1 + (N − df + 0.5)/(df + 0.5)) — always
+    * positive, so dense fixture vocabularies can't produce negative
+    * scores. Scores round at 6dp before ranking (sum of ≤ |vocab|
+    * doubles; accumulation-order noise ≪ 0.5e-6) and ties break on the
+    * lower candidate id, mirroring the oracle. */
+  def llmBm25Retrieve(spark: SparkSession, dir: String): DataFrame = {
+    val post = Tables.documents(spark, dir)
+      .select(col("doc_id"), explode(split(col("text"), " ")).as("tok"))
+      .groupBy("doc_id", "tok").agg(count(lit(1)).as("tf"))
+    val lens = post.groupBy("doc_id").agg(sum("tf").as("len"))
+    val dfN = post.groupBy("tok").agg(count(lit(1)).as("df"))
+      .crossJoin(broadcast(lens.agg(count(lit(1)).as("n_docs"),
+        avg(col("len")).as("avglen"))))
+      .withColumn("idf",
+        log(lit(1.0) + (col("n_docs") - col("df") + 0.5) / (col("df") + 0.5)))
+    val qterms = post.filter(col("doc_id") < 8)
+      .select(col("doc_id").as("q_id"), col("tok"))
+    val scored = post
+      .join(broadcast(qterms), "tok")
+      .filter(col("doc_id") =!= col("q_id"))
+      .join(broadcast(dfN.select("tok", "idf", "avglen")), "tok")
+      .join(lens, "doc_id")
+      .select(col("q_id"), col("doc_id"),
+        (col("idf") * col("tf") * lit(2.2) /
+          (col("tf") + lit(1.2) * (lit(0.25) + lit(0.75) * col("len") / col("avglen"))))
+          .as("c"))
+      .groupBy("q_id", "doc_id").agg(round(sum("c"), 6).as("score"))
+    val w = Window.partitionBy("q_id")
+      .orderBy(col("score").desc, col("doc_id").asc)
+    scored
+      .withColumn("rnk", row_number().over(w))
+      .filter(col("rnk") <= 3)
+      .select(col("q_id"), col("rnk").cast("long").as("rnk"),
+        col("doc_id").as("hit_id"), col("score"))
+      .orderBy(col("q_id").asc, col("rnk").asc)
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "llm_bm25_retrieve" -> (llmBm25Retrieve _),
     "llm_bloom_dedup"   -> (llmBloomDedup _),
     "llm_substring_dedup" -> (llmSubstringDedup _),
     "llm_pii_mask"      -> (llmPiiMask _),
@@ -668,6 +725,35 @@ object LlmOpsExtra {
     "llm_hard_negatives" -> (llmHardNegatives _))
 
   val oracleSql: Map[String, String] = Map(
+    "llm_bm25_retrieve" ->
+      """WITH post AS (
+        |  SELECT doc_id, tok, count(*) AS tf FROM (
+        |    SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents)
+        |  GROUP BY doc_id, tok),
+        |lens AS (SELECT doc_id, CAST(sum(tf) AS BIGINT) AS len FROM post GROUP BY doc_id),
+        |stats AS (SELECT count(*) AS n_docs, avg(len) AS avglen FROM lens),
+        |dfi AS (
+        |  SELECT tok, ln(1.0 + (n_docs - count(*) + 0.5) / (count(*) + 0.5)) AS idf,
+        |    avglen
+        |  FROM post, stats GROUP BY tok, n_docs, avglen),
+        |q AS (SELECT doc_id AS q_id, tok FROM post WHERE doc_id < 8),
+        |scored AS (
+        |  SELECT q.q_id, p.doc_id,
+        |    round(sum(dfi.idf * p.tf * 2.2 /
+        |      (p.tf + 1.2 * (0.25 + 0.75 * lens.len / stats.avglen))), 6) AS score
+        |  FROM post p
+        |  JOIN q ON p.tok = q.tok AND p.doc_id <> q.q_id
+        |  JOIN dfi ON p.tok = dfi.tok
+        |  JOIN lens ON p.doc_id = lens.doc_id
+        |  CROSS JOIN stats
+        |  GROUP BY q.q_id, p.doc_id),
+        |r AS (
+        |  SELECT q_id, doc_id, score,
+        |    row_number() OVER (PARTITION BY q_id
+        |      ORDER BY score DESC, doc_id ASC) AS rnk
+        |  FROM scored)
+        |SELECT q_id, rnk, doc_id AS hit_id, score
+        |FROM r WHERE rnk <= 3 ORDER BY q_id ASC, rnk ASC""".stripMargin,
     "llm_bloom_dedup" ->
       """WITH f AS (
         |  SELECT doc_id, lang,

@@ -104,7 +104,10 @@ class PlanSnapshotSpec extends AnyFunSuite {
       "hist_eqdepth", "llm_vocab_coverage",
       // llm_source_kl: crossJoin(broadcast(sum over the top-50 corpus
       // table)) — the KL reference total N carried as a 1-row scalar
-      "llm_source_kl")
+      "llm_source_kl",
+      // llm_bm25_retrieve: crossJoin(broadcast(corpus n_docs/avglen
+      // stats)) — the BM25 normalization constants as a 1-row scalar
+      "llm_bm25_retrieve")
     val withNlj = plans.flatMap { case (name, plan) =>
       val n = plan.collect {
         case j: BroadcastNestedLoopJoinExec => j

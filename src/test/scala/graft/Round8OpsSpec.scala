@@ -166,6 +166,39 @@ class Round8OpsSpec extends AnyFunSuite {
     assert(a === b, "the (cnt DESC, lbl ASC) tie-break must make LPA partition-invariant")
   }
 
+  test("llm_bm25_retrieve: matches a driver-side brute-force BM25 over all candidates") {
+    val out = operators.LlmOpsExtra.llmBm25Retrieve(spark, sf0001).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+    assert(out.nonEmpty)
+    val docs = Tables.documents(spark, sf0001)
+      .select("doc_id", "text").collect()
+      .map(r => r.getLong(0) -> r.getString(1).split(" ").toSeq).toMap
+    val tf: Map[(Long, String), Long] = docs.toSeq.flatMap { case (id, toks) =>
+      toks.groupBy(identity).map { case (t, g) => (id, t) -> g.size.toLong }
+    }.toMap
+    val len = docs.view.mapValues(_.size.toLong).toMap
+    val n = docs.size.toDouble
+    val avglen = len.values.sum / n
+    val df = tf.keys.groupBy(_._2).view.mapValues(_.size.toLong).toMap
+    def idf(t: String) = math.log(1.0 + (n - df(t) + 0.5) / (df(t) + 0.5))
+    def score(q: Long, d: Long): Double = {
+      val s = docs(q).distinct.collect {
+        case t if tf.contains((d, t)) =>
+          val f = tf((d, t)).toDouble
+          idf(t) * f * 2.2 / (f + 1.2 * (0.25 + 0.75 * len(d) / avglen))
+      }.sum
+      BigDecimal(s).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    }
+    docs.keys.filter(_ < 8).foreach { q =>
+      val expected = docs.keys.filter(_ != q)
+        .map(d => (d, score(q, d))).filter(_._2 > 0).toSeq
+        .sortBy { case (d, s) => (-s, d) }.take(3)
+        .zipWithIndex.map { case ((d, s), i) => (q, i + 1L, d, s) }
+      val got = out.filter(_._1 == q).sortBy(_._2).toSeq
+      assert(got === expected, s"query $q top-3 diverged from brute force")
+    }
+  }
+
   test("seq_pattern: result is deterministic across shuffle partitionings") {
     val a = operators.Analytics.seqPattern(spark, sf0001).collect().toSeq
     val s2 = spark.newSession()
