@@ -675,9 +675,16 @@ object LlmOpsExtra {
     * doubles; accumulation-order noise ≪ 0.5e-6) and ties break on the
     * lower candidate id, mirroring the oracle. */
   def llmBm25Retrieve(spark: SparkSession, dir: String): DataFrame = {
-    val post = Tables.documents(spark, dir)
-      .select(col("doc_id"), explode(split(col("text"), " ")).as("tok"))
-      .groupBy("doc_id", "tok").agg(count(lit(1)).as("tf"))
+    // The posting list is MEMOIZED (MemoFrames): four consumers below
+    // (lengths, df/idf, query terms, the candidate join) would otherwise
+    // each re-run the corpus explode+aggregate — 16 scheduled jobs for
+    // one query. An inverted index is a persisted artifact in any real
+    // retrieval system; the memo parquet is the single-node stand-in.
+    val post = graft.operators.MemoFrames.frame(spark, s"bm25_post|$dir") {
+      Tables.documents(spark, dir)
+        .select(col("doc_id"), explode(split(col("text"), " ")).as("tok"))
+        .groupBy("doc_id", "tok").agg(count(lit(1)).as("tf"))
+    }
     val lens = post.groupBy("doc_id").agg(sum("tf").as("len"))
     val dfN = post.groupBy("tok").agg(count(lit(1)).as("df"))
       .crossJoin(broadcast(lens.agg(count(lit(1)).as("n_docs"),
