@@ -713,7 +713,54 @@ object LlmOpsExtra {
       .orderBy(col("q_id").asc, col("rnk").asc)
   }
 
+  /** PCA / whitening over the embedding table (round-8 addendum) — the
+    * dimensionality-reduction step SemDeDup-class pipelines run before
+    * clustering, and the engine's demonstration of the numeric-linear-
+    * algebra-on-Spark pattern: a DISTRIBUTED covariance pass feeds a
+    * DRIVER-SCALE eigensolve (d×d = 64×64 — codebook class, same
+    * legitimacy argument as the IVF means), and the projection back onto
+    * the corpus is pure MAP-SIDE arithmetic. Implemented with spark.ml's
+    * PCA (the idiomatic route — its fit() is exactly that
+    * covariance + breeze eigensolve shape internally) via
+    * `array_to_vector`, k = 8 components.
+    *
+    * Declared output is SIGN-INDETERMINACY-FREE: eigenvector signs are
+    * solver-arbitrary, so the query reports per-component explained
+    * variance (+ cumulative share) and the corpus mean squared
+    * projection per component — quantities invariant under component
+    * sign flips, stable across reruns on the same data. NO-ORACLE
+    * (DuckDB has no eigensolver); Round8OpsSpec pins the spectral
+    * properties instead: variances non-increasing, shares in (0, 1],
+    * k-component reconstruction captures the cumulative-share fraction
+    * of total variance, and the projection pass preserves Parseval's
+    * inequality (mean ‖proj‖² ≤ mean ‖x − μ‖²). */
+  def llmPca(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.ml.feature.{PCA => MlPca}
+    import org.apache.spark.ml.functions.array_to_vector
+    val e = embDouble(spark, dir)
+      .select(col("vec_id"), array_to_vector(col("e")).as("features"))
+    val model = new MlPca().setK(8)
+      .setInputCol("features").setOutputCol("proj").fit(e)
+    val ev = model.explainedVariance.toArray // fractions of total variance
+    val projected = model.transform(e)
+      .select(col("vec_id"), org.apache.spark.ml.functions.vector_to_array(col("proj")).as("p"))
+    // per-component corpus mean squared projection — sign-invariant
+    val msq = projected.select(
+      (0 until 8).map(i => avg(col("p")(i) * col("p")(i)).as(s"m$i")): _*)
+      .head()
+    val rows = (0 until 8).scanLeft(0.0)((acc, i) => acc + ev(i)).tail
+      .zipWithIndex.map { case (cum, i) =>
+        (i + 1L, BigDecimal(ev(i)).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble,
+          BigDecimal(cum).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble,
+          BigDecimal(msq.getDouble(i)).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble)
+      }
+    import spark.implicits._
+    rows.toSeq.toDF("component", "var_share", "cum_share", "mean_sq_proj")
+      .orderBy(col("component").asc)
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "llm_pca"           -> (llmPca _),
     "llm_bm25_retrieve" -> (llmBm25Retrieve _),
     "llm_bloom_dedup"   -> (llmBloomDedup _),
     "llm_substring_dedup" -> (llmSubstringDedup _),

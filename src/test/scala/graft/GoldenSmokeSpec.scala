@@ -53,9 +53,10 @@ class GoldenSmokeSpec extends AnyFunSuite {
     val qs = SparkEntry.queries.keySet
     val orphans = SparkEntry.oracleSql.keySet -- qs
     assert(orphans.isEmpty, s"oracleSql without queries: $orphans")
-    // the intentional no-oracle ops (engine-specific hashes / stubbed codec)
+    // the intentional no-oracle ops (engine-specific hashes / stubbed
+    // codec / no DuckDB eigensolver for llm_pca)
     assert((qs -- SparkEntry.oracleSql.keySet) ===
       Set("agg_approx_hll", "agg_hll_union", "agg_approx_pctl", "agg_kmv_distinct",
-        "agg_countmin", "llm_minhash", "llm_simhash", "llm_mm_features"))
+        "agg_countmin", "llm_minhash", "llm_simhash", "llm_mm_features", "llm_pca"))
   }
 }

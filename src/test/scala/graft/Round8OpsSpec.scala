@@ -199,6 +199,32 @@ class Round8OpsSpec extends AnyFunSuite {
     }
   }
 
+  test("llm_pca: spectral invariants hold and the output is rerun-stable") {
+    val out = operators.LlmOpsExtra.llmPca(spark, sf0001).collect()
+      .map(r => (r.getLong(0), r.getDouble(1), r.getDouble(2), r.getDouble(3)))
+    assert(out.length === 8)
+    val shares = out.map(_._2)
+    assert(shares.forall(s => s > 0 && s <= 1))
+    assert(shares === shares.sortBy(-_), "explained variance must be non-increasing")
+    // cum_share is the running sum of var_share (to rounding) and ≤ 1
+    out.foldLeft(0.0) { case (acc, (_, s, cum, _)) =>
+      assert(math.abs(cum - (acc + s)) < 2e-6); cum
+    }
+    assert(out.last._3 <= 1.0)
+    // Parseval for an orthonormal projection of the RAW vectors (spark.ml
+    // PCA projects uncentered data): each component's mean squared
+    // projection, and their sum, is bounded by the corpus mean ‖x‖²
+    val meanSqNorm = Tables.embeddings(spark, sf0001)
+      .select(aggregate(col("embedding").cast("array<double>"), lit(0.0),
+        (acc, x) => acc + x * x).as("n2"))
+      .agg(avg("n2")).head().getDouble(0)
+    assert(out.map(_._4).sum <= meanSqNorm + 1e-6)
+    // deterministic across reruns — bench stability depends on it
+    val again = operators.LlmOpsExtra.llmPca(spark, sf0001).collect()
+      .map(r => (r.getLong(0), r.getDouble(1), r.getDouble(2), r.getDouble(3)))
+    assert(out.toSeq === again.toSeq)
+  }
+
   test("seq_pattern: result is deterministic across shuffle partitionings") {
     val a = operators.Analytics.seqPattern(spark, sf0001).collect().toSeq
     val s2 = spark.newSession()
