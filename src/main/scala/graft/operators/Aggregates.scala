@@ -383,7 +383,43 @@ object Aggregates {
         count(lit(1)).as("n"))
       .orderBy(col("l_returnflag").asc)
 
+  /** Grouped higher central moments — skewness and excess kurtosis of
+    * l_extendedprice per (l_returnflag, l_linestatus) — as an explicit
+    * TWO-PASS central-sum plan rather than the engines' native
+    * `skewness`/`kurtosis` aggregates. The one-pass raw-moment form both
+    * built-ins use subtracts near-equal 4th-power sums (~1e21 at this
+    * value scale), so the partition-order ulp noise of a distributed sum
+    * is amplified past anything oracle rounding could absorb (and the
+    * two engines' bias corrections differ anyway). Pass 1 fixes each
+    * group's mean ROUNDED to 2dp — exact and engine-portable; pass 2
+    * sums powers of the residual (x − mu): centered terms cancel no
+    * leading digits, so the cross-engine error stays ~n·ε relative and
+    * 4dp rounding hash-matches DuckDB running the identical SQL.
+    *
+    * Shape: two corpus-scale hash aggs (both partial+final) bridged by a
+    * broadcast of the group-cardinality means — the standard pattern for
+    * any "statistic of a pre-computed center" at 100 TB (z-scores,
+    * winsorized means, …). Skew of near-symmetric data rounds toward
+    * zero, so both rounded moments get `+ 0.0` (§2.Z.8b sign-bit rule). */
+  def aggMoments(spark: SparkSession, dir: String): DataFrame = {
+    val li = Tables.lineitem(spark, dir)
+    val mu = li.groupBy("l_returnflag", "l_linestatus")
+      .agg(round(avg("l_extendedprice"), 2).as("mu"))
+    li.join(broadcast(mu), Seq("l_returnflag", "l_linestatus"))
+      .withColumn("d", col("l_extendedprice") - col("mu"))
+      .groupBy("l_returnflag", "l_linestatus", "mu")
+      .agg(count(lit(1)).as("n"),
+        sum(col("d") * col("d")).as("s2"),
+        sum(col("d") * col("d") * col("d")).as("s3"),
+        sum(col("d") * col("d") * col("d") * col("d")).as("s4"))
+      .select(col("l_returnflag"), col("l_linestatus"), col("n"), col("mu"),
+        (round((col("s3") / col("n")) / pow(col("s2") / col("n"), 1.5), 4) + 0.0).as("skew"),
+        (round((col("s4") / col("n")) / pow(col("s2") / col("n"), 2.0) - 3.0, 4) + 0.0).as("ex_kurt"))
+      .orderBy(col("l_returnflag").asc, col("l_linestatus").asc)
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "agg_moments"       -> (aggMoments _),
     "agg_topk_sketch"   -> (aggTopkSketch _),
     "agg_bool"          -> (aggBool _),
     "agg_mode"          -> (aggMode _),
@@ -410,6 +446,22 @@ object Aggregates {
     "agg_minmax_by"     -> (aggMinmaxBy _))
 
   val oracleSql: Map[String, String] = Map(
+    "agg_moments" ->
+      """WITH mu AS (
+        |  SELECT l_returnflag, l_linestatus, round(avg(l_extendedprice), 2) AS mu
+        |  FROM lineitem GROUP BY l_returnflag, l_linestatus),
+        |s AS (
+        |  SELECT l.l_returnflag, l.l_linestatus, mu.mu, count(*) AS n,
+        |    sum((l.l_extendedprice - mu.mu) * (l.l_extendedprice - mu.mu)) AS s2,
+        |    sum((l.l_extendedprice - mu.mu) * (l.l_extendedprice - mu.mu) * (l.l_extendedprice - mu.mu)) AS s3,
+        |    sum((l.l_extendedprice - mu.mu) * (l.l_extendedprice - mu.mu) * (l.l_extendedprice - mu.mu) * (l.l_extendedprice - mu.mu)) AS s4
+        |  FROM lineitem l
+        |  JOIN mu ON l.l_returnflag = mu.l_returnflag AND l.l_linestatus = mu.l_linestatus
+        |  GROUP BY l.l_returnflag, l.l_linestatus, mu.mu)
+        |SELECT l_returnflag, l_linestatus, n, mu,
+        |  round((s3 / n) / pow(s2 / n, 1.5), 4) + 0.0 AS skew,
+        |  round((s4 / n) / pow(s2 / n, 2.0) - 3.0, 4) + 0.0 AS ex_kurt
+        |FROM s ORDER BY l_returnflag ASC, l_linestatus ASC""".stripMargin,
     "agg_topk_sketch" ->
       """WITH c AS (
         |  SELECT tok, count(*) AS n

@@ -406,7 +406,43 @@ object Clustering {
       .limit(20)
   }
 
+  /** Neighborhood Jaccard similarity (round-8 addendum) — for every
+    * supplier pair sharing at least one part, |parts(a) ∩ parts(b)| /
+    * |parts(a) ∪ parts(b)|; the structural-similarity primitive behind
+    * link prediction and entity-resolution blocking, and the graph
+    * analogue of the token-set Jaccard the dedup family computes over
+    * documents. Third consumer of the MEMOIZED part↔supplier pair frame
+    * (graphPairs) — this query never rescans lineitem once any graph
+    * query has run.
+    *
+    * Shape: the intersection count is a self-equi-join on the PART key
+    * (s1 < s2 to emit each pair once) — work ∝ Σ_p deg(p)², i.e.
+    * bounded by the per-part supplier fan-out (≤52 in the fixtures,
+    * ~8.7M pre-agg rows at sf0.1), never all supplier pairs; at 100 TB
+    * the standard df-cap applies (drop hub parts above a fan-out bound,
+    * exactly like the ngram-jaccard df-cap — a hub shared by everyone
+    * carries no similarity signal anyway). Degrees join back via
+    * BROADCAST (supplier-cardinality frame). The top-100 cutoff orders
+    * by the 6dp-ROUNDED score with the unique (s1, s2) tie-break, so
+    * the boundary can't flip on a sub-rounding ulp (§2.Z.6). */
+  def graphJaccard(spark: SparkSession, dir: String): DataFrame = {
+    val sp = graphPairs(spark, dir)
+      .select(expr("p DIV 2").as("pk"), expr("(s - 1) DIV 2").as("sk"))
+    val deg = sp.groupBy("sk").agg(count(lit(1)).as("d"))
+    val co = sp.select(col("pk"), col("sk").as("s1"))
+      .join(sp.select(col("pk"), col("sk").as("s2")), "pk")
+      .filter(col("s1") < col("s2"))
+      .groupBy("s1", "s2").agg(count(lit(1)).as("inter"))
+    co.join(broadcast(deg.select(col("sk").as("s1"), col("d").as("d1"))), "s1")
+      .join(broadcast(deg.select(col("sk").as("s2"), col("d").as("d2"))), "s2")
+      .select(col("s1"), col("s2"), col("inter"), col("d1"), col("d2"),
+        round(col("inter").cast("double") / (col("d1") + col("d2") - col("inter")), 6).as("jacc"))
+      .orderBy(col("jacc").desc, col("s1").asc, col("s2").asc)
+      .limit(100)
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "graph_jaccard"      -> (graphJaccard _),
     "graph_pagerank"     -> (graphPagerank _),
     "graph_label_prop"   -> (graphLabelProp _),
     "llm_dedup_clusters" -> (llmDedupClusters _),
@@ -426,6 +462,18 @@ object Clustering {
       |  FROM f x JOIN f y ON x.fp = y.fp AND x.doc_id < y.doc_id)""".stripMargin
 
   val oracleSql: Map[String, String] = Map(
+    "graph_jaccard" ->
+      """WITH sp AS (
+        |  SELECT DISTINCT l_partkey AS pk, l_suppkey AS sk FROM lineitem),
+        |deg AS (SELECT sk, count(*) AS d FROM sp GROUP BY sk),
+        |co AS (
+        |  SELECT a.sk AS s1, b.sk AS s2, count(*) AS inter
+        |  FROM sp a JOIN sp b ON a.pk = b.pk AND a.sk < b.sk
+        |  GROUP BY a.sk, b.sk)
+        |SELECT s1, s2, inter, d1.d AS d1, d2.d AS d2,
+        |  round(CAST(inter AS DOUBLE) / (d1.d + d2.d - inter), 6) AS jacc
+        |FROM co JOIN deg d1 ON co.s1 = d1.sk JOIN deg d2 ON co.s2 = d2.sk
+        |ORDER BY jacc DESC, s1 ASC, s2 ASC LIMIT 100""".stripMargin,
     "graph_label_prop" ->
       """WITH sp AS (
         |  SELECT DISTINCT l_partkey * 2 AS p, l_suppkey * 2 + 1 AS s FROM lineitem),

@@ -161,7 +161,83 @@ object DataQuality {
       .orderBy(col("fd").asc)
   }
 
+  /** Benford first-digit audit (round-8 addendum) — the classic
+    * fraud/synthetic-data screen auditors run over money columns: the
+    * observed first-significant-digit distribution of o_totalprice vs
+    * Benford's law p(d) = log10(1 + 1/d), with the per-digit χ²
+    * contribution. First digit is extracted through INTEGER string
+    * arithmetic (`floor` → BIGINT → first char), never `log10(price)`
+    * truncation — exact in both engines and immune to FP edge cases at
+    * powers of ten (a double→BIGINT cast alone would not do: Spark
+    * truncates, DuckDB rounds — `floor` first makes the cast exact).
+    * Observed shares divide two exact integers, expected shares are
+    * functions of the digit constant, and the χ² term is computed FROM
+    * the 6dp-rounded shares — identical inputs on both engines, so the
+    * 4dp result hash-matches by construction.
+    *
+    * Shape: one map-side projection + a 9-bucket hash agg (partial+
+    * final) + a broadcast of the 1-row total — nothing in the plan grows
+    * with the corpus. (Synthetic TPC-H prices are roughly uniform, not
+    * log-uniform, so the fixture FAILS Benford loudly — large χ² — which
+    * is exactly what the audit should report for generated data.) */
+  def dqBenford(spark: SparkSession, dir: String): DataFrame = {
+    val digits = Tables.orders(spark, dir)
+      .select(substring(floor(col("o_totalprice")).cast("bigint").cast("string"), 1, 1)
+        .cast("int").as("digit"))
+    val tot = digits.agg(count(lit(1)).as("tot"))
+    digits.groupBy("digit").agg(count(lit(1)).as("n"))
+      .crossJoin(broadcast(tot))
+      .select(col("digit"), col("n"), col("tot"),
+        round(col("n").cast("double") / col("tot"), 6).as("obs_p"),
+        round(log10(lit(1.0) + lit(1.0) / col("digit")), 6).as("exp_p"))
+      .withColumn("chi2_term",
+        round(col("tot") * pow(col("obs_p") - col("exp_p"), 2.0) / col("exp_p"), 4))
+      .drop("tot")
+      .orderBy(col("digit").asc)
+  }
+
+  /** Binned two-sample Kolmogorov–Smirnov drift statistic (round-8
+    * addendum) — the distribution-drift test monitoring pipelines run
+    * between a segment and its complement: D = max |ECDF₁ − ECDF₂| of
+    * o_totalprice, URGENT orders vs all others, on fixed-width 5000-unit
+    * bins. Fixed bins (not quantiles) are the deliberate scale choice:
+    * bin ids are exact integer arithmetic — deterministic across engines
+    * and across partitionings — where sample quantiles would be
+    * approximate or require a global sort. The corpus collapses to a
+    * ≤100-row bin frame in one partial+final hash agg; both ECDFs are
+    * running sums over that BIN-GRAIN frame (a single-partition window
+    * over ~100 rows, not over rows of data), and the max row is picked
+    * by `row_number` over (6dp-rounded gap DESC, bin ASC) — a §2.Z.6
+    * unique-key tie-break, so the reported location can't flip on a
+    * sub-rounding ulp. */
+  def dqDriftKs(spark: SparkSession, dir: String): DataFrame = {
+    val o = Tables.orders(spark, dir)
+      .select(floor(col("o_totalprice") / 5000.0).cast("int").as("bin"),
+        (col("o_orderpriority") === "1-URGENT").as("g"))
+    val bins = o.groupBy("bin").agg(
+      count(when(col("g"), 1)).as("n1"),
+      count(when(!col("g"), 1)).as("n2"))
+    val w = Window.orderBy(col("bin").asc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val tot = o.agg(
+      count(when(col("g"), 1)).as("t1"),
+      count(when(!col("g"), 1)).as("t2"))
+    val gaps = bins
+      .withColumn("c1", sum("n1").over(w))
+      .withColumn("c2", sum("n2").over(w))
+      .crossJoin(broadcast(tot))
+      .withColumn("gap",
+        round(abs(col("c1").cast("double") / col("t1") - col("c2").cast("double") / col("t2")), 6))
+    val wPick = Window.orderBy(col("gap").desc, col("bin").asc)
+    gaps.withColumn("rn", row_number().over(wPick))
+      .filter(col("rn") === 1)
+      .select(col("gap").as("d_stat"), col("bin").as("at_bin"),
+        col("t1").as("n_urgent"), col("t2").as("n_other"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "dq_benford" -> (dqBenford _),
+    "dq_drift_ks" -> (dqDriftKs _),
     "dq_fd_check" -> (dqFdCheck _),
     "dq_profile" -> (dqProfile _),
     "cdc_apply" -> (cdcApply _),
@@ -169,6 +245,45 @@ object DataQuality {
     "join_scd2" -> (joinScd2 _))
 
   val oracleSql: Map[String, String] = Map(
+    "dq_benford" ->
+      """WITH d AS (
+        |  SELECT CAST(substr(CAST(CAST(floor(o_totalprice) AS BIGINT) AS VARCHAR), 1, 1) AS INT) AS digit
+        |  FROM orders),
+        |t AS (SELECT count(*) AS tot FROM d),
+        |c AS (SELECT digit, count(*) AS n FROM d GROUP BY digit),
+        |p AS (
+        |  SELECT digit, n,
+        |    round(CAST(n AS DOUBLE) / tot, 6) AS obs_p,
+        |    round(log10(1.0 + 1.0 / digit), 6) AS exp_p, tot
+        |  FROM c, t)
+        |SELECT digit, n, obs_p, exp_p,
+        |  round(tot * pow(obs_p - exp_p, 2.0) / exp_p, 4) AS chi2_term
+        |FROM p ORDER BY digit ASC""".stripMargin,
+    "dq_drift_ks" ->
+      """WITH o AS (
+        |  SELECT CAST(floor(o_totalprice / 5000.0) AS INT) AS bin,
+        |    (o_orderpriority = '1-URGENT') AS g
+        |  FROM orders),
+        |b AS (
+        |  SELECT bin,
+        |    count(*) FILTER (g) AS n1,
+        |    count(*) FILTER (NOT g) AS n2
+        |  FROM o GROUP BY bin),
+        |t AS (
+        |  SELECT count(*) FILTER (g) AS t1, count(*) FILTER (NOT g) AS t2 FROM o),
+        |c AS (
+        |  SELECT bin,
+        |    sum(n1) OVER (ORDER BY bin ASC ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS c1,
+        |    sum(n2) OVER (ORDER BY bin ASC ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS c2
+        |  FROM b),
+        |g AS (
+        |  SELECT bin, round(abs(CAST(c1 AS DOUBLE) / t1 - CAST(c2 AS DOUBLE) / t2), 6) AS gap, t1, t2
+        |  FROM c, t),
+        |r AS (
+        |  SELECT gap AS d_stat, bin AS at_bin, t1 AS n_urgent, t2 AS n_other,
+        |    row_number() OVER (ORDER BY gap DESC, bin ASC) AS rn
+        |  FROM g)
+        |SELECT d_stat, at_bin, n_urgent, n_other FROM r WHERE rn = 1""".stripMargin,
     "dq_fd_check" ->
       """WITH p1 AS (
         |  SELECT 'o_orderkey -> o_custkey' AS fd, o_orderkey AS xv, o_custkey AS yv, count(*) AS n

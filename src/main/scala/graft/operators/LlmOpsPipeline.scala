@@ -617,7 +617,50 @@ object LlmOpsPipeline {
       .orderBy(col("source").asc)
   }
 
+  /** Population-stability index per source (round-8 addendum) — the
+    * drift metric monitoring teams run on every ingestion batch: how far
+    * each source's document-LENGTH distribution sits from the corpus
+    * blend, PSI = Σ_bins (p_i − q_i)·ln(p_i/q_i) over fixed-width
+    * 50-char n_chars bins (PSI ≳ 0.2 conventionally flags a shifted
+    * source). Complements llm_source_kl, which compares TOKEN
+    * distributions — between them the two standard drift axes (what the
+    * documents say / how they're shaped).
+    *
+    * Determinism and scale live on the same choice: FIXED-width bins
+    * (integer `floor` ids — exact on both engines, invariant under
+    * partitioning) rather than sample quantiles (approximate, or a
+    * global sort). The corpus collapses to (source × bin) counts in one
+    * partial+final hash agg; the dense spine — every source crossed with
+    * every OBSERVED corpus bin, so zero-count bins still contribute —
+    * is a broadcast-built vocabulary-sized frame (20 × ~12 here; sources
+    * × few-hundred bins at any scale). Laplace smoothing ((n+1)/(N+B))
+    * keeps both shares strictly positive from pure integer arithmetic —
+    * identical doubles on both engines; only ln's last ulp differs,
+    * absorbed by 6dp rounding. */
+  def llmSourcePsi(spark: SparkSession, dir: String): DataFrame = {
+    val d = Tables.documents(spark, dir)
+      .select(col("source"), floor(col("n_chars") / 50.0).cast("int").as("bin"))
+    val srcTot = d.groupBy("source").agg(count(lit(1)).as("n_src"))
+    val binTot = d.groupBy("bin").agg(count(lit(1)).as("n_bin"))
+    val nBins = binTot.agg(count(lit(1)).as("b"),
+      sum("n_bin").as("n_corpus"))
+    val spine = srcTot.crossJoin(broadcast(binTot.select("bin")))
+    val cnt = d.groupBy("source", "bin").agg(count(lit(1)).as("n"))
+    spine
+      .join(cnt, Seq("source", "bin"), "left")
+      .join(broadcast(binTot), "bin")
+      .crossJoin(broadcast(nBins))
+      .select(col("source"), col("n_src"),
+        ((coalesce(col("n"), lit(0L)) + lit(1.0)) / (col("n_src") + col("b"))).as("p"),
+        ((col("n_bin") + lit(1.0)) / (col("n_corpus") + col("b"))).as("q"))
+      .groupBy("source")
+      .agg(max("n_src").as("n_docs"),
+        (round(sum((col("p") - col("q")) * (log(col("p")) - log(col("q")))), 6) + 0.0).as("psi"))
+      .orderBy(col("source").asc)
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "llm_source_psi"        -> (llmSourcePsi _),
     "llm_bpe_pairs"         -> (llmBpePairs _),
     "llm_source_kl"         -> (llmSourceKl _),
     "llm_span_mask"         -> (llmSpanMask _),
@@ -636,6 +679,23 @@ object LlmOpsPipeline {
     "llm_heuristic_filter"  -> (llmHeuristicFilter _))
 
   val oracleSql: Map[String, String] = Map(
+    "llm_source_psi" ->
+      """WITH d AS (
+        |  SELECT source, CAST(floor(n_chars / 50.0) AS INT) AS bin FROM documents),
+        |st AS (SELECT source, count(*) AS n_src FROM d GROUP BY source),
+        |bt AS (SELECT bin, count(*) AS n_bin FROM d GROUP BY bin),
+        |nb AS (SELECT count(*) AS b, CAST(sum(n_bin) AS BIGINT) AS n_corpus FROM bt),
+        |c AS (SELECT source, bin, count(*) AS n FROM d GROUP BY source, bin),
+        |terms AS (
+        |  SELECT st.source, st.n_src,
+        |    (COALESCE(c.n, 0) + 1.0) / (st.n_src + nb.b) AS p,
+        |    (bt.n_bin + 1.0) / (nb.n_corpus + nb.b) AS q
+        |  FROM st CROSS JOIN bt
+        |  LEFT JOIN c ON c.source = st.source AND c.bin = bt.bin
+        |  CROSS JOIN nb)
+        |SELECT source, max(n_src) AS n_docs,
+        |  round(sum((p - q) * (ln(p) - ln(q))), 6) + 0.0 AS psi
+        |FROM terms GROUP BY source ORDER BY source ASC""".stripMargin,
     "llm_bpe_pairs" ->
       """WITH v AS (
         |  SELECT w, count(*) AS freq FROM (

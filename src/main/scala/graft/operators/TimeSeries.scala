@@ -327,7 +327,48 @@ object TimeSeries {
       .orderBy(col("prio").asc, col("day").asc)
   }
 
+  /** Theil–Sen robust trend (round-8 addendum) — the median of all
+    * pairwise slopes of each nation's MONTHLY revenue series; the
+    * outlier-resistant alternative to least-squares trend
+    * (agg_regression) every metrics pipeline wants when a single
+    * spiked month shouldn't set the slope. The O(m²) pairwise step is
+    * why this must run on a PRE-AGGREGATED grain: the corpus collapses
+    * to (nation × month) in one partial+final hash agg — O(months) per
+    * key forever, regardless of fact volume — and the self-join then
+    * builds ~m²/2 ≈ 3200 pairs per nation, a vocabulary-sized frame at
+    * any corpus scale. Month index is integer (year·12+month), slopes
+    * divide a 2dp-rounded revenue delta by an integer month gap and are
+    * 6dp-rounded BEFORE selection; the median is the explicit lower
+    * median — `row_number` over (slope, m1, m2) picked at ⌊(n+1)/2⌋ — a
+    * §2.Z.6 unique-key formulation, NOT an engine `median()` (whose
+    * even-count interpolation differs across engines). */
+  def tsTheilsen(spark: SparkSession, dir: String): DataFrame = {
+    val monthly = Tables.orders(spark, dir)
+      .join(Tables.customer(spark, dir),
+        col("o_custkey") === col("c_custkey"))
+      .join(broadcast(Tables.nation(spark, dir)),
+        col("c_nationkey") === col("n_nationkey"))
+      .groupBy(col("n_name"),
+        (year(col("o_orderdate")) * 12 + month(col("o_orderdate"))).as("mi"))
+      .agg(round(sum("o_totalprice"), 2).as("rev"))
+    val a = monthly.select(col("n_name"), col("mi").as("m1"), col("rev").as("r1"))
+    val b = monthly.select(col("n_name"), col("mi").as("m2"), col("rev").as("r2"))
+    val slopes = a.join(b, Seq("n_name")).filter(col("m1") < col("m2"))
+      .select(col("n_name"),
+        round((col("r2") - col("r1")) / (col("m2") - col("m1")), 6).as("slope"),
+        col("m1"), col("m2"))
+    val w = Window.partitionBy("n_name")
+      .orderBy(col("slope").asc, col("m1").asc, col("m2").asc)
+    slopes
+      .withColumn("rn", row_number().over(w))
+      .withColumn("cnt", count(lit(1)).over(Window.partitionBy("n_name")))
+      .filter(col("rn") === expr("(cnt + 1) DIV 2"))
+      .select(col("n_name"), col("cnt").as("n_pairs"), col("slope").as("ts_slope"))
+      .orderBy(col("n_name").asc)
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "ts_theilsen" -> (tsTheilsen _),
     "ts_interp"   -> (tsInterp _),
     "ts_seasonal" -> (tsSeasonal _),
     "ts_cusum"    -> (tsCusum _),
@@ -339,6 +380,30 @@ object TimeSeries {
     "ts_anomaly"  -> (tsAnomaly _))
 
   val oracleSql: Map[String, String] = Map(
+    "ts_theilsen" ->
+      """WITH monthly AS (
+        |  SELECT n.n_name,
+        |    year(o.o_orderdate) * 12 + month(o.o_orderdate) AS mi,
+        |    round(sum(o.o_totalprice), 2) AS rev
+        |  FROM orders o
+        |  JOIN customer c ON o.o_custkey = c.c_custkey
+        |  JOIN nation n ON c.c_nationkey = n.n_nationkey
+        |  GROUP BY n.n_name, mi),
+        |pairs AS (
+        |  SELECT a.n_name,
+        |    round((b.rev - a.rev) / (b.mi - a.mi), 6) AS slope,
+        |    a.mi AS m1, b.mi AS m2
+        |  FROM monthly a JOIN monthly b
+        |    ON a.n_name = b.n_name AND a.mi < b.mi),
+        |r AS (
+        |  SELECT n_name, slope,
+        |    row_number() OVER (PARTITION BY n_name
+        |      ORDER BY slope ASC, m1 ASC, m2 ASC) AS rn,
+        |    count(*) OVER (PARTITION BY n_name) AS cnt
+        |  FROM pairs)
+        |SELECT n_name, cnt AS n_pairs, slope AS ts_slope
+        |FROM r WHERE rn = (cnt + 1) // 2
+        |ORDER BY n_name ASC""".stripMargin,
     "ts_interp" ->
       """WITH daily AS (
         |  SELECT o_orderpriority AS prio, date_trunc('day', o_orderdate) AS day,

@@ -107,7 +107,13 @@ class PlanSnapshotSpec extends AnyFunSuite {
       "llm_source_kl",
       // llm_bm25_retrieve: crossJoin(broadcast(corpus n_docs/avglen
       // stats)) — the BM25 normalization constants as a 1-row scalar
-      "llm_bm25_retrieve")
+      "llm_bm25_retrieve",
+      // wave-8 1-row broadcast scalars: dq_benford carries the order
+      // count, dq_drift_ks the two ECDF totals, llm_source_psi the
+      // (bin-count, corpus-total) pair AND the sources × observed-bins
+      // dense spine — the spine cross is vocabulary-sized by design
+      // (drift needs zero-count bins to contribute to the sum)
+      "dq_benford", "dq_drift_ks", "llm_source_psi")
     val withNlj = plans.flatMap { case (name, plan) =>
       val n = plan.collect {
         case j: BroadcastNestedLoopJoinExec => j

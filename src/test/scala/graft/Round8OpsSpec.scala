@@ -431,4 +431,127 @@ class Round8OpsSpec extends AnyFunSuite {
     assert(pSpan < 200 * 0.6, s"avg per-file l_partkey span $pSpan not clustered")
     assert(sSpan < 10 * 0.6, s"avg per-file l_suppkey span $sSpan not clustered")
   }
+
+  // ---- wave-8 addenda: moments / benford / ks / theil-sen / jaccard / psi
+
+  test("agg_moments: matches a driver-side exact recomputation") {
+    val out = operators.Aggregates.aggMoments(spark, sf0001).collect()
+    assert(out.nonEmpty)
+    val rows = Tables.lineitem(spark, sf0001)
+      .select("l_returnflag", "l_linestatus", "l_extendedprice")
+      .collect().map(r => ((r.getString(0), r.getString(1)), r.getDouble(2)))
+    out.foreach { r =>
+      val key = (r.getString(0), r.getString(1))
+      val xs = rows.filter(_._1 == key).map(_._2)
+      val mu = BigDecimal(xs.sum / xs.length)
+        .setScale(2, BigDecimal.RoundingMode.HALF_UP).toDouble
+      val d = xs.map(_ - mu)
+      val (n, m2, m3, m4) = (d.length.toDouble,
+        d.map(x => x * x).sum / d.length,
+        d.map(x => x * x * x).sum / d.length,
+        d.map(x => x * x * x * x).sum / d.length)
+      val skew = m3 / math.pow(m2, 1.5)
+      val kurt = m4 / (m2 * m2) - 3.0
+      assert(math.abs(r.getDouble(4) - skew) < 1e-3, s"$key skew")
+      assert(math.abs(r.getDouble(5) - kurt) < 1e-3, s"$key kurt")
+      assert(r.getLong(2) === n.toLong)
+    }
+  }
+
+  test("dq_benford: shares sum to 1, chi2 terms non-negative, counts complete") {
+    val out = operators.DataQuality.dqBenford(spark, sf0001).collect()
+    assert(out.forall(r => r.getInt(0) >= 1 && r.getInt(0) <= 9))
+    val nOrders = Tables.orders(spark, sf0001).count()
+    assert(out.map(_.getLong(1)).sum === nOrders)
+    assert(math.abs(out.map(_.getDouble(2)).sum - 1.0) < 1e-4)
+    // Benford expected shares over digits 1..9 are a fixed distribution
+    val expSum = out.map(_.getDouble(3)).sum
+    assert(math.abs(expSum - (1 to 9).map(d => math.log10(1.0 + 1.0 / d)).sum) < 1e-4)
+    assert(out.forall(_.getDouble(4) >= 0.0))
+  }
+
+  test("dq_drift_ks: D equals the exact binned two-sample KS") {
+    val r = operators.DataQuality.dqDriftKs(spark, sf0001).head()
+    val (d, n1, n2) = (r.getDouble(0), r.getLong(2), r.getLong(3))
+    assert(d >= 0.0 && d <= 1.0)
+    val o = Tables.orders(spark, sf0001)
+      .select(col("o_totalprice"), col("o_orderpriority")).collect()
+      .map(x => (math.floor(x.getDouble(0) / 5000.0).toInt, x.getString(1) == "1-URGENT"))
+    assert(n1 === o.count(_._2) && n2 === o.count(!_._2))
+    val bins = o.map(_._1).distinct.sorted
+    val dExact = bins.map { b =>
+      val c1 = o.count(x => x._2 && x._1 <= b).toDouble / n1
+      val c2 = o.count(x => !x._2 && x._1 <= b).toDouble / n2
+      math.abs(c1 - c2)
+    }.max
+    assert(math.abs(d - dExact) < 1e-5, s"KS $d vs exact $dExact")
+  }
+
+  test("ts_theilsen: slope is the exact lower-median pairwise slope per nation") {
+    val out = operators.TimeSeries.tsTheilsen(spark, sf0001).collect()
+    assert(out.nonEmpty)
+    val monthly = Tables.orders(spark, sf0001)
+      .join(Tables.customer(spark, sf0001), col("o_custkey") === col("c_custkey"))
+      .join(Tables.nation(spark, sf0001), col("c_nationkey") === col("n_nationkey"))
+      .groupBy(col("n_name"),
+        (year(col("o_orderdate")) * 12 + month(col("o_orderdate"))).as("mi"))
+      .agg(round(sum("o_totalprice"), 2).as("rev"))
+      .collect().map(r => (r.getString(0), r.getInt(1), r.getDouble(2)))
+    out.foreach { r =>
+      val (name, nPairs, slope) = (r.getString(0), r.getLong(1), r.getDouble(2))
+      val series = monthly.filter(_._1 == name).sortBy(_._2)
+      val slopes = (for {
+        i <- series.indices; j <- (i + 1) until series.length
+      } yield {
+        val s = (series(j)._3 - series(i)._3) / (series(j)._2 - series(i)._2)
+        (BigDecimal(s).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble,
+          series(i)._2, series(j)._2)
+      }).sortBy(t => (t._1, t._2, t._3))
+      assert(nPairs === slopes.length.toLong, s"$name pair count")
+      assert(math.abs(slope - slopes((slopes.length + 1) / 2 - 1)._1) < 1e-9,
+        s"$name median slope")
+    }
+  }
+
+  test("graph_jaccard: scores are exact set Jaccards with correct ordering") {
+    val out = operators.Clustering.graphJaccard(spark, sf0001).collect()
+    assert(out.nonEmpty)
+    val sp = Tables.lineitem(spark, sf0001)
+      .select(col("l_partkey"), col("l_suppkey")).distinct()
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    val parts = sp.groupBy(_._2).map { case (s, xs) => s -> xs.map(_._1).toSet }
+    out.foreach { r =>
+      val (s1, s2, inter, d1, d2, j) =
+        (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4), r.getDouble(5))
+      assert(s1 < s2)
+      val (p1, p2) = (parts(s1), parts(s2))
+      assert(inter === (p1 & p2).size.toLong && d1 === p1.size.toLong && d2 === p2.size.toLong)
+      val exact = inter.toDouble / (p1 | p2).size
+      assert(math.abs(j - exact) < 1e-5)
+    }
+    // descending by rounded score with (s1, s2) tie-break
+    val keys = out.map(r => (-r.getDouble(5), r.getLong(0), r.getLong(1))).toSeq
+    assert(keys === keys.sorted)
+  }
+
+  test("llm_source_psi: non-negative, near-zero for an in-blend source, exact driver recompute") {
+    val out = operators.LlmOpsPipeline.llmSourcePsi(spark, sf0001).collect()
+    assert(out.length === 20 && out.forall(_.getDouble(2) >= 0.0))
+    val docs = Tables.documents(spark, sf0001)
+      .select(col("source"), floor(col("n_chars") / 50.0).cast("int").as("bin"))
+      .collect().map(r => (r.getString(0), r.getInt(1)))
+    val bins = docs.map(_._2).distinct.sorted
+    val nCorpus = docs.length
+    out.foreach { r =>
+      val (src, nDocs) = (r.getString(0), r.getLong(1))
+      val mine = docs.filter(_._1 == src)
+      assert(nDocs === mine.length.toLong)
+      val psi = bins.map { b =>
+        val p = (mine.count(_._2 == b) + 1.0) / (mine.length + bins.length)
+        val q = (docs.count(_._2 == b) + 1.0) / (nCorpus + bins.length)
+        (p - q) * (math.log(p) - math.log(q))
+      }.sum
+      assert(math.abs(r.getDouble(2) - psi) < 1e-5, s"$src psi")
+    }
+  }
 }
