@@ -418,7 +418,44 @@ object Aggregates {
       .orderBy(col("l_returnflag").asc, col("l_linestatus").asc)
   }
 
+  /** Gini concentration coefficient (round-8 addendum) — how unequally
+    * revenue concentrates across a nation's customers; the standard
+    * inequality metric revenue/abuse dashboards track per segment.
+    * Computed by the rank formula G = 2·Σᵢ i·xᵢ / (n·Σxᵢ) − (n+1)/n
+    * over revenues ranked ascending — ranks are `row_number` with the
+    * unique custkey tie-break (§2.Z.6), so equal revenues order
+    * deterministically in both engines (with ties this is the standard
+    * resolution; any consistent tie order yields the same G because
+    * tied values swap between equal coefficients... and identical order
+    * means identical sums anyway).
+    *
+    * Scale shape: the corpus pass is the per-customer revenue hash agg
+    * (orders collapse to customer grain before anything else); the
+    * nation tag joins BROADCAST; the rank window partitions by nation
+    * over the CUSTOMER-grain frame — per-key sorted spread, no global
+    * sort. Revenues are 2dp-rounded before ranking so both engines
+    * rank identical values; the two Σ run in one hash agg. */
+  def aggGini(spark: SparkSession, dir: String): DataFrame = {
+    val rev = Tables.orders(spark, dir)
+      .groupBy("o_custkey").agg(round(sum("o_totalprice"), 2).as("rev"))
+      .join(Tables.customer(spark, dir), col("o_custkey") === col("c_custkey"))
+      .join(broadcast(Tables.nation(spark, dir)),
+        col("c_nationkey") === col("n_nationkey"))
+      .select(col("n_name"), col("o_custkey"), col("rev"))
+    val w = Window.partitionBy("n_name").orderBy(col("rev").asc, col("o_custkey").asc)
+    rev.withColumn("i", row_number().over(w))
+      .groupBy("n_name")
+      .agg(count(lit(1)).as("n_cust"),
+        round(sum("rev"), 2).as("total_rev"),
+        sum(col("i") * col("rev")).as("s_iw"))
+      .select(col("n_name"), col("n_cust"), col("total_rev"),
+        (round(lit(2.0) * col("s_iw") / (col("n_cust") * col("total_rev"))
+          - (col("n_cust") + lit(1.0)) / col("n_cust"), 6) + 0.0).as("gini"))
+      .orderBy(col("n_name").asc)
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "agg_gini"          -> (aggGini _),
     "agg_moments"       -> (aggMoments _),
     "agg_topk_sketch"   -> (aggTopkSketch _),
     "agg_bool"          -> (aggBool _),
@@ -446,6 +483,25 @@ object Aggregates {
     "agg_minmax_by"     -> (aggMinmaxBy _))
 
   val oracleSql: Map[String, String] = Map(
+    "agg_gini" ->
+      """WITH rev AS (
+        |  SELECT o_custkey, round(sum(o_totalprice), 2) AS rev
+        |  FROM orders GROUP BY o_custkey),
+        |tagged AS (
+        |  SELECT n.n_name, r.o_custkey, r.rev,
+        |    row_number() OVER (PARTITION BY n.n_name
+        |      ORDER BY r.rev ASC, r.o_custkey ASC) AS i
+        |  FROM rev r
+        |  JOIN customer c ON r.o_custkey = c.c_custkey
+        |  JOIN nation n ON c.c_nationkey = n.n_nationkey),
+        |s AS (
+        |  SELECT n_name, count(*) AS n_cust, round(sum(rev), 2) AS total_rev,
+        |    sum(i * rev) AS s_iw
+        |  FROM tagged GROUP BY n_name)
+        |SELECT n_name, n_cust, total_rev,
+        |  round(2.0 * s_iw / (n_cust * total_rev)
+        |    - (n_cust + 1.0) / n_cust, 6) + 0.0 AS gini
+        |FROM s ORDER BY n_name ASC""".stripMargin,
     "agg_moments" ->
       """WITH mu AS (
         |  SELECT l_returnflag, l_linestatus, round(avg(l_extendedprice), 2) AS mu

@@ -288,7 +288,43 @@ object Analytics {
       .orderBy(col("suppkey").asc)
   }
 
+  /** Binned Gaussian kernel density estimate (round-8 addendum) — the
+    * smooth-density view of o_totalprice dashboards draw where
+    * hist_equiwidth draws bars: density evaluated at 21 fixed grid
+    * points with bandwidth h = 20000, over 5000-unit PRE-BINNED counts.
+    * Binned KDE is the scale form — exact KDE is an all-pairs kernel
+    * sum (rows × eval points over raw data); binning first collapses
+    * the corpus to ~100 (bin, count) rows in one partial+final hash
+    * agg, and the kernel sum then runs on bins × points ≈ 2100 rows of
+    * pure arithmetic, the standard accuracy/cost trade (error bounded
+    * by bin width ≪ bandwidth).
+    *
+    * Determinism: bin ids and centers are exact integers; the grid is
+    * literal; each kernel term is one exp() whose last-ulp divergence
+    * is absorbed by rounding the 1e6-scaled density to 6dp (densities
+    * are O(1e-6) here, so round-at-6dp of the RAW density would quantize
+    * to one digit — the ppm scaling keeps 6 significant digits). */
+  def histKde(spark: SparkSession, dir: String): DataFrame = {
+    val h = 20000.0
+    val bins = Tables.orders(spark, dir)
+      .select(floor(col("o_totalprice") / 5000.0).cast("long").as("b"))
+      .groupBy("b").agg(count(lit(1)).as("cnt"))
+    val tot = bins.agg(sum("cnt").as("n"))
+    val pts = spark.range(0, 21).select((col("id") * 25000L).as("x"))
+    pts.crossJoin(broadcast(bins))
+      .crossJoin(broadcast(tot))
+      .withColumn("u", (col("x") - (col("b") * 5000L + 2500L)) / h)
+      .withColumn("term", col("cnt") * exp(col("u") * col("u") / -2.0))
+      .groupBy("x")
+      .agg(max("n").as("n"), sum("term").as("s"))
+      .select(col("x"), col("n"),
+        round(lit(1e6) * col("s")
+          / (col("n") * h * math.sqrt(2.0 * math.Pi)), 6).as("density_ppm"))
+      .orderBy(col("x").asc)
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "hist_kde"         -> (histKde _),
     "hist_equiwidth"   -> (histEquiwidth _),
     "hist_eqdepth"     -> (histEqdepth _),
     "funnel_steps"     -> (funnelSteps _),
@@ -298,6 +334,20 @@ object Analytics {
     "seq_pattern"      -> (seqPattern _))
 
   val oracleSql: Map[String, String] = Map(
+    "hist_kde" ->
+      """WITH bins AS (
+        |  SELECT CAST(floor(o_totalprice / 5000.0) AS BIGINT) AS b, count(*) AS cnt
+        |  FROM orders GROUP BY b),
+        |tot AS (SELECT CAST(sum(cnt) AS BIGINT) AS n FROM bins),
+        |pts AS (SELECT CAST(unnest(generate_series(0, 20)) AS BIGINT) * 25000 AS x),
+        |terms AS (
+        |  SELECT pts.x, tot.n,
+        |    bins.cnt * exp(((pts.x - (bins.b * 5000 + 2500)) / 20000.0)
+        |      * ((pts.x - (bins.b * 5000 + 2500)) / 20000.0) / -2.0) AS term
+        |  FROM pts CROSS JOIN bins CROSS JOIN tot)
+        |SELECT x, max(n) AS n,
+        |  round(1e6 * sum(term) / (max(n) * 20000.0 * sqrt(2.0 * pi())), 6) AS density_ppm
+        |FROM terms GROUP BY x ORDER BY x ASC""".stripMargin,
     "interval_coverage" ->
       """WITH base AS (
         |  SELECT l_suppkey AS suppkey,

@@ -322,7 +322,90 @@ object LlmOps {
       .orderBy(col("label").asc, col("lang").asc)
   }
 
+  /** Pointwise-mutual-information collocations (round-8 addendum) — the
+    * corpus-linguistics statistic behind multi-word-expression discovery
+    * and tokenizer merge auditing: for every adjacent token pair,
+    * PMI = ln(p(w1,w2) / (p(w1)·p(w2))), assembled PURELY from integer
+    * counts as ln(c12) + 2·ln(N1) − ln(N2) − ln(c1) − ln(c2) — five lns
+    * of exact integers, so both engines diverge only in ln's last ulp
+    * (6dp absorbs). The c12 ≥ 3 support floor is the standard guard
+    * against the PMI rare-pair pathology (a hapax pair maximizes PMI).
+    *
+    * Scale shape: ONE tokenize feeds both the bigram explode and the
+    * unigram counts; both aggregates are partial+final hash aggs
+    * bounded by vocabulary (pairs ≤ vocab², in practice Zipf-thin);
+    * unigram counts join back BROADCAST twice (vocabulary-sized); the
+    * top-30 cut is TakeOrdered on (6dp PMI DESC, pair ASC). */
+  def llmBigramPmi(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(spark, dir)
+      .select(split(col("text"), " ").as("toks"))
+      .filter(size(col("toks")) >= 2)
+    val pairs = docs
+      .select(explode(transform(sequence(lit(1), size(col("toks")) - 1),
+        i => struct(element_at(col("toks"), i).as("w1"),
+          element_at(col("toks"), i + 1).as("w2")))).as("p"))
+      .select(col("p.w1").as("w1"), col("p.w2").as("w2"))
+    val uni = Tables.documents(spark, dir)
+      .select(explode(split(col("text"), " ")).as("w"))
+      .groupBy("w").agg(count(lit(1)).as("c"))
+    val n1 = uni.agg(sum("c").as("n1"))
+    val big = pairs.groupBy("w1", "w2").agg(count(lit(1)).as("c12"))
+      .filter(col("c12") >= 3)
+    val n2 = pairs.agg(count(lit(1)).as("n2"))
+    big
+      .join(broadcast(uni.select(col("w").as("w1"), col("c").as("c1"))), "w1")
+      .join(broadcast(uni.select(col("w").as("w2"), col("c").as("c2"))), "w2")
+      .crossJoin(broadcast(n1)).crossJoin(broadcast(n2))
+      .select(col("w1"), col("w2"), col("c12"), col("c1"), col("c2"),
+        round(log(col("c12")) + lit(2.0) * log(col("n1"))
+          - log(col("n2")) - log(col("c1")) - log(col("c2")), 6).as("pmi"))
+      .orderBy(col("pmi").desc, col("w1").asc, col("w2").asc)
+      .limit(30)
+  }
+
+  /** Zipf-law fit (round-8 addendum) — the exponent of the corpus
+    * rank-frequency curve via ordinary least squares of ln(freq) on
+    * ln(rank) over the top-1000 terms: the one-number summary of
+    * vocabulary shape (natural text ≈ −1; generated/templated corpora
+    * flatten) that tokenizer-budget planning reads next to
+    * llm_vocab_coverage. Slope/intercept/R² assemble from the six
+    * explicit power sums — NOT the engines' regr_* aggregates, whose
+    * internal formulations (and hence last-ulp behavior) differ; here
+    * both engines sum the same ~1000 ln-of-integer terms and 6dp
+    * absorbs the order noise.
+    *
+    * Scale shape: the term-count hash agg is the only corpus-scale
+    * pass; the rank cut is TakeOrdered (per-partition heaps, O(k)
+    * memory); the regression runs as ONE aggregate over ≤1000 rows. */
+  def llmZipfFit(spark: SparkSession, dir: String): DataFrame = {
+    val ranked = Tables.documents(spark, dir)
+      .select(explode(split(col("text"), " ")).as("tok"))
+      .groupBy("tok").agg(count(lit(1)).as("n"))
+      .orderBy(col("n").desc, col("tok").asc)
+      .limit(1000)
+      .withColumn("rnk",
+        row_number().over(org.apache.spark.sql.expressions.Window
+          .orderBy(col("n").desc, col("tok").asc)))
+      .select(log(col("rnk")).as("x"), log(col("n")).as("y"))
+    ranked.agg(count(lit(1)).as("k"), sum("x").as("sx"), sum("y").as("sy"),
+      sum(col("x") * col("x")).as("sxx"),
+      sum(col("y") * col("y")).as("syy"),
+      sum(col("x") * col("y")).as("sxy"))
+      .select(col("k").as("n_terms"),
+        round((col("k") * col("sxy") - col("sx") * col("sy"))
+          / (col("k") * col("sxx") - col("sx") * col("sx")), 6).as("zipf_slope"),
+        round((col("sy") - (col("k") * col("sxy") - col("sx") * col("sy"))
+          / (col("k") * col("sxx") - col("sx") * col("sx")) * col("sx")) / col("k"), 6)
+          .as("intercept"),
+        round((col("k") * col("sxy") - col("sx") * col("sy"))
+          * (col("k") * col("sxy") - col("sx") * col("sy"))
+          / ((col("k") * col("sxx") - col("sx") * col("sx"))
+            * (col("k") * col("syy") - col("sy") * col("sy"))), 6).as("r2"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "llm_bigram_pmi"  -> (llmBigramPmi _),
+    "llm_zipf_fit"    -> (llmZipfFit _),
     "llm_dedup_exact" -> (llmDedupExact _),
     "llm_dedup_near"  -> (llmDedupNear _),
     "llm_minhash"     -> (llmMinhash _),
@@ -336,6 +419,47 @@ object LlmOps {
     "llm_multimodal"  -> (llmMultimodal _))
 
   val oracleSql: Map[String, String] = Map(
+    "llm_bigram_pmi" ->
+      """WITH toks AS (
+        |  SELECT string_split(text, ' ') AS t FROM documents
+        |  WHERE len(string_split(text, ' ')) >= 2),
+        |idx AS (SELECT t, unnest(generate_series(1, len(t) - 1)) AS i FROM toks),
+        |pairs AS (SELECT t[i] AS w1, t[i + 1] AS w2 FROM idx),
+        |uni AS (
+        |  SELECT w, count(*) AS c FROM (
+        |    SELECT unnest(string_split(text, ' ')) AS w FROM documents)
+        |  GROUP BY w),
+        |n1 AS (SELECT CAST(sum(c) AS BIGINT) AS n1 FROM uni),
+        |big AS (
+        |  SELECT w1, w2, count(*) AS c12 FROM pairs GROUP BY w1, w2
+        |  HAVING count(*) >= 3),
+        |n2 AS (SELECT count(*) AS n2 FROM pairs)
+        |SELECT b.w1, b.w2, b.c12, u1.c AS c1, u2.c AS c2,
+        |  round(ln(b.c12) + 2.0 * ln(n1.n1) - ln(n2.n2) - ln(u1.c) - ln(u2.c), 6) AS pmi
+        |FROM big b
+        |JOIN uni u1 ON b.w1 = u1.w
+        |JOIN uni u2 ON b.w2 = u2.w
+        |CROSS JOIN n1 CROSS JOIN n2
+        |ORDER BY pmi DESC, w1 ASC, w2 ASC LIMIT 30""".stripMargin,
+    "llm_zipf_fit" ->
+      """WITH c AS (
+        |  SELECT tok, count(*) AS n FROM (
+        |    SELECT unnest(string_split(text, ' ')) AS tok FROM documents)
+        |  GROUP BY tok),
+        |r AS (
+        |  SELECT n, row_number() OVER (ORDER BY n DESC, tok ASC) AS rnk
+        |  FROM c ORDER BY n DESC, tok ASC LIMIT 1000),
+        |xy AS (SELECT ln(rnk) AS x, ln(n) AS y FROM r),
+        |s AS (
+        |  SELECT count(*) AS k, sum(x) AS sx, sum(y) AS sy,
+        |    sum(x * x) AS sxx, sum(y * y) AS syy, sum(x * y) AS sxy
+        |  FROM xy)
+        |SELECT k AS n_terms,
+        |  round((k * sxy - sx * sy) / (k * sxx - sx * sx), 6) AS zipf_slope,
+        |  round((sy - (k * sxy - sx * sy) / (k * sxx - sx * sx) * sx) / k, 6) AS intercept,
+        |  round((k * sxy - sx * sy) * (k * sxy - sx * sy)
+        |    / ((k * sxx - sx * sx) * (k * syy - sy * sy)), 6) AS r2
+        |FROM s""".stripMargin,
     "llm_dedup_exact" ->
       """WITH surv AS (
         |  SELECT source, row_number() OVER (PARTITION BY text ORDER BY doc_id ASC) AS rn

@@ -113,7 +113,12 @@ class PlanSnapshotSpec extends AnyFunSuite {
       // (bin-count, corpus-total) pair AND the sources × observed-bins
       // dense spine — the spine cross is vocabulary-sized by design
       // (drift needs zero-count bins to contribute to the sum)
-      "dq_benford", "dq_drift_ks", "llm_source_psi")
+      "dq_benford", "dq_drift_ks", "llm_source_psi",
+      // wave-9: hist_kde crosses the literal 21-point grid with the
+      // ~100-row bin frame (bins × points ≈ 2100 rows of arithmetic —
+      // the binned-KDE trade) and carries the 1-row total; llm_bigram_pmi
+      // carries the two 1-row occurrence totals (N1, N2) as scalars
+      "hist_kde", "llm_bigram_pmi")
     val withNlj = plans.flatMap { case (name, plan) =>
       val n = plan.collect {
         case j: BroadcastNestedLoopJoinExec => j

@@ -554,4 +554,82 @@ class Round8OpsSpec extends AnyFunSuite {
       assert(math.abs(r.getDouble(2) - psi) < 1e-5, s"$src psi")
     }
   }
+
+  // ---- wave-9 addenda: gini / kde / pmi / zipf
+
+  test("agg_gini: in [0,1) and matches a driver-side exact recomputation") {
+    val out = operators.Aggregates.aggGini(spark, sf0001).collect()
+    assert(out.nonEmpty)
+    val rev = Tables.orders(spark, sf0001)
+      .groupBy("o_custkey").agg(round(sum("o_totalprice"), 2).as("rev"))
+      .join(Tables.customer(spark, sf0001), col("o_custkey") === col("c_custkey"))
+      .join(Tables.nation(spark, sf0001), col("c_nationkey") === col("n_nationkey"))
+      .select("n_name", "o_custkey", "rev")
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getDouble(2)))
+    out.foreach { r =>
+      val (name, g) = (r.getString(0), r.getDouble(3))
+      assert(g >= 0.0 && g < 1.0, s"$name gini $g out of range")
+      val xs = rev.filter(_._1 == name).sortBy(t => (t._3, t._2)).map(_._3)
+      val n = xs.length
+      val exact = 2.0 * xs.zipWithIndex.map { case (x, i) => (i + 1) * x }.sum /
+        (n * xs.sum) - (n + 1.0) / n
+      assert(math.abs(g - exact) < 1e-5, s"$name gini $g vs $exact")
+      assert(r.getLong(1) === n.toLong)
+    }
+  }
+
+  test("hist_kde: non-negative, grid-integrates to ≈ the in-range mass") {
+    val out = operators.Analytics.histKde(spark, sf0001).collect()
+    assert(out.length === 21)
+    assert(out.forall(_.getDouble(2) >= 0.0))
+    // Riemann sum of the density over the grid ≈ 1 (the grid spans the
+    // whole price domain; tails beyond ±2.5 bandwidths are negligible)
+    val mass = out.map(_.getDouble(2) * 1e-6 * 25000.0).sum
+    assert(mass > 0.85 && mass < 1.1, s"grid mass $mass")
+    // density peaks somewhere strictly inside the domain for the
+    // near-uniform price fixture — never at the extreme grid edge
+    val peak = out.maxBy(_.getDouble(2)).getLong(0)
+    assert(peak > 0L && peak < 500000L)
+  }
+
+  test("llm_bigram_pmi: support bounds and driver-side exact recomputation") {
+    val out = operators.LlmOps.llmBigramPmi(spark, sf0001).collect()
+    assert(out.nonEmpty)
+    val toks = Tables.documents(spark, sf0001)
+      .select(col("text")).collect().map(_.getString(0).split(" ").toSeq)
+    val uni = toks.flatten.groupBy(identity).map { case (w, xs) => w -> xs.length }
+    val bi = toks.filter(_.length >= 2).flatMap(t => t.zip(t.tail))
+      .groupBy(identity).map { case (p, xs) => p -> xs.length }
+    val (n1, n2) = (uni.values.sum.toDouble, bi.values.sum.toDouble)
+    out.foreach { r =>
+      val (w1, w2, c12, c1, c2, pmi) = (r.getString(0), r.getString(1),
+        r.getLong(2), r.getLong(3), r.getLong(4), r.getDouble(5))
+      assert(c12 >= 3 && c12 <= math.min(c1, c2))
+      assert(c12 === bi((w1, w2)).toLong && c1 === uni(w1).toLong && c2 === uni(w2).toLong)
+      val exact = math.log(c12) + 2.0 * math.log(n1) -
+        math.log(n2) - math.log(c1) - math.log(c2)
+      assert(math.abs(pmi - exact) < 1e-5, s"($w1,$w2) pmi")
+    }
+  }
+
+  test("llm_zipf_fit: slope negative, r2 in [0,1], matches driver OLS") {
+    val r = operators.LlmOps.llmZipfFit(spark, sf0001).head()
+    val (k, slope, intercept, r2) =
+      (r.getLong(0), r.getDouble(1), r.getDouble(2), r.getDouble(3))
+    assert(slope < 0.0, s"zipf slope $slope should be negative")
+    assert(r2 >= 0.0 && r2 <= 1.0)
+    val counts = Tables.documents(spark, sf0001)
+      .select(explode(split(col("text"), " ")).as("tok"))
+      .groupBy("tok").agg(count(lit(1)).as("n"))
+      .collect().map(x => (x.getString(0), x.getLong(1)))
+      .sortBy(t => (-t._2, t._1)).take(1000)
+    assert(k === counts.length.toLong)
+    val xy = counts.zipWithIndex.map { case ((_, n), i) =>
+      (math.log(i + 1.0), math.log(n.toDouble)) }
+    val (sx, sy) = (xy.map(_._1).sum, xy.map(_._2).sum)
+    val (sxx, sxy) = (xy.map(t => t._1 * t._1).sum, xy.map(t => t._1 * t._2).sum)
+    val exact = (k * sxy - sx * sy) / (k * sxx - sx * sx)
+    assert(math.abs(slope - exact) < 1e-5, s"slope $slope vs $exact")
+    assert(intercept > 0.0) // top term's ln-count at rank 1
+  }
 }
