@@ -454,7 +454,75 @@ object Aggregates {
       .orderBy(col("n_name").asc)
   }
 
+  /** Welch's two-sample t-test (round-8 addendum) — the unequal-variance
+    * mean-comparison every A/B readout runs: URGENT orders' totalprice
+    * vs all others, reporting t and the Welch–Satterthwaite degrees of
+    * freedom. Same two-pass central-sum discipline as agg_moments (the
+    * broadcast 2dp-rounded group means make the residual sums
+    * cancellation-free, so cross-engine ulp noise stays ~n·ε); variances
+    * use the n−1 sample convention explicitly — never the engines'
+    * var_samp, whose internal one-pass update orders differ. The
+    * two-group frame pivots to one row via conditional max aggregates.
+    * Shape: two corpus passes (group stats) + a 2-row pivot — nothing
+    * scales with data but the two hash aggs. */
+  def aggTtest(spark: SparkSession, dir: String): DataFrame = {
+    val o = Tables.orders(spark, dir)
+      .select((col("o_orderpriority") === "1-URGENT").as("g"), col("o_totalprice"))
+    val mu = o.groupBy("g").agg(round(avg("o_totalprice"), 2).as("mu"))
+    val st = o.join(broadcast(mu), "g")
+      .withColumn("d", col("o_totalprice") - col("mu"))
+      .groupBy("g")
+      .agg(count(lit(1)).as("n"), max("mu").as("mu_g"),
+        sum(col("d") * col("d")).as("ss"))
+      .select(col("g"), col("n"), col("mu_g"),
+        (col("ss") / (col("n") - 1)).as("s2"))
+    st.agg(
+      max(when(col("g"), col("n"))).as("n1"),
+      max(when(!col("g"), col("n"))).as("n2"),
+      max(when(col("g"), col("mu_g"))).as("mu1"),
+      max(when(!col("g"), col("mu_g"))).as("mu2"),
+      max(when(col("g"), col("s2"))).as("s21"),
+      max(when(!col("g"), col("s2"))).as("s22"))
+      .select(col("n1"), col("n2"),
+        round(col("mu1") - col("mu2"), 2).as("mean_diff"),
+        (round((col("mu1") - col("mu2"))
+          / sqrt(col("s21") / col("n1") + col("s22") / col("n2")), 4) + 0.0).as("t_stat"),
+        round(pow(col("s21") / col("n1") + col("s22") / col("n2"), 2.0)
+          / (pow(col("s21") / col("n1"), 2.0) / (col("n1") - 1)
+            + pow(col("s22") / col("n2"), 2.0) / (col("n2") - 1)), 2).as("dof"))
+  }
+
+  /** χ² test of independence (round-8 addendum) — is order priority
+    * independent of order status? The contingency-table screen behind
+    * every "does segment X behave differently" question. Expected cell
+    * counts e = rowTot·colTot/N divide exact integers, so (o−e)²/e is
+    * deterministic arithmetic on identical inputs; the per-cell
+    * contribution is the output grain (the global χ² is its sum — kept
+    * per-cell so the oracle sees the full table and a reader sees WHICH
+    * cell deviates). One corpus hash agg to the 15-cell frame; margins
+    * re-aggregate from the cells (never a second corpus pass) and join
+    * back broadcast. */
+  def aggChisq(spark: SparkSession, dir: String): DataFrame = {
+    val cells = Tables.orders(spark, dir)
+      .groupBy(col("o_orderpriority").as("prio"), col("o_orderstatus").as("status"))
+      .agg(count(lit(1)).as("n"))
+    val rowT = cells.groupBy("prio").agg(sum("n").as("rt"))
+    val colT = cells.groupBy("status").agg(sum("n").as("ct"))
+    val tot = cells.agg(sum("n").as("tot"))
+    cells
+      .join(broadcast(rowT), "prio")
+      .join(broadcast(colT), "status")
+      .crossJoin(broadcast(tot))
+      .withColumn("e", col("rt").cast("double") * col("ct") / col("tot"))
+      .select(col("prio"), col("status"), col("n"),
+        round(col("e"), 4).as("expected"),
+        round((col("n") - col("e")) * (col("n") - col("e")) / col("e"), 4).as("chi2_term"))
+      .orderBy(col("prio").asc, col("status").asc)
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "agg_ttest"         -> (aggTtest _),
+    "agg_chisq"         -> (aggChisq _),
     "agg_gini"          -> (aggGini _),
     "agg_moments"       -> (aggMoments _),
     "agg_topk_sketch"   -> (aggTopkSketch _),
@@ -483,6 +551,43 @@ object Aggregates {
     "agg_minmax_by"     -> (aggMinmaxBy _))
 
   val oracleSql: Map[String, String] = Map(
+    "agg_ttest" ->
+      """WITH o AS (
+        |  SELECT (o_orderpriority = '1-URGENT') AS g, o_totalprice FROM orders),
+        |mu AS (SELECT g, round(avg(o_totalprice), 2) AS mu FROM o GROUP BY g),
+        |st AS (
+        |  SELECT o.g, count(*) AS n, max(mu.mu) AS mu_g,
+        |    sum((o.o_totalprice - mu.mu) * (o.o_totalprice - mu.mu)) / (count(*) - 1) AS s2
+        |  FROM o JOIN mu ON o.g = mu.g GROUP BY o.g),
+        |p AS (
+        |  SELECT
+        |    max(CASE WHEN g THEN n END) AS n1,
+        |    max(CASE WHEN NOT g THEN n END) AS n2,
+        |    max(CASE WHEN g THEN mu_g END) AS mu1,
+        |    max(CASE WHEN NOT g THEN mu_g END) AS mu2,
+        |    max(CASE WHEN g THEN s2 END) AS s21,
+        |    max(CASE WHEN NOT g THEN s2 END) AS s22
+        |  FROM st)
+        |SELECT n1, n2, round(mu1 - mu2, 2) AS mean_diff,
+        |  round((mu1 - mu2) / sqrt(s21 / n1 + s22 / n2), 4) + 0.0 AS t_stat,
+        |  round(pow(s21 / n1 + s22 / n2, 2.0)
+        |    / (pow(s21 / n1, 2.0) / (n1 - 1) + pow(s22 / n2, 2.0) / (n2 - 1)), 2) AS dof
+        |FROM p""".stripMargin,
+    "agg_chisq" ->
+      """WITH cells AS (
+        |  SELECT o_orderpriority AS prio, o_orderstatus AS status, count(*) AS n
+        |  FROM orders GROUP BY prio, status),
+        |rt AS (SELECT prio, CAST(sum(n) AS BIGINT) AS rt FROM cells GROUP BY prio),
+        |ct AS (SELECT status, CAST(sum(n) AS BIGINT) AS ct FROM cells GROUP BY status),
+        |tot AS (SELECT CAST(sum(n) AS BIGINT) AS tot FROM cells),
+        |e AS (
+        |  SELECT c.prio, c.status, c.n,
+        |    CAST(rt.rt AS DOUBLE) * ct.ct / tot.tot AS e
+        |  FROM cells c JOIN rt ON c.prio = rt.prio
+        |  JOIN ct ON c.status = ct.status CROSS JOIN tot)
+        |SELECT prio, status, n, round(e, 4) AS expected,
+        |  round((n - e) * (n - e) / e, 4) AS chi2_term
+        |FROM e ORDER BY prio ASC, status ASC""".stripMargin,
     "agg_gini" ->
       """WITH rev AS (
         |  SELECT o_custkey, round(sum(o_totalprice), 2) AS rev

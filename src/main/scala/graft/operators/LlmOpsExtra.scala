@@ -759,7 +759,38 @@ object LlmOpsExtra {
       .orderBy(col("component").asc)
   }
 
+  /** Embedding-table data-quality profile (round-8 addendum) — the
+    * validation gate an embedding pipeline runs before ANN/clustering
+    * consumes a batch: per label, vector count, dimensionality
+    * consistency (distinct dims — should be 1), L2-norm distribution
+    * (mean/min/max), degenerate-vector count (‖v‖ < 0.01 — zero vectors
+    * poison cosine math) and non-finite element count. The dense-vector
+    * analogue of dq_profile.
+    *
+    * Determinism: the per-row norm is a SEQUENTIAL left-fold over the
+    * array (`aggregate` HOF in index order; DuckDB's list_sum folds the
+    * same order) in DOUBLE — identical per-row doubles, only the
+    * cross-row avg carries partition-order ulps (6dp absorbs). All
+    * map-side per row + one label-grain hash agg; nothing but the one
+    * corpus pass at any scale. */
+  def llmEmbStats(spark: SparkSession, dir: String): DataFrame =
+    Tables.embeddings(spark, dir)
+      .withColumn("norm", sqrt(expr(
+        "aggregate(embedding, CAST(0 AS DOUBLE), (a, x) -> a + CAST(x AS DOUBLE) * CAST(x AS DOUBLE))")))
+      .withColumn("n_bad", expr(
+        "size(filter(embedding, x -> isnan(x) OR x IS NULL))"))
+      .groupBy("label")
+      .agg(count(lit(1)).as("n_vecs"),
+        countDistinct(size(col("embedding"))).as("n_dims"),
+        round(avg("norm"), 6).as("mean_norm"),
+        round(min("norm"), 6).as("min_norm"),
+        round(max("norm"), 6).as("max_norm"),
+        count(when(col("norm") < 0.01, 1)).as("n_degenerate"),
+        sum("n_bad").as("n_nonfinite"))
+      .orderBy(col("label").asc)
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "llm_emb_stats"     -> (llmEmbStats _),
     "llm_pca"           -> (llmPca _),
     "llm_bm25_retrieve" -> (llmBm25Retrieve _),
     "llm_bloom_dedup"   -> (llmBloomDedup _),
@@ -779,6 +810,21 @@ object LlmOpsExtra {
     "llm_hard_negatives" -> (llmHardNegatives _))
 
   val oracleSql: Map[String, String] = Map(
+    "llm_emb_stats" ->
+      """WITH v AS (
+        |  SELECT label, embedding,
+        |    sqrt(list_sum(list_transform(embedding,
+        |      x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))) AS norm,
+        |    len(list_filter(embedding, x -> isnan(x) OR x IS NULL)) AS n_bad
+        |  FROM embeddings)
+        |SELECT label, count(*) AS n_vecs,
+        |  count(DISTINCT len(embedding)) AS n_dims,
+        |  round(avg(norm), 6) AS mean_norm,
+        |  round(min(norm), 6) AS min_norm,
+        |  round(max(norm), 6) AS max_norm,
+        |  count(CASE WHEN norm < 0.01 THEN 1 END) AS n_degenerate,
+        |  CAST(sum(n_bad) AS BIGINT) AS n_nonfinite
+        |FROM v GROUP BY label ORDER BY label ASC""".stripMargin,
     "llm_bm25_retrieve" ->
       """WITH post AS (
         |  SELECT doc_id, tok, count(*) AS tf FROM (

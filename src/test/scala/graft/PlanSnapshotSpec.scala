@@ -118,7 +118,9 @@ class PlanSnapshotSpec extends AnyFunSuite {
       // ~100-row bin frame (bins × points ≈ 2100 rows of arithmetic —
       // the binned-KDE trade) and carries the 1-row total; llm_bigram_pmi
       // carries the two 1-row occurrence totals (N1, N2) as scalars
-      "hist_kde", "llm_bigram_pmi")
+      "hist_kde", "llm_bigram_pmi",
+      // wave-10: agg_chisq carries the 1-row contingency grand total
+      "agg_chisq")
     val withNlj = plans.flatMap { case (name, plan) =>
       val n = plan.collect {
         case j: BroadcastNestedLoopJoinExec => j

@@ -632,4 +632,84 @@ class Round8OpsSpec extends AnyFunSuite {
     assert(math.abs(slope - exact) < 1e-5, s"slope $slope vs $exact")
     assert(intercept > 0.0) // top term's ln-count at rank 1
   }
+
+  // ---- wave-10 addenda: ttest / chisq / iqr / emb-stats
+
+  test("agg_ttest: matches a driver-side Welch computation") {
+    val r = operators.Aggregates.aggTtest(spark, sf0001).head()
+    val (n1, n2, t, dof) = (r.getLong(0), r.getLong(1), r.getDouble(3), r.getDouble(4))
+    val xs = Tables.orders(spark, sf0001)
+      .select(col("o_orderpriority"), col("o_totalprice")).collect()
+      .map(x => (x.getString(0) == "1-URGENT", x.getDouble(1)))
+    assert(n1 === xs.count(_._1).toLong && n2 === xs.count(!_._1).toLong)
+    def stats(g: Boolean) = {
+      val v = xs.filter(_._1 == g).map(_._2)
+      val mu = BigDecimal(v.sum / v.length)
+        .setScale(2, BigDecimal.RoundingMode.HALF_UP).toDouble
+      (v.length, mu, v.map(x => (x - mu) * (x - mu)).sum / (v.length - 1))
+    }
+    val ((m1, mu1, s21), (m2, mu2, s22)) = (stats(true), stats(false))
+    val se = math.sqrt(s21 / m1 + s22 / m2)
+    assert(math.abs(t - (mu1 - mu2) / se) < 1e-3, "t stat")
+    // Welch dof bounds: min group − 1 ≤ dof ≤ pooled n − 2
+    assert(dof >= math.min(m1, m2) - 1 && dof <= m1 + m2 - 2)
+  }
+
+  test("agg_chisq: margins consistent and terms non-negative") {
+    val out = operators.Aggregates.aggChisq(spark, sf0001).collect()
+    assert(out.nonEmpty)
+    val n = out.map(_.getLong(2)).sum
+    assert(n === Tables.orders(spark, sf0001).count())
+    // expected counts preserve the row margins (Σ_col e = rowTot)
+    out.groupBy(_.getString(0)).foreach { case (_, rows) =>
+      val obs = rows.map(_.getLong(2)).sum.toDouble
+      val exp = rows.map(_.getDouble(3)).sum
+      assert(math.abs(obs - exp) < 0.01, "row margin")
+    }
+    assert(out.forall(_.getDouble(4) >= 0.0))
+  }
+
+  test("dq_outlier_iqr: fences match driver-side percentile_disc semantics") {
+    val out = operators.DataQuality.dqOutlierIqr(spark, sf0001).collect()
+    assert(out.length === 25)
+    val rev = Tables.orders(spark, sf0001)
+      .groupBy("o_custkey").agg(round(sum("o_totalprice"), 2).as("rev"))
+      .join(Tables.customer(spark, sf0001), col("o_custkey") === col("c_custkey"))
+      .join(Tables.nation(spark, sf0001), col("c_nationkey") === col("n_nationkey"))
+      .select("n_name", "rev").collect()
+      .map(r => (r.getString(0), r.getDouble(1)))
+    var anyOutlier = false
+    out.foreach { r =>
+      val (name, nCust, q1, q3, nOut) =
+        (r.getString(0), r.getLong(1), r.getDouble(2), r.getDouble(3), r.getLong(4))
+      val v = rev.filter(_._1 == name).map(_._2).sorted
+      assert(nCust === v.length.toLong)
+      // percentile_disc(p): smallest value at rank ≥ p·n
+      def disc(p: Double) = v(math.ceil(p * v.length).toInt - 1)
+      assert(q1 === disc(0.25) && q3 === disc(0.75), s"$name quartiles")
+      val (lo, hi) = (q1 - 1.5 * (q3 - q1), q3 + 1.5 * (q3 - q1))
+      assert(nOut === v.count(x => x < lo || x > hi).toLong, s"$name outliers")
+      anyOutlier ||= nOut > 0
+    }
+    assert(anyOutlier, "fixture should surface at least one IQR outlier")
+  }
+
+  test("llm_emb_stats: dims consistent, all finite, norms match driver fold") {
+    val out = operators.LlmOpsExtra.llmEmbStats(spark, sf0001).collect()
+    assert(out.nonEmpty)
+    assert(out.forall(_.getLong(2) === 1L), "every label one dimensionality")
+    assert(out.forall(_.getLong(7) === 0L), "no non-finite elements")
+    assert(out.forall(r => r.getDouble(4) > 0.0 && r.getDouble(4) <= r.getDouble(5)))
+    val vecs = Tables.embeddings(spark, sf0001)
+      .select(col("label"), col("embedding")).collect()
+      .map(r => (r.getInt(0), r.getSeq[Float](1)))
+    out.foreach { r =>
+      val (label, meanNorm) = (r.getInt(0), r.getDouble(3))
+      val mine = vecs.filter(_._1 == label)
+      val exact = mine.map { case (_, v) =>
+        math.sqrt(v.foldLeft(0.0)((a, x) => a + x.toDouble * x.toDouble))
+      }.sum / mine.length
+      assert(math.abs(meanNorm - exact) < 1e-5, s"label $label mean norm")
+    }
+  }
 }
