@@ -520,7 +520,60 @@ object Aggregates {
       .orderBy(col("prio").asc, col("status").asc)
   }
 
+  /** Mann–Whitney U rank-sum test (round-8 addendum) — the
+    * nonparametric complement of agg_ttest (no normality assumption;
+    * the right test when agg_moments reports heavy tails): URGENT
+    * totalprice vs rest via average ranks, tie-corrected normal
+    * approximation. Ranks are computed WITHOUT a global sort — the
+    * corpus collapses to the value grain, then a TWO-LEVEL prefix sum:
+    * within-BIN running counts (windows partitioned by a coarse
+    * 5000-unit bin — parallel, small frames) plus bin-offset cumsum
+    * over the ~100-row bin frame, so `rank-before = bin offset +
+    * within-bin prefix` with no single-partition value-grain window
+    * (the distributed ranking idiom sec_sort_path uses with partition
+    * offsets, here expressed purely declaratively).
+    *
+    * Every sum is EXACT in double (average ranks are half-integers,
+    * counts integers — no rounding before the final z), so both
+    * engines produce bit-identical R₁/U₁ regardless of partitioning,
+    * and the 4dp z cannot diverge. */
+  def aggMannwhitney(spark: SparkSession, dir: String): DataFrame = {
+    val o = Tables.orders(spark, dir)
+      .select((col("o_orderpriority") === "1-URGENT").as("g"),
+        round(col("o_totalprice"), 2).as("v"))
+    val vals = o.groupBy("v")
+      .agg(count(when(col("g"), 1)).as("c1"),
+        count(when(!col("g"), 1)).as("c2"))
+      .withColumn("cnt", col("c1") + col("c2"))
+      .withColumn("bin", floor(col("v") / 5000.0).cast("long"))
+    val wBin = Window.partitionBy("bin").orderBy(col("v").asc)
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val binTot = vals.groupBy("bin").agg(sum("cnt").as("btot"))
+    val wOff = Window.orderBy(col("bin").asc)
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val offs = binTot
+      .withColumn("off", coalesce(sum("btot").over(wOff), lit(0L)))
+      .select("bin", "off")
+    vals
+      .withColumn("wb", coalesce(sum("cnt").over(wBin), lit(0L)))
+      .join(broadcast(offs), "bin")
+      .withColumn("avgrank", col("off") + col("wb") + (col("cnt") + lit(1.0)) / 2.0)
+      .agg(sum("c1").as("n1"), sum("c2").as("n2"),
+        sum(col("c1") * col("avgrank")).as("r1"),
+        sum(col("cnt") * col("cnt") * col("cnt") - col("cnt")).as("tie"))
+      .select(col("n1"), col("n2"),
+        round(col("r1"), 1).as("rank_sum_urgent"),
+        round(col("r1") - col("n1") * (col("n1") + 1) / 2.0, 1).as("u1"),
+        (round((col("r1") - col("n1") * (col("n1") + 1) / 2.0
+          - col("n1") * col("n2") / 2.0)
+          / sqrt(col("n1") * col("n2") / 12.0
+            * ((col("n1") + col("n2") + 1)
+              - col("tie") / ((col("n1") + col("n2"))
+                * (col("n1") + col("n2") - 1.0)))), 4) + 0.0).as("z"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "agg_mannwhitney"   -> (aggMannwhitney _),
     "agg_ttest"         -> (aggTtest _),
     "agg_chisq"         -> (aggChisq _),
     "agg_gini"          -> (aggGini _),
@@ -551,6 +604,42 @@ object Aggregates {
     "agg_minmax_by"     -> (aggMinmaxBy _))
 
   val oracleSql: Map[String, String] = Map(
+    "agg_mannwhitney" ->
+      """WITH o AS (
+        |  SELECT (o_orderpriority = '1-URGENT') AS g,
+        |    round(o_totalprice, 2) AS v
+        |  FROM orders),
+        |vals AS (
+        |  SELECT v,
+        |    count(CASE WHEN g THEN 1 END) AS c1,
+        |    count(CASE WHEN NOT g THEN 1 END) AS c2,
+        |    count(*) AS cnt,
+        |    CAST(floor(v / 5000.0) AS BIGINT) AS bin
+        |  FROM o GROUP BY v),
+        |offs AS (
+        |  SELECT bin,
+        |    COALESCE(sum(btot) OVER (ORDER BY bin ASC
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS off
+        |  FROM (SELECT bin, sum(cnt) AS btot FROM vals GROUP BY bin)),
+        |ranked AS (
+        |  SELECT vals.c1, vals.c2, vals.cnt,
+        |    offs.off + COALESCE(sum(vals.cnt) OVER (PARTITION BY vals.bin
+        |      ORDER BY vals.v ASC
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+        |      + (vals.cnt + 1.0) / 2.0 AS avgrank
+        |  FROM vals JOIN offs ON vals.bin = offs.bin),
+        |s AS (
+        |  SELECT CAST(sum(c1) AS BIGINT) AS n1, CAST(sum(c2) AS BIGINT) AS n2,
+        |    sum(c1 * avgrank) AS r1,
+        |    CAST(sum(cnt * cnt * cnt - cnt) AS BIGINT) AS tie
+        |  FROM ranked)
+        |SELECT n1, n2,
+        |  round(r1, 1) AS rank_sum_urgent,
+        |  round(r1 - n1 * (n1 + 1) / 2.0, 1) AS u1,
+        |  round((r1 - n1 * (n1 + 1) / 2.0 - n1 * n2 / 2.0)
+        |    / sqrt(n1 * n2 / 12.0
+        |      * ((n1 + n2 + 1) - tie / ((n1 + n2) * (n1 + n2 - 1.0)))), 4) + 0.0 AS z
+        |FROM s""".stripMargin,
     "agg_ttest" ->
       """WITH o AS (
         |  SELECT (o_orderpriority = '1-URGENT') AS g, o_totalprice FROM orders),

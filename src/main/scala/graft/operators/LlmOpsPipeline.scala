@@ -659,7 +659,41 @@ object LlmOpsPipeline {
       .orderBy(col("source").asc)
   }
 
+  /** Dataset card (round-8 addendum) — the one-row corpus summary every
+    * dataset release ships (HuggingFace dataset-card / Datasheets
+    * headline numbers): document and token counts, vocabulary size,
+    * source/language diversity, mean length, exact-duplicate rate, and
+    * the dominant source with its share (the first number a mixture
+    * auditor checks). A composition query: five independent 1-row
+    * aggregates — each a single partial+final pass (the token census
+    * and the vocabulary distinct are the two corpus-scale ones; at
+    * 100 TB the vocab distinct swaps to the HLL sketch, same plan
+    * tail) — assembled by broadcast scalar crosses; the top source is
+    * a TakeOrdered(1) cut with the (cnt DESC, source ASC) tie-break. */
+  def llmDatasetCard(spark: SparkSession, dir: String): DataFrame = {
+    val d = Tables.documents(spark, dir)
+    val base = d.agg(
+      count(lit(1)).as("n_docs"),
+      countDistinct(col("source")).as("n_sources"),
+      countDistinct(col("lang")).as("n_langs"),
+      countDistinct(col("text")).as("n_uniq"),
+      round(avg("n_chars"), 2).as("mean_chars"),
+      sum(size(split(col("text"), " ")).cast("long")).as("n_tokens"))
+    val vocab = d.select(explode(split(col("text"), " ")).as("tok"))
+      .agg(countDistinct(col("tok")).as("vocab_size"))
+    val top = d.groupBy("source").agg(count(lit(1)).as("src_n"))
+      .orderBy(col("src_n").desc, col("source").asc).limit(1)
+      .select(col("source").as("top_source"), col("src_n"))
+    base.crossJoin(broadcast(vocab)).crossJoin(broadcast(top))
+      .select(col("n_docs"), col("n_tokens"), col("vocab_size"),
+        col("n_sources"), col("n_langs"), col("mean_chars"),
+        round(lit(1.0) - col("n_uniq").cast("double") / col("n_docs"), 6).as("dup_rate"),
+        col("top_source"),
+        round(col("src_n").cast("double") / col("n_docs"), 6).as("top_source_share"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "llm_dataset_card"      -> (llmDatasetCard _),
     "llm_source_psi"        -> (llmSourcePsi _),
     "llm_bpe_pairs"         -> (llmBpePairs _),
     "llm_source_kl"         -> (llmSourceKl _),
@@ -679,6 +713,27 @@ object LlmOpsPipeline {
     "llm_heuristic_filter"  -> (llmHeuristicFilter _))
 
   val oracleSql: Map[String, String] = Map(
+    "llm_dataset_card" ->
+      """WITH base AS (
+        |  SELECT count(*) AS n_docs,
+        |    count(DISTINCT source) AS n_sources,
+        |    count(DISTINCT lang) AS n_langs,
+        |    count(DISTINCT text) AS n_uniq,
+        |    round(avg(n_chars), 2) AS mean_chars,
+        |    CAST(sum(len(string_split(text, ' '))) AS BIGINT) AS n_tokens
+        |  FROM documents),
+        |vocab AS (
+        |  SELECT count(DISTINCT tok) AS vocab_size FROM (
+        |    SELECT unnest(string_split(text, ' ')) AS tok FROM documents)),
+        |top AS (
+        |  SELECT source AS top_source, count(*) AS src_n
+        |  FROM documents GROUP BY source
+        |  ORDER BY src_n DESC, source ASC LIMIT 1)
+        |SELECT n_docs, n_tokens, vocab_size, n_sources, n_langs, mean_chars,
+        |  round(1.0 - CAST(n_uniq AS DOUBLE) / n_docs, 6) AS dup_rate,
+        |  top_source,
+        |  round(CAST(src_n AS DOUBLE) / n_docs, 6) AS top_source_share
+        |FROM base CROSS JOIN vocab CROSS JOIN top""".stripMargin,
     "llm_source_psi" ->
       """WITH d AS (
         |  SELECT source, CAST(floor(n_chars / 50.0) AS INT) AS bin FROM documents),

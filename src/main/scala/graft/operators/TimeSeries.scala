@@ -367,7 +367,88 @@ object TimeSeries {
       .orderBy(col("n_name").asc)
   }
 
+  /** Brown's double exponential smoothing (round-8 addendum) — the
+    * trend-aware upgrade of ts_ewma: smoothing a series twice gives the
+    * level a = 2s₁ − s₂, trend b = (a/(1−a))·(s₁ − s₂), and the
+    * one-step-ahead forecast a + b that single EWMA systematically lags
+    * on trending series (the alerting-baseline fix for ramping metrics).
+    * The engine's EWMA recurrence is already a closed-form two-window
+    * plan (ewmaDaily's scaladoc); Brown COMPOSES it — the second pass
+    * smooths the FIRST pass's 4dp-rounded output, so both engines feed
+    * identical values into identical expression trees and the 4dp
+    * results hash-match exactly like ts_ewma does. Shape: the daily
+    * rollup is the one corpus pass; both smoothing passes are
+    * day-grain window pairs on the same (type, day) ordering. */
+  def tsBrown(spark: SparkSession, dir: String): DataFrame = {
+    val daily = Tables.events(spark, dir)
+      .groupBy(col("event_type"), date_trunc("day", col("ts")).as("day"))
+      .agg(round(sum("value"), 2).as("rev"))
+    val s1 = ewmaDaily(daily)
+      .select(col("event_type"), col("day"), col("rev").as("x"), col("ewma").as("s1"))
+    val s2 = ewmaDaily(s1.select(col("event_type"), col("day"), col("s1").as("rev")))
+      .select(col("event_type"), col("day"), col("rev").as("s1b"), col("ewma").as("s2"))
+    // 6dp rounds here are deliberate: s1/s2 are 4dp, so 2s1−s2 has
+    // exactly 4 decimals and 0.25·(s1−s2) exactly 6 — rounding AT the
+    // value's own decimal width is tie-free (the binary double sits
+    // ~1e-12 from the decimal point, never at a .5 boundary), where a
+    // 4dp round of the quarter lands EXACTLY on .xxxx5 ties and the
+    // engines' round() disagree (§2.Z trap, measured: fcst diverged on
+    // 2-4 rows per sf before this).
+    s1.join(s2, Seq("event_type", "day"))
+      .select(col("event_type"), col("day"), col("x"), col("s1"), col("s2"),
+        round(lit(2.0) * col("s1") - col("s2"), 4).as("level"),
+        (round(lit(0.25) * (col("s1") - col("s2")), 6) + 0.0).as("trend"))
+      .withColumn("fcst_next", round(col("level") + col("trend"), 6) + 0.0)
+      .orderBy(col("event_type").asc, col("day").asc)
+  }
+
+  /** Lagged cross-correlation (round-8 addendum) — which event type
+    * LEADS which: for every ordered type pair and lag ∈ [−3, 3],
+    * Pearson correlation of (a_t, b_{t+lag}) over their overlapping
+    * days, reporting each pair's best lag (the lead-lag discovery step
+    * before any causal read of dashboard metrics). The corpus collapses
+    * to the (type, day) grain first; the lag spine is a 7-literal
+    * explode; the pair-lag join and the correlation sums all run on
+    * day-grain frames (types² × lags × days — vocabulary-sized
+    * forever). Correlation is assembled from the six explicit sums
+    * (llm_zipf_fit's OLS argument: engine corr() internals differ),
+    * 6dp-rounded, argmax by (corr DESC, lag ASC) row_number. */
+  def tsCrossCorr(spark: SparkSession, dir: String): DataFrame = {
+    val daily = Tables.events(spark, dir)
+      .groupBy(col("event_type"), date_trunc("day", col("ts")).as("day"))
+      .agg(round(sum("value"), 2).as("rev"))
+    val lags = spark.range(-3, 4).select(col("id").cast("int").as("lag"))
+    // integer day numbers (ts_interp idiom) keep the lag join pure
+    // integer arithmetic — date+interval addition differs across engines
+    val dn = daily.withColumn("d",
+      datediff(col("day"), lit("1970-01-01").cast("date")).cast("long"))
+    val a = dn.select(col("event_type").as("ta"), col("d").as("da"), col("rev").as("xa"))
+    val b = dn.select(col("event_type").as("tb"), col("d").as("db"), col("rev").as("xb"))
+    val pairs = a.crossJoin(broadcast(lags))
+      .join(b, col("ta") < col("tb") && col("db") === col("da") + col("lag"))
+    val sums = pairs.groupBy("ta", "tb", "lag")
+      .agg(count(lit(1)).as("k"),
+        sum("xa").as("sx"), sum("xb").as("sy"),
+        sum(col("xa") * col("xa")).as("sxx"),
+        sum(col("xb") * col("xb")).as("syy"),
+        sum(col("xa") * col("xb")).as("sxy"))
+      .filter(col("k") >= 10)
+      .select(col("ta"), col("tb"), col("lag"), col("k"),
+        (round((col("k") * col("sxy") - col("sx") * col("sy"))
+          / sqrt((col("k") * col("sxx") - col("sx") * col("sx"))
+            * (col("k") * col("syy") - col("sy") * col("sy"))), 6) + 0.0).as("corr"))
+    val w = Window.partitionBy("ta", "tb")
+      .orderBy(col("corr").desc, col("lag").asc)
+    sums.withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1)
+      .select(col("ta"), col("tb"), col("lag").as("best_lag"),
+        col("k").as("n_days"), col("corr"))
+      .orderBy(col("ta").asc, col("tb").asc)
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "ts_brown"    -> (tsBrown _),
+    "ts_cross_corr" -> (tsCrossCorr _),
     "ts_theilsen" -> (tsTheilsen _),
     "ts_interp"   -> (tsInterp _),
     "ts_seasonal" -> (tsSeasonal _),
@@ -380,6 +461,80 @@ object TimeSeries {
     "ts_anomaly"  -> (tsAnomaly _))
 
   val oracleSql: Map[String, String] = Map(
+    "ts_brown" ->
+      """WITH daily AS (
+        |  SELECT event_type, date_trunc('day', ts) AS day,
+        |    round(sum(value), 2) AS rev
+        |  FROM events GROUP BY event_type, day),
+        |b1 AS (
+        |  SELECT event_type, day, rev,
+        |    date_diff('day', first_value(day) OVER w, day) AS tt,
+        |    first_value(rev) OVER w AS x0
+        |  FROM daily
+        |  WINDOW w AS (PARTITION BY event_type ORDER BY day ASC
+        |               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)),
+        |c1 AS (
+        |  SELECT event_type, day, rev, tt, x0,
+        |    sum(rev * pow(125e-2, tt)) OVER (
+        |      PARTITION BY event_type ORDER BY day ASC
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS s
+        |  FROM b1),
+        |e1 AS (
+        |  SELECT event_type, day, rev AS x,
+        |    round(pow(8e-1, tt) * (x0 + 2e-1 * (s - x0)), 4) AS s1
+        |  FROM c1),
+        |b2 AS (
+        |  SELECT event_type, day, x, s1,
+        |    date_diff('day', first_value(day) OVER w, day) AS tt,
+        |    first_value(s1) OVER w AS x0
+        |  FROM e1
+        |  WINDOW w AS (PARTITION BY event_type ORDER BY day ASC
+        |               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)),
+        |c2 AS (
+        |  SELECT event_type, day, x, s1, tt, x0,
+        |    sum(s1 * pow(125e-2, tt)) OVER (
+        |      PARTITION BY event_type ORDER BY day ASC
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS s
+        |  FROM b2),
+        |e2 AS (
+        |  SELECT event_type, day, x, s1,
+        |    round(pow(8e-1, tt) * (x0 + 2e-1 * (s - x0)), 4) AS s2
+        |  FROM c2)
+        |SELECT event_type, day, x, s1, s2,
+        |  round(2.0 * s1 - s2, 4) AS level,
+        |  round(0.25 * (s1 - s2), 6) + 0.0 AS trend,
+        |  round(round(2.0 * s1 - s2, 4) + (round(0.25 * (s1 - s2), 6) + 0.0), 6) + 0.0 AS fcst_next
+        |FROM e2 ORDER BY event_type ASC, day ASC""".stripMargin,
+    "ts_cross_corr" ->
+      """WITH daily AS (
+        |  SELECT event_type, date_trunc('day', ts) AS day,
+        |    round(sum(value), 2) AS rev,
+        |    date_diff('day', DATE '1970-01-01', date_trunc('day', ts)) AS d
+        |  FROM events GROUP BY event_type, day),
+        |lags AS (SELECT CAST(unnest(generate_series(-3, 3)) AS INT) AS lag),
+        |pairs AS (
+        |  SELECT a.event_type AS ta, b.event_type AS tb, l.lag,
+        |    a.rev AS xa, b.rev AS xb
+        |  FROM daily a CROSS JOIN lags l
+        |  JOIN daily b ON a.event_type < b.event_type AND b.d = a.d + l.lag),
+        |sums AS (
+        |  SELECT ta, tb, lag, count(*) AS k,
+        |    sum(xa) AS sx, sum(xb) AS sy,
+        |    sum(xa * xa) AS sxx, sum(xb * xb) AS syy, sum(xa * xb) AS sxy
+        |  FROM pairs GROUP BY ta, tb, lag
+        |  HAVING count(*) >= 10),
+        |sc AS (
+        |  SELECT ta, tb, lag, k,
+        |    round((k * sxy - sx * sy)
+        |      / sqrt((k * sxx - sx * sx) * (k * syy - sy * sy)), 6) + 0.0 AS corr
+        |  FROM sums),
+        |r AS (
+        |  SELECT ta, tb, lag, k, corr,
+        |    row_number() OVER (PARTITION BY ta, tb
+        |      ORDER BY corr DESC, lag ASC) AS rn
+        |  FROM sc)
+        |SELECT ta, tb, lag AS best_lag, k AS n_days, corr
+        |FROM r WHERE rn = 1 ORDER BY ta ASC, tb ASC""".stripMargin,
     "ts_theilsen" ->
       """WITH monthly AS (
         |  SELECT n.n_name,

@@ -120,7 +120,11 @@ class PlanSnapshotSpec extends AnyFunSuite {
       // carries the two 1-row occurrence totals (N1, N2) as scalars
       "hist_kde", "llm_bigram_pmi",
       // wave-10: agg_chisq carries the 1-row contingency grand total
-      "agg_chisq")
+      "agg_chisq",
+      // wave-11: ts_cross_corr crosses the 7-literal lag spine with the
+      // day-grain frame; llm_dataset_card assembles three 1-row/1-row
+      // aggregates (base stats × vocab count × top source)
+      "ts_cross_corr", "llm_dataset_card")
     val withNlj = plans.flatMap { case (name, plan) =>
       val n = plan.collect {
         case j: BroadcastNestedLoopJoinExec => j

@@ -712,4 +712,110 @@ class Round8OpsSpec extends AnyFunSuite {
       assert(math.abs(meanNorm - exact) < 1e-5, s"label $label mean norm")
     }
   }
+
+  // ---- wave-11 addenda: brown / cross-corr / mann-whitney / dataset card
+
+  test("ts_brown: smoothings track the driver-side recurrence; identities hold") {
+    val out = operators.TimeSeries.tsBrown(spark, sf0001).collect()
+    assert(out.nonEmpty)
+    out.foreach { r =>
+      val (s1, s2, level, trend, fcst) =
+        (r.getDouble(3), r.getDouble(4), r.getDouble(5), r.getDouble(6), r.getDouble(7))
+      assert(math.abs(level - (2 * s1 - s2)) < 5e-5, "level identity")
+      assert(math.abs(trend - 0.25 * (s1 - s2)) < 5e-7, "trend identity")
+      assert(math.abs(fcst - (level + trend)) < 5e-7, "forecast identity")
+    }
+    // driver-side recurrence replay per type (EWMA closed form ≡ the
+    // recurrence; gaps decay by calendar distance, same as ewmaDaily)
+    val series = out.groupBy(_.getString(0))
+    series.foreach { case (tpe, rows) =>
+      val sorted = rows.sortBy(_.getTimestamp(1).getTime)
+      var s1v = sorted.head.getDouble(2)
+      var s2v = s1v
+      var prevDay = sorted.head.getTimestamp(1).toLocalDateTime.toLocalDate
+      sorted.zipWithIndex.foreach { case (r, i) =>
+        val day = r.getTimestamp(1).toLocalDateTime.toLocalDate
+        if (i > 0) {
+          val gap = java.time.temporal.ChronoUnit.DAYS.between(prevDay, day).toInt
+          val x = r.getDouble(2)
+          // a gap of g days applies g decay steps; x arrives on the last
+          var k = 0
+          while (k < gap - 1) { s1v = 0.8 * s1v; s2v = 0.8 * s2v; k += 1 }
+          s1v = 0.2 * x + 0.8 * s1v
+          s2v = 0.2 * s1v + 0.8 * s2v
+        }
+        prevDay = day
+        assert(math.abs(r.getDouble(3) - s1v) < 0.02, s"$tpe s1 at $day")
+      }
+    }
+  }
+
+  test("ts_cross_corr: picks the exact per-pair argmax over the lag grid") {
+    val out = operators.TimeSeries.tsCrossCorr(spark, sf0001).collect()
+    assert(out.nonEmpty)
+    val daily = Tables.events(spark, sf0001)
+      .groupBy(col("event_type"), date_trunc("day", col("ts")).as("day"))
+      .agg(round(sum("value"), 2).as("rev"))
+      .collect()
+      .map(r => (r.getString(0),
+        r.getTimestamp(1).toLocalDateTime.toLocalDate.toEpochDay, r.getDouble(2)))
+    val types = daily.map(_._1).distinct.sorted
+    out.foreach { r =>
+      val (ta, tb, bestLag, corrOut) =
+        (r.getString(0), r.getString(1), r.getInt(2), r.getDouble(4))
+      assert(corrOut >= -1.0 - 1e-9 && corrOut <= 1.0 + 1e-9)
+      assert(types.contains(ta) && types.contains(tb) && ta < tb)
+      val av = daily.filter(_._1 == ta).map(t => t._2 -> t._3).toMap
+      val bv = daily.filter(_._1 == tb).map(t => t._2 -> t._3).toMap
+      val cands = (-3 to 3).flatMap { lag =>
+        val xs = av.keys.toSeq.flatMap(d => bv.get(d + lag).map(b => (av(d), b)))
+        if (xs.length < 10) None else {
+          val k = xs.length.toDouble
+          val (sx, sy) = (xs.map(_._1).sum, xs.map(_._2).sum)
+          val num = k * xs.map(t => t._1 * t._2).sum - sx * sy
+          val den = math.sqrt((k * xs.map(t => t._1 * t._1).sum - sx * sx) *
+            (k * xs.map(t => t._2 * t._2).sum - sy * sy))
+          Some(lag -> BigDecimal(num / den)
+            .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble)
+        }
+      }
+      val best = cands.maxBy(t => (t._2, -t._1))
+      assert(bestLag === best._1, s"($ta,$tb) lag")
+      assert(math.abs(corrOut - best._2) < 1e-5, s"($ta,$tb) corr")
+    }
+  }
+
+  test("agg_mannwhitney: matches a driver-side full-sort rank computation") {
+    val r = operators.Aggregates.aggMannwhitney(spark, sf0001).head()
+    val (n1, n2, r1, u1, z) =
+      (r.getLong(0), r.getLong(1), r.getDouble(2), r.getDouble(3), r.getDouble(4))
+    val xs = Tables.orders(spark, sf0001)
+      .select(col("o_orderpriority"), round(col("o_totalprice"), 2)).collect()
+      .map(x => (x.getString(0) == "1-URGENT", x.getDouble(1)))
+    assert(n1 === xs.count(_._1).toLong && n2 === xs.count(!_._1).toLong)
+    // average ranks over the fully sorted combined sample
+    val sorted = xs.sortBy(_._2)
+    val rankOf = sorted.map(_._2).zipWithIndex.groupBy(_._1)
+      .map { case (v, g) => v -> (g.map(_._2 + 1).sum.toDouble / g.length) }
+    val r1Exact = sorted.filter(_._1).map(t => rankOf(t._2)).sum
+    assert(math.abs(r1 - r1Exact) < 1e-6, s"R1 $r1 vs $r1Exact")
+    assert(math.abs(u1 - (r1Exact - n1 * (n1 + 1) / 2.0)) < 1e-6)
+    assert(!z.isNaN && math.abs(z) < 10)
+  }
+
+  test("llm_dataset_card: every headline number matches its direct query") {
+    val r = operators.LlmOpsPipeline.llmDatasetCard(spark, sf0001).head()
+    val d = Tables.documents(spark, sf0001)
+    assert(r.getLong(0) === d.count())
+    assert(r.getLong(1) === d.select(explode(split(col("text"), " "))).count())
+    assert(r.getLong(2) === d.select(explode(split(col("text"), " ")).as("t"))
+      .distinct().count())
+    assert(r.getLong(3) === d.select("source").distinct().count())
+    assert(r.getLong(4) === d.select("lang").distinct().count())
+    val topRow = d.groupBy("source").count()
+      .orderBy(col("count").desc, col("source").asc).head()
+    assert(r.getString(7) === topRow.getString(0))
+    assert(math.abs(r.getDouble(8) - topRow.getLong(1).toDouble / d.count()) < 1e-6)
+    assert(r.getDouble(6) >= 0.0 && r.getDouble(6) < 1.0) // dup rate
+  }
 }
