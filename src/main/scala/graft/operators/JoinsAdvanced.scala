@@ -209,7 +209,56 @@ object JoinsAdvanced {
       .orderBy(col("event_id").asc)
   }
 
+  /** As-of join with a staleness tolerance (round-8 addendum) — the
+    * variant every market-data/state-lookup pipeline actually deploys:
+    * the latest prior record counts only if it is RECENT ENOUGH; a
+    * stale match is worse than no match (kdb's `wj` window constraint /
+    * Flink's temporal-join TTL). Framed as the repeat-purchase window:
+    * each order pairs with the same customer's most recent STRICTLY
+    * PRIOR order — (date, key) lexicographic, so same-day orders
+    * resolve deterministically (§2.Z.6) — but only within 180 days
+    * (events and orders occupy disjoint calendar ranges in the
+    * fixtures, so a cross-table tolerance would be vacuously
+    * unmatched; the self-as-of has a genuine matched/unmatched mix).
+    * LEFT semantics: first orders and long-gap orders survive with
+    * NULLs and matched=0 — the declared difference from join_asof's
+    * inner form. Time distance is integer µs (unix_micros/epoch_us —
+    * the join_nearest idiom; timestamp−interval arithmetic differs
+    * across engines). Shape: the same partial-agg-bounded arg-max
+    * equi-join as join_asof (the tolerance predicate only SHRINKS the
+    * pair stream — and at production scale it is the range-pruning
+    * handle a date-bucketed build side exploits), then one join back
+    * keyed on the unique order key. */
+  def joinAsofTolerance(spark: SparkSession, dir: String): DataFrame = {
+    val tolUs = 180L * 24 * 3600 * 1000000L
+    // o_orderdate arrives TIMESTAMP_NTZ from the naive-µs parquet; the
+    // NTZ→LTZ cast is wall-clock-preserving under the pinned UTC session
+    def us(c: org.apache.spark.sql.Column) = unix_micros(c.cast("timestamp"))
+    val cur = Tables.orders(spark, dir)
+      .select(col("o_orderkey").as("k1"), col("o_orderdate").as("d1"),
+        col("o_custkey").as("c1"))
+    val prior = Tables.orders(spark, dir)
+      .select(col("o_orderkey").as("k2"), col("o_orderdate").as("d2"),
+        col("o_custkey").as("c2"))
+    val best = cur.join(prior,
+      col("c1") === col("c2")
+        && (us(col("d2")) < us(col("d1"))
+          || (us(col("d2")) === us(col("d1")) && col("k2") < col("k1")))
+        && us(col("d2")) >= us(col("d1")) - tolUs)
+      .groupBy("k1")
+      .agg(max(struct(col("d2"), col("k2"))).as("best"))
+      .select(col("k1"), col("best.d2").as("prev_orderdate"),
+        col("best.k2").as("prev_orderkey"))
+    cur.join(best, Seq("k1"), "left")
+      .select(col("k1").as("o_orderkey"), col("d1").as("o_orderdate"),
+        col("c1").as("o_custkey"),
+        col("prev_orderdate"), col("prev_orderkey"),
+        col("prev_orderkey").isNotNull.cast("int").as("matched"))
+      .orderBy(col("o_orderkey").asc)
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "join_asof_tolerance"  -> (joinAsofTolerance _),
     "join_nearest"         -> (joinNearest _),
     "join_fuzzy"           -> (joinFuzzy _),
     "join_theta_band"      -> (joinThetaBand _),
@@ -220,6 +269,25 @@ object JoinsAdvanced {
     "join_interval_native" -> (joinIntervalNative _))
 
   val oracleSql: Map[String, String] = Map(
+    "join_asof_tolerance" ->
+      """WITH j AS (
+        |  SELECT a.o_orderkey AS k1, b.o_orderdate AS d2, b.o_orderkey AS k2,
+        |    row_number() OVER (PARTITION BY a.o_orderkey
+        |      ORDER BY b.o_orderdate DESC, b.o_orderkey DESC) AS rn
+        |  FROM orders a JOIN orders b
+        |    ON a.o_custkey = b.o_custkey
+        |    AND (epoch_us(b.o_orderdate) < epoch_us(a.o_orderdate)
+        |      OR (epoch_us(b.o_orderdate) = epoch_us(a.o_orderdate)
+        |          AND b.o_orderkey < a.o_orderkey))
+        |    AND epoch_us(b.o_orderdate) >= epoch_us(a.o_orderdate) - 15552000000000),
+        |best AS (
+        |  SELECT k1, d2 AS prev_orderdate, k2 AS prev_orderkey
+        |  FROM j WHERE rn = 1)
+        |SELECT a.o_orderkey, a.o_orderdate, a.o_custkey,
+        |  b.prev_orderdate, b.prev_orderkey,
+        |  CAST(b.prev_orderkey IS NOT NULL AS INT) AS matched
+        |FROM orders a LEFT JOIN best b ON a.o_orderkey = b.k1
+        |ORDER BY a.o_orderkey ASC""".stripMargin,
     "join_nearest" ->
       """WITH j AS (
         |  SELECT e.event_id, e.ts, e.user_id, o.o_orderkey, o.o_orderdate,

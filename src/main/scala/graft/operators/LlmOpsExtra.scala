@@ -789,7 +789,52 @@ object LlmOpsExtra {
         sum("n_bad").as("n_nonfinite"))
       .orderBy(col("label").asc)
 
+  /** ROUGE-2 overlap for dedup candidate pairs (round-8 addendum) —
+    * the VALIDATION step after candidate generation: for every pair
+    * the winnowing-fingerprint blocker surfaces, the exact distinct-
+    * bigram precision/recall/F1 (ROUGE-2 with set semantics) that a
+    * dedup threshold is actually tuned against. Closes the loop the
+    * dedup family leaves open: llm_fingerprint proposes, this measures.
+    *
+    * Blocking reuses the MEMOIZED fingerprint frame (fph — same-min-
+    * shingle pairs, the graph-query representative), so candidate
+    * volume is the blocker's output, never n². The intersection is an
+    * equi-join on the raw BIGRAM STRING (exact — no hash-collision
+    * caveat in an oracle'd metric) between the two sides' distinct-
+    * bigram explodes, counted per pair; set sizes join back from the
+    * per-doc bigram census. All frames are candidate-pair × ~100
+    * bigrams — bounded by the blocker. */
+  def llmRougePairs(spark: SparkSession, dir: String): DataFrame = {
+    val fp = fpFrame(spark, dir).select(col("doc_id"), col("fph"))
+    val pairs = fp.select(col("doc_id").as("a"), col("fph"))
+      .join(fp.select(col("doc_id").as("b"), col("fph")), "fph")
+      .filter(col("a") < col("b"))
+      .select("a", "b")
+    val bigrams = Tables.documents(spark, dir)
+      .select(col("doc_id"), split(col("text"), " ").as("toks"))
+      .filter(size(col("toks")) >= 2)
+      .select(col("doc_id"), explode(transform(sequence(lit(1), size(col("toks")) - 1),
+        i => concat_ws(" ", element_at(col("toks"), i), element_at(col("toks"), i + 1)))).as("bg"))
+      .distinct()
+    val sizes = bigrams.groupBy("doc_id").agg(count(lit(1)).as("nb"))
+    val inter = pairs
+      .join(bigrams.select(col("doc_id").as("a"), col("bg")), "a")
+      .join(bigrams.select(col("doc_id").as("b"), col("bg")), Seq("b", "bg"))
+      .groupBy("a", "b").agg(count(lit(1)).as("inter"))
+    pairs
+      .join(inter, Seq("a", "b"), "left")
+      .join(sizes.select(col("doc_id").as("a"), col("nb").as("na")), "a")
+      .join(sizes.select(col("doc_id").as("b"), col("nb").as("nb")), "b")
+      .withColumn("inter", coalesce(col("inter"), lit(0L)))
+      .select(col("a"), col("b"), col("inter"), col("na"), col("nb"),
+        round(col("inter").cast("double") / col("na"), 6).as("rouge2_p"),
+        round(col("inter").cast("double") / col("nb"), 6).as("rouge2_r"),
+        round(lit(2.0) * col("inter") / (col("na") + col("nb")), 6).as("rouge2_f"))
+      .orderBy(col("a").asc, col("b").asc)
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "llm_rouge_pairs"   -> (llmRougePairs _),
     "llm_emb_stats"     -> (llmEmbStats _),
     "llm_pca"           -> (llmPca _),
     "llm_bm25_retrieve" -> (llmBm25Retrieve _),
@@ -810,6 +855,38 @@ object LlmOpsExtra {
     "llm_hard_negatives" -> (llmHardNegatives _))
 
   val oracleSql: Map[String, String] = Map(
+    "llm_rouge_pairs" ->
+      """WITH f AS (
+        |  SELECT doc_id,
+        |    list_min(list_transform(
+        |      generate_series(1, greatest(len(string_split(text,' ')) - 7, 1)),
+        |      i -> array_to_string(list_slice(string_split(text,' '), i, i + 7), ' '))) AS fp
+        |  FROM documents),
+        |pairs AS (
+        |  SELECT x.doc_id AS a, y.doc_id AS b
+        |  FROM f x JOIN f y ON x.fp = y.fp AND x.doc_id < y.doc_id),
+        |bg AS (
+        |  SELECT DISTINCT doc_id, t[i] || ' ' || t[i + 1] AS bg FROM (
+        |    SELECT doc_id, t, unnest(generate_series(1, len(t) - 1)) AS i FROM (
+        |      SELECT doc_id, string_split(text, ' ') AS t FROM documents
+        |      WHERE len(string_split(text, ' ')) >= 2))),
+        |sizes AS (SELECT doc_id, count(*) AS nb FROM bg GROUP BY doc_id),
+        |inter AS (
+        |  SELECT p.a, p.b, count(*) AS inter
+        |  FROM pairs p
+        |  JOIN bg ba ON ba.doc_id = p.a
+        |  JOIN bg bb ON bb.doc_id = p.b AND bb.bg = ba.bg
+        |  GROUP BY p.a, p.b)
+        |SELECT p.a, p.b, COALESCE(i.inter, 0) AS inter,
+        |  sa.nb AS na, sb.nb AS nb,
+        |  round(CAST(COALESCE(i.inter, 0) AS DOUBLE) / sa.nb, 6) AS rouge2_p,
+        |  round(CAST(COALESCE(i.inter, 0) AS DOUBLE) / sb.nb, 6) AS rouge2_r,
+        |  round(2.0 * COALESCE(i.inter, 0) / (sa.nb + sb.nb), 6) AS rouge2_f
+        |FROM pairs p
+        |LEFT JOIN inter i ON p.a = i.a AND p.b = i.b
+        |JOIN sizes sa ON sa.doc_id = p.a
+        |JOIN sizes sb ON sb.doc_id = p.b
+        |ORDER BY p.a ASC, p.b ASC""".stripMargin,
     "llm_emb_stats" ->
       """WITH v AS (
         |  SELECT label, embedding,

@@ -446,7 +446,48 @@ object TimeSeries {
       .orderBy(col("ta").asc, col("tb").asc)
   }
 
+  /** Discrete periodogram (round-8 addendum) — spectral power of each
+    * event type's daily revenue at harmonics k = 1..10: the
+    * dominant-period detector behind "is this metric weekly?" questions
+    * that ts_seasonal answers only for the ASSUMED weekly period (the
+    * periodogram finds the period; the decomposition then measures it).
+    * Samples are indexed by OBSERVED-day rank (row_number − 1), the
+    * deterministic convention for possibly-gapped calendars; the series
+    * is centered on its 4dp-rounded mean (removing DC leakage — the
+    * broadcast-mean pattern), and power(k) = a²+b² with a = Σx̃·cos,
+    * b = Σx̃·sin. cos/sin may differ in the last ulp across libm
+    * implementations — the products are summed per (type, k) and the
+    * power rounds at 2dp over O(1e9) magnitudes, absorbing far more
+    * than ulp noise. Peak flagged by (power DESC, k ASC) row_number.
+    * Shape: day-grain rollup (corpus pass) → literal 10-harmonic spine
+    * cross → (type, k) hash agg — vocabulary-sized forever. */
+  def tsPeriodogram(spark: SparkSession, dir: String): DataFrame = {
+    val daily = Tables.events(spark, dir)
+      .groupBy(col("event_type"), date_trunc("day", col("ts")).as("day"))
+      .agg(round(sum("value"), 2).as("rev"))
+    val wIdx = Window.partitionBy("event_type").orderBy(col("day").asc)
+    val idx = daily
+      .withColumn("t", (row_number().over(wIdx) - 1).cast("double"))
+      .withColumn("n", count(lit(1)).over(Window.partitionBy("event_type")).cast("double"))
+    val mu = idx.groupBy(col("event_type").as("et"))
+      .agg(round(avg("rev"), 4).as("mu"))
+    val ks = spark.range(1, 11).select(col("id").cast("int").as("k"))
+    idx.join(broadcast(mu), col("event_type") === col("et"))
+      .crossJoin(broadcast(ks))
+      .withColumn("theta", lit(2.0 * math.Pi) * col("k") * col("t") / col("n"))
+      .groupBy("event_type", "k")
+      .agg(sum((col("rev") - col("mu")) * cos(col("theta"))).as("a"),
+        sum((col("rev") - col("mu")) * sin(col("theta"))).as("b"))
+      .select(col("event_type"), col("k"),
+        round(col("a") * col("a") + col("b") * col("b"), 2).as("power"))
+      .withColumn("is_peak",
+        (row_number().over(Window.partitionBy("event_type")
+          .orderBy(col("power").desc, col("k").asc)) === 1).cast("int"))
+      .orderBy(col("event_type").asc, col("k").asc)
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "ts_periodogram" -> (tsPeriodogram _),
     "ts_brown"    -> (tsBrown _),
     "ts_cross_corr" -> (tsCrossCorr _),
     "ts_theilsen" -> (tsTheilsen _),
@@ -461,6 +502,31 @@ object TimeSeries {
     "ts_anomaly"  -> (tsAnomaly _))
 
   val oracleSql: Map[String, String] = Map(
+    "ts_periodogram" ->
+      """WITH daily AS (
+        |  SELECT event_type, date_trunc('day', ts) AS day,
+        |    round(sum(value), 2) AS rev
+        |  FROM events GROUP BY event_type, day),
+        |idx AS (
+        |  SELECT event_type, rev,
+        |    CAST(row_number() OVER (PARTITION BY event_type ORDER BY day ASC) - 1 AS DOUBLE) AS t,
+        |    CAST(count(*) OVER (PARTITION BY event_type) AS DOUBLE) AS n
+        |  FROM daily),
+        |mu AS (SELECT event_type AS et, round(avg(rev), 4) AS mu FROM idx GROUP BY et),
+        |ks AS (SELECT CAST(unnest(generate_series(1, 10)) AS INT) AS k),
+        |terms AS (
+        |  SELECT i.event_type, ks.k,
+        |    (i.rev - mu.mu) * cos(2.0 * pi() * ks.k * i.t / i.n) AS ca,
+        |    (i.rev - mu.mu) * sin(2.0 * pi() * ks.k * i.t / i.n) AS cb
+        |  FROM idx i JOIN mu ON i.event_type = mu.et CROSS JOIN ks),
+        |p AS (
+        |  SELECT event_type, k,
+        |    round(sum(ca) * sum(ca) + sum(cb) * sum(cb), 2) AS power
+        |  FROM terms GROUP BY event_type, k)
+        |SELECT event_type, k, power,
+        |  CAST(row_number() OVER (PARTITION BY event_type
+        |    ORDER BY power DESC, k ASC) = 1 AS INT) AS is_peak
+        |FROM p ORDER BY event_type ASC, k ASC""".stripMargin,
     "ts_brown" ->
       """WITH daily AS (
         |  SELECT event_type, date_trunc('day', ts) AS day,

@@ -124,7 +124,10 @@ class PlanSnapshotSpec extends AnyFunSuite {
       // wave-11: ts_cross_corr crosses the 7-literal lag spine with the
       // day-grain frame; llm_dataset_card assembles three 1-row/1-row
       // aggregates (base stats × vocab count × top source)
-      "ts_cross_corr", "llm_dataset_card")
+      "ts_cross_corr", "llm_dataset_card",
+      // wave-12: ts_periodogram crosses the literal 10-harmonic spine
+      // with the day-grain frame (types × days × 10 — vocabulary-sized)
+      "ts_periodogram")
     val withNlj = plans.flatMap { case (name, plan) =>
       val n = plan.collect {
         case j: BroadcastNestedLoopJoinExec => j

@@ -818,4 +818,86 @@ class Round8OpsSpec extends AnyFunSuite {
     assert(math.abs(r.getDouble(8) - topRow.getLong(1).toDouble / d.count()) < 1e-6)
     assert(r.getDouble(6) >= 0.0 && r.getDouble(6) < 1.0) // dup rate
   }
+
+  // ---- wave-12 addenda: asof tolerance / periodogram / rouge pairs
+
+  test("join_asof_tolerance: picks the exact in-window prior order; mixed outcomes") {
+    val out = operators.JoinsAdvanced.joinAsofTolerance(spark, sf0001).collect()
+    assert(out.nonEmpty)
+    val tolMs = 180L * 24 * 3600 * 1000L
+    // o_orderdate flows through as TIMESTAMP_NTZ (LocalDateTime)
+    def ms(v: Any): Long = v match {
+      case t: java.sql.Timestamp => t.getTime
+      case d: java.time.LocalDateTime =>
+        d.toInstant(java.time.ZoneOffset.UTC).toEpochMilli
+    }
+    val orders = Tables.orders(spark, sf0001)
+      .select("o_orderkey", "o_orderdate", "o_custkey").collect()
+      .map(r => (r.getLong(0), ms(r.get(1)), r.getLong(2)))
+    val byCust = orders.groupBy(_._3)
+    var matchedCount = 0
+    out.foreach { r =>
+      val (k1, d1, c1, matched) = (r.getLong(0), ms(r.get(1)), r.getLong(2), r.getInt(5))
+      val candidates = byCust(c1).filter { case (k2, d2, _) =>
+        (d2 < d1 || (d2 == d1 && k2 < k1)) && d2 >= d1 - tolMs
+      }
+      if (matched == 1) {
+        matchedCount += 1
+        val bestExact = candidates.maxBy(t => (t._2, t._1))
+        assert(r.getLong(4) === bestExact._1, s"order $k1 prev key")
+        assert(ms(r.get(3)) === bestExact._2, s"order $k1 prev date")
+      } else {
+        assert(candidates.isEmpty, s"order $k1 unmatched but a prior exists")
+      }
+    }
+    assert(matchedCount > 0 && matchedCount < out.length,
+      "tolerance should both match and reject on the fixture")
+  }
+
+  test("ts_periodogram: matches a driver-side DFT; exactly one peak per type") {
+    val out = operators.TimeSeries.tsPeriodogram(spark, sf0001).collect()
+    assert(out.nonEmpty)
+    val daily = Tables.events(spark, sf0001)
+      .groupBy(col("event_type"), date_trunc("day", col("ts")).as("day"))
+      .agg(round(sum("value"), 2).as("rev"))
+      .collect().map(r => (r.getString(0), r.getTimestamp(1).getTime, r.getDouble(2)))
+    out.groupBy(_.getString(0)).foreach { case (tpe, rows) =>
+      assert(rows.count(_.getInt(3) == 1) === 1, s"$tpe peaks")
+      val xs = daily.filter(_._1 == tpe).sortBy(_._2).map(_._3)
+      val n = xs.length.toDouble
+      val mu = BigDecimal(xs.sum / n).setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble
+      rows.foreach { r =>
+        val k = r.getInt(1)
+        val a = xs.zipWithIndex.map { case (x, t) =>
+          (x - mu) * math.cos(2 * math.Pi * k * t / n) }.sum
+        val b = xs.zipWithIndex.map { case (x, t) =>
+          (x - mu) * math.sin(2 * math.Pi * k * t / n) }.sum
+        assert(math.abs(r.getDouble(2) - (a * a + b * b)) < 1.0,
+          s"$tpe k=$k power")
+        assert(r.getDouble(2) >= 0.0)
+      }
+    }
+  }
+
+  test("llm_rouge_pairs: exact bigram-set overlap metrics on blocked pairs") {
+    val out = operators.LlmOpsExtra.llmRougePairs(spark, sf0001).collect()
+    assert(out.nonEmpty)
+    val docs = Tables.documents(spark, sf0001)
+      .select(col("doc_id"), col("text")).collect()
+      .map(r => r.getLong(0) -> r.getString(1).split(" ").toSeq).toMap
+    def bg(id: Long): Set[String] =
+      docs(id).sliding(2).filter(_.length == 2).map(_.mkString(" ")).toSet
+    out.foreach { r =>
+      val (a, b, inter, na, nb) =
+        (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4))
+      assert(a < b)
+      val (sa, sb) = (bg(a), bg(b))
+      assert(na === sa.size.toLong && nb === sb.size.toLong)
+      assert(inter === (sa & sb).size.toLong, s"pair ($a,$b) inter")
+      assert(math.abs(r.getDouble(5) - inter.toDouble / na) < 1e-6)
+      assert(math.abs(r.getDouble(7) - 2.0 * inter / (na + nb)) < 1e-6)
+    }
+    // blocked pairs share a minimal shingle — they must overlap heavily
+    assert(out.map(_.getDouble(7)).min > 0.0, "blocked pairs share ≥1 bigram")
+  }
 }
