@@ -274,7 +274,48 @@ object DataQuality {
         |ORDER BY r.n_name ASC""".stripMargin)
   }
 
+  /** Snapshot diff (round-8 addendum) — the reconciliation report a
+    * warehouse runs between two loads of the same table: rows added,
+    * removed, changed, unchanged, by FULL OUTER join on the business
+    * key with column-level compare. Snapshot B is simulated from
+    * orders by deterministic key arithmetic (every engine sees the
+    * identical B): keys ≡0 mod 101 deleted, keys ≡0 mod 97 get status
+    * 'X' (update), keys ≡0 mod 103 re-inserted shifted by 10¹²
+    * (insert — the offset clears any fixture's key range at any sf).
+    * Complements cdc_apply: CDC consumes a change LOG; the diff
+    * RECONSTRUCTS one when upstream can't produce it.
+    *
+    * Shape: one full-outer shuffle join on the key (both sides
+    * key-partitioned — even spread at any scale) and a 4-row
+    * classification rollup; min/max key per class bound the affected
+    * range for incident triage. */
+  def dqSnapshotDiff(spark: SparkSession, dir: String): DataFrame = {
+    val a = Tables.orders(spark, dir)
+      .select(col("o_orderkey").as("k"), col("o_orderstatus").as("st_a"),
+        col("o_totalprice").as("tp_a"))
+    val base = Tables.orders(spark, dir)
+    val b = base
+      .filter(col("o_orderkey") % 101 =!= 0)
+      .select(col("o_orderkey").as("k"),
+        when(col("o_orderkey") % 97 === 0, lit("X"))
+          .otherwise(col("o_orderstatus")).as("st_b"),
+        col("o_totalprice").as("tp_b"))
+      .unionAll(base.filter(col("o_orderkey") % 103 === 0)
+        .select((col("o_orderkey") + 1000000000000L).as("k"),
+          col("o_orderstatus").as("st_b"), col("o_totalprice").as("tp_b")))
+    a.join(b, Seq("k"), "full_outer")
+      .withColumn("class",
+        when(col("st_a").isNull, "added")
+          .when(col("st_b").isNull, "removed")
+          .when(col("st_a") =!= col("st_b") || col("tp_a") =!= col("tp_b"), "changed")
+          .otherwise("unchanged"))
+      .groupBy("class")
+      .agg(count(lit(1)).as("n"), min("k").as("min_key"), max("k").as("max_key"))
+      .orderBy(col("class").asc)
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "dq_snapshot_diff" -> (dqSnapshotDiff _),
     "dq_outlier_iqr" -> (dqOutlierIqr _),
     "dq_benford" -> (dqBenford _),
     "dq_drift_ks" -> (dqDriftKs _),
@@ -285,6 +326,30 @@ object DataQuality {
     "join_scd2" -> (joinScd2 _))
 
   val oracleSql: Map[String, String] = Map(
+    "dq_snapshot_diff" ->
+      """WITH a AS (
+        |  SELECT o_orderkey AS k, o_orderstatus AS st_a, o_totalprice AS tp_a
+        |  FROM orders),
+        |b AS (
+        |  SELECT o_orderkey AS k,
+        |    CASE WHEN o_orderkey % 97 = 0 THEN 'X' ELSE o_orderstatus END AS st_b,
+        |    o_totalprice AS tp_b
+        |  FROM orders WHERE o_orderkey % 101 <> 0
+        |  UNION ALL
+        |  SELECT o_orderkey + 1000000000000 AS k, o_orderstatus, o_totalprice
+        |  FROM orders WHERE o_orderkey % 103 = 0),
+        |j AS (
+        |  SELECT COALESCE(a.k, b.k) AS k, a.st_a, b.st_b, a.tp_a, b.tp_b
+        |  FROM a FULL OUTER JOIN b ON a.k = b.k),
+        |c AS (
+        |  SELECT k,
+        |    CASE WHEN st_a IS NULL THEN 'added'
+        |         WHEN st_b IS NULL THEN 'removed'
+        |         WHEN st_a <> st_b OR tp_a <> tp_b THEN 'changed'
+        |         ELSE 'unchanged' END AS class
+        |  FROM j)
+        |SELECT class, count(*) AS n, min(k) AS min_key, max(k) AS max_key
+        |FROM c GROUP BY class ORDER BY class ASC""".stripMargin,
     "dq_outlier_iqr" ->
       """WITH rev AS (
         |  SELECT n.n_name, o.o_custkey, round(sum(o.o_totalprice), 2) AS rev

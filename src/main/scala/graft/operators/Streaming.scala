@@ -55,6 +55,26 @@ object Streaming {
       .orderBy(col("user_id").asc, col("session_id").asc)
   }
 
+  /** Windowed arg-max (round-8 addendum) — per 1-hour window and type,
+    * WHICH event carried the peak value (the alerting question "what
+    * spiked", where stream_tumbling only answers "how much"). Declared
+    * batch like the rest of §2.I; the same `max(struct(value, id))`
+    * aggregate runs incrementally under a watermark in the unit suite
+    * (StreamingEquivalenceSpec) — struct-max is partial-merge-safe, so
+    * the streaming state per (window, type) is one struct, not the
+    * events. Tie on value resolves to the larger event_id through the
+    * struct's lexicographic order (§2.Z.6); value is a STORED double
+    * (never computed), so its cross-engine ordering is exact. */
+  def streamArgmax(spark: SparkSession, dir: String): DataFrame =
+    Tables.events(spark, dir)
+      .groupBy(window(col("ts"), "1 hour"), col("event_type"))
+      .agg(count(lit(1)).as("n"),
+        max(struct(col("value"), col("event_id"))).as("best"))
+      .select(col("window.start").as("wstart"), col("event_type"), col("n"),
+        round(col("best.value"), 2).as("peak_value"),
+        col("best.event_id").as("peak_event"))
+      .orderBy(col("wstart").asc, col("event_type").asc)
+
   /** Exactly-once dedup: duplicates manufactured by a self-unionAll, then
     * dropDuplicates on the event key (streaming form:
     * dropDuplicatesWithinWatermark — unit suite). Aggregated so the result
@@ -230,6 +250,7 @@ object Streaming {
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "stream_stream_join" -> (streamStreamJoin _),
     "stream_join_static" -> (streamJoinStatic _),
+    "stream_argmax"    -> (streamArgmax _),
     "stream_tumbling"  -> (streamTumbling _),
     "stream_sliding"   -> (streamSliding _),
     "stream_session"   -> (streamSession _),
@@ -269,6 +290,17 @@ object Streaming {
         |FROM events JOIN customer ON user_id = c_custkey
         |GROUP BY hour, c_mktsegment
         |ORDER BY hour ASC, c_mktsegment ASC""".stripMargin,
+    "stream_argmax" ->
+      """WITH r AS (
+        |  SELECT date_trunc('hour', ts) AS wstart, event_type, value, event_id,
+        |    count(*) OVER (PARTITION BY date_trunc('hour', ts), event_type) AS n,
+        |    row_number() OVER (PARTITION BY date_trunc('hour', ts), event_type
+        |      ORDER BY value DESC, event_id DESC) AS rn
+        |  FROM events)
+        |SELECT wstart, event_type, n, round(value, 2) AS peak_value,
+        |  event_id AS peak_event
+        |FROM r WHERE rn = 1
+        |ORDER BY wstart ASC, event_type ASC""".stripMargin,
     "stream_tumbling" ->
       """SELECT date_trunc('hour', ts) AS wstart,
         | date_trunc('hour', ts) + INTERVAL 1 HOUR AS wend,

@@ -486,7 +486,39 @@ object TimeSeries {
       .orderBy(col("event_type").asc, col("k").asc)
   }
 
+  /** Forecast backtest (round-8 addendum) — the evaluation loop every
+    * forecasting deployment closes: Brown's one-step-ahead forecast
+    * (ts_brown's fcst_next at sample t) scored against the NEXT
+    * observed sample, per event type — MAE and RMSE for the model,
+    * MAE for the persistence baseline (tomorrow = today), and the
+    * skill score 1 − MAE_model/MAE_naive that decides whether the
+    * model earns its keep (negative skill ⇒ naive wins — the honest
+    * and common outcome on near-random series). "Next observed
+    * sample" (lead over the day order) is the deterministic
+    * convention for gapped calendars, matching ts_periodogram's
+    * rank indexing. Every error subtracts two already-rounded values
+    * (x at 2dp, fcst at 6dp), so the aggregates diverge only by
+    * summation-order ulps — 4dp absorbs. Shape: ts_brown's plan plus
+    * one lead window on the same (type, day) ordering and a per-type
+    * hash agg. */
+  def tsForecastEval(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy("event_type").orderBy(col("day").asc)
+    tsBrown(spark, dir)
+      .withColumn("x_next", lead("x", 1).over(w))
+      .filter(col("x_next").isNotNull)
+      .withColumn("e_fcst", col("x_next") - col("fcst_next"))
+      .withColumn("e_naive", col("x_next") - col("x"))
+      .groupBy("event_type")
+      .agg(count(lit(1)).as("n_evals"),
+        round(avg(abs(col("e_fcst"))), 4).as("mae_fcst"),
+        round(avg(abs(col("e_naive"))), 4).as("mae_naive"),
+        round(sqrt(avg(col("e_fcst") * col("e_fcst"))), 4).as("rmse_fcst"),
+        (round(lit(1.0) - avg(abs(col("e_fcst"))) / avg(abs(col("e_naive"))), 6) + 0.0).as("skill"))
+      .orderBy(col("event_type").asc)
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "ts_forecast_eval" -> (tsForecastEval _),
     "ts_periodogram" -> (tsPeriodogram _),
     "ts_brown"    -> (tsBrown _),
     "ts_cross_corr" -> (tsCrossCorr _),
@@ -502,6 +534,61 @@ object TimeSeries {
     "ts_anomaly"  -> (tsAnomaly _))
 
   val oracleSql: Map[String, String] = Map(
+    "ts_forecast_eval" ->
+      """WITH daily AS (
+        |  SELECT event_type, date_trunc('day', ts) AS day,
+        |    round(sum(value), 2) AS rev
+        |  FROM events GROUP BY event_type, day),
+        |b1 AS (
+        |  SELECT event_type, day, rev,
+        |    date_diff('day', first_value(day) OVER w, day) AS tt,
+        |    first_value(rev) OVER w AS x0
+        |  FROM daily
+        |  WINDOW w AS (PARTITION BY event_type ORDER BY day ASC
+        |               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)),
+        |c1 AS (
+        |  SELECT event_type, day, rev, tt, x0,
+        |    sum(rev * pow(125e-2, tt)) OVER (
+        |      PARTITION BY event_type ORDER BY day ASC
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS s
+        |  FROM b1),
+        |e1 AS (
+        |  SELECT event_type, day, rev AS x,
+        |    round(pow(8e-1, tt) * (x0 + 2e-1 * (s - x0)), 4) AS s1
+        |  FROM c1),
+        |b2 AS (
+        |  SELECT event_type, day, x, s1,
+        |    date_diff('day', first_value(day) OVER w, day) AS tt,
+        |    first_value(s1) OVER w AS x0
+        |  FROM e1
+        |  WINDOW w AS (PARTITION BY event_type ORDER BY day ASC
+        |               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)),
+        |c2 AS (
+        |  SELECT event_type, day, x, s1, tt, x0,
+        |    sum(s1 * pow(125e-2, tt)) OVER (
+        |      PARTITION BY event_type ORDER BY day ASC
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS s
+        |  FROM b2),
+        |e2 AS (
+        |  SELECT event_type, day, x, s1,
+        |    round(pow(8e-1, tt) * (x0 + 2e-1 * (s - x0)), 4) AS s2
+        |  FROM c2),
+        |br AS (
+        |  SELECT event_type, day, x,
+        |    round(round(2.0 * s1 - s2, 4)
+        |      + (round(0.25 * (s1 - s2), 6) + 0.0), 6) + 0.0 AS fcst_next
+        |  FROM e2),
+        |ld AS (
+        |  SELECT event_type, x, fcst_next,
+        |    lead(x, 1) OVER (PARTITION BY event_type ORDER BY day ASC) AS x_next
+        |  FROM br),
+        |f AS (SELECT * FROM ld WHERE x_next IS NOT NULL)
+        |SELECT event_type, count(*) AS n_evals,
+        |  round(avg(abs(x_next - fcst_next)), 4) AS mae_fcst,
+        |  round(avg(abs(x_next - x)), 4) AS mae_naive,
+        |  round(sqrt(avg((x_next - fcst_next) * (x_next - fcst_next))), 4) AS rmse_fcst,
+        |  round(1.0 - avg(abs(x_next - fcst_next)) / avg(abs(x_next - x)), 6) + 0.0 AS skill
+        |FROM f GROUP BY event_type ORDER BY event_type ASC""".stripMargin,
     "ts_periodogram" ->
       """WITH daily AS (
         |  SELECT event_type, date_trunc('day', ts) AS day,

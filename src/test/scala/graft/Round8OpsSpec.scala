@@ -900,4 +900,43 @@ class Round8OpsSpec extends AnyFunSuite {
     // blocked pairs share a minimal shingle — they must overlap heavily
     assert(out.map(_.getDouble(7)).min > 0.0, "blocked pairs share ≥1 bigram")
   }
+
+  // ---- wave-13 addenda: forecast eval / snapshot diff (stream_argmax
+  //      equivalence lives in StreamingEquivalenceSpec)
+
+  test("ts_forecast_eval: error metrics match a recomputation from ts_brown") {
+    val out = operators.TimeSeries.tsForecastEval(spark, sf0001).collect()
+    assert(out.nonEmpty)
+    val brown = operators.TimeSeries.tsBrown(spark, sf0001).collect()
+      .map(r => (r.getString(0), r.getTimestamp(1).getTime, r.getDouble(2), r.getDouble(7)))
+    out.foreach { r =>
+      val (tpe, n, mae, maeN, rmse) = (r.getString(0), r.getLong(1),
+        r.getDouble(2), r.getDouble(3), r.getDouble(4))
+      val s = brown.filter(_._1 == tpe).sortBy(_._2)
+      val evals = s.zip(s.tail).map { case ((_, _, x, f), (_, _, xn, _)) =>
+        (math.abs(xn - f), math.abs(xn - x), (xn - f) * (xn - f)) }
+      assert(n === evals.length.toLong, s"$tpe n_evals")
+      assert(math.abs(mae - evals.map(_._1).sum / n) < 1e-3, s"$tpe mae")
+      assert(math.abs(maeN - evals.map(_._2).sum / n) < 1e-3, s"$tpe mae_naive")
+      assert(math.abs(rmse - math.sqrt(evals.map(_._3).sum / n)) < 1e-3, s"$tpe rmse")
+      assert(rmse >= mae - 1e-9, s"$tpe rmse >= mae (Jensen)")
+      assert(math.abs(r.getDouble(5) - (1.0 - mae / maeN)) < 1e-4, s"$tpe skill")
+    }
+  }
+
+  test("dq_snapshot_diff: classes match the modular construction exactly") {
+    val out = operators.DataQuality.dqSnapshotDiff(spark, sf0001).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val keys = Tables.orders(spark, sf0001)
+      .select("o_orderkey").collect().map(_.getLong(0))
+    val added = keys.count(_ % 103 == 0).toLong
+    val removed = keys.count(_ % 101 == 0).toLong
+    val changed = keys.count(k => k % 97 == 0 && k % 101 != 0).toLong
+    assert(out.getOrElse("added", 0L) === added)
+    assert(out.getOrElse("removed", 0L) === removed)
+    assert(out.getOrElse("changed", 0L) === changed)
+    assert(out.getOrElse("unchanged", 0L) ===
+      keys.length - removed - changed)
+    assert(added > 0 && removed > 0 && changed > 0, "all classes exercised")
+  }
 }

@@ -45,6 +45,26 @@ class StreamingEquivalenceSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("windowed arg-max: incremental == batch (struct-max state merges)") {
+    implicit val ctx = spark.sqlContext
+    val evs = fixtureEvents
+    val ms = MemoryStream[Ev]
+    val q = ms.toDF()
+      .groupBy(window($"ts", "1 hour"), $"event_type")
+      .agg(max(struct($"value", $"event_id")).as("best"))
+      .writeStream.format("memory").queryName("argmax").outputMode("complete").start()
+    try {
+      evs.grouped(150).foreach { chunk => ms.addData(chunk); q.processAllAvailable() }
+      val streamed = spark.table("argmax")
+        .select($"window.start", $"event_type", $"best.event_id")
+        .collect().map(r => (r.get(0).toString, r.getString(1), r.getLong(2))).toSet
+      val batch = operators.Streaming.streamArgmax(spark, sf0001)
+        .select($"wstart", $"event_type", $"peak_event")
+        .collect().map(r => (r.get(0).toString, r.getString(1), r.getLong(2))).toSet
+      assert(streamed === batch)
+    } finally q.stop()
+  }
+
   test("streaming dropDuplicates: re-delivered events counted once") {
     implicit val ctx = spark.sqlContext
     val evs = fixtureEvents.take(200)
