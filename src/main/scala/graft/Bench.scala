@@ -107,7 +107,14 @@ object Bench {
       tables.foreach { t =>
         val w0 = System.nanoTime()
         try {
-          val df = spark.read.parquet(s"$sfDir/$t.parquet")
+          // Load through Tables.byName, NOT a raw spark.read.parquet: the
+          // raw read warms the page cache but leaves Tables' schemaCache
+          // cold, so each table's footer-inference JOB landed inside the
+          // first TIMED query touching it (worst: the first registerAll
+          // consumer paid ~9 inference jobs at once — measured as jobs
+          // 20-28 of a TimeQ trace). byName populates the cache here,
+          // in the untimed region.
+          val df = Tables.byName(spark, sfDir, t)
           df.select(org.apache.spark.sql.functions.xxhash64(df.columns.map(
             org.apache.spark.sql.functions.col): _*).as("h"))
             .selectExpr("sum(h)").collect()

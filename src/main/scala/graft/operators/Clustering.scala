@@ -127,7 +127,11 @@ object Clustering {
       // dedicated job per round while AQE reuses the already-materialized
       // shuffle output), and for a corpus whose contracted label set
       // exceeds the broadcast budget the same plan degrades gracefully to
-      // the shuffle form with identical semantics.
+      // the shuffle form with identical semantics. (Since the round-8
+      // noAqe memo writes: rounds that execute INSIDE a materialize()
+      // plan with AQE off, i.e. as plain shuffle joins in that single
+      // write job — still the fewest-jobs form, and the convergence
+      // probes/final compose outside the writes keep AQE's conversion.)
       val nbr = ep.join(labels, ep("b_id") === labels("id"))
         .select(ep("a_id").as("id"), col("lbl"), lit(Long.MaxValue).as("prev"))
       val next = labels.select(col("id"), col("lbl"), col("lbl").as("prev"))

