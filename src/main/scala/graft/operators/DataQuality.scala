@@ -314,7 +314,33 @@ object DataQuality {
       .orderBy(col("class").asc)
   }
 
+  /** Cross-column Pearson correlation profile (round-8 wave 13) — the
+    * multivariate step dq_profile (per-column stats) stops short of:
+    * every numeric column pair of the fact table in ONE corpus pass.
+    * `corr` is a merged-moment aggregate (n, Σx, Σy, Σxx, Σyy, Σxy
+    * compose map-side — same machinery as agg_stats/agg_regression), so
+    * 6 pairs cost one hash-agg over 4 columns at any scale; the long
+    * (col_a, col_b, r) shape comes from `stack` over the single 1-row
+    * wide result, a driver-free pivot. 5dp round: corr divides two
+    * accumulation-ordered large sums, one digit looser than the single-
+    * sum 6dp convention (same reasoning as agg_regression's 4dp slope). */
+  def dqCorrMatrix(spark: SparkSession, dir: String): DataFrame = {
+    val cols = Seq("l_quantity", "l_extendedprice", "l_discount", "l_tax")
+    val pairs = for {
+      i <- cols.indices; j <- cols.indices if i < j
+    } yield (cols(i), cols(j))
+    val wide = Tables.lineitem(spark, dir).agg(
+      round(corr(col(pairs.head._1), col(pairs.head._2)), 5).as("c0"),
+      pairs.tail.zipWithIndex.map { case ((x, y), k) =>
+        round(corr(col(x), col(y)), 5).as(s"c${k + 1}") }: _*)
+    val stackArgs = pairs.zipWithIndex
+      .map { case ((x, y), k) => s"'$x', '$y', c$k" }.mkString(", ")
+    wide.selectExpr(s"stack(${pairs.size}, $stackArgs) AS (col_a, col_b, r)")
+      .orderBy(col("col_a").asc, col("col_b").asc)
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "dq_corr_matrix" -> (dqCorrMatrix _),
     "dq_snapshot_diff" -> (dqSnapshotDiff _),
     "dq_outlier_iqr" -> (dqOutlierIqr _),
     "dq_benford" -> (dqBenford _),
@@ -326,6 +352,26 @@ object DataQuality {
     "join_scd2" -> (joinScd2 _))
 
   val oracleSql: Map[String, String] = Map(
+    "dq_corr_matrix" ->
+      """SELECT col_a, col_b, r FROM (
+        |  SELECT 'l_quantity' AS col_a, 'l_extendedprice' AS col_b,
+        |    round(corr(l_quantity, l_extendedprice), 5) AS r FROM lineitem
+        |  UNION ALL
+        |  SELECT 'l_quantity', 'l_discount',
+        |    round(corr(l_quantity, l_discount), 5) FROM lineitem
+        |  UNION ALL
+        |  SELECT 'l_quantity', 'l_tax',
+        |    round(corr(l_quantity, l_tax), 5) FROM lineitem
+        |  UNION ALL
+        |  SELECT 'l_extendedprice', 'l_discount',
+        |    round(corr(l_extendedprice, l_discount), 5) FROM lineitem
+        |  UNION ALL
+        |  SELECT 'l_extendedprice', 'l_tax',
+        |    round(corr(l_extendedprice, l_tax), 5) FROM lineitem
+        |  UNION ALL
+        |  SELECT 'l_discount', 'l_tax',
+        |    round(corr(l_discount, l_tax), 5) FROM lineitem)
+        |ORDER BY col_a ASC, col_b ASC""".stripMargin,
     "dq_snapshot_diff" ->
       """WITH a AS (
         |  SELECT o_orderkey AS k, o_orderstatus AS st_a, o_totalprice AS tp_a

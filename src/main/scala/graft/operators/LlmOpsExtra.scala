@@ -59,6 +59,38 @@ object LlmOpsExtra {
       .orderBy(col("doc_id").asc)
   }
 
+  /** Cross-source duplication matrix (round-8 wave 13) — WHICH sources
+    * duplicate each other, the question a mixture decision actually asks
+    * (two crawls of the same site should be merged, not independently
+    * capped). One row per unordered source pair with the number of
+    * same-fingerprint doc pairs between them and how many distinct
+    * fingerprints contribute.
+    *
+    * NO pair materialization: per fingerprint group, docs are counted per
+    * source first (hash agg on the memoized fingerprint frame), and the
+    * pair count is computed from the source-count vector — n_a·n_b across
+    * sources, n·(n−1)/2 within. The self-join key `fp` then carries at
+    * most #sources rows per side, so the classic clique bomb (a 10⁵-doc
+    * boilerplate group emitting 5·10⁹ edges) reduces to a bounded
+    * #sources² arithmetic row set — the same histogram-not-edges move
+    * Clustering.fpGroupSizes documents. */
+  def llmCrossSourceDup(spark: SparkSession, dir: String): DataFrame = {
+    val g = fpFrame(spark, dir).select(col("doc_id"), col("fp"))
+      .join(Tables.documents(spark, dir).select(col("doc_id"), col("source")), "doc_id")
+      .groupBy("fp", "source").agg(count(lit(1)).as("n"))
+    val a = g.select(col("fp"), col("source").as("src_a"), col("n").as("na"))
+    val b = g.select(col("fp"), col("source").as("src_b"), col("n").as("nb"))
+    a.join(b, "fp")
+      .filter(col("src_a") <= col("src_b"))
+      // n·(n−1) is even, so `div` is exact; cross-source pairs multiply
+      .withColumn("np", when(col("src_a") === col("src_b"),
+          expr("na * (na - 1) div 2")).otherwise(col("na") * col("nb")))
+      .filter(col("np") > 0)
+      .groupBy("src_a", "src_b")
+      .agg(sum("np").as("n_pairs"), count(lit(1)).as("n_fps"))
+      .orderBy(col("src_a").asc, col("src_b").asc)
+  }
+
   /** Incremental corpus dedup against history with a Bloom pre-filter
     * (round-7 addendum): the arriving batch (doc_id ≡ 0 mod 10 as the
     * deterministic stand-in for "today's crawl") is deduplicated against
@@ -879,9 +911,29 @@ object LlmOpsExtra {
     "llm_ann_ivf"     -> (llmAnnIvf _),
     "llm_quantize"    -> (llmQuantize _),
     "llm_ann_lsh"       -> (llmAnnLsh _),
-    "llm_hard_negatives" -> (llmHardNegatives _))
+    "llm_hard_negatives" -> (llmHardNegatives _),
+    "llm_cross_source_dup" -> (llmCrossSourceDup _))
 
   val oracleSql: Map[String, String] = Map(
+    "llm_cross_source_dup" ->
+      """WITH f AS (
+        |  SELECT doc_id, list_min(list_transform(
+        |    generate_series(1, greatest(len(string_split(text, ' ')) - 7, 1)),
+        |    i -> md5(array_to_string(list_slice(string_split(text, ' '), i, i + 7), ' ')))) AS fp
+        |  FROM documents),
+        |g AS (
+        |  SELECT f.fp, d.source, CAST(count(*) AS BIGINT) AS n
+        |  FROM f JOIN documents d ON f.doc_id = d.doc_id
+        |  GROUP BY f.fp, d.source),
+        |p AS (
+        |  SELECT a.source AS src_a, b.source AS src_b,
+        |    CASE WHEN a.source = b.source THEN a.n * (a.n - 1) // 2
+        |         ELSE a.n * b.n END AS np
+        |  FROM g a JOIN g b ON a.fp = b.fp AND a.source <= b.source)
+        |SELECT src_a, src_b, CAST(sum(np) AS BIGINT) AS n_pairs,
+        |  count(*) AS n_fps
+        |FROM p WHERE np > 0
+        |GROUP BY src_a, src_b ORDER BY src_a ASC, src_b ASC""".stripMargin,
     "llm_rouge_pairs" ->
       """WITH f AS (
         |  SELECT doc_id,

@@ -383,6 +383,39 @@ object LlmOpsPipeline {
       .orderBy(col("lang").asc, col("bucket").asc)
   }
 
+  /** Per-source perplexity gate (round-8 wave 13) — the CCNet/Gopher-style
+    * "score every document under a small LM, flag the worst decile"
+    * curation report, aggregated to the grain a mixture decision is made
+    * at: per source, the doc count, cross-entropy distribution, and how
+    * many docs land above the CORPUS p90 (the flag rate a fixed-budget
+    * filter would cut). Stays in log space (cross-entropy = −doc_lp, the
+    * per-bigram average the shared core already computes): exp() differs
+    * in ulps across libms, so reporting perplexity itself would make the
+    * oracle flaky while the monotone bijection makes it redundant.
+    *
+    * Rides the MEMOIZED bigram doc-lp frame (warm path: one file scan +
+    * a doc_id key join); ce is rounded to 6dp BEFORE the threshold
+    * selection so both engines pick and compare identical doubles.
+    * percentile_disc is exact selection — at 100 TB the swap is
+    * agg_approx_pctl's sketch for the threshold, identical tail. */
+  def llmPerplexity(spark: SparkSession, dir: String): DataFrame = {
+    val ce = bigramDocLp(spark, dir)
+      .select(col("doc_id"), round(lit(0.0) - col("doc_lp"), 6).as("ce"))
+    val src = Tables.documents(spark, dir).select(col("doc_id"), col("source"))
+    ce.join(src, "doc_id").createOrReplaceTempView("graft_ce")
+    spark.sql(
+      """WITH thr AS (
+        |  SELECT percentile_disc(0.9) WITHIN GROUP (ORDER BY ce) AS p90
+        |  FROM graft_ce)
+        |SELECT source, count(*) AS docs,
+        |  round(avg(ce), 6) AS avg_ce,
+        |  round(min(ce), 6) AS min_ce,
+        |  round(max(ce), 6) AS max_ce,
+        |  sum(CASE WHEN ce > thr.p90 THEN 1 ELSE 0 END) AS n_flagged
+        |FROM graft_ce CROSS JOIN thr
+        |GROUP BY source ORDER BY source ASC""".stripMargin)
+  }
+
   /** Fixed-size overlapping chunking (context windows of 64 tokens,
     * stride 48, overlap 16) — the RAG/pretraining doc-split step, distinct
     * from llm_pack (which concatenates docs INTO windows; this splits
@@ -704,6 +737,7 @@ object LlmOpsPipeline {
     "llm_doc_split"         -> (llmDocSplit _),
     "llm_bigram_lm"         -> (llmBigramLm _),
     "llm_quality_buckets"   -> (llmQualityBuckets _),
+    "llm_perplexity"        -> (llmPerplexity _),
     "llm_pack"              -> (llmPack _),
     "llm_dedup_apply"       -> (llmDedupApply _),
     "llm_stratified_sample" -> (llmStratifiedSample _),
@@ -878,6 +912,39 @@ object LlmOpsPipeline {
         |SELECT lang, count(*) AS docs, round(avg(doc_lp), 6) AS avg_lp,
         |  round(min(doc_lp), 6) AS min_lp, round(max(doc_lp), 6) AS max_lp
         |FROM scored GROUP BY lang ORDER BY lang ASC""".stripMargin,
+    "llm_perplexity" ->
+      """WITH t AS (SELECT doc_id, lang, string_split(text, ' ') AS toks FROM documents),
+        |bi0 AS (
+        |  SELECT doc_id, lang, unnest(list_transform(
+        |    generate_series(1, greatest(len(toks) - 1, 0)),
+        |    i -> struct_pack(w1 := toks[i], w2 := toks[i + 1]))) AS p
+        |  FROM t),
+        |dc AS (SELECT doc_id, lang, p.w1 AS w1, p.w2 AS w2,
+        |         CAST(count(*) AS BIGINT) AS cnt
+        |       FROM bi0 GROUP BY doc_id, lang, w1, w2),
+        |c12 AS (SELECT w1, w2, CAST(sum(cnt) AS BIGINT) AS c12
+        |        FROM dc GROUP BY w1, w2),
+        |c1 AS (SELECT w1, CAST(sum(c12) AS BIGINT) AS c1 FROM c12 GROUP BY w1),
+        |v AS (SELECT count(*) AS v FROM c1),
+        |scored AS (
+        |  SELECT dc.doc_id,
+        |    sum(ln(CAST(c12.c12 + 1 AS DOUBLE) / (c1.c1 + v.v)) * dc.cnt)
+        |      / sum(dc.cnt) AS doc_lp
+        |  FROM dc JOIN c12 ON dc.w1 = c12.w1 AND dc.w2 = c12.w2
+        |          JOIN c1 ON dc.w1 = c1.w1 CROSS JOIN v
+        |  GROUP BY dc.doc_id),
+        |g AS (
+        |  SELECT s.doc_id, round(0.0 - s.doc_lp, 6) AS ce, d.source
+        |  FROM scored s JOIN documents d ON s.doc_id = d.doc_id),
+        |thr AS (
+        |  SELECT percentile_disc(0.9) WITHIN GROUP (ORDER BY ce) AS p90 FROM g)
+        |SELECT source, count(*) AS docs,
+        |  round(avg(ce), 6) AS avg_ce,
+        |  round(min(ce), 6) AS min_ce,
+        |  round(max(ce), 6) AS max_ce,
+        |  CAST(sum(CASE WHEN ce > thr.p90 THEN 1 ELSE 0 END) AS BIGINT) AS n_flagged
+        |FROM g CROSS JOIN thr
+        |GROUP BY source ORDER BY source ASC""".stripMargin,
     "llm_quality_buckets" ->
       """WITH t AS (SELECT doc_id, lang, string_split(text, ' ') AS toks FROM documents),
         |bi0 AS (

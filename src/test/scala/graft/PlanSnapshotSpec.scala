@@ -127,7 +127,10 @@ class PlanSnapshotSpec extends AnyFunSuite {
       "ts_cross_corr", "llm_dataset_card",
       // wave-12: ts_periodogram crosses the literal 10-harmonic spine
       // with the day-grain frame (types × days × 10 — vocabulary-sized)
-      "ts_periodogram")
+      "ts_periodogram",
+      // wave-13: llm_perplexity carries the corpus p90 cross-entropy
+      // threshold as a 1-row broadcast scalar against the doc-grain frame
+      "llm_perplexity")
     val withNlj = plans.flatMap { case (name, plan) =>
       val n = plan.collect {
         case j: BroadcastNestedLoopJoinExec => j

@@ -939,4 +939,65 @@ class Round8OpsSpec extends AnyFunSuite {
       keys.length - removed - changed)
     assert(added > 0 && removed > 0 && changed > 0, "all classes exercised")
   }
+
+  test("llm_perplexity: flag budget, bounds, and doc census vs the shared core") {
+    val out = operators.LlmOpsPipeline.llmPerplexity(spark, sf0001).collect()
+    assert(out.nonEmpty)
+    val docs = out.map(_.getLong(1)).sum
+    val flagged = out.map(_.getLong(5)).sum
+    // strictly-above-p90_disc can never exceed 10% of the scored corpus
+    assert(flagged <= docs / 10 + 1, s"flagged $flagged of $docs breaks the decile budget")
+    assert(flagged > 0, "fixture spread should flag someone")
+    out.foreach { r =>
+      val (avg, mn, mx) = (r.getDouble(2), r.getDouble(3), r.getDouble(4))
+      // cross-entropy of an add-one-smoothed LM is strictly positive
+      assert(mn > 0 && mn <= avg && avg <= mx, s"${r.getString(0)} ce ordering")
+    }
+    // census: every doc with >= 1 bigram is scored exactly once
+    val scored = operators.LlmOpsPipeline.bigramDocLp(spark, sf0001).count()
+    assert(docs === scored)
+  }
+
+  test("graph_cc_sizes: distribution is the exact rollup of the cluster listing") {
+    val clusters = operators.Clustering.llmDedupClusters(spark, sf0001)
+      .select("cluster", "csize").collect()
+      .groupBy(_.getLong(0)).map { case (_, rs) => rs.head.getLong(1) }
+    val expect = clusters.groupBy(identity).map { case (sz, xs) => sz -> xs.size.toLong }
+    val out = operators.Clustering.graphCcSizes(spark, sf0001).collect()
+    assert(out.map(_.getLong(0)).toSeq === out.map(_.getLong(0)).toSeq.sorted)
+    out.foreach { r =>
+      val (sz, nc, nd) = (r.getLong(0), r.getLong(1), r.getLong(2))
+      assert(sz >= 2, "every component has an edge, so size >= 2")
+      assert(nd === sz * nc, "n_docs must equal csize * n_clusters")
+      assert(expect(sz) === nc, s"cluster count at size $sz")
+    }
+    assert(out.map(_.getLong(2)).sum ===
+      operators.Clustering.llmDedupClusters(spark, sf0001).count())
+  }
+
+  test("llm_cross_source_dup: matrix total equals the fingerprint-group pair count") {
+    val out = operators.LlmOpsExtra.llmCrossSourceDup(spark, sf0001).collect()
+    assert(out.nonEmpty)
+    out.foreach { r =>
+      assert(r.getString(0) <= r.getString(1), "unordered pair normalization")
+      assert(r.getLong(2) > 0 && r.getLong(3) > 0)
+    }
+    // independent census: sum over docs of (n_sharing - 1) double-counts
+    // each same-fp pair exactly twice
+    val sharing = operators.LlmOpsExtra.llmFingerprint(spark, sf0001)
+      .select("n_sharing").collect().map(_.getLong(0))
+    val totalPairs = sharing.map(_ - 1).sum / 2
+    assert(out.map(_.getLong(2)).sum === totalPairs)
+  }
+
+  test("dq_corr_matrix: 6 bounded pairs, spot value matches direct corr") {
+    val out = operators.DataQuality.dqCorrMatrix(spark, sf0001).collect()
+    assert(out.length === 6)
+    out.foreach(r => assert(math.abs(r.getDouble(2)) <= 1.0 + 1e-9))
+    val direct = Tables.lineitem(spark, sf0001)
+      .agg(corr(col("l_quantity"), col("l_extendedprice"))).head().getDouble(0)
+    val row = out.find(r =>
+      r.getString(0) == "l_quantity" && r.getString(1) == "l_extendedprice").get
+    assert(math.abs(row.getDouble(2) - direct) < 1e-4)
+  }
 }
