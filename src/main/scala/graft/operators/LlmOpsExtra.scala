@@ -892,8 +892,31 @@ object LlmOpsExtra {
       .orderBy(col("a").asc, col("b").asc)
   }
 
+  /** Dedup-threshold sweep (round-8 wave 14) — the tuning curve on top of
+    * llm_rouge_pairs: for each candidate ROUGE-2 F1 threshold, how many
+    * blocker-surfaced pairs count as duplicates and how many docs a
+    * keep-first policy would drop. This is the table an engineer reads to
+    * PICK the threshold the dedup family then applies — proposes
+    * (llm_fingerprint), measures (llm_rouge_pairs), decides (this).
+    * Candidate volume is the blocker's output; the 5-value literal spine
+    * explodes map-side (no join), and n_dropped's countDistinct runs on
+    * the ≤ candidates × 5 frame — all bounded by the blocker at any
+    * corpus scale. Thresholds compare against the 6dp-pre-rounded F1,
+    * so both engines cut identical pairs. */
+  def llmDedupSweep(spark: SparkSession, dir: String): DataFrame = {
+    val spine = array(Seq(0.5, 0.6, 0.7, 0.8, 0.9).map(lit): _*)
+    llmRougePairs(spark, dir)
+      .select(col("a"), col("b"), col("rouge2_f"), explode(spine).as("thr"))
+      .groupBy("thr")
+      .agg(count(lit(1)).as("candidates"),
+        sum(when(col("rouge2_f") >= col("thr"), 1L).otherwise(0L)).as("n_dup_pairs"),
+        countDistinct(when(col("rouge2_f") >= col("thr"), col("b"))).as("n_dropped"))
+      .orderBy(col("thr").asc)
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "llm_rouge_pairs"   -> (llmRougePairs _),
+    "llm_dedup_sweep"   -> (llmDedupSweep _),
     "llm_emb_stats"     -> (llmEmbStats _),
     "llm_pca"           -> (llmPca _),
     "llm_bm25_retrieve" -> (llmBm25Retrieve _),
@@ -934,6 +957,41 @@ object LlmOpsExtra {
         |  count(*) AS n_fps
         |FROM p WHERE np > 0
         |GROUP BY src_a, src_b ORDER BY src_a ASC, src_b ASC""".stripMargin,
+    "llm_dedup_sweep" ->
+      """WITH f AS (
+        |  SELECT doc_id,
+        |    list_min(list_transform(
+        |      generate_series(1, greatest(len(string_split(text,' ')) - 7, 1)),
+        |      i -> array_to_string(list_slice(string_split(text,' '), i, i + 7), ' '))) AS fp
+        |  FROM documents),
+        |pairs AS (
+        |  SELECT x.doc_id AS a, y.doc_id AS b
+        |  FROM f x JOIN f y ON x.fp = y.fp AND x.doc_id < y.doc_id),
+        |bg AS (
+        |  SELECT DISTINCT doc_id, t[i] || ' ' || t[i + 1] AS bg FROM (
+        |    SELECT doc_id, t, unnest(generate_series(1, len(t) - 1)) AS i FROM (
+        |      SELECT doc_id, string_split(text, ' ') AS t FROM documents
+        |      WHERE len(string_split(text, ' ')) >= 2))),
+        |sizes AS (SELECT doc_id, count(*) AS nb FROM bg GROUP BY doc_id),
+        |inter AS (
+        |  SELECT p.a, p.b, count(*) AS inter
+        |  FROM pairs p
+        |  JOIN bg ba ON ba.doc_id = p.a
+        |  JOIN bg bb ON bb.doc_id = p.b AND bb.bg = ba.bg
+        |  GROUP BY p.a, p.b),
+        |scored AS (
+        |  SELECT p.a, p.b,
+        |    round(2.0 * COALESCE(i.inter, 0) / (sa.nb + sb.nb), 6) AS f1
+        |  FROM pairs p
+        |  LEFT JOIN inter i ON p.a = i.a AND p.b = i.b
+        |  JOIN sizes sa ON sa.doc_id = p.a
+        |  JOIN sizes sb ON sb.doc_id = p.b),
+        |thr AS (SELECT unnest([0.5e0, 0.6e0, 0.7e0, 0.8e0, 0.9e0]) AS thr)
+        |SELECT thr, count(*) AS candidates,
+        |  CAST(sum(CASE WHEN f1 >= thr THEN 1 ELSE 0 END) AS BIGINT) AS n_dup_pairs,
+        |  count(DISTINCT CASE WHEN f1 >= thr THEN b END) AS n_dropped
+        |FROM scored CROSS JOIN thr
+        |GROUP BY thr ORDER BY thr ASC""".stripMargin,
     "llm_rouge_pairs" ->
       """WITH f AS (
         |  SELECT doc_id,

@@ -416,6 +416,62 @@ object LlmOpsPipeline {
         |GROUP BY source ORDER BY source ASC""".stripMargin)
   }
 
+  /** Per-source bigram novelty (round-8 wave 14) — how much genuinely new
+    * n-gram material each source contributes when docs arrive in doc_id
+    * order: a (doc, distinct bigram) pair is NEW iff this doc_id is the
+    * bigram's corpus-wide minimum. The curve this aggregates is the
+    * dataset-ordering/diminishing-returns signal a curriculum or
+    * crawl-scheduling decision reads. Plan: one explode → (doc, bigram)
+    * distinct agg, a bigram-grain min agg, and an equi-join back on the
+    * bigram — all partial-aggregated map-side; bigrams travel as
+    * xxhash64 ids (the llm_bigram_lm move: 8-byte shuffles, collisions
+    * at 2⁻⁶⁴ dwarfed by hardware error rates — the ORACLE uses the raw
+    * strings, certifying the hash form's counts survive that). */
+  def llmNovelty(spark: SparkSession, dir: String): DataFrame = {
+    val toks = col("toks")
+    val bg = Tables.documents(spark, dir)
+      .select(col("doc_id"), col("source"), split(col("text"), " ").as("toks"))
+      .filter(size(toks) >= 2)
+      .select(col("doc_id"), col("source"),
+        explode(array_distinct(transform(sequence(lit(1), size(toks) - 1),
+          i => xxhash64(element_at(toks, i), element_at(toks, i + 1))))).as("b"))
+    val first = bg.groupBy("b").agg(min("doc_id").as("fd"))
+    bg.join(first, "b")
+      .groupBy("source")
+      .agg(countDistinct(col("doc_id")).as("docs"),
+        count(lit(1)).as("n_bigrams"),
+        sum(when(col("fd") === col("doc_id"), 1L).otherwise(0L)).as("n_new"),
+        round(sum(when(col("fd") === col("doc_id"), 1L).otherwise(0L))
+          .cast("double") / count(lit(1)), 6).as("new_rate"))
+      .orderBy(col("source").asc)
+  }
+
+  /** Differentially-private release counts (round-8 wave 14) — per-source
+    * doc counts with Laplace(1/ε) noise, ε = 1: the mechanism a corpus
+    * card applies before publishing composition stats over sensitive
+    * sources. Noise is DETERMINISTIC-SEEDED (the gauss()/weighted-sample
+    * trick): u ∈ (0,1) from Knuth-hash modular arithmetic on the source's
+    * numeric suffix — (k%p)·m stays inside int64 in both engines — then
+    * the standard inverse-CDF Laplace transform, rounded to 6dp so the
+    * ln() libm ulp gap can't flip a value. A production release keeps
+    * only `released`; `n_true` ships here because the oracle certifying
+    * noise+count arithmetic end-to-end IS the point of the fixture.
+    * Purely map-side after a source-grain count at any scale. */
+  def llmDpCounts(spark: SparkSession, dir: String): DataFrame = {
+    val p = 1000003L
+    val k = expr("cast(substring(source, 4) as bigint)")
+    val u = ((k % p) * 2654435761L % p + 1).cast("double") / 1000004.0
+    // Laplace(b=1/ε=1): x = −sgn(u−½)·ln(1−2·|u−½|)
+    val noise = round(lit(-1.0) * signum(u - 0.5) *
+      log(lit(1.0) - lit(2.0) * abs(u - 0.5)), 6)
+    Tables.documents(spark, dir)
+      .groupBy("source").agg(count(lit(1)).as("n_true"))
+      .withColumn("noise", noise)
+      .withColumn("released", round(col("n_true") + col("noise"), 6))
+      .select("source", "n_true", "released")
+      .orderBy(col("source").asc)
+  }
+
   /** Fixed-size overlapping chunking (context windows of 64 tokens,
     * stride 48, overlap 16) — the RAG/pretraining doc-split step, distinct
     * from llm_pack (which concatenates docs INTO windows; this splits
@@ -738,6 +794,8 @@ object LlmOpsPipeline {
     "llm_bigram_lm"         -> (llmBigramLm _),
     "llm_quality_buckets"   -> (llmQualityBuckets _),
     "llm_perplexity"        -> (llmPerplexity _),
+    "llm_novelty"           -> (llmNovelty _),
+    "llm_dp_counts"         -> (llmDpCounts _),
     "llm_pack"              -> (llmPack _),
     "llm_dedup_apply"       -> (llmDedupApply _),
     "llm_stratified_sample" -> (llmStratifiedSample _),
@@ -912,6 +970,36 @@ object LlmOpsPipeline {
         |SELECT lang, count(*) AS docs, round(avg(doc_lp), 6) AS avg_lp,
         |  round(min(doc_lp), 6) AS min_lp, round(max(doc_lp), 6) AS max_lp
         |FROM scored GROUP BY lang ORDER BY lang ASC""".stripMargin,
+    "llm_novelty" ->
+      """WITH t AS (
+        |  SELECT doc_id, source, string_split(text, ' ') AS toks FROM documents
+        |  WHERE len(string_split(text, ' ')) >= 2),
+        |bg AS (
+        |  SELECT DISTINCT doc_id, source, b FROM (
+        |    SELECT doc_id, source, unnest(list_transform(
+        |      generate_series(1, len(toks) - 1),
+        |      i -> toks[i] || ' ' || toks[i + 1])) AS b
+        |    FROM t)),
+        |fo AS (SELECT b, min(doc_id) AS fd FROM bg GROUP BY b)
+        |SELECT source, count(DISTINCT bg.doc_id) AS docs, count(*) AS n_bigrams,
+        |  CAST(sum(CASE WHEN fo.fd = bg.doc_id THEN 1 ELSE 0 END) AS BIGINT) AS n_new,
+        |  round(CAST(sum(CASE WHEN fo.fd = bg.doc_id THEN 1 ELSE 0 END) AS DOUBLE)
+        |    / count(*), 6) AS new_rate
+        |FROM bg JOIN fo ON bg.b = fo.b
+        |GROUP BY source ORDER BY source ASC""".stripMargin,
+    "llm_dp_counts" ->
+      """WITH c AS (
+        |  SELECT source, count(*) AS n_true,
+        |    CAST(substring(source, 4) AS BIGINT) AS k
+        |  FROM documents GROUP BY source),
+        |uu AS (
+        |  SELECT source, n_true,
+        |    CAST((k % 1000003) * 2654435761 % 1000003 + 1 AS DOUBLE) / 1000004e0 AS u
+        |  FROM c)
+        |SELECT source, n_true,
+        |  round(n_true + round(-1e0 * sign(u - 0.5e0)
+        |    * ln(1e0 - 2e0 * abs(u - 0.5e0)), 6), 6) AS released
+        |FROM uu ORDER BY source ASC""".stripMargin,
     "llm_perplexity" ->
       """WITH t AS (SELECT doc_id, lang, string_split(text, ' ') AS toks FROM documents),
         |bi0 AS (

@@ -75,6 +75,32 @@ object Streaming {
         col("best.event_id").as("peak_event"))
       .orderBy(col("wstart").asc, col("event_type").asc)
 
+  /** Windowed top-k (round-8 wave 14): per 1-hour window and type, the
+    * THREE highest-value events — stream_argmax generalized from k=1 to
+    * a bounded ranking. Declared batch through the NATIVE TopKPerKey
+    * two-phase heap exec (win_topk_native's operator): map-side heaps cap
+    * every task's shuffle contribution at k rows per local key, where the
+    * window-rank formulation must shuffle and sort every event — and the
+    * ≤k bounded buffer IS the streaming-state story (the same per-group
+    * cap streaming/StreamTopK.scala's Aggregator maintains incrementally;
+    * incremental ≡ batch pinned in StreamingEquivalenceSpec). The
+    * composite (window, type) key travels as xxhash64 — the llm_source_cap
+    * move; a 2⁻⁶⁴ collision merges two windows' heaps, dwarfed by
+    * hardware error rates. value is a STORED double (cross-engine
+    * ordering exact); ties resolve by lower event_id. */
+  def streamTopk(spark: SparkSession, dir: String): DataFrame = {
+    val base = Tables.events(spark, dir)
+      .select(date_trunc("hour", col("ts")).as("wstart"), col("event_type"),
+        col("event_id"), col("value"))
+      .withColumn("hk", xxhash64(col("wstart"), col("event_type")))
+    graft.plans.TopKPerKey.topK(base,
+        key = "hk", ord = "value", tie = "event_id", k = 3)
+      .select(col("wstart"), col("event_type"), col("event_id"),
+        round(col("value"), 2).as("value"))
+      .orderBy(col("wstart").asc, col("event_type").asc,
+        col("value").desc, col("event_id").asc)
+  }
+
   /** Exactly-once dedup: duplicates manufactured by a self-unionAll, then
     * dropDuplicates on the event key (streaming form:
     * dropDuplicatesWithinWatermark — unit suite). Aggregated so the result
@@ -251,6 +277,7 @@ object Streaming {
     "stream_stream_join" -> (streamStreamJoin _),
     "stream_join_static" -> (streamJoinStatic _),
     "stream_argmax"    -> (streamArgmax _),
+    "stream_topk"      -> (streamTopk _),
     "stream_tumbling"  -> (streamTumbling _),
     "stream_sliding"   -> (streamSliding _),
     "stream_session"   -> (streamSession _),
@@ -301,6 +328,15 @@ object Streaming {
         |  event_id AS peak_event
         |FROM r WHERE rn = 1
         |ORDER BY wstart ASC, event_type ASC""".stripMargin,
+    "stream_topk" ->
+      """WITH r AS (
+        |  SELECT date_trunc('hour', ts) AS wstart, event_type, event_id, value,
+        |    row_number() OVER (PARTITION BY date_trunc('hour', ts), event_type
+        |      ORDER BY value DESC, event_id ASC) AS rn
+        |  FROM events)
+        |SELECT wstart, event_type, event_id, round(value, 2) AS value
+        |FROM r WHERE rn <= 3
+        |ORDER BY wstart ASC, event_type ASC, round(value, 2) DESC, event_id ASC""".stripMargin,
     "stream_tumbling" ->
       """SELECT date_trunc('hour', ts) AS wstart,
         | date_trunc('hour', ts) + INTERVAL 1 HOUR AS wend,

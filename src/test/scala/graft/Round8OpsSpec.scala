@@ -990,6 +990,83 @@ class Round8OpsSpec extends AnyFunSuite {
     assert(out.map(_.getLong(2)).sum === totalPairs)
   }
 
+  test("llm_novelty: every distinct bigram is new exactly once, rates bounded") {
+    val out = operators.LlmOpsPipeline.llmNovelty(spark, sf0001).collect()
+    assert(out.nonEmpty)
+    out.foreach { r =>
+      val (docs, nb, nn, rate) =
+        (r.getLong(1), r.getLong(2), r.getLong(3), r.getDouble(4))
+      assert(docs > 0 && nb >= docs, "a counted doc has >= 1 distinct bigram")
+      assert(nn >= 0 && nn <= nb)
+      assert(rate >= 0.0 && rate <= 1.0)
+    }
+    // identity: summed n_new over sources = corpus distinct-bigram count
+    // (each bigram's min-doc_id owner claims it exactly once)
+    val toks = split(col("text"), " ")
+    val distinctBg = Tables.documents(spark, sf0001)
+      .filter(size(toks) >= 2)
+      .select(explode(array_distinct(transform(sequence(lit(1), size(toks) - 1),
+        i => xxhash64(element_at(toks, i), element_at(toks, i + 1))))).as("b"))
+      .agg(countDistinct("b")).head().getLong(0)
+    assert(out.map(_.getLong(3)).sum === distinctBg)
+  }
+
+  test("llm_dp_counts: noise replays the documented Laplace transform exactly") {
+    val out = operators.LlmOpsPipeline.llmDpCounts(spark, sf0001).collect()
+    assert(out.length === 20)
+    val total = Tables.documents(spark, sf0001).count()
+    assert(out.map(_.getLong(1)).sum === total)
+    out.foreach { r =>
+      val (src, n, rel) = (r.getString(0), r.getLong(1), r.getDouble(2))
+      val k = src.drop(3).toLong
+      val p = 1000003L
+      val u = ((k % p) * 2654435761L % p + 1).toDouble / 1000004.0
+      val noise = BigDecimal(-math.signum(u - 0.5) * math.log(1.0 - 2.0 * math.abs(u - 0.5)))
+        .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+      val expect = BigDecimal(n + noise).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+      assert(math.abs(rel - expect) < 1e-9, s"$src: $rel vs $expect")
+      assert(math.abs(rel - n) < 15.0, "Laplace(1) tail bound on the fixture seeds")
+    }
+  }
+
+  test("llm_dedup_sweep: monotone in the threshold, consistent with rouge pairs") {
+    val out = operators.LlmOpsExtra.llmDedupSweep(spark, sf0001).collect()
+    assert(out.length === 5)
+    val rouge = operators.LlmOpsExtra.llmRougePairs(spark, sf0001)
+      .select("a", "b", "rouge2_f").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    out.foreach { r =>
+      val (thr, cand, dup, dropped) =
+        (r.getDouble(0), r.getLong(1), r.getLong(2), r.getLong(3))
+      assert(cand === rouge.length.toLong, "candidate census is threshold-free")
+      assert(dup === rouge.count(_._3 >= thr).toLong, s"dup pairs at $thr")
+      assert(dropped === rouge.filter(_._3 >= thr).map(_._2).distinct.length.toLong)
+      assert(dropped <= dup, "keep-first drops at most one doc per pair")
+    }
+    val byThr = out.sortBy(_.getDouble(0)).map(_.getLong(2))
+    assert(byThr.zip(byThr.tail).forall { case (a, b) => a >= b }, "monotone")
+  }
+
+  test("stream_topk: per-group bound and exact membership vs window ranking") {
+    val out = operators.Streaming.streamTopk(spark, sf0001).collect()
+      .map(r => ((r.get(0).toString, r.getString(1)), (r.getLong(2), r.getDouble(3))))
+    out.groupBy(_._1).foreach { case (k, rs) =>
+      assert(rs.length <= 3, s"group $k exceeded k=3") }
+    // the native heap exec must be invisible next to the window-rank form
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("wstart", "event_type")
+      .orderBy(col("value").desc, col("event_id").asc)
+    val ref = Tables.events(spark, sf0001)
+      .select(date_trunc("hour", col("ts")).as("wstart"), col("event_type"),
+        col("event_id"), col("value"))
+      .withColumn("rn", row_number().over(w)).filter(col("rn") <= 3)
+      .collect()
+      .map(r => ((r.get(0).toString, r.getString(1)),
+        (r.getLong(2), BigDecimal(r.getDouble(3))
+          .setScale(2, BigDecimal.RoundingMode.HALF_UP).toDouble))).toSet
+    assert(out.toSet === ref)
+  }
+
   test("dq_corr_matrix: 6 bounded pairs, spot value matches direct corr") {
     val out = operators.DataQuality.dqCorrMatrix(spark, sf0001).collect()
     assert(out.length === 6)

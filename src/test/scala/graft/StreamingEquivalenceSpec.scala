@@ -65,6 +65,41 @@ class StreamingEquivalenceSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("stream_topk: bounded-state typed aggregate, incremental == native batch exec") {
+    implicit val ctx = spark.sqlContext
+    val evs = fixtureEvents
+    val ms = MemoryStream[Ev]
+    val agg = new graft.streaming.StreamTopK(3).toColumn
+    val q = ms.toDS()
+      .groupByKey(e => (Timestamp.valueOf(e.ts.toLocalDateTime
+        .withMinute(0).withSecond(0).withNano(0)), e.event_type))
+      .mapValues(e => (e.value, e.event_id))
+      .agg(agg.name("top"))
+      .writeStream.format("memory").queryName("stopk").outputMode("complete").start()
+    try {
+      evs.grouped(250).foreach { chunk => ms.addData(chunk); q.processAllAvailable() }
+      val streamed = spark.table("stopk")
+        .collect().flatMap { r =>
+          val key = r.getStruct(0)
+          r.getSeq[org.apache.spark.sql.Row](1).map(e =>
+            (key.get(0).toString, key.getString(1), e.getDouble(0), e.getLong(1)))
+        }.toSet
+      val batch = operators.Streaming.streamTopk(spark, sf0001)
+        // undo the declared query's display round: the streamed side
+        // carries raw stored doubles
+        .collect().map(r => (r.get(0).toString, r.getString(1),
+          r.getDouble(3), r.getLong(2))).toSet
+      // compare on (window, type, round(value, 2), id) — both sides' values
+      // are the same stored doubles, the declared output just rounds them
+      val streamedR = streamed.map { case (w, t, v, id) =>
+        (w, t, BigDecimal(v).setScale(2, BigDecimal.RoundingMode.HALF_UP), id) }
+      val batchR = batch.map { case (w, t, v, id) =>
+        (w, t, BigDecimal(v).setScale(2, BigDecimal.RoundingMode.HALF_UP), id) }
+      assert(streamedR === batchR)
+      assert(streamedR.nonEmpty)
+    } finally q.stop()
+  }
+
   test("streaming dropDuplicates: re-delivered events counted once") {
     implicit val ctx = spark.sqlContext
     val evs = fixtureEvents.take(200)
