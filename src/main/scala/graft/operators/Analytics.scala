@@ -323,7 +323,36 @@ object Analytics {
       .orderBy(col("x").asc)
   }
 
+  /** Conversion-latency distribution (round-8 wave 16) — funnel_steps
+    * counts WHO converts; this measures HOW FAST: per converting user the
+    * first-view → first-subsequent-purchase delay, reported as exact
+    * decile cuts plus the mean. Latencies are integer MICROSECONDS
+    * (epoch-µs subtraction — no truncation-direction trap, and every
+    * aggregate over them is exact integer arithmetic until the one final
+    * division). User-grain frame ⇒ percentile_disc's per-group sort is
+    * user-count-sized; the sketch swap (agg_approx_pctl) is the 100 TB
+    * path with the identical report shape. */
+  def funnelLatency(spark: SparkSession, dir: String): DataFrame = {
+    Tables.events(spark, dir)
+      .groupBy("user_id")
+      .agg(
+        min(when(col("event_type") === "view", col("ts"))).as("t_view"),
+        min(when(col("event_type") === "purchase", col("ts"))).as("t_purchase"))
+      .filter(col("t_view").isNotNull && col("t_purchase") > col("t_view"))
+      .select((unix_micros(col("t_purchase")) - unix_micros(col("t_view")))
+        .as("lat_us"))
+      .createOrReplaceTempView("g_funnel_lat")
+    spark.sql(
+      """SELECT count(*) AS conversions,
+        |  CAST(percentile_disc(0.25) WITHIN GROUP (ORDER BY lat_us) AS BIGINT) AS p25_us,
+        |  CAST(percentile_disc(0.5) WITHIN GROUP (ORDER BY lat_us) AS BIGINT) AS p50_us,
+        |  CAST(percentile_disc(0.9) WITHIN GROUP (ORDER BY lat_us) AS BIGINT) AS p90_us,
+        |  round(avg(lat_us), 2) AS avg_us
+        |FROM g_funnel_lat""".stripMargin)
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "funnel_latency"   -> (funnelLatency _),
     "hist_kde"         -> (histKde _),
     "hist_equiwidth"   -> (histEquiwidth _),
     "hist_eqdepth"     -> (histEqdepth _),
@@ -334,6 +363,21 @@ object Analytics {
     "seq_pattern"      -> (seqPattern _))
 
   val oracleSql: Map[String, String] = Map(
+    "funnel_latency" ->
+      """WITH u AS (
+        |  SELECT user_id,
+        |    min(CASE WHEN event_type = 'view' THEN ts END) AS t_view,
+        |    min(CASE WHEN event_type = 'purchase' THEN ts END) AS t_purchase
+        |  FROM events GROUP BY user_id),
+        |lat AS (
+        |  SELECT epoch_us(t_purchase) - epoch_us(t_view) AS lat_us
+        |  FROM u WHERE t_view IS NOT NULL AND t_purchase > t_view)
+        |SELECT count(*) AS conversions,
+        |  percentile_disc(0.25) WITHIN GROUP (ORDER BY lat_us) AS p25_us,
+        |  percentile_disc(0.5) WITHIN GROUP (ORDER BY lat_us) AS p50_us,
+        |  percentile_disc(0.9) WITHIN GROUP (ORDER BY lat_us) AS p90_us,
+        |  round(avg(lat_us), 2) AS avg_us
+        |FROM lat""".stripMargin,
     "hist_kde" ->
       """WITH bins AS (
         |  SELECT CAST(floor(o_totalprice / 5000.0) AS BIGINT) AS b, count(*) AS cnt

@@ -339,7 +339,33 @@ object DataQuality {
       .orderBy(col("col_a").asc, col("col_b").asc)
   }
 
+  /** Per-stream freshness report (round-8 wave 16) — the staleness
+    * monitor an ingestion SLO reads: per event type, the last event's
+    * timestamp, its lag behind the corpus watermark (the global max ts —
+    * the batch stand-in for wall clock), and the trailing-24 h volume
+    * that distinguishes "stream stopped" from "stream slowed". Lags are
+    * exact epoch-µs integers; the watermark travels as a 1-row broadcast
+    * scalar (allowlisted NLJ class). One corpus pass + a type-grain agg
+    * at any scale. */
+  def dqFreshness(spark: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(spark, dir)
+    val wm = broadcast(ev.agg(max(col("ts")).as("wm")))
+    ev.crossJoin(wm)
+      .groupBy("event_type")
+      .agg(count(lit(1)).as("n"),
+        max(col("ts")).as("last_ts"),
+        first(col("wm")).as("wm"),
+        sum(when(unix_micros(col("ts")) >=
+          unix_micros(col("wm")) - 86400000000L, 1L).otherwise(0L))
+          .as("n_last24h"))
+      .select(col("event_type"), col("n"), col("last_ts"),
+        (unix_micros(col("wm")) - unix_micros(col("last_ts"))).as("lag_us"),
+        col("n_last24h"))
+      .orderBy(col("event_type").asc)
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "dq_freshness" -> (dqFreshness _),
     "dq_corr_matrix" -> (dqCorrMatrix _),
     "dq_snapshot_diff" -> (dqSnapshotDiff _),
     "dq_outlier_iqr" -> (dqOutlierIqr _),
@@ -352,6 +378,15 @@ object DataQuality {
     "join_scd2" -> (joinScd2 _))
 
   val oracleSql: Map[String, String] = Map(
+    "dq_freshness" ->
+      """WITH wm AS (SELECT max(ts) AS wm FROM events)
+        |SELECT event_type, count(*) AS n, max(ts) AS last_ts,
+        |  epoch_us((SELECT wm FROM wm)) - epoch_us(max(ts)) AS lag_us,
+        |  CAST(sum(CASE WHEN epoch_us(ts) >=
+        |    epoch_us((SELECT wm FROM wm)) - 86400000000 THEN 1 ELSE 0 END)
+        |    AS BIGINT) AS n_last24h
+        |FROM events
+        |GROUP BY event_type ORDER BY event_type ASC""".stripMargin,
     "dq_corr_matrix" ->
       """SELECT col_a, col_b, r FROM (
         |  SELECT 'l_quantity' AS col_a, 'l_extendedprice' AS col_b,

@@ -734,15 +734,7 @@ object LlmOpsExtra {
     // below loses the lens aggregate, the df/idf aggregate, AND the
     // candidate-stream join on doc_id — on the contended driver that is
     // half the query's scheduled jobs (12 → ~6 measured warm).
-    val post = graft.operators.MemoFrames.frame(spark, s"bm25_post|$dir") {
-      val wd = Window.partitionBy("doc_id")
-      val wt = Window.partitionBy("tok")
-      Tables.documents(spark, dir)
-        .select(col("doc_id"), explode(split(col("text"), " ")).as("tok"))
-        .groupBy("doc_id", "tok").agg(count(lit(1)).as("tf"))
-        .withColumn("len", sum("tf").over(wd))
-        .withColumn("df", count(lit(1)).over(wt))
-    }
+    val post = bm25Post(spark, dir)
     // n_docs/avglen: one broadcast-sized agg over the index. avglen as
     // Σtf / n_docs divides the same exact integers the old avg-over-lens
     // form did — identical double, no per-doc dedup pass needed.
@@ -949,6 +941,45 @@ object LlmOpsExtra {
     // its own order (the declared listing sorts, the sweep aggregates)
   }
 
+  /** The MEMOIZED BM25 inverted-index file (doc_id, tok, tf, len, df) —
+    * built once per (session, dir), read by llm_bm25_retrieve's scorer
+    * and llm_index_stats' health report. See llmBm25Retrieve for the
+    * index-persists-len/df rationale. */
+  private def bm25Post(spark: SparkSession, dir: String): DataFrame =
+    graft.operators.MemoFrames.frame(spark, s"bm25_post|$dir") {
+      val wd = Window.partitionBy("doc_id")
+      val wt = Window.partitionBy("tok")
+      Tables.documents(spark, dir)
+        .select(col("doc_id"), explode(split(col("text"), " ")).as("tok"))
+        .groupBy("doc_id", "tok").agg(count(lit(1)).as("tf"))
+        .withColumn("len", sum("tf").over(wd))
+        .withColumn("df", count(lit(1)).over(wt))
+    }
+
+  /** Inverted-index health report (round-8 wave 16) — the profile a
+    * retrieval deployment checks before serving: vocabulary size, total
+    * postings, indexed docs, the df distribution's max/p90, and the
+    * singleton-term share (df = 1 terms bloat the dictionary but can
+    * never match a multi-doc query — the classic prune candidate). Rides
+    * the MEMOIZED BM25 posting file (df/len are index columns there); the
+    * term-grain frame is vocabulary-sized, so the whole report is a
+    * distinct + two aggs off one warm file scan. */
+  def llmIndexStats(spark: SparkSession, dir: String): DataFrame = {
+    val post = bm25Post(spark, dir)
+    post.select("tok", "df").distinct().createOrReplaceTempView("g_idx_terms")
+    post.select("doc_id").distinct().createOrReplaceTempView("g_idx_docs")
+    spark.sql(
+      """SELECT
+        |  (SELECT count(*) FROM g_idx_docs) AS n_docs,
+        |  count(*) AS vocab,
+        |  CAST(sum(df) AS BIGINT) AS postings,
+        |  max(df) AS max_df,
+        |  CAST(percentile_disc(0.9) WITHIN GROUP (ORDER BY df) AS BIGINT) AS p90_df,
+        |  round(CAST(sum(CASE WHEN df = 1 THEN 1 ELSE 0 END) AS DOUBLE)
+        |    / count(*), 6) AS singleton_share
+        |FROM g_idx_terms""".stripMargin)
+  }
+
   /** Dedup-threshold sweep (round-8 wave 14) — the tuning curve on top of
     * llm_rouge_pairs: for each candidate ROUGE-2 F1 threshold, how many
     * blocker-surfaced pairs count as duplicates and how many docs a
@@ -992,9 +1023,24 @@ object LlmOpsExtra {
     "llm_quantize"    -> (llmQuantize _),
     "llm_ann_lsh"       -> (llmAnnLsh _),
     "llm_hard_negatives" -> (llmHardNegatives _),
-    "llm_cross_source_dup" -> (llmCrossSourceDup _))
+    "llm_cross_source_dup" -> (llmCrossSourceDup _),
+    "llm_index_stats"   -> (llmIndexStats _))
 
   val oracleSql: Map[String, String] = Map(
+    "llm_index_stats" ->
+      """WITH post AS (
+        |  SELECT doc_id, tok, count(*) AS tf FROM (
+        |    SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents)
+        |  GROUP BY doc_id, tok),
+        |terms AS (SELECT tok, count(*) AS df FROM post GROUP BY tok)
+        |SELECT (SELECT count(DISTINCT doc_id) FROM post) AS n_docs,
+        |  count(*) AS vocab,
+        |  CAST(sum(df) AS BIGINT) AS postings,
+        |  max(df) AS max_df,
+        |  percentile_disc(0.9) WITHIN GROUP (ORDER BY df) AS p90_df,
+        |  round(CAST(sum(CASE WHEN df = 1 THEN 1 ELSE 0 END) AS DOUBLE)
+        |    / count(*), 6) AS singleton_share
+        |FROM terms""".stripMargin,
     "llm_cross_source_dup" ->
       """WITH f AS (
         |  SELECT doc_id, list_min(list_transform(

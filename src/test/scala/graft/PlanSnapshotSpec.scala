@@ -130,7 +130,10 @@ class PlanSnapshotSpec extends AnyFunSuite {
       "ts_periodogram",
       // wave-13: llm_perplexity carries the corpus p90 cross-entropy
       // threshold as a 1-row broadcast scalar against the doc-grain frame
-      "llm_perplexity")
+      "llm_perplexity",
+      // wave-16: dq_freshness carries the corpus watermark (global max
+      // ts) as a 1-row broadcast scalar against the event stream
+      "dq_freshness")
     val withNlj = plans.flatMap { case (name, plan) =>
       val n = plan.collect {
         case j: BroadcastNestedLoopJoinExec => j

@@ -1067,6 +1067,47 @@ class Round8OpsSpec extends AnyFunSuite {
     assert(out.toSet === ref)
   }
 
+  test("funnel_latency: deciles ordered, census consistent with funnel_steps") {
+    val r = operators.Analytics.funnelLatency(spark, sf0001).head()
+    val (conv, p25, p50, p90, avg) =
+      (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getDouble(4))
+    assert(conv > 0)
+    assert(p25 > 0 && p25 <= p50 && p50 <= p90, "decile ordering")
+    assert(avg > 0)
+    // every converting user here viewed then purchased — at most the
+    // funnel's viewed census, at least its purchase-after-click count
+    val steps = operators.Analytics.funnelSteps(spark, sf0001).head()
+    assert(conv <= steps.getLong(1), "conversions <= viewed users")
+    assert(conv >= steps.getLong(3), "view->purchase is weaker than view->click->purchase")
+  }
+
+  test("llm_index_stats: censuses agree with a direct posting-list build") {
+    val r = operators.LlmOpsExtra.llmIndexStats(spark, sf0001).head()
+    val post = Tables.documents(spark, sf0001)
+      .select(col("doc_id"), explode(split(col("text"), " ")).as("tok"))
+      .groupBy("doc_id", "tok").count()
+    assert(r.getLong(0) === post.select("doc_id").distinct().count(), "n_docs")
+    assert(r.getLong(1) === post.select("tok").distinct().count(), "vocab")
+    assert(r.getLong(2) === post.count(), "postings = sum of df")
+    assert(r.getLong(3) <= r.getLong(0), "df can't exceed doc count")
+    assert(r.getLong(4) <= r.getLong(3), "p90 <= max")
+    val ss = r.getDouble(5)
+    assert(ss >= 0.0 && ss <= 1.0)
+  }
+
+  test("dq_freshness: watermark row has zero lag, 24h counts bounded") {
+    val out = operators.DataQuality.dqFreshness(spark, sf0001).collect()
+    assert(out.nonEmpty)
+    // exactly the type carrying the corpus max ts must show lag 0
+    assert(out.count(_.getLong(3) == 0L) >= 1)
+    out.foreach { r =>
+      assert(r.getLong(3) >= 0, "lag is non-negative")
+      assert(r.getLong(4) <= r.getLong(1), "trailing-24h count <= total")
+      assert(r.getLong(4) >= (if (r.getLong(3) <= 86400000000L - 1) 1L else 0L),
+        "a type whose last event is inside the window contributes to it")
+    }
+  }
+
   test("dq_corr_matrix: 6 bounded pairs, spot value matches direct corr") {
     val out = operators.DataQuality.dqCorrMatrix(spark, sf0001).collect()
     assert(out.length === 6)
