@@ -298,6 +298,26 @@ object Clustering {
         .distinct()
     }
 
+  /** Degree assortativity of the bipartite part↔supplier graph (round-8
+    * wave 17) — do high-degree parts source from high-degree suppliers?
+    * Pearson correlation of endpoint degrees over the edge list: positive
+    * = hub-to-hub concentration (supply-chain fragility), negative = the
+    * dissortative hub-and-spoke shape most real procurement graphs show.
+    * Fourth consumer of the memoized distinct pair frame; two
+    * vocabulary-sized degree aggs join back to the edges (AQE broadcasts
+    * from measured size), and corr's merged-moment state makes the
+    * whole measure one pass over the edge list at any scale. */
+  def graphAssortativity(spark: SparkSession, dir: String): DataFrame = {
+    val e = graphPairs(spark, dir)
+    val dp = e.groupBy("p").agg(count(lit(1)).as("deg_p"))
+    val ds = e.groupBy("s").agg(count(lit(1)).as("deg_s"))
+    e.join(dp, "p").join(ds, "s")
+      .agg(count(lit(1)).as("n_edges"),
+        round(avg("deg_p"), 6).as("avg_deg_p"),
+        round(avg("deg_s"), 6).as("avg_deg_s"),
+        round(corr(col("deg_p"), col("deg_s")), 5).as("assortativity"))
+  }
+
   def graphPagerank(spark: SparkSession, dir: String): DataFrame = {
     ensureCheckpointDir(spark)
     // Nodes travel as LONGS (part → 2k, supplier → 2k+1; the bipartite
@@ -477,6 +497,7 @@ object Clustering {
     "graph_label_prop"   -> (graphLabelProp _),
     "llm_dedup_clusters" -> (llmDedupClusters _),
     "graph_cc_sizes"     -> (graphCcSizes _),
+    "graph_assortativity" -> (graphAssortativity _),
     "graph_triangles"    -> (graphTriangles _),
     "graph_degree"       -> (graphDegree _))
 
@@ -493,6 +514,16 @@ object Clustering {
       |  FROM f x JOIN f y ON x.fp = y.fp AND x.doc_id < y.doc_id)""".stripMargin
 
   val oracleSql: Map[String, String] = Map(
+    "graph_assortativity" ->
+      """WITH sp AS (
+        |  SELECT DISTINCT l_partkey AS p, l_suppkey AS s FROM lineitem),
+        |dp AS (SELECT p, count(*) AS deg_p FROM sp GROUP BY p),
+        |ds AS (SELECT s, count(*) AS deg_s FROM sp GROUP BY s)
+        |SELECT count(*) AS n_edges,
+        |  round(avg(deg_p), 6) AS avg_deg_p,
+        |  round(avg(deg_s), 6) AS avg_deg_s,
+        |  round(corr(deg_p, deg_s), 5) AS assortativity
+        |FROM sp JOIN dp ON sp.p = dp.p JOIN ds ON sp.s = ds.s""".stripMargin,
     "graph_jaccard" ->
       """WITH sp AS (
         |  SELECT DISTINCT l_partkey AS pk, l_suppkey AS sk FROM lineitem),

@@ -517,7 +517,36 @@ object TimeSeries {
       .orderBy(col("event_type").asc)
   }
 
+  /** Time-decayed weighting (round-8 wave 17) — per event type under a
+    * 30-day-half-life exponential decay anchored at the corpus watermark:
+    * the effective sample size (Σw)²/Σw² and decayed total that recency-
+    * weighted training/serving decisions read ("how much of this stream
+    * is still alive?"). Age is exact integer µs scaled by one double
+    * division; each weight is rounded to 6dp BEFORE summation (the
+    * gauss() discipline: a libm exp() last-ulp can't flip a 6dp-rounded
+    * value), so cross-engine sums differ only in accumulation order,
+    * absorbed by the 4dp output round. Watermark = 1-row broadcast
+    * scalar; everything else is one map-side expression + type-grain
+    * hash agg. */
+  def tsDecay(spark: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(spark, dir)
+    val wm = broadcast(ev.agg(max(col("ts")).as("wm")))
+    val ageDays = (unix_micros(col("wm")) - unix_micros(col("ts")))
+      .cast("double") / 86400000000.0
+    val w = round(exp(ageDays * (-math.log(2.0) / 30.0)), 6)
+    ev.crossJoin(wm)
+      .withColumn("w", w)
+      .groupBy("event_type")
+      .agg(count(lit(1)).as("n"),
+        round(sum("w"), 4).as("eff_n"),
+        round(sum(col("w") * col("w")), 4).as("sum_w2"),
+        round(sum("w") * sum("w") / sum(col("w") * col("w")), 4).as("ess"),
+        round(sum(col("w") * col("value")), 2).as("decayed_value"))
+      .orderBy(col("event_type").asc)
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "ts_decay" -> (tsDecay _),
     "ts_forecast_eval" -> (tsForecastEval _),
     "ts_periodogram" -> (tsPeriodogram _),
     "ts_brown"    -> (tsBrown _),
@@ -534,6 +563,19 @@ object TimeSeries {
     "ts_anomaly"  -> (tsAnomaly _))
 
   val oracleSql: Map[String, String] = Map(
+    "ts_decay" ->
+      """WITH wm AS (SELECT max(ts) AS wm FROM events),
+        |t AS (
+        |  SELECT event_type, value,
+        |    round(exp(((epoch_us((SELECT wm FROM wm)) - epoch_us(ts))
+        |      / 86400000000e0) * (-ln(2e0) / 30e0)), 6) AS w
+        |  FROM events)
+        |SELECT event_type, count(*) AS n,
+        |  round(sum(w), 4) AS eff_n,
+        |  round(sum(w * w), 4) AS sum_w2,
+        |  round(sum(w) * sum(w) / sum(w * w), 4) AS ess,
+        |  round(sum(w * value), 2) AS decayed_value
+        |FROM t GROUP BY event_type ORDER BY event_type ASC""".stripMargin,
     "ts_forecast_eval" ->
       """WITH daily AS (
         |  SELECT event_type, date_trunc('day', ts) AS day,

@@ -275,7 +275,33 @@ object Windows {
       .orderBy(col("event_id").asc)
   }
 
+  /** Rolling-regression trend (round-8 wave 17) — per event type, the OLS
+    * slope and R² of daily revenue against the day index over the
+    * trailing 28 OBSERVATIONS (row frame: an outage gap widens the
+    * calendar span rather than shrinking the sample — the monitoring
+    * convention). regr_* are merged-moment aggregates, so the frame is
+    * one windowed moment state, never a per-row refit; day index is an
+    * exact integer, revenue pre-rounded, and the 4dp output round absorbs
+    * the frame-evaluation-order ulps between Spark's sequential buffer
+    * and DuckDB's segment-tree window machinery. Day-grain frame ⇒
+    * O(days·types) rows at any event volume. */
+  def winRegression(spark: SparkSession, dir: String): DataFrame = {
+    val daily = Tables.events(spark, dir)
+      .groupBy(col("event_type"), date_trunc("day", col("ts")).as("day"))
+      .agg(round(sum("value"), 2).as("rev"))
+      .withColumn("x", datediff(col("day"), to_date(lit("2024-01-01"))))
+    val w = Window.partitionBy("event_type").orderBy(col("day").asc)
+      .rowsBetween(-27, Window.currentRow)
+    daily
+      .withColumn("n_obs", count(lit(1)).over(w))
+      .withColumn("slope", round(regr_slope(col("rev"), col("x")).over(w), 4))
+      .withColumn("r2", round(regr_r2(col("rev"), col("x")).over(w), 4))
+      .select("event_type", "day", "rev", "n_obs", "slope", "r2")
+      .orderBy(col("event_type").asc, col("day").asc)
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "win_regression"     -> (winRegression _),
     "win_groups_frame"   -> (winGroupsFrame _),
     "win_ignore_nulls"   -> (winIgnoreNulls _),
     "win_topk_native"    -> (winTopkNative _),
@@ -293,6 +319,23 @@ object Windows {
     "win_first_last"  -> (winFirstLast _))
 
   val oracleSql: Map[String, String] = Map(
+    "win_regression" ->
+      """WITH daily AS (
+        |  SELECT event_type, date_trunc('day', ts) AS day,
+        |    round(sum(value), 2) AS rev
+        |  FROM events GROUP BY event_type, day),
+        |d AS (
+        |  SELECT event_type, day, rev,
+        |    date_diff('day', DATE '2024-01-01', CAST(day AS DATE)) AS x
+        |  FROM daily)
+        |SELECT event_type, day, rev,
+        |  count(*) OVER w AS n_obs,
+        |  round(regr_slope(rev, x) OVER w, 4) AS slope,
+        |  round(regr_r2(rev, x) OVER w, 4) AS r2
+        |FROM d
+        |WINDOW w AS (PARTITION BY event_type ORDER BY day ASC
+        |  ROWS BETWEEN 27 PRECEDING AND CURRENT ROW)
+        |ORDER BY event_type ASC, day ASC""".stripMargin,
     // DuckDB lacks GROUPS mode too, so the oracle states the same
     // dense_rank + RANGE-over-rank identity — an equivalence both engines
     // evaluate through entirely different window machinery.

@@ -133,7 +133,9 @@ class PlanSnapshotSpec extends AnyFunSuite {
       "llm_perplexity",
       // wave-16: dq_freshness carries the corpus watermark (global max
       // ts) as a 1-row broadcast scalar against the event stream
-      "dq_freshness")
+      "dq_freshness",
+      // wave-17: ts_decay anchors decay ages at the same 1-row watermark
+      "ts_decay")
     val withNlj = plans.flatMap { case (name, plan) =>
       val n = plan.collect {
         case j: BroadcastNestedLoopJoinExec => j

@@ -1108,6 +1108,53 @@ class Round8OpsSpec extends AnyFunSuite {
     }
   }
 
+  test("graph_assortativity: bounded coefficient, edge census matches pair frame") {
+    val r = operators.Clustering.graphAssortativity(spark, sf0001).head()
+    val edges = Tables.lineitem(spark, sf0001)
+      .select("l_partkey", "l_suppkey").distinct().count()
+    assert(r.getLong(0) === edges, "edge census")
+    assert(math.abs(r.getDouble(3)) <= 1.0 + 1e-9, "correlation bound")
+    // avg endpoint degree over edges is >= 1 and edge-weighted (hubs
+    // count once per incident edge, so it is >= the plain mean degree)
+    assert(r.getDouble(1) >= 1.0 && r.getDouble(2) >= 1.0)
+  }
+
+  test("ts_decay: weights in (0,1], ESS between 1 and n, totals bounded") {
+    val out = operators.TimeSeries.tsDecay(spark, sf0001).collect()
+    assert(out.nonEmpty)
+    out.foreach { r =>
+      val (n, effN, sumW2, ess) =
+        (r.getLong(1), r.getDouble(2), r.getDouble(3), r.getDouble(4))
+      assert(effN > 0 && effN <= n, "decayed mass can't exceed the count")
+      assert(sumW2 <= effN + 1e-6, "w <= 1 forces sum w^2 <= sum w")
+      assert(ess >= 1.0 - 1e-9 && ess <= n + 1e-6, "ESS in [1, n]")
+      // w <= 1 gives sum w^2 <= sum w, hence ESS = (sum w)^2/sum w^2 >= sum w
+      assert(ess >= effN - 1e-6)
+    }
+  }
+
+  test("win_regression: slope matches a local OLS refit on a spot frame") {
+    val out = operators.Windows.winRegression(spark, sf0001).collect()
+      .filter(_.getString(0) == "view")
+      .sortBy(_.getTimestamp(1).toString)
+    assert(out.length > 28, "enough days to fill a frame")
+    out.foreach(r => assert(r.getLong(3) <= 28, "frame bound"))
+    // refit the last row's 28-observation frame by hand
+    val frame = out.takeRight(28).map(r =>
+      (r.getTimestamp(1).toLocalDateTime.toLocalDate.toEpochDay -
+        java.time.LocalDate.parse("2024-01-01").toEpochDay).toDouble
+        -> r.getDouble(2))
+    val n = frame.length
+    val (sx, sy) = (frame.map(_._1).sum, frame.map(_._2).sum)
+    val sxx = frame.map(p => p._1 * p._1).sum
+    val sxy = frame.map(p => p._1 * p._2).sum
+    val slope = (n * sxy - sx * sy) / (n * sxx - sx * sx)
+    assert(math.abs(out.last.getDouble(4) - slope) < 1e-3,
+      s"engine ${out.last.getDouble(4)} vs refit $slope")
+    val r2 = out.last.getDouble(5)
+    assert(r2 >= -1e-9 && r2 <= 1.0 + 1e-9)
+  }
+
   test("dq_corr_matrix: 6 bounded pairs, spot value matches direct corr") {
     val out = operators.DataQuality.dqCorrMatrix(spark, sf0001).collect()
     assert(out.length === 6)
