@@ -318,6 +318,63 @@ object Clustering {
         round(corr(col("deg_p"), col("deg_s")), 5).as("assortativity"))
   }
 
+  /** k-core of the part↔supplier graph by iterative peeling (round-8
+    * wave 18) — repeatedly delete nodes of degree < k until the maximal
+    * subgraph where every node keeps ≥ k neighbors remains: the graph-
+    * cleanup primitive that strips low-support noise before community/
+    * dedup analysis (a near-dup cluster that survives a k-core is
+    * k-redundantly evidenced). k is data-adaptive — the MEDIAN part-side
+    * degree (percentile_disc semantics, deterministic at every SF) — so
+    * the peel genuinely cascades on any fixture instead of hardcoding a
+    * constant that empties one scale and no-ops another.
+    *
+    * Shape: the memoized pair frame symmetrized once and materialized;
+    * each round is one degree hash-agg + two semi joins, re-materialized
+    * (AQE-off single write job) with a convergence count on the file.
+    * Rounds are few (degeneracy peeling converges in O(diameter·spread));
+    * the per-round frames only ever SHRINK. NO-ORACLE (iterative deletion
+    * has no recursive-CTE form in the oracle dialect) — Round8OpsSpec
+    * pins the defining invariants instead: core-degree ≥ k inside,
+    * maximality (every removed part has < k surviving neighbors), and
+    * the parity split of the encoded node ids. */
+  def graphKcore(spark: SparkSession, dir: String): DataFrame = {
+    val sp = graphPairs(spark, dir)
+    val sym = sp.select(col("p").as("src"), col("s").as("dst"))
+      .unionAll(sp.select(col("s").as("src"), col("p").as("dst")))
+    // adaptive k: median part-side degree (a 1-value driver scalar —
+    // codebook-class, same legitimacy as the IVF means)
+    val k = sp.groupBy("p").agg(count(lit(1)).as("d"))
+      .selectExpr("cast(percentile_disc(0.5) within group (order by d) as bigint) as k")
+      .head().getLong(0)
+    var edges = MemoFrames.materialize(spark, "kcore_e0", sym)
+    var nNodes = edges.select("src").distinct().count()
+    var rounds = 0
+    var converged = false
+    while (!converged && rounds < 30) {
+      rounds += 1
+      val keep = edges.groupBy("src").agg(count(lit(1)).as("d"))
+        .filter(col("d") >= k).select("src")
+      val pruned = edges
+        .join(keep, "src", "left_semi")
+        .join(keep.withColumnRenamed("src", "dst"), "dst", "left_semi")
+      val next = MemoFrames.materialize(spark, s"kcore_r$rounds", pruned)
+      val n2 = next.select("src").distinct().count()
+      converged = n2 == nNodes
+      nNodes = n2
+      edges = next
+    }
+    require(converged, s"k-core did not converge in $rounds rounds")
+    val session = spark
+    import session.implicits._
+    val parts = edges.filter(col("src") % 2 === 0)
+      .select("src").distinct().count()
+    val supps = edges.filter(col("src") % 2 === 1)
+      .select("src").distinct().count()
+    val nEdges = edges.count() / 2
+    Seq((k, parts, supps, nEdges, rounds.toLong))
+      .toDF("k", "n_parts", "n_supps", "n_edges", "rounds")
+  }
+
   def graphPagerank(spark: SparkSession, dir: String): DataFrame = {
     ensureCheckpointDir(spark)
     // Nodes travel as LONGS (part → 2k, supplier → 2k+1; the bipartite
@@ -498,6 +555,7 @@ object Clustering {
     "llm_dedup_clusters" -> (llmDedupClusters _),
     "graph_cc_sizes"     -> (graphCcSizes _),
     "graph_assortativity" -> (graphAssortativity _),
+    "graph_kcore"        -> (graphKcore _),
     "graph_triangles"    -> (graphTriangles _),
     "graph_degree"       -> (graphDegree _))
 

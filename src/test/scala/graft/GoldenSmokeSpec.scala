@@ -54,9 +54,11 @@ class GoldenSmokeSpec extends AnyFunSuite {
     val orphans = SparkEntry.oracleSql.keySet -- qs
     assert(orphans.isEmpty, s"oracleSql without queries: $orphans")
     // the intentional no-oracle ops (engine-specific hashes / stubbed
-    // codec / no DuckDB eigensolver for llm_pca)
+    // codec / no DuckDB eigensolver for llm_pca / no recursive-CTE form
+    // for graph_kcore's iterative deletion)
     assert((qs -- SparkEntry.oracleSql.keySet) ===
       Set("agg_approx_hll", "agg_hll_union", "agg_approx_pctl", "agg_kmv_distinct",
-        "agg_countmin", "llm_minhash", "llm_simhash", "llm_mm_features", "llm_pca"))
+        "agg_countmin", "llm_minhash", "llm_simhash", "llm_mm_features", "llm_pca",
+        "graph_kcore"))
   }
 }

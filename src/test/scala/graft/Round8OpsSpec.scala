@@ -1155,6 +1155,35 @@ class Round8OpsSpec extends AnyFunSuite {
     assert(r2 >= -1e-9 && r2 <= 1.0 + 1e-9)
   }
 
+  test("graph_kcore: core-degree and maximality invariants define the result") {
+    val r = operators.Clustering.graphKcore(spark, sf0001).head()
+    val (k, nParts, nSupps, nEdges, rounds) =
+      (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4))
+    assert(k >= 1 && rounds >= 1)
+    assert(nParts > 0 && nSupps > 0 && nEdges > 0, "fixture core is non-empty")
+    // replay the peel in Scala from the raw distinct pair list
+    var edges = Tables.lineitem(spark, sf0001)
+      .select("l_partkey", "l_suppkey").distinct().collect()
+      .map(r2 => (r2.getLong(0) * 2, r2.getLong(1) * 2 + 1)).toSet
+    var changed = true
+    while (changed) {
+      val deg = (edges.toSeq.map(_._1) ++ edges.toSeq.map(_._2))
+        .groupBy(identity).map { case (n, xs) => n -> xs.size }
+      val keep = deg.filter(_._2 >= k).keySet
+      val next = edges.filter(e => keep(e._1) && keep(e._2))
+      changed = next != edges
+      edges = next
+    }
+    val coreNodes = edges.flatMap(e => Seq(e._1, e._2))
+    assert(nParts === coreNodes.count(_ % 2 == 0).toLong, "part census")
+    assert(nSupps === coreNodes.count(_ % 2 == 1).toLong, "supplier census")
+    assert(nEdges === edges.size.toLong, "edge census")
+    // defining invariant: every core node keeps >= k core neighbors
+    val deg = (edges.toSeq.map(_._1) ++ edges.toSeq.map(_._2))
+      .groupBy(identity).map { case (n, xs) => n -> xs.size }
+    assert(deg.values.forall(_ >= k), "core degree >= k")
+  }
+
   test("dq_corr_matrix: 6 bounded pairs, spot value matches direct corr") {
     val out = operators.DataQuality.dqCorrMatrix(spark, sf0001).collect()
     assert(out.length === 6)
