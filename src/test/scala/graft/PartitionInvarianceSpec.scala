@@ -53,6 +53,28 @@ class PartitionInvarianceSpec extends AnyFunSuite {
       rows(LlmOpsPipeline.llmStratifiedSample(alt, sf0001)))
   }
 
+  test("wave-13..18 addenda are identical under a different shuffle partitioning") {
+    // the subset whose plans involve hash-encoded keys, memoized builds,
+    // iterative peeling, the native heap exec, or driver-scale collects —
+    // where a partitioning dependency would most plausibly hide
+    assert(rows(LlmOpsPipeline.llmPerplexity(spark, sf0001)) ===
+      rows(LlmOpsPipeline.llmPerplexity(alt, sf0001)))
+    assert(rows(Clustering.graphCcSizes(spark, sf0001)) ===
+      rows(Clustering.graphCcSizes(alt, sf0001)))
+    assert(rows(LlmOpsExtra.llmCrossSourceDup(spark, sf0001)) ===
+      rows(LlmOpsExtra.llmCrossSourceDup(alt, sf0001)))
+    assert(rows(Streaming.streamTopk(spark, sf0001)) ===
+      rows(Streaming.streamTopk(alt, sf0001)))
+    assert(rows(LlmOpsPipeline.llmNovelty(spark, sf0001)) ===
+      rows(LlmOpsPipeline.llmNovelty(alt, sf0001)))
+    assert(rows(LlmOpsExtra.llmDedupSweep(spark, sf0001)) ===
+      rows(LlmOpsExtra.llmDedupSweep(alt, sf0001)))
+    assert(rows(Clustering.graphKcore(spark, sf0001)) ===
+      rows(Clustering.graphKcore(alt, sf0001)))
+    assert(rows(LlmOpsExtra.llmPca(spark, sf0001)) ===
+      rows(LlmOpsExtra.llmPca(alt, sf0001)))
+  }
+
   test("llm_dedup_clusters truncates lineage to DISK, not block-manager blocks") {
     // Round 8: the CC loop materializes through MemoFrames.materialize
     // (parquet under the session memo dir) instead of RDD checkpoints —
