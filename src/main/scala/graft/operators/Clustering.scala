@@ -337,7 +337,15 @@ object Clustering {
     * pins the defining invariants instead: core-degree ≥ k inside,
     * maximality (every removed part has < k surviving neighbors), and
     * the parity split of the encoded node ids. */
-  def graphKcore(spark: SparkSession, dir: String): DataFrame = {
+  def graphKcore(spark: SparkSession, dir: String): DataFrame =
+    // the whole peel runs AQE-off: every internal action (k selection,
+    // round writes, convergence counts, census) is a fixed-shape plan
+    // over tiny frames, and AQE's per-exchange stage jobs were half this
+    // query's scheduled-job bill (19 → ~11) — the result is a local
+    // relation, unaffected
+    MemoFrames.noAqe(spark)(graphKcoreBody(spark, dir))
+
+  private def graphKcoreBody(spark: SparkSession, dir: String): DataFrame = {
     val sp = graphPairs(spark, dir)
     val sym = sp.select(col("p").as("src"), col("s").as("dst"))
       .unionAll(sp.select(col("s").as("src"), col("p").as("dst")))
@@ -347,31 +355,42 @@ object Clustering {
       .selectExpr("cast(percentile_disc(0.5) within group (order by d) as bigint) as k")
       .head().getLong(0)
     var edges = MemoFrames.materialize(spark, "kcore_e0", sym)
-    var nNodes = edges.select("src").distinct().count()
+    // Convergence probes compare EDGE counts, not node sets: a peel step
+    // only ever deletes nodes, deleting a node deletes its edges, so a
+    // stable edge count ⇒ stable node set — and a count() is one cheap
+    // job per round where a distinct() is an extra exchange.
+    var nEdges = edges.count()
     var rounds = 0
     var converged = false
     while (!converged && rounds < 30) {
       rounds += 1
+      // shuffle_hash, not broadcast: a planned broadcast builds its
+      // relation in a DEDICATED job per semi join per round (4 extra job
+      // starts per round on the contended driver), and the keep set is
+      // node-count-sized — the side that does NOT reliably fit in memory
+      // at 100 TB. The shuffle semi joins run inside the round's single
+      // AQE-off write job.
       val keep = edges.groupBy("src").agg(count(lit(1)).as("d"))
-        .filter(col("d") >= k).select("src")
+        .filter(col("d") >= k).select("src").hint("shuffle_hash")
       val pruned = edges
         .join(keep, "src", "left_semi")
         .join(keep.withColumnRenamed("src", "dst"), "dst", "left_semi")
       val next = MemoFrames.materialize(spark, s"kcore_r$rounds", pruned)
-      val n2 = next.select("src").distinct().count()
-      converged = n2 == nNodes
-      nNodes = n2
+      val n2 = next.count()
+      converged = n2 == nEdges
+      nEdges = n2
       edges = next
     }
     require(converged, s"k-core did not converge in $rounds rounds")
+    // one census job for all three counts (the parity split of the
+    // encoded ids distinguishes the bipartite sides)
+    val stats = edges.agg(
+      countDistinct(when(col("src") % 2 === 0, col("src"))).as("p"),
+      countDistinct(when(col("src") % 2 === 1, col("src"))).as("s"),
+      count(lit(1)).as("e")).head()
     val session = spark
     import session.implicits._
-    val parts = edges.filter(col("src") % 2 === 0)
-      .select("src").distinct().count()
-    val supps = edges.filter(col("src") % 2 === 1)
-      .select("src").distinct().count()
-    val nEdges = edges.count() / 2
-    Seq((k, parts, supps, nEdges, rounds.toLong))
+    Seq((k, stats.getLong(0), stats.getLong(1), stats.getLong(2) / 2, rounds.toLong))
       .toDF("k", "n_parts", "n_supps", "n_edges", "rounds")
   }
 
