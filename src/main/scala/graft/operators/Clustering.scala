@@ -72,7 +72,12 @@ object Clustering {
     * — llm_dedup_clusters' per-doc listing and graph_cc_sizes'
     * size-distribution rollup both ride this one file. */
   private def ccLabels(spark: SparkSession, dir: String): DataFrame =
-    MemoFrames.frame(spark, s"cc_labels|$dir")(ccLabelsBuild(spark, dir))
+    MemoFrames.frame(spark, s"cc_labels|$dir")(
+      // AQE off for the whole build (same arithmetic as graph_kcore:
+      // the fixpoint's probes and intermediate materializations are
+      // fixed-shape plans whose per-exchange AQE stage jobs the
+      // contended driver bills at ~0.4 s each)
+      MemoFrames.noAqe(spark)(ccLabelsBuild(spark, dir)))
 
   def llmDedupClusters(spark: SparkSession, dir: String): DataFrame = {
     val w = Window.partitionBy("cluster")
