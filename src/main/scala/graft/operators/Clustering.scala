@@ -115,8 +115,10 @@ object Clustering {
     // the symmetric closure is a lazy union of two projections over the
     // same small file, so the write moves half the bytes for the same
     // downstream cost.
-    val pairsM = MemoFrames.materialize(spark, "cc_pairs",
-      LlmOps.nearDupPairs(spark, dir).select("a_id", "b_id"))
+    // The pair stream is now MEMOIZED inside nearDupPairs (a parquet
+    // file) — already lineage-truncated, so the old cc_pairs
+    // re-materialization would write the same rows a second time.
+    val pairsM = LlmOps.nearDupPairs(spark, dir).select("a_id", "b_id")
     val edges = pairsM
       .unionAll(pairsM.select(col("b_id").as("a_id"), col("a_id").as("b_id")))
     // STAR CONTRACTION (the large-star move of Kiveris et al.'s

@@ -129,7 +129,15 @@ class SkewCanarySpec extends AnyFunSuite {
         case j: BroadcastHashJoinExec => j.leftKeys
       }
     }
-    val nearKeys = joinKeys("llm_dedup_near").map(_.size)
+    // llm_dedup_near's DECLARED plan is now a memo-file scan (the pair
+    // stream is memoized); the salted join lives in the build plan that
+    // every fresh session executes cold — fingerprint THAT.
+    val nearKeys = operators.LlmOps.nearDupPairsBuild(session, sf0001)
+      .queryExecution.executedPlan.collect {
+        case j: SortMergeJoinExec     => j.leftKeys
+        case j: ShuffledHashJoinExec  => j.leftKeys
+        case j: BroadcastHashJoinExec => j.leftKeys
+      }.map(_.size)
     assert(nearKeys.nonEmpty && nearKeys.max >= 4,
       s"llm_dedup_near: expected a pair join keyed on (block keys + 2 salts), got key counts $nearKeys")
     // llm_ngram_jaccard (round 7) generates candidates from the inverted
