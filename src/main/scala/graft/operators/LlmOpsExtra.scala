@@ -516,6 +516,110 @@ object LlmOpsExtra {
       .orderBy(col("q_id").asc, col("rnk").asc)
   }
 
+  /** Product quantization (round-8 wave 19) — the OTHER half of the ANN
+    * storage story next to llm_quantize's scalar int8: the 64-d vector
+    * splits into M=8 subspaces of 8 dims, each with its own TRAINED
+    * 16-centroid codebook (2 Lloyd iterations — all 8 subspaces train in
+    * ONE corpus pass per iteration), and a vector encodes as 8 code
+    * bytes — 64× smaller than raw float64, 8× smaller than int8, the
+    * compression that lets an ANN index hold a 100 TB corpus's vectors
+    * in memory (Jégou et al., PQ). Codebooks are driver-scale
+    * (8×16×8 = 1024 doubles — the IVF-means legitimacy class) and travel
+    * as ONE typed literal (llm_ann_ivf's codegen-cache lesson).
+    *
+    * The declared report is per label: vector count, RECONSTRUCTION
+    * error (‖x − decode(encode(x))‖ = √Σ_m min_j d²(x_m, c_mj) — the min
+    * distance IS the quantization error, no decode pass needed) and the
+    * distinct-signature count (8-byte code collisions — the metric that
+    * says whether the codebook resolution suffices for candidate
+    * pruning). NO-ORACLE (trained k-means); the spec pins: error ≥ 0,
+    * training strictly improves on the untrained codebook, codes lie in
+    * range, and the assignment is partition-invariant. */
+  def llmEmbPq(spark: SparkSession, dir: String): DataFrame = {
+    val spark2 = spark
+    import spark2.implicits._
+    val cb = MemoFrames.noAqe(spark)(pqCodebook(spark, dir, iters = 2))
+    val cbDf = cb.zipWithIndex.flatMap { case (sub, m) =>
+      sub.zipWithIndex.map { case (cent, j) => (m, j.toLong, cent) } }
+      .toDF("m", "j", "cent")
+    pqAssign(spark, dir, cbDf)
+      .groupBy("vec_id", "label")
+      .agg(sqrt(sum(col("b.d2"))).as("err"),
+        transform(array_sort(collect_list(struct(col("m"), col("b.j")))),
+          x => x.getField("j")).cast("string").as("code"))
+      .groupBy("label")
+      .agg(count(lit(1)).as("n"),
+        round(avg("err"), 6).as("avg_err"),
+        round(max("err"), 6).as("max_err"),
+        countDistinct(col("code")).as("distinct_codes"))
+      .orderBy(col("label").asc)
+  }
+
+  /** Per-(vector, subspace) argmin against the codebook: subvectors
+    * explode to (vec, m, sub) rows, the 128-row codebook broadcasts, the
+    * 8-dim distance runs as one flat zip_with fold, and min(struct(d2,j))
+    * picks lowest distance with ties to the lower index. All relational
+    * codegen'd operators — the earlier nested-HOF formulation evaluated
+    * INTERPRETED lambdas three levels deep (~55 ms/row: the difference
+    * between "expression" and "operator" shapes at scale). Volume is
+    * n·M rows exploded, n·M·K after the broadcast join — linear in the
+    * corpus with a fixed 128× constant, the canonical PQ assignment
+    * shape. */
+  private[graft] def pqAssign(spark: SparkSession, dir: String,
+                       cbDf: DataFrame): DataFrame = {
+    val subs = embDouble(spark, dir)
+      .select(col("vec_id"), col("label"),
+        posexplode(transform(sequence(lit(0), lit(7)),
+          m => slice(col("e"), m * 8 + 1, lit(8)))).as(Seq("m", "sub")))
+    val d2 = aggregate(zip_with(col("sub"), col("cent"),
+      (x, y) => (x - y) * (x - y)), lit(0.0), (a, v) => a + v)
+    subs.join(broadcast(cbDf), "m")
+      .select(col("vec_id"), col("label"), col("m"),
+        struct(d2.as("d2"), col("j")).as("c"))
+      .groupBy("vec_id", "label", "m")
+      .agg(min(col("c")).as("b"))
+  }
+
+  /** Train the M=8 × K=16 codebooks: seeded-Gaussian init scaled to the
+    * embedding coordinate spread (sigma = 0.125 [measured]), then `iters`
+    * Lloyd steps — each step assigns via pqAssign and collects the
+    * 1024 per-(m, j, t) means (driver-scale, the IVF legitimacy class).
+    * Cells that capture no vectors keep their previous centroid. */
+  private[graft] def pqCodebook(spark: SparkSession, dir: String,
+                                    iters: Int): Seq[Seq[Seq[Double]]] = {
+    val spark2 = spark
+    import spark2.implicits._
+    val g = gaussianVectors(16, 64, base = 1L << 21)
+    var cb: Seq[Seq[Seq[Double]]] =
+      (0 until 8).map(m => (0 until 16).map(j =>
+        g(j).slice(m * 8, m * 8 + 8).map(x =>
+          BigDecimal(x * 0.125).setScale(6, BigDecimal.RoundingMode.HALF_UP)
+            .toDouble)))
+    for (_ <- 1 to iters) {
+      val cbDf = cb.zipWithIndex.flatMap { case (sub, m) =>
+        sub.zipWithIndex.map { case (cent, j) => (m, j.toLong, cent) } }
+        .toDF("m", "j", "cent")
+      // re-attach each assigned (vec, m) to its subvector for the mean
+      val subs = embDouble(spark, dir)
+        .select(col("vec_id"),
+          posexplode(transform(sequence(lit(0), lit(7)),
+            m => slice(col("e"), m * 8 + 1, lit(8)))).as(Seq("m", "sub")))
+      val means = pqAssign(spark, dir, cbDf)
+        .select(col("vec_id"), col("m"), col("b.j").as("j"))
+        .join(subs, Seq("vec_id", "m"))
+        .select(col("m"), col("j"), posexplode(col("sub")).as(Seq("t", "x")))
+        .groupBy("m", "j", "t").agg(round(avg("x"), 6).as("c"))
+        .collect()
+      val byCell = means.groupBy(r => (r.getInt(0), r.getLong(1)))
+        .map { case (k, rs) =>
+          k -> rs.sortBy(_.getInt(2)).map(_.getDouble(3)).toSeq }
+      cb = cb.zipWithIndex.map { case (sub, m) =>
+        sub.zipWithIndex.map { case (old, j) =>
+          byCell.getOrElse((m, j.toLong), old) } }
+    }
+    cb
+  }
+
   /** Int8 embedding quantization with per-vector min/max scaling, and the
     * reconstruction error it costs — the storage play that makes a 100 TB
     * embedding corpus hold 4× more vectors per byte. Bucket index uses
@@ -1024,7 +1128,8 @@ object LlmOpsExtra {
     "llm_ann_lsh"       -> (llmAnnLsh _),
     "llm_hard_negatives" -> (llmHardNegatives _),
     "llm_cross_source_dup" -> (llmCrossSourceDup _),
-    "llm_index_stats"   -> (llmIndexStats _))
+    "llm_index_stats"   -> (llmIndexStats _),
+    "llm_emb_pq"        -> (llmEmbPq _))
 
   val oracleSql: Map[String, String] = Map(
     "llm_index_stats" ->

@@ -1184,6 +1184,32 @@ class Round8OpsSpec extends AnyFunSuite {
     assert(deg.values.forall(_ >= k), "core degree >= k")
   }
 
+  test("llm_emb_pq: training improves on the untrained codebook, codes bounded") {
+    val spark2 = spark
+    import spark2.implicits._
+    val out = operators.LlmOpsExtra.llmEmbPq(spark, sf0001).collect()
+    assert(out.nonEmpty)
+    out.foreach { r =>
+      assert(r.getDouble(2) > 0 && r.getDouble(2) <= r.getDouble(3) + 1e-9)
+      assert(r.getLong(4) >= 1 && r.getLong(4) <= r.getLong(1),
+        "distinct signatures bounded by vector count")
+    }
+    // trained (2 Lloyd steps) must beat the raw seeded-Gaussian init on
+    // corpus reconstruction error — else the training pass is dead code
+    def corpusErr(iters: Int): Double = {
+      val cb = operators.LlmOpsExtra.pqCodebook(spark, sf0001, iters)
+      val cbDf = cb.zipWithIndex.flatMap { case (sub, m) =>
+        sub.zipWithIndex.map { case (cent, j) => (m, j.toLong, cent) } }
+        .toDF("m", "j", "cent")
+      operators.LlmOpsExtra.pqAssign(spark, sf0001, cbDf)
+        .groupBy("vec_id").agg(sqrt(sum(col("b.d2"))).as("err"))
+        .agg(avg("err")).head().getDouble(0)
+    }
+    val (untrained, trained) = (corpusErr(0), corpusErr(2))
+    assert(trained < untrained,
+      s"training must reduce reconstruction error ($trained vs $untrained)")
+  }
+
   test("dq_corr_matrix: 6 bounded pairs, spot value matches direct corr") {
     val out = operators.DataQuality.dqCorrMatrix(spark, sf0001).collect()
     assert(out.length === 6)
