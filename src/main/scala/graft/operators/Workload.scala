@@ -3,12 +3,14 @@ package graft.operators
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import graft.Tables
 
-/** Recognizable TPC-H workload queries (q3/q5/q10 shapes, adapted to the
-  * fixture's column subset) — multi-join plans that exercise Catalyst's
+/** Recognizable TPC-H workload queries (q3/q5/q7/q8/q10/q14 shapes,
+  * adapted to the
+  * fixture's column subset — no shipmode/commitdate family, so q12-class
+  * queries are out of reach) — multi-join plans that exercise Catalyst's
   * join ordering, dimension broadcasting, and scan pushdown together, the
   * way a warehouse actually queries.
   *
-  * All three are SQL-form: the text is identical on both engines, so the
+  * All are SQL-form: the text is identical on both engines, so the
   * oracle is the query itself. Plan expectations (PLANS.md): every
   * selective predicate lands in PushedFilters; region/nation/customer
   * broadcast; the pre-aggregation join tree carries partial aggregates
@@ -71,10 +73,85 @@ object Workload {
         |ORDER BY revenue DESC, c_custkey ASC LIMIT 20""".stripMargin)
   }
 
+  /** q7 shape — volume shipping: bilateral trade between two nations
+    * (supplier side vs customer side), per direction and ship year. The
+    * canonical "both orientations of an asymmetric pair predicate" plan:
+    * the disjunction stays in the join condition, nations broadcast, and
+    * the year extraction groups the lineitem stream without a second
+    * pass. */
+  def tpchQ7(spark: SparkSession, dir: String): DataFrame = {
+    Tables.registerAll(spark, dir)
+    spark.sql(
+      """SELECT supp_nation, cust_nation, l_year,
+        |  round(sum(volume), 2) AS revenue
+        |FROM (
+        |  SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+        |    CAST(year(l_shipdate) AS BIGINT) AS l_year,
+        |    l_extendedprice * (1 - l_discount) AS volume
+        |  FROM supplier
+        |  JOIN lineitem ON s_suppkey = l_suppkey
+        |  JOIN orders ON o_orderkey = l_orderkey
+        |  JOIN customer ON c_custkey = o_custkey
+        |  JOIN nation n1 ON s_nationkey = n1.n_nationkey
+        |  JOIN nation n2 ON c_nationkey = n2.n_nationkey
+        |  WHERE ((n1.n_name = 'NATION_1' AND n2.n_name = 'NATION_2')
+        |      OR (n1.n_name = 'NATION_2' AND n2.n_name = 'NATION_1'))
+        |    AND l_shipdate >= TIMESTAMP '1995-01-01 00:00:00'
+        |    AND l_shipdate < TIMESTAMP '1997-01-01 00:00:00') shipping
+        |GROUP BY supp_nation, cust_nation, l_year
+        |ORDER BY supp_nation ASC, cust_nation ASC, l_year ASC""".stripMargin)
+  }
+
+  /** q8 shape — national market share: NATION_3's share of one region's
+    * PROMO-part revenue per order year. Two aggregates over one join
+    * tree (conditional-sum numerator / total denominator), 8-way join
+    * with every dimension broadcast. */
+  def tpchQ8(spark: SparkSession, dir: String): DataFrame = {
+    Tables.registerAll(spark, dir)
+    spark.sql(
+      """SELECT o_year,
+        |  round(sum(CASE WHEN nation = 'NATION_3' THEN volume ELSE 0 END)
+        |    / sum(volume), 6) AS mkt_share
+        |FROM (
+        |  SELECT CAST(year(o_orderdate) AS BIGINT) AS o_year,
+        |    l_extendedprice * (1 - l_discount) AS volume,
+        |    n2.n_name AS nation
+        |  FROM part
+        |  JOIN lineitem ON p_partkey = l_partkey
+        |  JOIN supplier ON s_suppkey = l_suppkey
+        |  JOIN orders ON l_orderkey = o_orderkey
+        |  JOIN customer ON o_custkey = c_custkey
+        |  JOIN nation n1 ON c_nationkey = n1.n_nationkey
+        |  JOIN region ON n1.n_regionkey = r_regionkey
+        |  JOIN nation n2 ON s_nationkey = n2.n_nationkey
+        |  WHERE r_name = 'ASIA' AND p_type = 'PROMO'
+        |    AND o_orderdate >= TIMESTAMP '1995-01-01 00:00:00'
+        |    AND o_orderdate < TIMESTAMP '1997-01-01 00:00:00') all_nations
+        |GROUP BY o_year ORDER BY o_year ASC""".stripMargin)
+  }
+
+  /** q14 shape — promotion effect: share of revenue from PROMO-type
+    * parts in one month. The classic conditional-aggregate ratio over a
+    * single fact↔dimension join; part broadcasts, both sums ride one
+    * partial-aggregated pass. */
+  def tpchQ14(spark: SparkSession, dir: String): DataFrame = {
+    Tables.registerAll(spark, dir)
+    spark.sql(
+      """SELECT round(100.0 * sum(CASE WHEN p_type = 'PROMO'
+        |    THEN l_extendedprice * (1 - l_discount) ELSE 0 END)
+        |    / sum(l_extendedprice * (1 - l_discount)), 6) AS promo_revenue
+        |FROM lineitem JOIN part ON l_partkey = p_partkey
+        |WHERE l_shipdate >= TIMESTAMP '1995-09-01 00:00:00'
+        |  AND l_shipdate < TIMESTAMP '1995-10-01 00:00:00'""".stripMargin)
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "tpch_q3"  -> (tpchQ3 _),
     "tpch_q5"  -> (tpchQ5 _),
-    "tpch_q10" -> (tpchQ10 _))
+    "tpch_q7"  -> (tpchQ7 _),
+    "tpch_q8"  -> (tpchQ8 _),
+    "tpch_q10" -> (tpchQ10 _),
+    "tpch_q14" -> (tpchQ14 _))
 
   val oracleSql: Map[String, String] = Map(
     "tpch_q3" ->
@@ -111,5 +188,51 @@ object Workload {
         |  AND o_orderdate < TIMESTAMP '1996-01-01 00:00:00'
         |  AND l_returnflag = 'R'
         |GROUP BY c_custkey, c_name, n_name, c_acctbal
-        |ORDER BY revenue DESC, c_custkey ASC LIMIT 20""".stripMargin)
+        |ORDER BY revenue DESC, c_custkey ASC LIMIT 20""".stripMargin,
+    "tpch_q7" ->
+      """SELECT supp_nation, cust_nation, l_year,
+        |  round(sum(volume), 2) AS revenue
+        |FROM (
+        |  SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+        |    CAST(year(l_shipdate) AS BIGINT) AS l_year,
+        |    l_extendedprice * (1 - l_discount) AS volume
+        |  FROM supplier
+        |  JOIN lineitem ON s_suppkey = l_suppkey
+        |  JOIN orders ON o_orderkey = l_orderkey
+        |  JOIN customer ON c_custkey = o_custkey
+        |  JOIN nation n1 ON s_nationkey = n1.n_nationkey
+        |  JOIN nation n2 ON c_nationkey = n2.n_nationkey
+        |  WHERE ((n1.n_name = 'NATION_1' AND n2.n_name = 'NATION_2')
+        |      OR (n1.n_name = 'NATION_2' AND n2.n_name = 'NATION_1'))
+        |    AND l_shipdate >= TIMESTAMP '1995-01-01 00:00:00'
+        |    AND l_shipdate < TIMESTAMP '1997-01-01 00:00:00') shipping
+        |GROUP BY supp_nation, cust_nation, l_year
+        |ORDER BY supp_nation ASC, cust_nation ASC, l_year ASC""".stripMargin,
+    "tpch_q8" ->
+      """SELECT o_year,
+        |  round(sum(CASE WHEN nation = 'NATION_3' THEN volume ELSE 0 END)
+        |    / sum(volume), 6) AS mkt_share
+        |FROM (
+        |  SELECT CAST(year(o_orderdate) AS BIGINT) AS o_year,
+        |    l_extendedprice * (1 - l_discount) AS volume,
+        |    n2.n_name AS nation
+        |  FROM part
+        |  JOIN lineitem ON p_partkey = l_partkey
+        |  JOIN supplier ON s_suppkey = l_suppkey
+        |  JOIN orders ON l_orderkey = o_orderkey
+        |  JOIN customer ON o_custkey = c_custkey
+        |  JOIN nation n1 ON c_nationkey = n1.n_nationkey
+        |  JOIN region ON n1.n_regionkey = r_regionkey
+        |  JOIN nation n2 ON s_nationkey = n2.n_nationkey
+        |  WHERE r_name = 'ASIA' AND p_type = 'PROMO'
+        |    AND o_orderdate >= TIMESTAMP '1995-01-01 00:00:00'
+        |    AND o_orderdate < TIMESTAMP '1997-01-01 00:00:00') all_nations
+        |GROUP BY o_year ORDER BY o_year ASC""".stripMargin,
+    "tpch_q14" ->
+      """SELECT round(100.0 * sum(CASE WHEN p_type = 'PROMO'
+        |    THEN l_extendedprice * (1 - l_discount) ELSE 0 END)
+        |    / sum(l_extendedprice * (1 - l_discount)), 6) AS promo_revenue
+        |FROM lineitem JOIN part ON l_partkey = p_partkey
+        |WHERE l_shipdate >= TIMESTAMP '1995-09-01 00:00:00'
+        |  AND l_shipdate < TIMESTAMP '1995-10-01 00:00:00'""".stripMargin)
 }
