@@ -82,12 +82,74 @@ object Billing {
         round(avg("frac"), 6).as("avg_frac"))
       .orderBy(col("month").asc)
 
+  /** MRR bridge — the month-over-month revenue movement decomposition
+    * every recurring-billing business reports: per month, revenue from
+    * NEW customers (no prior-month revenue), EXPANSION (grew vs prior
+    * month), CONTRACTION (shrank, negative), and CHURN (prior-month
+    * customers with nothing this month, negative), netting to the MRR
+    * delta. One full-outer self-join of the (customer, month) rollup
+    * against itself shifted one month — both sides hash-partition on
+    * (customer, month), customer-grain at any scale. Revenues are
+    * 2dp-pre-rounded so the movement classification compares identical
+    * doubles; month arithmetic goes through DATE (no tz edge). */
+  def billMrrBridge(spark: SparkSession, dir: String): DataFrame = {
+    val cm = Tables.orders(spark, dir)
+      .groupBy(col("o_custkey").as("cust"),
+        to_date(date_trunc("month", col("o_orderdate"))).as("month"))
+      .agg(round(sum("o_totalprice"), 2).as("rev"))
+    val prev = cm.select(col("cust"), add_months(col("month"), 1).as("month"),
+      col("rev").as("prev_rev"))
+    cm.join(prev, Seq("cust", "month"), "full_outer")
+      .groupBy("month")
+      .agg(
+        round(sum(when(col("prev_rev").isNull, col("rev")).otherwise(0.0)), 2)
+          .as("new_rev"),
+        round(sum(when(col("rev") > col("prev_rev"),
+          col("rev") - col("prev_rev")).otherwise(0.0)), 2).as("expansion"),
+        round(sum(when(col("rev") < col("prev_rev"),
+          col("rev") - col("prev_rev")).otherwise(0.0)), 2).as("contraction"),
+        round(sum(when(col("rev").isNull, -col("prev_rev")).otherwise(0.0)), 2)
+          .as("churned"),
+        round(sum(coalesce(col("rev"), lit(0.0))
+          - coalesce(col("prev_rev"), lit(0.0))), 2).as("net_change"))
+      .orderBy(col("month").asc)
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "bill_tiered"    -> (billTiered _),
     "bill_aging"     -> (billAging _),
-    "bill_proration" -> (billProration _))
+    "bill_proration" -> (billProration _),
+    "bill_mrr_bridge" -> (billMrrBridge _))
 
   val oracleSql: Map[String, String] = Map(
+    "bill_mrr_bridge" ->
+      """WITH cm AS (
+        |  SELECT o_custkey AS cust,
+        |    CAST(date_trunc('month', o_orderdate) AS DATE) AS month,
+        |    round(sum(o_totalprice), 2) AS rev
+        |  FROM orders GROUP BY cust, month),
+        |prev AS (
+        |  SELECT cust, CAST(month + INTERVAL 1 MONTH AS DATE) AS month,
+        |    rev AS prev_rev
+        |  FROM cm),
+        |j AS (
+        |  SELECT COALESCE(cm.cust, prev.cust) AS cust,
+        |    COALESCE(cm.month, prev.month) AS month,
+        |    cm.rev AS rev, prev.prev_rev AS prev_rev
+        |  FROM cm FULL OUTER JOIN prev
+        |    ON cm.cust = prev.cust AND cm.month = prev.month)
+        |SELECT month,
+        |  round(sum(CASE WHEN prev_rev IS NULL THEN rev ELSE 0e0 END), 2)
+        |    AS new_rev,
+        |  round(sum(CASE WHEN rev > prev_rev THEN rev - prev_rev
+        |    ELSE 0e0 END), 2) AS expansion,
+        |  round(sum(CASE WHEN rev < prev_rev THEN rev - prev_rev
+        |    ELSE 0e0 END), 2) AS contraction,
+        |  round(sum(CASE WHEN rev IS NULL THEN -prev_rev ELSE 0e0 END), 2)
+        |    AS churned,
+        |  round(sum(COALESCE(rev, 0e0) - COALESCE(prev_rev, 0e0)), 2)
+        |    AS net_change
+        |FROM j GROUP BY month ORDER BY month ASC""".stripMargin,
     "bill_tiered" ->
       """WITH t AS (
         |  SELECT l_returnflag, l_quantity AS units,

@@ -1241,6 +1241,32 @@ class Round8OpsSpec extends AnyFunSuite {
     assert(pro.map(_.getLong(1)).sum === Tables.orders(spark, sf0001).count())
   }
 
+  test("bill_mrr_bridge: movement identity — components sum to the net change") {
+    val out = operators.Billing.billMrrBridge(spark, sf0001).collect()
+    assert(out.length > 2)
+    out.foreach { r =>
+      val (nw, exp, con, ch, net) = (r.getDouble(1), r.getDouble(2),
+        r.getDouble(3), r.getDouble(4), r.getDouble(5))
+      assert(nw >= 0 && exp >= 0 && con <= 0 && ch <= 0, "component signs")
+      // the bridge identity: new + expansion + contraction + churn = net
+      assert(math.abs(nw + exp + con + ch - net) < 0.05,
+        s"bridge ${r.get(0)}: $nw+$exp+$con+$ch != $net")
+    }
+    // cross-check one month's net against the raw month-over-month delta
+    val monthly = Tables.orders(spark, sf0001)
+      .groupBy(date_trunc("month", col("o_orderdate")).as("m"))
+      .agg(round(sum("o_totalprice"), 2).as("rev"))
+      .collect().map(r => r.get(0).toString.take(7) -> r.getDouble(1)).toMap
+    val mids = out.drop(1).dropRight(1) // interior months have both sides
+    mids.foreach { r =>
+      val m = r.get(0).toString.take(7)
+      val prevM = java.time.YearMonth.parse(m).minusMonths(1).toString
+      for (cur <- monthly.get(m); prev <- monthly.get(prevM))
+        assert(math.abs(r.getDouble(5) - (cur - prev)) < 0.05,
+          s"net at $m vs raw delta")
+    }
+  }
+
   test("dq_corr_matrix: 6 bounded pairs, spot value matches direct corr") {
     val out = operators.DataQuality.dqCorrMatrix(spark, sf0001).collect()
     assert(out.length === 6)
