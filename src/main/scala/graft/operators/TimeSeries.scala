@@ -545,7 +545,38 @@ object TimeSeries {
       .orderBy(col("event_type").asc)
   }
 
+  /** Maximum drawdown (round-8 wave 22) — per event type, the deepest
+    * relative drop of daily revenue below its running peak, and the
+    * FIRST day it bottomed: the peak-to-trough risk metric ts_anomaly's
+    * point z-scores can't express (a slow 40% bleed never trips a
+    * trailing z-test; a drawdown curve catches it immediately). Running
+    * peak is one ordered window over the day-grain frame; the worst day
+    * resolves by (drawdown DESC, day ASC) rank so ties land
+    * deterministically on the earliest bottom. Drawdowns divide
+    * 2dp-pre-rounded revenues (identical doubles both engines) and round
+    * at 6dp. Day-grain frame ⇒ O(days·types) at any event volume. */
+  def tsDrawdown(spark: SparkSession, dir: String): DataFrame = {
+    val daily = Tables.events(spark, dir)
+      .groupBy(col("event_type"), date_trunc("day", col("ts")).as("day"))
+      .agg(round(sum("value"), 2).as("rev"))
+    val wRun = Window.partitionBy("event_type").orderBy(col("day").asc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val wRank = Window.partitionBy("event_type")
+      .orderBy(col("dd").desc, col("day").asc)
+    daily
+      .withColumn("peak", max("rev").over(wRun))
+      .withColumn("dd", round((col("peak") - col("rev")) / col("peak"), 6))
+      .withColumn("days", count(lit(1)).over(Window.partitionBy("event_type")))
+      .withColumn("rn", row_number().over(wRank))
+      .filter(col("rn") === 1)
+      .select(col("event_type"), col("days"), col("day").as("worst_day"),
+        round(col("peak"), 2).as("peak_rev"), col("rev").as("trough_rev"),
+        col("dd").as("max_drawdown"))
+      .orderBy(col("event_type").asc)
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "ts_drawdown" -> (tsDrawdown _),
     "ts_decay" -> (tsDecay _),
     "ts_forecast_eval" -> (tsForecastEval _),
     "ts_periodogram" -> (tsPeriodogram _),
@@ -563,6 +594,26 @@ object TimeSeries {
     "ts_anomaly"  -> (tsAnomaly _))
 
   val oracleSql: Map[String, String] = Map(
+    "ts_drawdown" ->
+      """WITH daily AS (
+        |  SELECT event_type, date_trunc('day', ts) AS day,
+        |    round(sum(value), 2) AS rev
+        |  FROM events GROUP BY event_type, day),
+        |d AS (
+        |  SELECT event_type, day, rev,
+        |    max(rev) OVER (PARTITION BY event_type ORDER BY day ASC
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS peak,
+        |    count(*) OVER (PARTITION BY event_type) AS days
+        |  FROM daily),
+        |r AS (
+        |  SELECT event_type, days, day, peak, rev,
+        |    round((peak - rev) / peak, 6) AS dd,
+        |    row_number() OVER (PARTITION BY event_type
+        |      ORDER BY round((peak - rev) / peak, 6) DESC, day ASC) AS rn
+        |  FROM d)
+        |SELECT event_type, days, day AS worst_day,
+        |  round(peak, 2) AS peak_rev, rev AS trough_rev, dd AS max_drawdown
+        |FROM r WHERE rn = 1 ORDER BY event_type ASC""".stripMargin,
     "ts_decay" ->
       """WITH wm AS (SELECT max(ts) AS wm FROM events),
         |t AS (

@@ -1267,6 +1267,32 @@ class Round8OpsSpec extends AnyFunSuite {
     }
   }
 
+  test("ts_drawdown: matches a sequential replay of the running-peak curve") {
+    val out = operators.TimeSeries.tsDrawdown(spark, sf0001).collect()
+    assert(out.nonEmpty)
+    val daily = Tables.events(spark, sf0001)
+      .groupBy(col("event_type"), date_trunc("day", col("ts")).as("day"))
+      .agg(round(sum("value"), 2).as("rev"))
+      .collect().map(r => (r.getString(0), r.getTimestamp(1), r.getDouble(2)))
+      .groupBy(_._1)
+    out.foreach { r =>
+      val tpe = r.getString(0)
+      val series = daily(tpe).sortBy(_._2.getTime).map(_._3)
+      var peak = Double.MinValue
+      var best = (0.0, -1) // (dd, index) — first index wins ties
+      series.zipWithIndex.foreach { case (v, i) =>
+        peak = math.max(peak, v)
+        val dd = BigDecimal((peak - v) / peak)
+          .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+        if (dd > best._1) best = (dd, i)
+      }
+      assert(r.getLong(1) === series.length.toLong, s"$tpe day census")
+      assert(math.abs(r.getDouble(5) - best._1) < 1e-9, s"$tpe max drawdown")
+      assert(r.getDouble(5) >= 0 && r.getDouble(5) < 1.0)
+      assert(r.getDouble(4) <= r.getDouble(3) + 1e-9, "trough <= peak")
+    }
+  }
+
   test("dq_corr_matrix: 6 bounded pairs, spot value matches direct corr") {
     val out = operators.DataQuality.dqCorrMatrix(spark, sf0001).collect()
     assert(out.length === 6)
