@@ -324,9 +324,15 @@ object Analytics {
   }
 
   /** Conversion-latency distribution (round-8 wave 16) — funnel_steps
-    * counts WHO converts; this measures HOW FAST: per converting user the
-    * first-view → first-subsequent-purchase delay, reported as exact
-    * decile cuts plus the mean. Latencies are integer MICROSECONDS
+    * counts WHO converts; this measures HOW FAST. Semantics (exact, per
+    * ADVICE r8): a user converts iff their OVERALL first purchase falls
+    * strictly after their overall first view, and the latency is that
+    * global-first-purchase − first-view delta. A user whose first
+    * purchase predates their first view is NOT counted even if they
+    * purchased again later — deliberate: such a user was already a buyer
+    * before the funnel entry, so a later purchase does not evidence the
+    * view→purchase conversion this metric prices. Latencies are integer
+    * MICROSECONDS
     * (epoch-µs subtraction — no truncation-direction trap, and every
     * aggregate over them is exact integer arithmetic until the one final
     * division). User-grain frame ⇒ percentile_disc's per-group sort is

@@ -369,7 +369,13 @@ object Clustering {
     var nEdges = edges.count()
     var rounds = 0
     var converged = false
-    while (!converged && rounds < 30) {
+    // Termination is structural, not a tuned constant (ADVICE r8: a fixed
+    // 30-round cap could turn a deep peel cascade into a runtime error):
+    // every non-converged round deletes at least one edge, so the peel
+    // MUST converge within (initial edge count + 1) rounds. The cap below
+    // is that bound — an unreachable safety rail, not a behavior knob.
+    val maxRounds = nEdges + 2
+    while (!converged && rounds < maxRounds) {
       rounds += 1
       // shuffle_hash, not broadcast: a planned broadcast builds its
       // relation in a DEDICATED job per semi join per round (4 extra job

@@ -170,8 +170,15 @@ object MemoFrames {
   /** Run `body` (actions included) with AQE disabled on `spark`, restoring
     * the previous setting after. Also used by iterative trainers whose
     * per-iteration collects are fixed-shape (llm_ann_ivf's Lloyd steps):
-    * same job-count arithmetic as the memo writes. */
-  private[graft] def noAqe[T](spark: SparkSession)(body: => T): T = {
+    * same job-count arithmetic as the memo writes.
+    *
+    * Serialized on the SAME monitor as `frame`/`materialize` (ADVICE r8):
+    * the toggle mutates the session-global AQE conf, so two threads
+    * interleaving set/restore could strand the session with AQE off (or
+    * flip it mid-plan for an unrelated query). `synchronized` is
+    * reentrant, so `frame`'s internal writeNoAqe and a caller-level
+    * noAqe wrapping a body that itself memoizes both still work. */
+  private[graft] def noAqe[T](spark: SparkSession)(body: => T): T = synchronized {
     val conf = spark.conf
     val k = "spark.sql.adaptive.enabled"
     val prev = conf.getOption(k)

@@ -537,8 +537,15 @@ object TimeSeries {
     ev.crossJoin(wm)
       .withColumn("w", w)
       .groupBy("event_type")
+      // Naming (ADVICE r8): `sum_w` is the raw decayed weight mass; the
+      // actual effective sample size (Σw)²/Σw² is the `ess` column.
+      // Degenerate case, documented not guarded: if EVERY event of a type
+      // is old enough that all 6dp-rounded weights are exactly 0, ess is
+      // 0/0 → null — identically in both engines (the oracle divides the
+      // same rounded weights), so certification is unaffected; the events
+      // fixture always has recent rows per type, so it cannot occur here.
       .agg(count(lit(1)).as("n"),
-        round(sum("w"), 4).as("eff_n"),
+        round(sum("w"), 4).as("sum_w"),
         round(sum(col("w") * col("w")), 4).as("sum_w2"),
         round(sum("w") * sum("w") / sum(col("w") * col("w")), 4).as("ess"),
         round(sum(col("w") * col("value")), 2).as("decayed_value"))
@@ -565,7 +572,12 @@ object TimeSeries {
       .orderBy(col("dd").desc, col("day").asc)
     daily
       .withColumn("peak", max("rev").over(wRun))
-      .withColumn("dd", round((col("peak") - col("rev")) / col("peak"), 6))
+      // Division guard (ADVICE r8): a type whose running peak is still
+      // ≤ 0 (every day so far refunded/zero) has no meaningful relative
+      // drawdown — define it as 0 rather than emit a null/sign-flipped
+      // ratio whose DESC rank would then be null-ordering-dependent.
+      .withColumn("dd", when(col("peak") > 0,
+        round((col("peak") - col("rev")) / col("peak"), 6)).otherwise(lit(0.0)))
       .withColumn("days", count(lit(1)).over(Window.partitionBy("event_type")))
       .withColumn("rn", row_number().over(wRank))
       .filter(col("rn") === 1)
@@ -607,9 +619,11 @@ object TimeSeries {
         |  FROM daily),
         |r AS (
         |  SELECT event_type, days, day, peak, rev,
-        |    round((peak - rev) / peak, 6) AS dd,
+        |    CASE WHEN peak > 0 THEN round((peak - rev) / peak, 6)
+        |         ELSE 0e0 END AS dd,
         |    row_number() OVER (PARTITION BY event_type
-        |      ORDER BY round((peak - rev) / peak, 6) DESC, day ASC) AS rn
+        |      ORDER BY CASE WHEN peak > 0 THEN round((peak - rev) / peak, 6)
+        |               ELSE 0e0 END DESC, day ASC) AS rn
         |  FROM d)
         |SELECT event_type, days, day AS worst_day,
         |  round(peak, 2) AS peak_rev, rev AS trough_rev, dd AS max_drawdown
@@ -622,7 +636,7 @@ object TimeSeries {
         |      / 86400000000e0) * (-ln(2e0) / 30e0)), 6) AS w
         |  FROM events)
         |SELECT event_type, count(*) AS n,
-        |  round(sum(w), 4) AS eff_n,
+        |  round(sum(w), 4) AS sum_w,
         |  round(sum(w * w), 4) AS sum_w2,
         |  round(sum(w) * sum(w) / sum(w * w), 4) AS ess,
         |  round(sum(w * value), 2) AS decayed_value

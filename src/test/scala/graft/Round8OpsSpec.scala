@@ -1123,13 +1123,13 @@ class Round8OpsSpec extends AnyFunSuite {
     val out = operators.TimeSeries.tsDecay(spark, sf0001).collect()
     assert(out.nonEmpty)
     out.foreach { r =>
-      val (n, effN, sumW2, ess) =
+      val (n, sumW, sumW2, ess) =
         (r.getLong(1), r.getDouble(2), r.getDouble(3), r.getDouble(4))
-      assert(effN > 0 && effN <= n, "decayed mass can't exceed the count")
-      assert(sumW2 <= effN + 1e-6, "w <= 1 forces sum w^2 <= sum w")
+      assert(sumW > 0 && sumW <= n, "decayed mass can't exceed the count")
+      assert(sumW2 <= sumW + 1e-6, "w <= 1 forces sum w^2 <= sum w")
       assert(ess >= 1.0 - 1e-9 && ess <= n + 1e-6, "ESS in [1, n]")
       // w <= 1 gives sum w^2 <= sum w, hence ESS = (sum w)^2/sum w^2 >= sum w
-      assert(ess >= effN - 1e-6)
+      assert(ess >= sumW - 1e-6)
     }
   }
 
