@@ -572,7 +572,36 @@ object Aggregates {
                 * (col("n1") + col("n2") - 1.0)))), 4) + 0.0).as("z"))
   }
 
+  /** Winsorized mean (round-9) — per nation over customer balances: the
+    * robust location estimate that CLIPS tails at the per-group p5/p95
+    * instead of dropping them (dq_outlier_iqr's fence family, applied as
+    * a statistic rather than a screen — clipping keeps n constant, so
+    * groups stay comparable). Fences are percentile_disc ACTUAL data
+    * values (rank-exact both engines, the dq_outlier_iqr argument);
+    * balances pre-round at 2dp so the clip compares identical doubles;
+    * means round at 4dp. Group-grain disc sort over the customer frame;
+    * the 100 TB swap is the approx-percentile sketch with the identical
+    * clip step. */
+  def aggWinsorized(spark: SparkSession, dir: String): DataFrame = {
+    val cust = Tables.customer(spark, dir)
+      .select(col("c_nationkey").as("nationkey"), round(col("c_acctbal"), 2).as("bal"))
+    val fences = cust.groupBy("nationkey").agg(
+      expr("percentile_disc(0.05) WITHIN GROUP (ORDER BY bal)").as("lo"),
+      expr("percentile_disc(0.95) WITHIN GROUP (ORDER BY bal)").as("hi"))
+    cust.join(broadcast(fences), "nationkey")
+      .groupBy("nationkey")
+      .agg(count(lit(1)).as("n"),
+        round(avg("bal"), 4).as("raw_mean"),
+        round(avg(when(col("bal") < col("lo"), col("lo"))
+          .when(col("bal") > col("hi"), col("hi"))
+          .otherwise(col("bal"))), 4).as("wins_mean"),
+        sum(when(col("bal") < col("lo") || col("bal") > col("hi"), 1L)
+          .otherwise(0L)).as("n_clipped"))
+      .orderBy(col("nationkey").asc)
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "agg_winsorized"    -> (aggWinsorized _),
     "agg_mannwhitney"   -> (aggMannwhitney _),
     "agg_ttest"         -> (aggTtest _),
     "agg_chisq"         -> (aggChisq _),
@@ -604,6 +633,24 @@ object Aggregates {
     "agg_minmax_by"     -> (aggMinmaxBy _))
 
   val oracleSql: Map[String, String] = Map(
+    "agg_winsorized" ->
+      """WITH cust AS (
+        |  SELECT c_nationkey AS nationkey, round(c_acctbal, 2) AS bal
+        |  FROM customer),
+        |fences AS (
+        |  SELECT nationkey,
+        |    percentile_disc(0.05) WITHIN GROUP (ORDER BY bal) AS lo,
+        |    percentile_disc(0.95) WITHIN GROUP (ORDER BY bal) AS hi
+        |  FROM cust GROUP BY nationkey)
+        |SELECT c.nationkey, count(*) AS n,
+        |  round(avg(c.bal), 4) AS raw_mean,
+        |  round(avg(CASE WHEN c.bal < f.lo THEN f.lo
+        |                 WHEN c.bal > f.hi THEN f.hi
+        |                 ELSE c.bal END), 4) AS wins_mean,
+        |  CAST(sum(CASE WHEN c.bal < f.lo OR c.bal > f.hi
+        |    THEN 1 ELSE 0 END) AS BIGINT) AS n_clipped
+        |FROM cust c JOIN fences f ON c.nationkey = f.nationkey
+        |GROUP BY c.nationkey ORDER BY c.nationkey ASC""".stripMargin,
     "agg_mannwhitney" ->
       """WITH o AS (
         |  SELECT (o_orderpriority = '1-URGENT') AS g,

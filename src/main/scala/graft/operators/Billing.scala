@@ -115,13 +115,46 @@ object Billing {
       .orderBy(col("month").asc)
   }
 
+  /** Straight-line revenue recognition (round-9) — each order's charge is
+    * deferred and recognized in three equal monthly tranches starting at
+    * its order month: the accrual-accounting schedule (ASC 606-style
+    * ratable recognition) that turns billed bookings into a recognized-
+    * revenue ledger. Per calendar month: active contracts and recognized
+    * revenue.
+    *
+    * Shape: a 3-element literal spine explodes MAP-SIDE (each order emits
+    * its 3 tranche rows before the shuffle), then one month-grain hash
+    * agg — corpus-linear at any scale, no window, no join. Months travel
+    * as DATE through add_months (no tz edge); tranche = price / 3e0 is
+    * one double division of identical inputs both engines, summed then
+    * 2dp-rounded (§2.Z.2). */
+  def billRevrec(spark: SparkSession, dir: String): DataFrame =
+    Tables.orders(spark, dir)
+      .select(col("o_totalprice"),
+        to_date(date_trunc("month", col("o_orderdate"))).as("m0"),
+        explode(sequence(lit(0), lit(2))).as("m"))
+      .select(add_months(col("m0"), col("m")).as("month"),
+        (col("o_totalprice") / 3.0).as("rec"))
+      .groupBy("month")
+      .agg(count(lit(1)).as("n_active"), round(sum("rec"), 2).as("recognized"))
+      .orderBy(col("month").asc)
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "bill_tiered"    -> (billTiered _),
     "bill_aging"     -> (billAging _),
     "bill_proration" -> (billProration _),
+    "bill_revrec"    -> (billRevrec _),
     "bill_mrr_bridge" -> (billMrrBridge _))
 
   val oracleSql: Map[String, String] = Map(
+    "bill_revrec" ->
+      """WITH sched AS (
+        |  SELECT CAST(date_trunc('month', o_orderdate)
+        |      + m * INTERVAL 1 MONTH AS DATE) AS month,
+        |    o_totalprice / 3e0 AS rec
+        |  FROM orders, (SELECT unnest([0, 1, 2]) AS m))
+        |SELECT month, count(*) AS n_active, round(sum(rec), 2) AS recognized
+        |FROM sched GROUP BY month ORDER BY month ASC""".stripMargin,
     "bill_mrr_bridge" ->
       """WITH cm AS (
         |  SELECT o_custkey AS cust,

@@ -364,7 +364,90 @@ object DataQuality {
       .orderBy(col("event_type").asc)
   }
 
+  /** Referential-integrity audit (round-9) — every foreign-key edge of
+    * the star schema in one report: child rows, orphan rows (no parent),
+    * and the orphan rate. The pipeline gate that runs before any join-
+    * based metric is trusted (an orphan rate > 0 silently deflates every
+    * inner-join aggregate downstream — this surfaces it as data).
+    *
+    * Shape: ONE pass per child table, not one per edge — lineitem's
+    * three edges ride a single scan with three BROADCAST parent keysets
+    * (dimension keys are vocabulary-sized at any SF; at 100 TB the
+    * orders keyset outgrows broadcast and that one edge becomes a
+    * shuffle semi-probe, the documented swap), folded to a 1-row wide
+    * aggregate and reshaped by `stack` (driver-free pivot, the
+    * dq_corr_matrix pattern). All four child passes are independent
+    * branches of one union — Spark schedules them in a single job. */
+  def dqOrphans(spark: SparkSession, dir: String): DataFrame = {
+    def keyset(df: DataFrame, k: String, as: String) =
+      broadcast(df.select(col(k).as(as)).distinct())
+    val li = Tables.lineitem(spark, dir)
+      .select("l_orderkey", "l_partkey", "l_suppkey")
+      .join(keyset(Tables.orders(spark, dir), "o_orderkey", "pk_o"),
+        col("l_orderkey") === col("pk_o"), "left")
+      .join(keyset(Tables.part(spark, dir), "p_partkey", "pk_p"),
+        col("l_partkey") === col("pk_p"), "left")
+      .join(keyset(Tables.supplier(spark, dir), "s_suppkey", "pk_s"),
+        col("l_suppkey") === col("pk_s"), "left")
+      .agg(count(lit(1)).as("n"),
+        sum(when(col("pk_o").isNull, 1L).otherwise(0L)).as("o1"),
+        sum(when(col("pk_p").isNull, 1L).otherwise(0L)).as("o2"),
+        sum(when(col("pk_s").isNull, 1L).otherwise(0L)).as("o3"))
+      .selectExpr(
+        """stack(3,
+          |  'lineitem.l_orderkey->orders', n, o1,
+          |  'lineitem.l_partkey->part', n, o2,
+          |  'lineitem.l_suppkey->supplier', n, o3) AS (edge, child_rows, orphans)
+          |""".stripMargin)
+    def oneEdge(child: DataFrame, fk: String, parent: DataFrame, pk: String,
+                edge: String) =
+      child.select(col(fk))
+        .join(keyset(parent, pk, "pk"), col(fk) === col("pk"), "left")
+        .agg(count(lit(1)).as("child_rows"),
+          sum(when(col("pk").isNull, 1L).otherwise(0L)).as("orphans"))
+        .select(lit(edge).as("edge"), col("child_rows"), col("orphans"))
+    li.unionAll(oneEdge(Tables.orders(spark, dir), "o_custkey",
+        Tables.customer(spark, dir), "c_custkey", "orders.o_custkey->customer"))
+      .unionAll(oneEdge(Tables.customer(spark, dir), "c_nationkey",
+        Tables.nation(spark, dir), "n_nationkey", "customer.c_nationkey->nation"))
+      .unionAll(oneEdge(Tables.supplier(spark, dir), "s_nationkey",
+        Tables.nation(spark, dir), "n_nationkey", "supplier.s_nationkey->nation"))
+      .unionAll(oneEdge(Tables.nation(spark, dir), "n_regionkey",
+        Tables.region(spark, dir), "r_regionkey", "nation.n_regionkey->region"))
+      .withColumn("orphan_rate",
+        round(col("orphans") / col("child_rows").cast("double"), 6))
+      .orderBy(col("edge").asc)
+  }
+
+  /** Primary-key uniqueness audit (round-9) — the companion gate to
+    * dq_orphans: per declared key (four single-column PKs plus
+    * lineitem's composite (l_orderkey, l_linenumber)), row count,
+    * distinct key count, duplicate rows and rate. On THIS fixture the
+    * lineitem composite is ~24% duplicated — a real generator artifact
+    * the audit surfaces (and the reason ids_global exists: positional
+    * ids, not key-derived ones). Each table is one count+countDistinct
+    * hash agg (partial map-side, two exchanges per table at any scale);
+    * results union to a 5-row report. */
+  def dqDupKeys(spark: SparkSession, dir: String): DataFrame = {
+    def audit(df: DataFrame, tbl: String, keys: Seq[String]) =
+      df.agg(count(lit(1)).as("n_rows"),
+          countDistinct(col(keys.head), keys.tail.map(col): _*).as("n_keys"))
+        .select(lit(tbl).as("key"), col("n_rows"), col("n_keys"),
+          (col("n_rows") - col("n_keys")).as("dup_rows"),
+          round((col("n_rows") - col("n_keys")) / col("n_rows").cast("double"), 6)
+            .as("dup_rate"))
+    audit(Tables.customer(spark, dir), "customer.c_custkey", Seq("c_custkey"))
+      .unionAll(audit(Tables.orders(spark, dir), "orders.o_orderkey", Seq("o_orderkey")))
+      .unionAll(audit(Tables.part(spark, dir), "part.p_partkey", Seq("p_partkey")))
+      .unionAll(audit(Tables.supplier(spark, dir), "supplier.s_suppkey", Seq("s_suppkey")))
+      .unionAll(audit(Tables.lineitem(spark, dir),
+        "lineitem.(l_orderkey,l_linenumber)", Seq("l_orderkey", "l_linenumber")))
+      .orderBy(col("key").asc)
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "dq_dup_keys" -> (dqDupKeys _),
+    "dq_orphans" -> (dqOrphans _),
     "dq_freshness" -> (dqFreshness _),
     "dq_corr_matrix" -> (dqCorrMatrix _),
     "dq_snapshot_diff" -> (dqSnapshotDiff _),
@@ -378,6 +461,58 @@ object DataQuality {
     "join_scd2" -> (joinScd2 _))
 
   val oracleSql: Map[String, String] = Map(
+    "dq_dup_keys" ->
+      """SELECT key, n_rows, n_keys, n_rows - n_keys AS dup_rows,
+        |  round((n_rows - n_keys) / CAST(n_rows AS DOUBLE), 6) AS dup_rate
+        |FROM (
+        |  SELECT 'customer.c_custkey' AS key, count(*) AS n_rows,
+        |    count(DISTINCT c_custkey) AS n_keys FROM customer
+        |  UNION ALL
+        |  SELECT 'orders.o_orderkey', count(*),
+        |    count(DISTINCT o_orderkey) FROM orders
+        |  UNION ALL
+        |  SELECT 'part.p_partkey', count(*),
+        |    count(DISTINCT p_partkey) FROM part
+        |  UNION ALL
+        |  SELECT 'supplier.s_suppkey', count(*),
+        |    count(DISTINCT s_suppkey) FROM supplier
+        |  UNION ALL
+        |  SELECT 'lineitem.(l_orderkey,l_linenumber)', count(*),
+        |    count(DISTINCT (l_orderkey, l_linenumber)) FROM lineitem) t
+        |ORDER BY key ASC""".stripMargin,
+    "dq_orphans" ->
+      """WITH edges AS (
+        |  SELECT 'lineitem.l_orderkey->orders' AS edge, count(*) AS child_rows,
+        |    CAST(sum(CASE WHEN o_orderkey IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+        |      AS orphans
+        |  FROM lineitem LEFT JOIN orders ON l_orderkey = o_orderkey
+        |  UNION ALL
+        |  SELECT 'lineitem.l_partkey->part', count(*),
+        |    CAST(sum(CASE WHEN p_partkey IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+        |  FROM lineitem LEFT JOIN part ON l_partkey = p_partkey
+        |  UNION ALL
+        |  SELECT 'lineitem.l_suppkey->supplier', count(*),
+        |    CAST(sum(CASE WHEN s_suppkey IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+        |  FROM lineitem LEFT JOIN supplier ON l_suppkey = s_suppkey
+        |  UNION ALL
+        |  SELECT 'orders.o_custkey->customer', count(*),
+        |    CAST(sum(CASE WHEN c_custkey IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+        |  FROM orders LEFT JOIN customer ON o_custkey = c_custkey
+        |  UNION ALL
+        |  SELECT 'customer.c_nationkey->nation', count(*),
+        |    CAST(sum(CASE WHEN n_nationkey IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+        |  FROM customer LEFT JOIN nation ON c_nationkey = n_nationkey
+        |  UNION ALL
+        |  SELECT 'supplier.s_nationkey->nation', count(*),
+        |    CAST(sum(CASE WHEN n_nationkey IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+        |  FROM supplier LEFT JOIN nation ON s_nationkey = n_nationkey
+        |  UNION ALL
+        |  SELECT 'nation.n_regionkey->region', count(*),
+        |    CAST(sum(CASE WHEN r_regionkey IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+        |  FROM nation LEFT JOIN region ON n_regionkey = r_regionkey)
+        |SELECT edge, child_rows, orphans,
+        |  round(orphans / CAST(child_rows AS DOUBLE), 6) AS orphan_rate
+        |FROM edges ORDER BY edge ASC""".stripMargin,
     "dq_freshness" ->
       """WITH wm AS (SELECT max(ts) AS wm FROM events)
         |SELECT event_type, count(*) AS n, max(ts) AS last_ts,

@@ -410,7 +410,69 @@ object LlmOps {
             * (col("k") * col("syy") - col("sy") * col("sy"))), 6).as("r2"))
   }
 
+  /** kNN label-vote classification eval (round-9) — the embedding-quality
+    * harness every retrieval/curation pipeline runs before trusting a
+    * vector space: hold out a deterministic query batch (vec_id ≡ 0 mod
+    * 25), predict each query's label as the majority label of its 5
+    * nearest candidates by cosine (6dp-rounded, llm_cosine_knn's
+    * discipline; vote ties resolve to the smallest label, rank ties to
+    * the smallest vec_id), and report per-true-label accuracy. Near-
+    * chance accuracy on the synthetic Gaussian fixture is the HONEST
+    * readout — the harness measures, it does not flatter.
+    *
+    * Shape: queries broadcast (bounded batch — the llm_knn_join
+    * contract), one corpus pass scores queries×corpus via the codegen'd
+    * cosine kernel, per-query top-5 is a 20-partition window, votes and
+    * the argmax are query-grain. At 100 TB the scoring pass swaps to the
+    * IVF/LSH-bucketed candidate join (llm_ann_ivf) with this exact
+    * eval frame on top. */
+  def llmKnnClassify(spark: SparkSession, dir: String): DataFrame = {
+    val emb = embDouble(spark, dir)
+    val q = emb.filter(col("vec_id") % 25 === 0)
+      .select(col("vec_id").as("qid"), col("e").as("qe"), col("label").as("qlabel"))
+    val cand = emb.filter(col("vec_id") % 25 =!= 0)
+      .select(col("vec_id"), col("e"), col("label"))
+    val wTop = Window.partitionBy("qid").orderBy(col("sim").desc, col("vec_id").asc)
+    val wVote = Window.partitionBy("qid").orderBy(col("votes").desc, col("label").asc)
+    cand.crossJoin(broadcast(q))
+      .select(col("qid"), col("qlabel"), col("vec_id"), col("label"),
+        round(cosine(col("e"), col("qe")), 6).as("sim"))
+      .withColumn("rn", row_number().over(wTop))
+      .filter(col("rn") <= 5)
+      .groupBy("qid", "qlabel", "label")
+      .agg(count(lit(1)).as("votes"))
+      .withColumn("vr", row_number().over(wVote))
+      .filter(col("vr") === 1)
+      .groupBy(col("qlabel").as("label"))
+      .agg(count(lit(1)).as("n_queries"),
+        sum(when(col("label") === col("qlabel"), 1L).otherwise(0L)).as("n_correct"),
+        round(sum(when(col("label") === col("qlabel"), 1.0).otherwise(0.0))
+          / count(lit(1)), 4).as("accuracy"))
+      .orderBy(col("label").asc)
+  }
+
+  /** Type-token lexical diversity (round-9) — per source: token volume,
+    * vocabulary size (types), type-token ratio, and hapax share (terms
+    * occurring once). The template/boilerplate detector llm_text_stats'
+    * raw vocab column doesn't normalize: a low-TTR source is repetitive
+    * machinery, a high-hapax source is noisy or genuinely diverse —
+    * either way a mixture-weighting input. One explode to the (source,
+    * term) grain (partial-aggregated map-side) and a vocabulary-sized
+    * per-source rollup; corpus-linear. */
+  def llmTtr(spark: SparkSession, dir: String): DataFrame =
+    Tables.documents(spark, dir)
+      .select(col("source"), explode(split(col("text"), " ")).as("tok"))
+      .groupBy("source", "tok").agg(count(lit(1)).as("c"))
+      .groupBy("source")
+      .agg(sum("c").as("tokens"), count(lit(1)).as("types"),
+        round(count(lit(1)) / sum("c").cast("double"), 6).as("ttr"),
+        round(sum(when(col("c") === 1, 1.0).otherwise(0.0))
+          / count(lit(1)).cast("double"), 6).as("hapax_share"))
+      .orderBy(col("source").asc)
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "llm_knn_classify" -> (llmKnnClassify _),
+    "llm_ttr"         -> (llmTtr _),
     "llm_bigram_pmi"  -> (llmBigramPmi _),
     "llm_zipf_fit"    -> (llmZipfFit _),
     "llm_dedup_exact" -> (llmDedupExact _),
@@ -426,6 +488,45 @@ object LlmOps {
     "llm_multimodal"  -> (llmMultimodal _))
 
   val oracleSql: Map[String, String] = Map(
+    "llm_knn_classify" ->
+      """WITH q AS (
+        |  SELECT vec_id AS qid, CAST(embedding AS DOUBLE[]) AS qe,
+        |    label AS qlabel
+        |  FROM embeddings WHERE vec_id % 25 = 0),
+        |c AS (
+        |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e, label
+        |  FROM embeddings WHERE vec_id % 25 <> 0),
+        |p AS (
+        |  SELECT qid, qlabel, vec_id, label,
+        |    round(list_cosine_similarity(qe, e), 6) AS sim
+        |  FROM q, c),
+        |r AS (
+        |  SELECT *, row_number() OVER (
+        |    PARTITION BY qid ORDER BY sim DESC, vec_id ASC) AS rn
+        |  FROM p),
+        |v AS (
+        |  SELECT qid, qlabel, label, count(*) AS votes
+        |  FROM r WHERE rn <= 5 GROUP BY qid, qlabel, label),
+        |w AS (
+        |  SELECT qid, qlabel, label AS pred, row_number() OVER (
+        |    PARTITION BY qid ORDER BY votes DESC, label ASC) AS vr
+        |  FROM v)
+        |SELECT qlabel AS label, count(*) AS n_queries,
+        |  CAST(sum(CASE WHEN pred = qlabel THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS n_correct,
+        |  round(sum(CASE WHEN pred = qlabel THEN 1e0 ELSE 0e0 END)
+        |    / count(*), 4) AS accuracy
+        |FROM w WHERE vr = 1 GROUP BY qlabel ORDER BY qlabel ASC""".stripMargin,
+    "llm_ttr" ->
+      """WITH tok AS (
+        |  SELECT source, unnest(string_split(text, ' ')) AS tok
+        |  FROM documents),
+        |g AS (SELECT source, tok, count(*) AS c FROM tok GROUP BY source, tok)
+        |SELECT source, CAST(sum(c) AS BIGINT) AS tokens, count(*) AS types,
+        |  round(count(*) / CAST(sum(c) AS DOUBLE), 6) AS ttr,
+        |  round(sum(CASE WHEN c = 1 THEN 1e0 ELSE 0e0 END)
+        |    / count(*), 6) AS hapax_share
+        |FROM g GROUP BY source ORDER BY source ASC""".stripMargin,
     "llm_bigram_pmi" ->
       """WITH toks AS (
         |  SELECT string_split(text, ' ') AS t FROM documents

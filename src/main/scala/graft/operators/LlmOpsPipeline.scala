@@ -781,7 +781,37 @@ object LlmOpsPipeline {
         round(col("src_n").cast("double") / col("n_docs"), 6).as("top_source_share"))
   }
 
+  /** Source-concentration HHI (round-9) — the Herfindahl–Hirschman index
+    * of the corpus mixture on both axes (docs and tokens), scaled to the
+    * antitrust-familiar 0–10000 range, plus the top source's share: the
+    * single-number diversity gate read before llm_mix_weights' full
+    * table (HHI > 2500 = "concentrated" — one crawl dominates and the
+    * mixture needs caps). One source-grain hash agg (the mix_weights
+    * pass), then a 20-row summary with totals joined as a broadcast
+    * scalar; shares square exact-integer ratios and the sum rounds at
+    * 4dp (summation-order ulps absorbed). */
+  def llmSourceHhi(spark: SparkSession, dir: String): DataFrame = {
+    val per = Tables.documents(spark, dir)
+      .select(col("source"), size(toksRaw).cast("bigint").as("ntok"))
+      .groupBy("source")
+      .agg(count(lit(1)).as("docs"), sum("ntok").as("tokens"))
+    val tot = per.agg(sum("docs").as("d"), sum("tokens").as("tk"))
+    per.crossJoin(broadcast(tot))
+      .agg(count(lit(1)).as("n_sources"),
+        // x*x, never pow(x,2): Math.pow and a plain multiply can differ
+        // in the last ulp, and the oracle squares by multiplication
+        round(sum((col("docs").cast("double") / col("d"))
+          * (col("docs").cast("double") / col("d"))) * 10000, 4).as("doc_hhi"),
+        round(sum((col("tokens").cast("double") / col("tk"))
+          * (col("tokens").cast("double") / col("tk"))) * 10000, 4).as("token_hhi"),
+        round(max(col("docs")).cast("double") / max(col("d")), 6)
+          .as("top_doc_share"),
+        round(max(col("tokens")).cast("double") / max(col("tk")), 6)
+          .as("top_token_share"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "llm_source_hhi"        -> (llmSourceHhi _),
     "llm_dataset_card"      -> (llmDatasetCard _),
     "llm_source_psi"        -> (llmSourcePsi _),
     "llm_bpe_pairs"         -> (llmBpePairs _),
@@ -805,6 +835,21 @@ object LlmOpsPipeline {
     "llm_heuristic_filter"  -> (llmHeuristicFilter _))
 
   val oracleSql: Map[String, String] = Map(
+    "llm_source_hhi" ->
+      """WITH s AS (
+        |  SELECT source, count(*) AS docs,
+        |    CAST(sum(len(string_split(text, ' '))) AS BIGINT) AS toks
+        |  FROM documents GROUP BY source),
+        |t AS (SELECT CAST(sum(docs) AS BIGINT) AS d,
+        |             CAST(sum(toks) AS BIGINT) AS tk FROM s)
+        |SELECT count(*) AS n_sources,
+        |  round(sum((docs / CAST(d AS DOUBLE)) * (docs / CAST(d AS DOUBLE)))
+        |    * 10000, 4) AS doc_hhi,
+        |  round(sum((toks / CAST(tk AS DOUBLE)) * (toks / CAST(tk AS DOUBLE)))
+        |    * 10000, 4) AS token_hhi,
+        |  round(max(docs) / CAST(max(d) AS DOUBLE), 6) AS top_doc_share,
+        |  round(max(toks) / CAST(max(tk) AS DOUBLE), 6) AS top_token_share
+        |FROM s CROSS JOIN t""".stripMargin,
     "llm_dataset_card" ->
       """WITH base AS (
         |  SELECT count(*) AS n_docs,

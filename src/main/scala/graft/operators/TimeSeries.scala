@@ -587,7 +587,73 @@ object TimeSeries {
       .orderBy(col("event_type").asc)
   }
 
+  /** 14-day Relative Strength Index (round-9) — the bounded [0,100]
+    * momentum oscillator read next to ts_drawdown's depth metric: RSI =
+    * 100 − 100/(1 + avgGain/avgLoss) over the trailing 14 day-over-day
+    * moves of daily revenue (the SMA variant — Wilder's recursive
+    * smoothing has no closed window form and would force a sequential
+    * scan). Rows emit only once the frame is FULL (rn ≥ 15): a partial
+    * frame is a different statistic, not a noisier one.
+    *
+    * Determinism: day-over-day diffs subtract 2dp-rounded dailies
+    * (exact); the 14-term frame averages round at 4dp BEFORE the ratio,
+    * so both engines assemble RSI from identical doubles; an all-gain
+    * frame (avgLoss = 0) defines RSI = 100 rather than divide by zero.
+    * Day-grain frame ⇒ O(days·types) at any event volume. */
+  def tsRsi(spark: SparkSession, dir: String): DataFrame = {
+    val daily = Tables.events(spark, dir)
+      .groupBy(col("event_type"), date_trunc("day", col("ts")).as("day"))
+      .agg(round(sum("value"), 2).as("rev"))
+    val w = Window.partitionBy("event_type").orderBy(col("day").asc)
+    val f = w.rowsBetween(-13, Window.currentRow)
+    val d = daily
+      .withColumn("diff", col("rev") - lag("rev", 1).over(w))
+      .withColumn("rn", row_number().over(w))
+    d.withColumn("ag", round(avg(when(col("diff") > 0, col("diff")).otherwise(0.0)).over(f), 4))
+      .withColumn("al", round(avg(when(col("diff") < 0, -col("diff")).otherwise(0.0)).over(f), 4))
+      .filter(col("rn") >= 15)
+      .select(col("event_type"), col("day"),
+        round(when(col("al") === 0, 100.0)
+          .otherwise(lit(100.0) - lit(100.0) / (lit(1.0) + col("ag") / col("al"))), 4)
+          .as("rsi_14"))
+      .orderBy(col("event_type").asc, col("day").asc)
+  }
+
+  /** 20-day Donchian channel census (round-9) — per type: days evaluated,
+    * breakout counts (today strictly above the prior 19 days' high /
+    * below their low — the channel-breakout trading signal), and the
+    * average/maximum channel width. Deliberately max/min-based where
+    * Bollinger would use a windowed stddev: a sliding one-pass variance
+    * subtracts near-equal squares (engines' segment-tree accumulation
+    * orders differ → ulp noise a round can't reliably absorb), while
+    * extrema of 2dp-rounded dailies are EXACT in both engines — the
+    * same robust-statistic-over-moment choice as ts_mad. Day-grain. */
+  def tsDonchian(spark: SparkSession, dir: String): DataFrame = {
+    val daily = Tables.events(spark, dir)
+      .groupBy(col("event_type"), date_trunc("day", col("ts")).as("day"))
+      .agg(round(sum("value"), 2).as("rev"))
+    val w = Window.partitionBy("event_type").orderBy(col("day").asc)
+    val f = w.rowsBetween(-19, Window.currentRow)
+    val fp = w.rowsBetween(-19, -1)
+    daily
+      .withColumn("hi", max("rev").over(f))
+      .withColumn("lo", min("rev").over(f))
+      .withColumn("hi_prev", max("rev").over(fp))
+      .withColumn("lo_prev", min("rev").over(fp))
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") >= 20)
+      .groupBy("event_type")
+      .agg(count(lit(1)).as("days"),
+        sum(when(col("rev") > col("hi_prev"), 1L).otherwise(0L)).as("new_highs"),
+        sum(when(col("rev") < col("lo_prev"), 1L).otherwise(0L)).as("new_lows"),
+        round(avg(col("hi") - col("lo")), 2).as("avg_range"),
+        round(max(col("hi") - col("lo")), 2).as("max_range"))
+      .orderBy(col("event_type").asc)
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "ts_rsi"      -> (tsRsi _),
+    "ts_donchian" -> (tsDonchian _),
     "ts_drawdown" -> (tsDrawdown _),
     "ts_decay" -> (tsDecay _),
     "ts_forecast_eval" -> (tsForecastEval _),
@@ -606,6 +672,51 @@ object TimeSeries {
     "ts_anomaly"  -> (tsAnomaly _))
 
   val oracleSql: Map[String, String] = Map(
+    "ts_rsi" ->
+      """WITH daily AS (
+        |  SELECT event_type, date_trunc('day', ts) AS day,
+        |    round(sum(value), 2) AS rev
+        |  FROM events GROUP BY event_type, day),
+        |d AS (
+        |  SELECT event_type, day, rev,
+        |    rev - lag(rev) OVER w AS diff,
+        |    row_number() OVER w AS rn
+        |  FROM daily WINDOW w AS (PARTITION BY event_type ORDER BY day ASC)),
+        |g AS (
+        |  SELECT event_type, day, rn,
+        |    round(avg(CASE WHEN diff > 0 THEN diff ELSE 0e0 END) OVER f, 4) AS ag,
+        |    round(avg(CASE WHEN diff < 0 THEN -diff ELSE 0e0 END) OVER f, 4) AS al
+        |  FROM d WINDOW f AS (PARTITION BY event_type ORDER BY day ASC
+        |    ROWS BETWEEN 13 PRECEDING AND CURRENT ROW))
+        |SELECT event_type, day,
+        |  round(CASE WHEN al = 0 THEN 100
+        |    ELSE 100 - 100 / (1 + ag / al) END, 4) AS rsi_14
+        |FROM g WHERE rn >= 15
+        |ORDER BY event_type ASC, day ASC""".stripMargin,
+    "ts_donchian" ->
+      """WITH daily AS (
+        |  SELECT event_type, date_trunc('day', ts) AS day,
+        |    round(sum(value), 2) AS rev
+        |  FROM events GROUP BY event_type, day),
+        |d AS (
+        |  SELECT event_type, day, rev,
+        |    max(rev) OVER f AS hi, min(rev) OVER f AS lo,
+        |    max(rev) OVER fp AS hi_prev, min(rev) OVER fp AS lo_prev,
+        |    row_number() OVER (PARTITION BY event_type ORDER BY day ASC) AS rn
+        |  FROM daily
+        |  WINDOW f AS (PARTITION BY event_type ORDER BY day ASC
+        |    ROWS BETWEEN 19 PRECEDING AND CURRENT ROW),
+        |  fp AS (PARTITION BY event_type ORDER BY day ASC
+        |    ROWS BETWEEN 19 PRECEDING AND 1 PRECEDING))
+        |SELECT event_type, count(*) AS days,
+        |  CAST(sum(CASE WHEN rev > hi_prev THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS new_highs,
+        |  CAST(sum(CASE WHEN rev < lo_prev THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS new_lows,
+        |  round(avg(hi - lo), 2) AS avg_range,
+        |  round(max(hi - lo), 2) AS max_range
+        |FROM d WHERE rn >= 20
+        |GROUP BY event_type ORDER BY event_type ASC""".stripMargin,
     "ts_drawdown" ->
       """WITH daily AS (
         |  SELECT event_type, date_trunc('day', ts) AS day,

@@ -137,7 +137,13 @@ class PlanSnapshotSpec extends AnyFunSuite {
       // wave-17: ts_decay anchors decay ages at the same 1-row watermark
       "ts_decay",
       // wave-21: bill_aging ages receivables against the 1-row ledger date
-      "bill_aging")
+      "bill_aging",
+      // round-9: llm_knn_classify crosses the corpus with the BOUNDED
+      // 20-query broadcast batch (the llm_knn_join contract); at 100 TB
+      // the scoring pass swaps to the IVF/LSH candidate join (scaladoc).
+      // llm_source_hhi carries the 1-row (docs, tokens) grand totals as
+      // a broadcast scalar into the 20-row source frame.
+      "llm_knn_classify", "llm_source_hhi")
     val withNlj = plans.flatMap { case (name, plan) =>
       val n = plan.collect {
         case j: BroadcastNestedLoopJoinExec => j
