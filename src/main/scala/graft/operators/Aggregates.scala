@@ -600,7 +600,43 @@ object Aggregates {
       .orderBy(col("nationkey").asc)
   }
 
+  /** Pareto concentration curve (round-9 wave 3) — how many top customers
+    * carry each revenue share (10/20/50/80/90/95/99/100%): the 80-20
+    * report next to agg_gini's single coefficient. Revenue ranks and
+    * cumulative sums run in integer CENTS (2dp-rounded revenue × 100 —
+    * exact prefix sums in ANY accumulation order, so the threshold
+    * comparison can never flip on a summation ulp; the §2.Z fix applied
+    * to row MEMBERSHIP, where it matters most). The global rank window
+    * runs over the CUSTOMER-grain frame (vocabulary-sized vs the order
+    * corpus); at extreme customer cardinality the two-level prefix-sum
+    * idiom (agg_mannwhitney) replaces it, same output. The 8-threshold
+    * spine explodes map-side per row — no join. */
+  def aggPareto(spark: SparkSession, dir: String): DataFrame = {
+    val cust = Tables.orders(spark, dir)
+      .groupBy("o_custkey")
+      .agg(round(sum("o_totalprice"), 2).as("rev"))
+      .select(col("o_custkey"),
+        round(col("rev") * 100, 0).cast("long").as("cents"))
+    val w = Window.orderBy(col("cents").desc, col("o_custkey").asc)
+    val tot = cust.agg(sum("cents").as("tot"), count(lit(1)).as("n"))
+    cust
+      .select(row_number().over(w).as("rn"),
+        sum("cents").over(w.rowsBetween(Window.unboundedPreceding,
+          Window.currentRow)).as("cum"))
+      .crossJoin(broadcast(tot))
+      .select(col("rn"), col("n"),
+        (col("cum").cast("double") / col("tot")).as("share"),
+        explode(typedLit(Seq(10, 20, 50, 80, 90, 95, 99, 100))).as("p"))
+      .filter(col("share") >= col("p").cast("double") / 100.0)
+      .groupBy("p")
+      .agg(min("rn").as("n_cust"),
+        round(min("rn") / max("n").cast("double"), 4).as("cust_frac"),
+        round(min("share"), 6).as("rev_share"))
+      .orderBy(col("p").asc)
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "agg_pareto"        -> (aggPareto _),
     "agg_winsorized"    -> (aggWinsorized _),
     "agg_mannwhitney"   -> (aggMannwhitney _),
     "agg_ttest"         -> (aggTtest _),
@@ -633,6 +669,24 @@ object Aggregates {
     "agg_minmax_by"     -> (aggMinmaxBy _))
 
   val oracleSql: Map[String, String] = Map(
+    "agg_pareto" ->
+      """WITH cust AS (
+        |  SELECT o_custkey,
+        |    CAST(round(round(sum(o_totalprice), 2) * 100, 0) AS BIGINT) AS cents
+        |  FROM orders GROUP BY o_custkey),
+        |t AS (SELECT CAST(sum(cents) AS BIGINT) AS tot, count(*) AS n FROM cust),
+        |r AS (
+        |  SELECT row_number() OVER (ORDER BY cents DESC, o_custkey ASC) AS rn,
+        |    CAST(sum(cents) OVER (ORDER BY cents DESC, o_custkey ASC
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum
+        |  FROM cust)
+        |SELECT p, min(rn) AS n_cust,
+        |  round(min(rn) / CAST(max(n) AS DOUBLE), 4) AS cust_frac,
+        |  round(min(cum / CAST(tot AS DOUBLE)), 6) AS rev_share
+        |FROM r CROSS JOIN t
+        |CROSS JOIN (SELECT unnest([10, 20, 50, 80, 90, 95, 99, 100]) AS p) s
+        |WHERE cum / CAST(tot AS DOUBLE) >= p / 100e0
+        |GROUP BY p ORDER BY p ASC""".stripMargin,
     "agg_winsorized" ->
       """WITH cust AS (
         |  SELECT c_nationkey AS nationkey, round(c_acctbal, 2) AS bal

@@ -1,6 +1,7 @@
 package graft.operators
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import graft.Tables
 
@@ -357,7 +358,34 @@ object Analytics {
         |FROM g_funnel_lat""".stripMargin)
   }
 
+  /** First-order Markov transition matrix (round-9 wave 3) — per ordered
+    * event-type pair: transition count and conditional probability
+    * P(next | current), from each user's time-ordered event stream. The
+    * behavioral-model companion to seq_pattern's fixed-pattern match:
+    * the matrix IS the model a next-action predictor or anomaly scorer
+    * reads. Ordering is (ts, event_id) so same-timestamp events resolve
+    * deterministically; probabilities divide exact integer counts
+    * (identical doubles both engines, 6dp display round). One per-user
+    * window (user-partitioned — shuffles once on user_id, no global
+    * sort) then two vocabulary-sized hash aggs. */
+  def seqMarkov(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy("user_id")
+      .orderBy(col("ts").asc, col("event_id").asc)
+    val c = Tables.events(spark, dir)
+      .select(col("user_id"), col("event_type"),
+        lead("event_type", 1).over(w).as("next_type"))
+      .filter(col("next_type").isNotNull)
+      .groupBy(col("event_type").as("from_type"), col("next_type").as("to_type"))
+      .agg(count(lit(1)).as("n"))
+    val t = c.groupBy("from_type").agg(sum("n").as("row_n"))
+    c.join(broadcast(t), "from_type")
+      .select(col("from_type"), col("to_type"), col("n"),
+        round(col("n") / col("row_n").cast("double"), 6).as("p"))
+      .orderBy(col("from_type").asc, col("to_type").asc)
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "seq_markov"       -> (seqMarkov _),
     "funnel_latency"   -> (funnelLatency _),
     "hist_kde"         -> (histKde _),
     "hist_equiwidth"   -> (histEquiwidth _),
@@ -369,6 +397,23 @@ object Analytics {
     "seq_pattern"      -> (seqPattern _))
 
   val oracleSql: Map[String, String] = Map(
+    "seq_markov" ->
+      """WITH seq AS (
+        |  SELECT user_id, event_type,
+        |    lead(event_type) OVER (PARTITION BY user_id
+        |      ORDER BY ts ASC, event_id ASC) AS next_type
+        |  FROM events),
+        |c AS (
+        |  SELECT event_type AS from_type, next_type AS to_type,
+        |    count(*) AS n
+        |  FROM seq WHERE next_type IS NOT NULL
+        |  GROUP BY from_type, to_type),
+        |t AS (SELECT from_type, CAST(sum(n) AS BIGINT) AS row_n
+        |      FROM c GROUP BY from_type)
+        |SELECT c.from_type, c.to_type, c.n,
+        |  round(c.n / CAST(t.row_n AS DOUBLE), 6) AS p
+        |FROM c JOIN t ON c.from_type = t.from_type
+        |ORDER BY c.from_type ASC, c.to_type ASC""".stripMargin,
     "funnel_latency" ->
       """WITH u AS (
         |  SELECT user_id,

@@ -139,7 +139,27 @@ object Billing {
       .agg(count(lit(1)).as("n_active"), round(sum("rec"), 2).as("recognized"))
       .orderBy(col("month").asc)
 
+  /** Days Sales Outstanding (round-9 wave 3) — per order month: billed
+    * revenue, still-open A/R, and DSO = open_ar / (billed / days-in-
+    * month): the collections-velocity KPI next to bill_aging's bucket
+    * snapshot (aging says WHERE the exposure sits, DSO says how fast
+    * the month collects). One month-grain hash agg; days-in-month from
+    * the month's own dates (exact integer); DSO divides two 2dp-rounded
+    * sums — identical doubles both engines, 4dp display round. */
+  def billDso(spark: SparkSession, dir: String): DataFrame =
+    Tables.orders(spark, dir)
+      .groupBy(to_date(date_trunc("month", col("o_orderdate"))).as("month"))
+      .agg(count(lit(1)).as("invoices"),
+        round(sum("o_totalprice"), 2).as("billed"),
+        round(sum(when(col("o_orderstatus") === "O", col("o_totalprice"))
+          .otherwise(0.0)), 2).as("open_ar"),
+        dayofmonth(last_day(min(to_date(col("o_orderdate"))))).cast("long").as("dim"))
+      .select(col("month"), col("invoices"), col("billed"), col("open_ar"),
+        round(col("open_ar") / (col("billed") / col("dim")), 4).as("dso_days"))
+      .orderBy(col("month").asc)
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "bill_dso"       -> (billDso _),
     "bill_tiered"    -> (billTiered _),
     "bill_aging"     -> (billAging _),
     "bill_proration" -> (billProration _),
@@ -147,6 +167,18 @@ object Billing {
     "bill_mrr_bridge" -> (billMrrBridge _))
 
   val oracleSql: Map[String, String] = Map(
+    "bill_dso" ->
+      """WITH m AS (
+        |  SELECT CAST(date_trunc('month', o_orderdate) AS DATE) AS month,
+        |    count(*) AS invoices,
+        |    round(sum(o_totalprice), 2) AS billed,
+        |    round(sum(CASE WHEN o_orderstatus = 'O' THEN o_totalprice
+        |      ELSE 0e0 END), 2) AS open_ar,
+        |    CAST(day(last_day(min(CAST(o_orderdate AS DATE)))) AS BIGINT) AS dim
+        |  FROM orders GROUP BY month)
+        |SELECT month, invoices, billed, open_ar,
+        |  round(open_ar / (billed / dim), 4) AS dso_days
+        |FROM m ORDER BY month ASC""".stripMargin,
     "bill_revrec" ->
       """WITH sched AS (
         |  SELECT CAST(date_trunc('month', o_orderdate)

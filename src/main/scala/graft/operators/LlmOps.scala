@@ -470,7 +470,30 @@ object LlmOps {
           / count(lit(1)).cast("double"), 6).as("hapax_share"))
       .orderBy(col("source").asc)
 
+  /** Character-trigram profile (round-9 wave 3) — top-5 trigrams per
+    * language by frequency: the sub-word feature layer llm_lang_id's
+    * token heuristic sits above (character n-grams are what production
+    * language-ID models — and fastText-class classifiers — actually
+    * consume), and the tokenizer-free view of the corpus a BPE
+    * curriculum (llm_bpe_pairs) starts from. One map-side explode of
+    * the in-row offset spine (≈ n_chars rows per doc, corpus-linear,
+    * partial-aggregated before the shuffle), then the standard
+    * (n DESC, tri ASC) top-5 rank per language. */
+  def llmCharNgrams(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy("lang").orderBy(col("n").desc, col("tri").asc)
+    Tables.documents(spark, dir)
+      .select(col("lang"), col("text"),
+        explode(sequence(lit(1), length(col("text")) - 2)).as("i"))
+      .select(col("lang"), expr("substring(text, i, 3)").as("tri"))
+      .groupBy("lang", "tri").agg(count(lit(1)).as("n"))
+      .withColumn("rk", row_number().over(w))
+      .filter(col("rk") <= 5)
+      .select("lang", "rk", "tri", "n")
+      .orderBy(col("lang").asc, col("rk").asc)
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "llm_char_ngrams" -> (llmCharNgrams _),
     "llm_knn_classify" -> (llmKnnClassify _),
     "llm_ttr"         -> (llmTtr _),
     "llm_bigram_pmi"  -> (llmBigramPmi _),
@@ -488,6 +511,18 @@ object LlmOps {
     "llm_multimodal"  -> (llmMultimodal _))
 
   val oracleSql: Map[String, String] = Map(
+    "llm_char_ngrams" ->
+      """WITH ch AS (
+        |  SELECT lang, substr(text, i, 3) AS tri
+        |  FROM documents,
+        |    LATERAL (SELECT unnest(generate_series(1, len(text) - 2)) AS i)),
+        |c AS (SELECT lang, tri, count(*) AS n FROM ch GROUP BY lang, tri),
+        |r AS (
+        |  SELECT lang, tri, n, row_number() OVER (
+        |    PARTITION BY lang ORDER BY n DESC, tri ASC) AS rk
+        |  FROM c)
+        |SELECT lang, rk, tri, n FROM r WHERE rk <= 5
+        |ORDER BY lang ASC, rk ASC""".stripMargin,
     "llm_knn_classify" ->
       """WITH q AS (
         |  SELECT vec_id AS qid, CAST(embedding AS DOUBLE[]) AS qe,

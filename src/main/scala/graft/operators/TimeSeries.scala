@@ -651,7 +651,50 @@ object TimeSeries {
       .orderBy(col("event_type").asc)
   }
 
+  /** Order-3 permutation entropy (round-9 wave 3) — per type, the
+    * Bandt–Pompe complexity of the daily revenue series: each 3-day
+    * window maps to its ordinal pattern (which of the 6 orderings the
+    * values take), and the normalized Shannon entropy of the pattern
+    * histogram separates structured series (trend/seasonality → few
+    * patterns, entropy ≪ 1) from noise-like ones (≈ 1). The
+    * complexity screen read BEFORE trusting ts_forecast_eval's model
+    * choice — near-1 entropy says no forecaster will beat persistence.
+    *
+    * Determinism: patterns come from exact comparisons of 2dp-rounded
+    * dailies (ties break toward the earlier day — the ≤/< placement
+    * below is the Bandt–Pompe rank-by-(value, index) convention);
+    * entropy sums ≤ 6 terms of ln-of-exact-ratios (6dp round absorbs
+    * order ulps). Day-grain ⇒ O(days·types). */
+  def tsPermEntropy(spark: SparkSession, dir: String): DataFrame = {
+    val daily = Tables.events(spark, dir)
+      .groupBy(col("event_type"), date_trunc("day", col("ts")).as("day"))
+      .agg(round(sum("value"), 2).as("rev"))
+    val w = Window.partitionBy("event_type").orderBy(col("day").asc)
+    val pat = daily
+      .withColumn("r0", lag("rev", 2).over(w))
+      .withColumn("r1", lag("rev", 1).over(w))
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") >= 3)
+      .select(col("event_type"),
+        when(col("r0") <= col("r1") && col("r1") <= col("rev"), "012")
+          .when(col("r0") <= col("rev") && col("rev") < col("r1"), "021")
+          .when(col("r1") < col("r0") && col("r0") <= col("rev"), "102")
+          .when(col("rev") < col("r0") && col("r0") <= col("r1"), "120")
+          .when(col("r1") <= col("rev") && col("rev") < col("r0"), "201")
+          .otherwise("210").as("pattern"))
+    val c = pat.groupBy("event_type", "pattern").agg(count(lit(1)).as("n"))
+    val t = c.groupBy("event_type").agg(sum("n").as("tot"))
+    c.join(broadcast(t), "event_type")
+      .groupBy("event_type")
+      .agg(count(lit(1)).as("n_patterns"),
+        round((-sum((col("n") / col("tot").cast("double"))
+            * log(col("n") / col("tot").cast("double"))))
+          / math.log(6.0), 6).as("perm_entropy"))
+      .orderBy(col("event_type").asc)
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "ts_perm_entropy" -> (tsPermEntropy _),
     "ts_rsi"      -> (tsRsi _),
     "ts_donchian" -> (tsDonchian _),
     "ts_drawdown" -> (tsDrawdown _),
@@ -672,6 +715,35 @@ object TimeSeries {
     "ts_anomaly"  -> (tsAnomaly _))
 
   val oracleSql: Map[String, String] = Map(
+    "ts_perm_entropy" ->
+      """WITH daily AS (
+        |  SELECT event_type, date_trunc('day', ts) AS day,
+        |    round(sum(value), 2) AS rev
+        |  FROM events GROUP BY event_type, day),
+        |l AS (
+        |  SELECT event_type, rev,
+        |    lag(rev, 2) OVER w AS r0, lag(rev, 1) OVER w AS r1,
+        |    row_number() OVER w AS rn
+        |  FROM daily WINDOW w AS (PARTITION BY event_type ORDER BY day ASC)),
+        |pat AS (
+        |  SELECT event_type,
+        |    CASE
+        |      WHEN r0 <= r1 AND r1 <= rev THEN '012'
+        |      WHEN r0 <= rev AND rev < r1 THEN '021'
+        |      WHEN r1 < r0 AND r0 <= rev THEN '102'
+        |      WHEN rev < r0 AND r0 <= r1 THEN '120'
+        |      WHEN r1 <= rev AND rev < r0 THEN '201'
+        |      ELSE '210' END AS pattern
+        |  FROM l WHERE rn >= 3),
+        |c AS (SELECT event_type, pattern, count(*) AS n
+        |      FROM pat GROUP BY event_type, pattern),
+        |t AS (SELECT event_type, CAST(sum(n) AS BIGINT) AS tot
+        |      FROM c GROUP BY event_type)
+        |SELECT c.event_type, count(*) AS n_patterns,
+        |  round(-sum((n / CAST(tot AS DOUBLE)) * ln(n / CAST(tot AS DOUBLE)))
+        |    / ln(6e0), 6) AS perm_entropy
+        |FROM c JOIN t ON c.event_type = t.event_type
+        |GROUP BY c.event_type ORDER BY c.event_type ASC""".stripMargin,
     "ts_rsi" ->
       """WITH daily AS (
         |  SELECT event_type, date_trunc('day', ts) AS day,

@@ -143,7 +143,10 @@ class PlanSnapshotSpec extends AnyFunSuite {
       // the scoring pass swaps to the IVF/LSH candidate join (scaladoc).
       // llm_source_hhi carries the 1-row (docs, tokens) grand totals as
       // a broadcast scalar into the 20-row source frame.
-      "llm_knn_classify", "llm_source_hhi")
+      "llm_knn_classify", "llm_source_hhi",
+      // round-9 wave 3: agg_pareto carries the 1-row (total cents, n)
+      // scalar into the customer-grain rank frame
+      "agg_pareto")
     val withNlj = plans.flatMap { case (name, plan) =>
       val n = plan.collect {
         case j: BroadcastNestedLoopJoinExec => j

@@ -175,6 +175,80 @@ class Round9OpsSpec extends AnyFunSuite {
     }
   }
 
+  test("agg_pareto: monotone curve, endpoints pinned") {
+    val out = operators.Aggregates.aggPareto(spark, sf0001).collect()
+      .sortBy(_.getInt(0))
+    assert(out.length == 8)
+    // more revenue share requires at least as many customers
+    out.sliding(2).foreach { p =>
+      assert(p(0).getInt(1) <= p(1).getInt(1))
+      assert(p(0).getDouble(3) <= p(1).getDouble(3) + 1e-9)
+    }
+    val last = out.last
+    assert(last.getInt(0) == 100 &&
+      last.getInt(1).toLong == Tables.customer(spark, sf0001).count() &&
+      math.abs(last.getDouble(3) - 1.0) < 1e-9,
+      "the 100% row must need every customer and reach share 1")
+    // definitional bound: the reached share meets its threshold
+    out.foreach(r => assert(r.getDouble(3) >= r.getInt(0) / 100.0 - 1e-9))
+  }
+
+  test("seq_markov: rows are probability distributions over observed transitions") {
+    val out = operators.Analytics.seqMarkov(spark, sf0001).collect()
+    assert(out.nonEmpty)
+    val byFrom = out.groupBy(_.getString(0))
+    byFrom.foreach { case (from, rows) =>
+      val pSum = rows.map(_.getDouble(3)).sum
+      assert(math.abs(pSum - 1.0) < 1e-4, s"$from rows sum to $pSum")
+    }
+    // census: total transitions = events - one terminal event per user
+    val nEvents = Tables.events(spark, sf0001).count()
+    val nUsers = Tables.events(spark, sf0001)
+      .select("user_id").distinct().count()
+    assert(out.map(_.getLong(2)).sum == nEvents - nUsers)
+  }
+
+  test("ts_perm_entropy: normalized range and the pattern census") {
+    val out = operators.TimeSeries.tsPermEntropy(spark, sf0001).collect()
+    assert(out.nonEmpty)
+    out.foreach { r =>
+      assert(r.getLong(1) >= 1 && r.getLong(1) <= 6, "at most 3! patterns")
+      assert(r.getDouble(2) >= 0 && r.getDouble(2) <= 1.0 + 1e-9,
+        "ln(6)-normalized entropy is in [0,1]")
+    }
+  }
+
+  test("bill_dso: identity replay and open-ar bound") {
+    val out = operators.Billing.billDso(spark, sf0001).collect()
+    assert(out.nonEmpty)
+    out.foreach { r =>
+      val (billed, openAr, dso) = (r.getDouble(2), r.getDouble(3), r.getDouble(4))
+      assert(openAr <= billed + 1e-9, "open A/R cannot exceed billed")
+      assert(dso >= 0 && dso <= 31.0 + 1e-9,
+        "DSO under this definition is bounded by the month length")
+    }
+  }
+
+  test("llm_char_ngrams: top-5 per lang, counts consistent with a recount") {
+    val out = operators.LlmOps.llmCharNgrams(spark, sf0001).collect()
+    val langs = out.map(_.getString(0)).distinct
+    langs.foreach { l =>
+      val rows = out.filter(_.getString(0) == l).sortBy(_.getInt(1))
+      assert(rows.length == 5)
+      // ranks are 1..5 and counts non-increasing
+      assert(rows.map(_.getInt(1)).toSeq == Seq(1, 2, 3, 4, 5))
+      rows.sliding(2).foreach(p => assert(p(0).getLong(3) >= p(1).getLong(3)))
+      rows.foreach(r => assert(r.getString(2).length == 3))
+    }
+    // spot-recount the top trigram of one language by brute force
+    val l0 = langs.min
+    val top = out.filter(r => r.getString(0) == l0 && r.getInt(1) == 1).head
+    val docs = Tables.documents(spark, sf0001)
+      .filter(col("lang") === l0).select("text").collect().map(_.getString(0))
+    val cnt = docs.map(t => t.sliding(3).count(_ == top.getString(2))).sum
+    assert(cnt == top.getLong(3), s"recount of '${top.getString(2)}'")
+  }
+
   test("dq_orphans: all 7 star-schema edges audited, fixture is orphan-free") {
     val out = operators.DataQuality.dqOrphans(spark, sf0001).collect()
     assert(out.length == 7)
