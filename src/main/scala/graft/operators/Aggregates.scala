@@ -635,7 +635,35 @@ object Aggregates {
       .orderBy(col("p").asc)
   }
 
+  /** Theil T index (round-9 wave 4) — per-nation revenue inequality as
+    * the entropy-based measure beside agg_gini's rank-based one (Theil
+    * DECOMPOSES across subgroups, which is why inequality reports carry
+    * both): T = (1/n) Σ (x/μ) ln(x/μ) over per-customer revenue.
+    * Revenue travels as integer CENTS (agg_pareto's discipline), so
+    * μ = tot/n and every x/μ ratio are exact-deterministic doubles in
+    * both engines; only the final ln-term summation is order-dependent,
+    * absorbed by the 6dp round. Customer-grain hash agg → nation-grain
+    * moment join; one corpus pass. */
+  def aggTheil(spark: SparkSession, dir: String): DataFrame = {
+    val cust = Tables.orders(spark, dir)
+      .join(broadcast(Tables.customer(spark, dir)
+        .select(col("c_custkey"), col("c_nationkey").as("nationkey"))),
+        col("o_custkey") === col("c_custkey"))
+      .groupBy("nationkey", "o_custkey")
+      .agg(round(round(sum("o_totalprice"), 2) * 100, 0).cast("long").as("cents"))
+    val m = cust.groupBy("nationkey")
+      .agg(count(lit(1)).as("n"), sum("cents").as("tot"))
+    val mu = col("tot") / col("n").cast("double")
+    cust.join(broadcast(m), "nationkey")
+      .groupBy("nationkey")
+      .agg(max("n").as("n"),
+        round(sum((col("cents") / mu) * log(col("cents") / mu)) / max("n"), 6)
+          .as("theil_t"))
+      .orderBy(col("nationkey").asc)
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "agg_theil"         -> (aggTheil _),
     "agg_pareto"        -> (aggPareto _),
     "agg_winsorized"    -> (aggWinsorized _),
     "agg_mannwhitney"   -> (aggMannwhitney _),
@@ -669,6 +697,21 @@ object Aggregates {
     "agg_minmax_by"     -> (aggMinmaxBy _))
 
   val oracleSql: Map[String, String] = Map(
+    "agg_theil" ->
+      """WITH cust AS (
+        |  SELECT c_nationkey AS nationkey,
+        |    CAST(round(round(sum(o_totalprice), 2) * 100, 0) AS BIGINT) AS cents
+        |  FROM orders JOIN customer ON o_custkey = c_custkey
+        |  GROUP BY c_nationkey, o_custkey),
+        |m AS (
+        |  SELECT nationkey, count(*) AS n, CAST(sum(cents) AS BIGINT) AS tot
+        |  FROM cust GROUP BY nationkey)
+        |SELECT c.nationkey, max(m.n) AS n,
+        |  round(sum((c.cents / (m.tot / CAST(m.n AS DOUBLE)))
+        |    * ln(c.cents / (m.tot / CAST(m.n AS DOUBLE)))) / max(m.n), 6)
+        |    AS theil_t
+        |FROM cust c JOIN m ON c.nationkey = m.nationkey
+        |GROUP BY c.nationkey ORDER BY c.nationkey ASC""".stripMargin,
     "agg_pareto" ->
       """WITH cust AS (
         |  SELECT o_custkey,

@@ -384,7 +384,42 @@ object Analytics {
       .orderBy(col("from_type").asc, col("to_type").asc)
   }
 
+  /** RFM segmentation (round-9 wave 4) — the classic customer-value
+    * grid: per customer, Recency (days since last order, vs the corpus
+    * ledger date), Frequency (order count), Monetary (revenue in exact
+    * cents), each cut into quintiles by ntile(5) with the custkey
+    * tie-break (a fully-ordered input makes ntile's bucket assignment
+    * deterministic); segments of ≥ 5 customers report census + per-axis
+    * profiles. Windows run over the CUSTOMER-grain frame (three
+    * vocabulary-sized sorts, not corpus sorts); avgs divide exact
+    * integers. The marketing-ops companion to funnel_retention's
+    * cohort view. */
+  def rfmSegments(spark: SparkSession, dir: String): DataFrame = {
+    val o = Tables.orders(spark, dir)
+    val ref = broadcast(o.agg(max(to_date(col("o_orderdate"))).as("ref")))
+    val c = o.groupBy("o_custkey")
+      .agg(max(to_date(col("o_orderdate"))).as("last_day"),
+        count(lit(1)).as("freq"),
+        round(round(sum("o_totalprice"), 2) * 100, 0).cast("long").as("mon_cents"))
+      .crossJoin(ref)
+      .select(col("o_custkey"), datediff(col("ref"), col("last_day")).as("rec_days"),
+        col("freq"), col("mon_cents"))
+    val s = c.select(col("rec_days"), col("freq"), col("mon_cents"),
+      ntile(5).over(Window.orderBy(col("rec_days").asc, col("o_custkey").asc)).as("r"),
+      ntile(5).over(Window.orderBy(col("freq").desc, col("o_custkey").asc)).as("f"),
+      ntile(5).over(Window.orderBy(col("mon_cents").desc, col("o_custkey").asc)).as("m"))
+    s.groupBy("r", "f", "m")
+      .agg(count(lit(1)).as("customers"),
+        min("rec_days").cast("long").as("min_rec"),
+        max("rec_days").cast("long").as("max_rec"),
+        round(avg("freq"), 4).as("avg_freq"),
+        round(avg("mon_cents") / 100, 2).as("avg_monetary"))
+      .filter(col("customers") >= 5)
+      .orderBy(col("r").asc, col("f").asc, col("m").asc)
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "rfm_segments"     -> (rfmSegments _),
     "seq_markov"       -> (seqMarkov _),
     "funnel_latency"   -> (funnelLatency _),
     "hist_kde"         -> (histKde _),
@@ -397,6 +432,30 @@ object Analytics {
     "seq_pattern"      -> (seqPattern _))
 
   val oracleSql: Map[String, String] = Map(
+    "rfm_segments" ->
+      """WITH ref AS (SELECT max(CAST(o_orderdate AS DATE)) AS ref FROM orders),
+        |c AS (
+        |  SELECT o_custkey,
+        |    date_diff('day', max(CAST(o_orderdate AS DATE)),
+        |      (SELECT ref FROM ref)) AS rec_days,
+        |    count(*) AS freq,
+        |    CAST(round(round(sum(o_totalprice), 2) * 100, 0) AS BIGINT)
+        |      AS mon_cents
+        |  FROM orders GROUP BY o_custkey),
+        |s AS (
+        |  SELECT rec_days, freq, mon_cents,
+        |    ntile(5) OVER (ORDER BY rec_days ASC, o_custkey ASC) AS r,
+        |    ntile(5) OVER (ORDER BY freq DESC, o_custkey ASC) AS f,
+        |    ntile(5) OVER (ORDER BY mon_cents DESC, o_custkey ASC) AS m
+        |  FROM c)
+        |SELECT r, f, m, count(*) AS customers,
+        |  CAST(min(rec_days) AS BIGINT) AS min_rec,
+        |  CAST(max(rec_days) AS BIGINT) AS max_rec,
+        |  round(avg(freq), 4) AS avg_freq,
+        |  round(avg(mon_cents) / 100, 2) AS avg_monetary
+        |FROM s GROUP BY r, f, m
+        |HAVING count(*) >= 5
+        |ORDER BY r ASC, f ASC, m ASC""".stripMargin,
     "seq_markov" ->
       """WITH seq AS (
         |  SELECT user_id, event_type,

@@ -146,7 +146,10 @@ class PlanSnapshotSpec extends AnyFunSuite {
       "llm_knn_classify", "llm_source_hhi",
       // round-9 wave 3: agg_pareto carries the 1-row (total cents, n)
       // scalar into the customer-grain rank frame
-      "agg_pareto")
+      "agg_pareto",
+      // round-9 wave 4: rfm_segments anchors recency at the 1-row
+      // corpus ledger date (bill_aging's pattern)
+      "rfm_segments")
     val withNlj = plans.flatMap { case (name, plan) =>
       val n = plan.collect {
         case j: BroadcastNestedLoopJoinExec => j

@@ -249,6 +249,34 @@ class Round9OpsSpec extends AnyFunSuite {
     assert(cnt == top.getLong(3), s"recount of '${top.getString(2)}'")
   }
 
+  test("agg_theil: non-negative, zero iff uniform, gini-consistent ordering") {
+    val out = operators.Aggregates.aggTheil(spark, sf0001).collect()
+    assert(out.nonEmpty)
+    // Theil T >= 0 with equality only for perfectly equal incomes
+    out.foreach(r => assert(r.getDouble(2) >= -1e-9))
+    // and is bounded above by ln(n) (all revenue on one customer)
+    out.foreach(r => assert(r.getDouble(2) <= math.log(r.getLong(1).toDouble) + 1e-9))
+  }
+
+  test("rfm_segments: quintiles balanced, census bounded, profiles ordered") {
+    val out = operators.Analytics.rfmSegments(spark, sf0001).collect()
+    assert(out.nonEmpty)
+    val total = Tables.orders(spark, sf0001)
+      .select("o_custkey").distinct().count()
+    // HAVING >= 5 can only drop customers
+    assert(out.map(_.getLong(3)).sum <= total)
+    out.foreach { r =>
+      Seq(0, 1, 2).foreach(i => assert(r.getInt(i) >= 1 && r.getInt(i) <= 5))
+      assert(r.getLong(4) <= r.getLong(5), "min_rec <= max_rec")
+      assert(r.getDouble(6) >= 1.0, "every counted customer ordered")
+    }
+    // recency quintile 1 holds the most recent buyers: its max recency
+    // must not exceed quintile 5's min recency
+    val r1max = out.filter(_.getInt(0) == 1).map(_.getLong(5))
+    val r5min = out.filter(_.getInt(0) == 5).map(_.getLong(4))
+    if (r1max.nonEmpty && r5min.nonEmpty) assert(r1max.max <= r5min.min)
+  }
+
   test("dq_orphans: all 7 star-schema edges audited, fixture is orphan-free") {
     val out = operators.DataQuality.dqOrphans(spark, sf0001).collect()
     assert(out.length == 7)
