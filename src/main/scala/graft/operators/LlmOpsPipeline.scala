@@ -810,7 +810,51 @@ object LlmOpsPipeline {
           .as("top_token_share"))
   }
 
+  /** Three-stage dedup funnel (round-9 wave 5) — the END-TO-END cascade a
+    * corpus build actually runs, as one auditable census row: exact text
+    * dedup (min-doc_id survivor per text) → winnowing-fingerprint dedup
+    * among exact survivors (min-doc_id per fp) → blocked token-Jaccard
+    * near-dup (≥ 0.8) among fingerprint survivors with the
+    * llm_dedup_apply drop-the-b-side policy. Per stage: survivors and
+    * removals, plus the total removal rate — the number a data lead
+    * signs off on before training.
+    *
+    * Every expensive input is a MEMOIZED shared artifact: stage 2 reads
+    * the winnowing-fingerprint frame, stage 3 FILTERS the memoized
+    * near-dup pair stream to fingerprint-survivor endpoints (a pair
+    * among survivors is a pair in the corpus, so the subset is exact —
+    * no pair recomputation). Warm cost is therefore three file scans +
+    * vocabulary-sized joins; the stage ordering itself is the 100 TB
+    * story (each stage shrinks the set the next, more expensive stage
+    * sees). Census scalars assemble by 1-row crosses (dataset_card
+    * pattern, allowlisted). */
+  def llmDedupFunnel(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(spark, dir).select("doc_id", "text")
+    val s1 = docs.groupBy("text").agg(min("doc_id").as("doc_id")).select("doc_id")
+    val s2 = LlmOpsExtra.fpFrame(spark, dir).select("doc_id", "fp")
+      .join(s1, "doc_id")
+      .groupBy("fp").agg(min("doc_id").as("doc_id")).select("doc_id")
+    val pairs = LlmOps.nearDupPairs(spark, dir)
+    val dropped = pairs
+      .join(s2.withColumnRenamed("doc_id", "a_id"), Seq("a_id"), "left_semi")
+      .join(s2.withColumnRenamed("doc_id", "b_id"), Seq("b_id"), "left_semi")
+      .select("b_id").distinct()
+    val a = docs.agg(count(lit(1)).as("n_docs"))
+    val b = s1.agg(count(lit(1)).as("after_exact"))
+    val c = s2.agg(count(lit(1)).as("after_fp"))
+    val d = s2.join(dropped, col("doc_id") === col("b_id"), "left_anti")
+      .agg(count(lit(1)).as("after_near"))
+    a.crossJoin(broadcast(b)).crossJoin(broadcast(c)).crossJoin(broadcast(d))
+      .select(col("n_docs"), col("after_exact"), col("after_fp"), col("after_near"),
+        (col("n_docs") - col("after_exact")).as("removed_exact"),
+        (col("after_exact") - col("after_fp")).as("removed_fp"),
+        (col("after_fp") - col("after_near")).as("removed_near"),
+        round(lit(1.0) - col("after_near") / col("n_docs").cast("double"), 6)
+          .as("removed_rate"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "llm_dedup_funnel"      -> (llmDedupFunnel _),
     "llm_source_hhi"        -> (llmSourceHhi _),
     "llm_dataset_card"      -> (llmDatasetCard _),
     "llm_source_psi"        -> (llmSourcePsi _),
@@ -835,6 +879,39 @@ object LlmOpsPipeline {
     "llm_heuristic_filter"  -> (llmHeuristicFilter _))
 
   val oracleSql: Map[String, String] = Map(
+    "llm_dedup_funnel" ->
+      """WITH s1 AS (
+        |  SELECT min(doc_id) AS doc_id FROM documents GROUP BY text),
+        |f AS (
+        |  SELECT d.doc_id,
+        |    list_min(list_transform(
+        |      generate_series(1, greatest(len(string_split(text, ' ')) - 7, 1)),
+        |      i -> md5(array_to_string(
+        |        list_slice(string_split(text, ' '), i, i + 7), ' ')))) AS fp
+        |  FROM documents d JOIN s1 ON d.doc_id = s1.doc_id),
+        |s2 AS (SELECT min(doc_id) AS doc_id FROM f GROUP BY fp),
+        |d2 AS (
+        |  SELECT d.doc_id, lang, n_chars // 100 AS band,
+        |         list_distinct(string_split(text, ' ')) AS toks
+        |  FROM documents d JOIN s2 ON d.doc_id = s2.doc_id),
+        |dropped AS (
+        |  SELECT DISTINCT b.doc_id AS b_id
+        |  FROM d2 a JOIN d2 b
+        |    ON a.lang = b.lang AND a.band = b.band AND a.doc_id < b.doc_id
+        |  WHERE round(CAST(len(list_intersect(a.toks, b.toks)) AS DOUBLE) /
+        |        len(list_distinct(list_concat(a.toks, b.toks))), 6) >= 0.8),
+        |c AS (SELECT
+        |  (SELECT count(*) FROM documents) AS n_docs,
+        |  (SELECT count(*) FROM s1) AS after_exact,
+        |  (SELECT count(*) FROM s2) AS after_fp,
+        |  (SELECT count(*) FROM s2) - (SELECT count(*) FROM dropped)
+        |    AS after_near)
+        |SELECT n_docs, after_exact, after_fp, after_near,
+        |  n_docs - after_exact AS removed_exact,
+        |  after_exact - after_fp AS removed_fp,
+        |  after_fp - after_near AS removed_near,
+        |  round(1.0 - after_near / CAST(n_docs AS DOUBLE), 6) AS removed_rate
+        |FROM c""".stripMargin,
     "llm_source_hhi" ->
       """WITH s AS (
         |  SELECT source, count(*) AS docs,

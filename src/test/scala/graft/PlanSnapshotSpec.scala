@@ -149,7 +149,10 @@ class PlanSnapshotSpec extends AnyFunSuite {
       "agg_pareto",
       // round-9 wave 4: rfm_segments anchors recency at the 1-row
       // corpus ledger date (bill_aging's pattern)
-      "rfm_segments")
+      "rfm_segments",
+      // round-9 wave 5: llm_dedup_funnel assembles its census from four
+      // 1-row stage counts (dataset_card pattern)
+      "llm_dedup_funnel")
     val withNlj = plans.flatMap { case (name, plan) =>
       val n = plan.collect {
         case j: BroadcastNestedLoopJoinExec => j

@@ -277,6 +277,22 @@ class Round9OpsSpec extends AnyFunSuite {
     if (r1max.nonEmpty && r5min.nonEmpty) assert(r1max.max <= r5min.min)
   }
 
+  test("llm_dedup_funnel: stage identities and cross-query consistency") {
+    val r = operators.LlmOpsPipeline.llmDedupFunnel(spark, sf0001).head()
+    val (n, s1, s2, s3) =
+      (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))
+    // each stage only shrinks
+    assert(n >= s1 && s1 >= s2 && s2 >= s3 && s3 > 0)
+    // removals re-add to the census
+    assert(r.getLong(4) == n - s1 && r.getLong(5) == s1 - s2 &&
+      r.getLong(6) == s2 - s3)
+    assert(math.abs(r.getDouble(7) - (1.0 - s3.toDouble / n)) < 1e-6)
+    // stage-1 census agrees with the declared exact-dedup query
+    val exactKept = operators.LlmOps.llmDedupExact(spark, sf0001)
+      .collect().map(_.getLong(1)).sum
+    assert(s1 == exactKept)
+  }
+
   test("dq_orphans: all 7 star-schema edges audited, fixture is orphan-free") {
     val out = operators.DataQuality.dqOrphans(spark, sf0001).collect()
     assert(out.length == 7)
