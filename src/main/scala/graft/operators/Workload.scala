@@ -324,7 +324,36 @@ object Workload {
         |GROUP BY c_mktsegment ORDER BY c_mktsegment ASC""".stripMargin)
   }
 
+  /** q21 shape — suppliers who kept orders waiting, adapted (lateness =
+    * shipping > 90 days after the order date, on finished orders): the
+    * double-correlated EXISTS / NOT EXISTS plan — the supplier was late
+    * on a multi-supplier order AND every co-supplier was on time.
+    * Catalyst rewrites both subqueries to semi/anti joins on the order
+    * key with the supplier-inequality as a join filter; the lineitem
+    * stream is scanned once per correlation, all on the same key. The
+    * original's per-late-lineitem counting grain is kept. */
+  def tpchQ21(spark: SparkSession, dir: String): DataFrame = {
+    Tables.registerAll(spark, dir)
+    spark.sql(
+      """SELECT s_name, count(*) AS numwait
+        |FROM supplier
+        |JOIN lineitem l1 ON s_suppkey = l1.l_suppkey
+        |JOIN orders ON o_orderkey = l1.l_orderkey
+        |WHERE o_orderstatus = 'F'
+        |  AND l1.l_shipdate > o_orderdate + INTERVAL 90 DAY
+        |  AND EXISTS (SELECT 1 FROM lineitem l2
+        |              WHERE l2.l_orderkey = l1.l_orderkey
+        |                AND l2.l_suppkey <> l1.l_suppkey)
+        |  AND NOT EXISTS (SELECT 1 FROM lineitem l3
+        |                  WHERE l3.l_orderkey = l1.l_orderkey
+        |                    AND l3.l_suppkey <> l1.l_suppkey
+        |                    AND l3.l_shipdate > o_orderdate + INTERVAL 90 DAY)
+        |GROUP BY s_name
+        |ORDER BY numwait DESC, s_name ASC LIMIT 10""".stripMargin)
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "tpch_q21" -> (tpchQ21 _),
     "tpch_q4"  -> (tpchQ4 _),
     "tpch_q9"  -> (tpchQ9 _),
     "tpch_q19" -> (tpchQ19 _),
@@ -468,6 +497,22 @@ object Workload {
         |      HAVING sum(l_quantity) > 250e0) big
         |  ON o_orderkey = l_orderkey
         |ORDER BY totalprice DESC, o_orderkey ASC LIMIT 20""".stripMargin,
+    "tpch_q21" ->
+      """SELECT s_name, count(*) AS numwait
+        |FROM supplier
+        |JOIN lineitem l1 ON s_suppkey = l1.l_suppkey
+        |JOIN orders ON o_orderkey = l1.l_orderkey
+        |WHERE o_orderstatus = 'F'
+        |  AND l1.l_shipdate > o_orderdate + INTERVAL 90 DAY
+        |  AND EXISTS (SELECT 1 FROM lineitem l2
+        |              WHERE l2.l_orderkey = l1.l_orderkey
+        |                AND l2.l_suppkey <> l1.l_suppkey)
+        |  AND NOT EXISTS (SELECT 1 FROM lineitem l3
+        |                  WHERE l3.l_orderkey = l1.l_orderkey
+        |                    AND l3.l_suppkey <> l1.l_suppkey
+        |                    AND l3.l_shipdate > o_orderdate + INTERVAL 90 DAY)
+        |GROUP BY s_name
+        |ORDER BY numwait DESC, s_name ASC LIMIT 10""".stripMargin,
     "tpch_q4" ->
       """SELECT o_orderpriority, count(*) AS order_count
         |FROM orders

@@ -139,6 +139,10 @@ class Round9OpsSpec extends AnyFunSuite {
     assert(q19.length == 1 && q19.head.getDouble(0) > 0)
     val q22 = operators.Workload.tpchQ22(spark, sf0001).collect()
     assert(q22.nonEmpty)
+    val q21 = operators.Workload.tpchQ21(spark, sf0001).collect()
+    assert(q21.nonEmpty && q21.length <= 10)
+    // counts ordered desc with name tiebreak
+    q21.sliding(2).foreach(p => assert(p(0).getLong(1) >= p(1).getLong(1)))
     // anti-join semantics: no counted customer may have a recent order
     val recent = Tables.orders(spark, sf0001)
       .filter(col("o_orderdate") >= "2000-01-01")
