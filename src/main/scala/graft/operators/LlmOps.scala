@@ -492,7 +492,39 @@ object LlmOps {
       .orderBy(col("lang").asc, col("rk").asc)
   }
 
+  /** Embedding batch-drift gate (round-9 wave 6) — split the table into
+    * two deterministic batches (vec_id parity — the stand-in for
+    * yesterday's vs today's encoder run), compute per-label centroids
+    * per batch, and report centroid cosine + L2 distance per label: the
+    * monitor that catches a silently retrained/renormalized encoder
+    * before stale vectors poison an ANN index. Near-zero cosine on the
+    * random fixture is the honest readout. Centroid components round
+    * at 6dp BEFORE the cosine (identical inputs both engines); one
+    * explode → (batch, label, dim) hash agg → label-keyed join of two
+    * 64-row-per-label frames — corpus-linear, join vocabulary-sized. */
+  def llmEmbDrift(spark: SparkSession, dir: String): DataFrame = {
+    val c = embDouble(spark, dir)
+      .select((col("vec_id") % 2).as("batch"), col("label"),
+        posexplode(col("e")).as(Seq("dim", "x")))
+      .groupBy("batch", "label", "dim")
+      .agg(round(avg("x"), 6).as("cx"))
+    val a = c.filter(col("batch") === 0)
+      .select(col("label"), col("dim"), col("cx").as("ax"))
+    val b = c.filter(col("batch") === 1)
+      .select(col("label"), col("dim"), col("cx").as("bx"))
+    a.join(b, Seq("label", "dim"))
+      .groupBy("label")
+      .agg(count(lit(1)).as("dims"),
+        round(sum(col("ax") * col("bx"))
+          / (sqrt(sum(col("ax") * col("ax"))) * sqrt(sum(col("bx") * col("bx")))), 6)
+          .as("centroid_cosine"),
+        round(sqrt(sum((col("ax") - col("bx")) * (col("ax") - col("bx")))), 6)
+          .as("centroid_dist"))
+      .orderBy(col("label").asc)
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "llm_emb_drift"   -> (llmEmbDrift _),
     "llm_char_ngrams" -> (llmCharNgrams _),
     "llm_knn_classify" -> (llmKnnClassify _),
     "llm_ttr"         -> (llmTtr _),
@@ -511,6 +543,24 @@ object LlmOps {
     "llm_multimodal"  -> (llmMultimodal _))
 
   val oracleSql: Map[String, String] = Map(
+    "llm_emb_drift" ->
+      """WITH e AS (
+        |  SELECT vec_id % 2 AS batch, label,
+        |    unnest(CAST(embedding AS DOUBLE[])) AS x,
+        |    generate_subscripts(CAST(embedding AS DOUBLE[]), 1) AS dim
+        |  FROM embeddings),
+        |c AS (
+        |  SELECT batch, label, dim, round(avg(x), 6) AS cx
+        |  FROM e GROUP BY batch, label, dim),
+        |j AS (
+        |  SELECT a.label, a.dim, a.cx AS ax, b.cx AS bx
+        |  FROM c a JOIN c b ON a.label = b.label AND a.dim = b.dim
+        |  WHERE a.batch = 0 AND b.batch = 1)
+        |SELECT label, count(*) AS dims,
+        |  round(sum(ax * bx)
+        |    / (sqrt(sum(ax * ax)) * sqrt(sum(bx * bx))), 6) AS centroid_cosine,
+        |  round(sqrt(sum((ax - bx) * (ax - bx))), 6) AS centroid_dist
+        |FROM j GROUP BY label ORDER BY label ASC""".stripMargin,
     "llm_char_ngrams" ->
       """WITH ch AS (
         |  SELECT lang, substr(text, i, 3) AS tri

@@ -297,6 +297,16 @@ class Round9OpsSpec extends AnyFunSuite {
     assert(s1 == exactKept)
   }
 
+  test("llm_emb_drift: 64 dims per label, cosine in [-1,1], dist >= 0") {
+    val out = operators.LlmOps.llmEmbDrift(spark, sf0001).collect()
+    assert(out.nonEmpty)
+    out.foreach { r =>
+      assert(r.getLong(1) == 64, "every dimension pairs across batches")
+      assert(math.abs(r.getDouble(2)) <= 1.0 + 1e-9)
+      assert(r.getDouble(3) >= 0)
+    }
+  }
+
   test("dq_orphans: all 7 star-schema edges audited, fixture is orphan-free") {
     val out = operators.DataQuality.dqOrphans(spark, sf0001).collect()
     assert(out.length == 7)
