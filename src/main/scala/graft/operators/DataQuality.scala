@@ -429,9 +429,15 @@ object DataQuality {
     * hash agg (partial map-side, two exchanges per table at any scale);
     * results union to a 5-row report. */
   def dqDupKeys(spark: SparkSession, dir: String): DataFrame = {
+    // Composite keys count distinct STRUCTS, matching the oracle's
+    // count(DISTINCT (a, b)) ROW semantics: a row with a NULL key field
+    // is a distinct (malformed) key value, not silently dropped the way
+    // countDistinct(a, b) would drop it — and this is the one query
+    // whose job is to catch exactly such rows.
     def audit(df: DataFrame, tbl: String, keys: Seq[String]) =
       df.agg(count(lit(1)).as("n_rows"),
-          countDistinct(col(keys.head), keys.tail.map(col): _*).as("n_keys"))
+          (if (keys.lengthCompare(1) == 0) countDistinct(col(keys.head))
+           else countDistinct(struct(keys.map(col): _*))).as("n_keys"))
         .select(lit(tbl).as("key"), col("n_rows"), col("n_keys"),
           (col("n_rows") - col("n_keys")).as("dup_rows"),
           round((col("n_rows") - col("n_keys")) / col("n_rows").cast("double"), 6)

@@ -443,11 +443,19 @@ object LlmOps {
       .agg(count(lit(1)).as("votes"))
       .withColumn("vr", row_number().over(wVote))
       .filter(col("vr") === 1)
-      .groupBy(col("qlabel").as("label"))
+      // name the winning vote `pred` BEFORE aggregating (the oracle's
+      // form): grouping by qlabel.as("label") while agg expressions
+      // still referenced the child's `label` column resolved correctly
+      // but read as a tautological self-compare — ambiguity a rename
+      // would turn into a silent accuracy=1.0 bug
+      .select(col("qlabel"), col("label").as("pred"))
+      .groupBy("qlabel")
       .agg(count(lit(1)).as("n_queries"),
-        sum(when(col("label") === col("qlabel"), 1L).otherwise(0L)).as("n_correct"),
-        round(sum(when(col("label") === col("qlabel"), 1.0).otherwise(0.0))
+        sum(when(col("pred") === col("qlabel"), 1L).otherwise(0L)).as("n_correct"),
+        round(sum(when(col("pred") === col("qlabel"), 1.0).otherwise(0.0))
           / count(lit(1)), 4).as("accuracy"))
+      .select(col("qlabel").as("label"), col("n_queries"), col("n_correct"),
+        col("accuracy"))
       .orderBy(col("label").asc)
   }
 
@@ -482,6 +490,12 @@ object LlmOps {
   def llmCharNgrams(spark: SparkSession, dir: String): DataFrame = {
     val w = Window.partitionBy("lang").orderBy(col("n").desc, col("tri").asc)
     Tables.documents(spark, dir)
+      // sub-3-char docs carry no trigram — and the guard is load-bearing
+      // for cross-engine equality: Spark's sequence(1, len-2) DESCENDS
+      // when len < 3 (emitting junk offsets) where DuckDB's
+      // generate_series is empty; the same predicate in both engines
+      // removes the divergent case entirely
+      .filter(length(col("text")) >= 3)
       .select(col("lang"), col("text"),
         explode(sequence(lit(1), length(col("text")) - 2)).as("i"))
       .select(col("lang"), expr("substring(text, i, 3)").as("tri"))
@@ -565,7 +579,8 @@ object LlmOps {
       """WITH ch AS (
         |  SELECT lang, substr(text, i, 3) AS tri
         |  FROM documents,
-        |    LATERAL (SELECT unnest(generate_series(1, len(text) - 2)) AS i)),
+        |    LATERAL (SELECT unnest(generate_series(1, len(text) - 2)) AS i)
+        |  WHERE len(text) >= 3),
         |c AS (SELECT lang, tri, count(*) AS n FROM ch GROUP BY lang, tri),
         |r AS (
         |  SELECT lang, tri, n, row_number() OVER (

@@ -17,6 +17,15 @@ import graft.Tables
   */
 object TimeSeries {
 
+  /** The shared day-grain revenue rollup every series metric here starts
+    * from: per (event_type, day), 2dp-rounded revenue. One definition so
+    * rounding/grain can never silently desynchronize sibling metrics
+    * (review r9); plans are identical to the previous inlined copies. */
+  private def dailyRev(spark: SparkSession, dir: String): DataFrame =
+    Tables.events(spark, dir)
+      .groupBy(col("event_type"), date_trunc("day", col("ts")).as("day"))
+      .agg(round(sum("value"), 2).as("rev"))
+
   def tsGapfill(spark: SparkSession, dir: String): DataFrame = {
     val orders = Tables.orders(spark, dir)
     // spine bounds from the full table (deterministic)
@@ -98,9 +107,7 @@ object TimeSeries {
     // Segment 0 keeps the ORIGINAL expression tree verbatim, so for
     // calendars under SEG days (every test fixture and the DuckDB oracle
     // text) results are bit-identical to the round-5 form.
-    val daily = Tables.events(spark, dir)
-      .groupBy(col("event_type"), date_trunc("day", col("ts")).as("day"))
-      .agg(round(sum("value"), 2).as("rev"))
+    val daily = dailyRev(spark, dir)
     ewmaDaily(daily)
   }
 
@@ -155,9 +162,7 @@ object TimeSeries {
     * instead. Two tiny broadcast joins carry the per-type statistics
     * back. */
   def tsMad(spark: SparkSession, dir: String): DataFrame = {
-    val daily = Tables.events(spark, dir)
-      .groupBy(col("event_type"), date_trunc("day", col("ts")).as("day"))
-      .agg(round(sum("value"), 2).as("rev"))
+    val daily = dailyRev(spark, dir)
     val med = daily.groupBy("event_type")
       .agg(expr("percentile(rev, 0.5)").as("med"))
     val withDev = daily.join(broadcast(med), "event_type")
@@ -186,9 +191,7 @@ object TimeSeries {
     * ulps; day pairs must be CONSECUTIVE (calendar diff = 1) so a gap
     * contributes no spurious pair. */
   def tsAutocorr(spark: SparkSession, dir: String): DataFrame = {
-    val daily = Tables.events(spark, dir)
-      .groupBy(col("event_type"), date_trunc("day", col("ts")).as("day"))
-      .agg(round(sum("value"), 2).as("rev"))
+    val daily = dailyRev(spark, dir)
     val w = Window.partitionBy("event_type").orderBy(col("day").asc)
     daily
       .withColumn("prev_rev", lag(col("rev"), 1).over(w))
@@ -215,9 +218,7 @@ object TimeSeries {
     * (≪ 0.005) cannot flip the comparison, and equal rounded deviations
     * break to the EARLIER day in both. */
   def tsCusum(spark: SparkSession, dir: String): DataFrame = {
-    val daily = Tables.events(spark, dir)
-      .groupBy(col("event_type"), date_trunc("day", col("ts")).as("day"))
-      .agg(round(sum("value"), 2).as("rev"))
+    val daily = dailyRev(spark, dir)
     val w = Window.partitionBy("event_type").orderBy(col("day").asc)
     val wRun = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
     val wAll = Window.partitionBy("event_type")
@@ -255,9 +256,7 @@ object TimeSeries {
     * round at 2dp and the strength ratio at 4dp, far above float-sum
     * order noise. */
   def tsSeasonal(spark: SparkSession, dir: String): DataFrame = {
-    val daily = Tables.events(spark, dir)
-      .groupBy(col("event_type"), date_trunc("day", col("ts")).as("day"))
-      .agg(round(sum("value"), 2).as("rev"))
+    val daily = dailyRev(spark, dir)
       .withColumn("dow", weekday(col("day")))
     val wDow = Window.partitionBy("event_type", "dow")
     daily
@@ -380,9 +379,7 @@ object TimeSeries {
     * rollup is the one corpus pass; both smoothing passes are
     * day-grain window pairs on the same (type, day) ordering. */
   def tsBrown(spark: SparkSession, dir: String): DataFrame = {
-    val daily = Tables.events(spark, dir)
-      .groupBy(col("event_type"), date_trunc("day", col("ts")).as("day"))
-      .agg(round(sum("value"), 2).as("rev"))
+    val daily = dailyRev(spark, dir)
     val s1 = ewmaDaily(daily)
       .select(col("event_type"), col("day"), col("rev").as("x"), col("ewma").as("s1"))
     val s2 = ewmaDaily(s1.select(col("event_type"), col("day"), col("s1").as("rev")))
@@ -414,9 +411,7 @@ object TimeSeries {
     * (llm_zipf_fit's OLS argument: engine corr() internals differ),
     * 6dp-rounded, argmax by (corr DESC, lag ASC) row_number. */
   def tsCrossCorr(spark: SparkSession, dir: String): DataFrame = {
-    val daily = Tables.events(spark, dir)
-      .groupBy(col("event_type"), date_trunc("day", col("ts")).as("day"))
-      .agg(round(sum("value"), 2).as("rev"))
+    val daily = dailyRev(spark, dir)
     val lags = spark.range(-3, 4).select(col("id").cast("int").as("lag"))
     // integer day numbers (ts_interp idiom) keep the lag join pure
     // integer arithmetic — date+interval addition differs across engines
@@ -462,9 +457,7 @@ object TimeSeries {
     * Shape: day-grain rollup (corpus pass) → literal 10-harmonic spine
     * cross → (type, k) hash agg — vocabulary-sized forever. */
   def tsPeriodogram(spark: SparkSession, dir: String): DataFrame = {
-    val daily = Tables.events(spark, dir)
-      .groupBy(col("event_type"), date_trunc("day", col("ts")).as("day"))
-      .agg(round(sum("value"), 2).as("rev"))
+    val daily = dailyRev(spark, dir)
     val wIdx = Window.partitionBy("event_type").orderBy(col("day").asc)
     val idx = daily
       .withColumn("t", (row_number().over(wIdx) - 1).cast("double"))
@@ -563,9 +556,7 @@ object TimeSeries {
     * 2dp-pre-rounded revenues (identical doubles both engines) and round
     * at 6dp. Day-grain frame ⇒ O(days·types) at any event volume. */
   def tsDrawdown(spark: SparkSession, dir: String): DataFrame = {
-    val daily = Tables.events(spark, dir)
-      .groupBy(col("event_type"), date_trunc("day", col("ts")).as("day"))
-      .agg(round(sum("value"), 2).as("rev"))
+    val daily = dailyRev(spark, dir)
     val wRun = Window.partitionBy("event_type").orderBy(col("day").asc)
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     val wRank = Window.partitionBy("event_type")
@@ -601,9 +592,7 @@ object TimeSeries {
     * frame (avgLoss = 0) defines RSI = 100 rather than divide by zero.
     * Day-grain frame ⇒ O(days·types) at any event volume. */
   def tsRsi(spark: SparkSession, dir: String): DataFrame = {
-    val daily = Tables.events(spark, dir)
-      .groupBy(col("event_type"), date_trunc("day", col("ts")).as("day"))
-      .agg(round(sum("value"), 2).as("rev"))
+    val daily = dailyRev(spark, dir)
     val w = Window.partitionBy("event_type").orderBy(col("day").asc)
     val f = w.rowsBetween(-13, Window.currentRow)
     val d = daily
@@ -629,9 +618,7 @@ object TimeSeries {
     * extrema of 2dp-rounded dailies are EXACT in both engines — the
     * same robust-statistic-over-moment choice as ts_mad. Day-grain. */
   def tsDonchian(spark: SparkSession, dir: String): DataFrame = {
-    val daily = Tables.events(spark, dir)
-      .groupBy(col("event_type"), date_trunc("day", col("ts")).as("day"))
-      .agg(round(sum("value"), 2).as("rev"))
+    val daily = dailyRev(spark, dir)
     val w = Window.partitionBy("event_type").orderBy(col("day").asc)
     val f = w.rowsBetween(-19, Window.currentRow)
     val fp = w.rowsBetween(-19, -1)
@@ -666,9 +653,7 @@ object TimeSeries {
     * entropy sums ≤ 6 terms of ln-of-exact-ratios (6dp round absorbs
     * order ulps). Day-grain ⇒ O(days·types). */
   def tsPermEntropy(spark: SparkSession, dir: String): DataFrame = {
-    val daily = Tables.events(spark, dir)
-      .groupBy(col("event_type"), date_trunc("day", col("ts")).as("day"))
-      .agg(round(sum("value"), 2).as("rev"))
+    val daily = dailyRev(spark, dir)
     val w = Window.partitionBy("event_type").orderBy(col("day").asc)
     val pat = daily
       .withColumn("r0", lag("rev", 2).over(w))

@@ -3,11 +3,12 @@ package graft
 import org.scalatest.funsuite.AnyFunSuite
 import org.apache.spark.sql.functions._
 
-/** Round-9 addenda semantics. The DuckDB oracle proves value equality for
-  * all twelve new queries; these tests pin the properties the oracle
-  * cannot see — internal identities (HHI bounds, RSI range, recognition
-  * conserving billed revenue), cross-query consistency, and the replayed
-  * definitions of the window statistics. */
+/** Round-9 addenda semantics. The DuckDB oracle proves value equality
+  * for all 28 oracle-backed queries this round adds; these tests pin the
+  * properties the oracle cannot see — internal identities (HHI bounds,
+  * RSI range, recognition conserving billed revenue, funnel census,
+  * Theil bounds), cross-query consistency, and the replayed definitions
+  * of the window statistics. */
 class Round9OpsSpec extends AnyFunSuite {
   import TestSpark._
 
@@ -99,15 +100,11 @@ class Round9OpsSpec extends AnyFunSuite {
     val diffs = daily.sliding(2).map(p => p(1) - p(0)).toArray
     def r4(x: Double) =
       BigDecimal(x).setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble
-    val expect = (14 until diffs.length + 1).flatMap { i =>
-      if (i < 14) None
-      else {
-        val frame = diffs.slice(i - 14, i)
-        val ag = r4(frame.filter(_ > 0).sum / 14)
-        val al = r4(-frame.filter(_ < 0).sum / 14)
-        Some(r4(if (al == 0) 100.0 else 100.0 - 100.0 / (1 + ag / al)))
-      }
-    }
+    val expect = diffs.sliding(14).map { frame =>
+      val ag = r4(frame.filter(_ > 0).sum / 14)
+      val al = r4(-frame.filter(_ < 0).sum / 14)
+      r4(if (al == 0) 100.0 else 100.0 - 100.0 / (1 + ag / al))
+    }.toSeq
     val got = out.filter(_.getString(0) == tpe)
       .sortBy(_.getTimestamp(1).getTime).map(_.getDouble(2)).toSeq
     assert(got == expect, s"$tpe RSI replay mismatch")
