@@ -413,7 +413,13 @@ object Analytics {
         min("rec_days").cast("long").as("min_rec"),
         max("rec_days").cast("long").as("max_rec"),
         round(avg("freq"), 4).as("avg_freq"),
-        round(avg("mon_cents") / 100, 2).as("avg_monetary"))
+        // round to integer CENTS first, divide after: avg(cents)/100 can
+        // land exactly on a .xx5 decimal (sum/22 gave ...690.5 at sf0.1)
+        // where Spark's BigDecimal HALF_UP and DuckDB's double rounding
+        // disagree; a cents tie is an exactly-representable x.5 double
+        // that both engines round half-away identically, and the /100 of
+        // the SAME integer is the same double everywhere
+        (round(avg("mon_cents"), 0) / 100).as("avg_monetary"))
       .filter(col("customers") >= 5)
       .orderBy(col("r").asc, col("f").asc, col("m").asc)
   }
@@ -452,7 +458,7 @@ object Analytics {
         |  CAST(min(rec_days) AS BIGINT) AS min_rec,
         |  CAST(max(rec_days) AS BIGINT) AS max_rec,
         |  round(avg(freq), 4) AS avg_freq,
-        |  round(avg(mon_cents) / 100, 2) AS avg_monetary
+        |  round(avg(mon_cents), 0) / 100 AS avg_monetary
         |FROM s GROUP BY r, f, m
         |HAVING count(*) >= 5
         |ORDER BY r ASC, f ASC, m ASC""".stripMargin,

@@ -146,7 +146,38 @@ object Multimodal {
       .orderBy(col("lang").asc)
   }
 
+  /** Content-hash payload dedup (round-9 wave 6) — the storage-level CAS
+    * (content-addressable store) audit over the binary media column: a
+    * deterministic re-ingest batch (doc_id ≡ 0 mod 7 re-arrives under
+    * new ids — the "same crawl landed twice" reality) joins the base
+    * table, payloads group by md5 OF THE BYTES, and the per-lang report
+    * carries duplicate items and the bytes a CAS would reclaim. The
+    * binary column never shuffles raw: only the 16-byte digest and the
+    * length leave the map side — THE design rule for multimodal columns
+    * at 100 TB (hash travels, payload stays). Oracle-backed because the
+    * stub payload is the text's UTF-8 bytes, so DuckDB's md5(text) is
+    * byte-identical. */
+  def llmMmDedup(spark: SparkSession, dir: String): DataFrame = {
+    val media = mediaTable(spark, dir).toDF().select("doc_id", "lang", "media")
+    val base = media.unionAll(
+      media.filter(col("doc_id") % 7 === 0)
+        .select((col("doc_id") + 1000000L).as("doc_id"), col("lang"), col("media")))
+    base
+      .select(col("lang"), md5(col("media")).as("h"),
+        length(col("media")).cast("long").as("nb"))
+      .groupBy("lang", "h")
+      .agg(count(lit(1)).as("n"), max("nb").as("payload_bytes"))
+      .groupBy("lang")
+      .agg(sum("n").as("items"),
+        count(lit(1)).as("uniq_payloads"),
+        sum(col("n") - 1).as("dup_items"),
+        sum(col("n") * col("payload_bytes")).as("total_bytes"),
+        sum((col("n") - 1) * col("payload_bytes")).as("dedup_savings"))
+      .orderBy(col("lang").asc)
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "llm_mm_dedup"       -> (llmMmDedup _),
     "llm_mm_features"    -> (llmMmFeatures _),
     "llm_mm_resize"      -> (llmMmResize _),
     "llm_mm_framesample" -> (llmMmFramesample _))
@@ -155,6 +186,25 @@ object Multimodal {
     * (strlen in DuckDB, octet_length in Spark — NOT n_chars: zh docs are
     * multi-byte), so resize and frame-sample get real oracles. */
   val oracleSql: Map[String, String] = Map(
+    "llm_mm_dedup" ->
+      """WITH base AS (
+        |  SELECT doc_id, lang, text FROM documents
+        |  UNION ALL
+        |  SELECT doc_id + 1000000, lang, text FROM documents
+        |  WHERE doc_id % 7 = 0),
+        |m AS (
+        |  SELECT doc_id, lang, md5(text) AS h,
+        |    octet_length(encode(text)) AS nb
+        |  FROM base),
+        |g AS (
+        |  SELECT lang, h, count(*) AS n, max(nb) AS payload_bytes
+        |  FROM m GROUP BY lang, h)
+        |SELECT lang, CAST(sum(n) AS BIGINT) AS items,
+        |  count(*) AS uniq_payloads,
+        |  CAST(sum(n - 1) AS BIGINT) AS dup_items,
+        |  CAST(sum(n * payload_bytes) AS BIGINT) AS total_bytes,
+        |  CAST(sum((n - 1) * payload_bytes) AS BIGINT) AS dedup_savings
+        |FROM g GROUP BY lang ORDER BY lang ASC""".stripMargin,
     "llm_mm_resize" ->
       """WITH d AS (
         |  SELECT lang,

@@ -304,6 +304,28 @@ class Round9OpsSpec extends AnyFunSuite {
     }
   }
 
+  test("llm_mm_dedup: census identities and the re-ingest batch arithmetic") {
+    val out = operators.Multimodal.llmMmDedup(spark, sf0001).collect()
+    assert(out.nonEmpty)
+    val docs = Tables.documents(spark, sf0001)
+      .groupBy("lang").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val rein = Tables.documents(spark, sf0001)
+      .filter(col("doc_id") % 7 === 0)
+      .groupBy("lang").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    out.foreach { r =>
+      val lang = r.getString(0)
+      assert(r.getLong(1) == docs(lang) + rein.getOrElse(lang, 0L),
+        "items = base + re-ingested")
+      assert(r.getLong(1) - r.getLong(2) == r.getLong(3),
+        "dup_items = items - unique payloads")
+      assert(r.getLong(5) <= r.getLong(4), "savings bounded by total bytes")
+      // every re-ingested payload duplicates its base copy
+      assert(r.getLong(3) >= rein.getOrElse(lang, 0L))
+    }
+  }
+
   test("dq_orphans: all 7 star-schema edges audited, fixture is orphan-free") {
     val out = operators.DataQuality.dqOrphans(spark, sf0001).collect()
     assert(out.length == 7)
