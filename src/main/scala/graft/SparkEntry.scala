@@ -25,7 +25,7 @@ object SparkEntry {
       Windows.queries ++ SetOps.queries ++ JoinsAdvanced.queries ++ Functions.queries ++
       Streaming.queries ++ SourcesSinks.queries ++ LlmOps.queries ++
       LlmOpsExtra.queries ++ Multimodal.queries ++ Skew.queries ++ SqlOps.queries ++
-      TimeSeries.queries ++ Clustering.queries ++ Analytics.queries ++ LlmOpsPipeline.queries ++
+      TimeSeries.queries ++ Clustering.queries ++ Analytics.queries ++ Analytics2.queries ++ LlmOpsPipeline.queries ++
       DataQuality.queries ++ RuntimeFilter.queries ++ ScaleIdioms.queries ++ Workload.queries ++
       JdbcSink.queries ++ Billing.queries
 
@@ -36,7 +36,7 @@ object SparkEntry {
       Windows.oracleSql ++ SetOps.oracleSql ++ JoinsAdvanced.oracleSql ++ Functions.oracleSql ++
       Streaming.oracleSql ++ SourcesSinks.oracleSql ++ LlmOps.oracleSql ++
       LlmOpsExtra.oracleSql ++ Multimodal.oracleSql ++ Skew.oracleSql ++ SqlOps.oracleSql ++
-      TimeSeries.oracleSql ++ Clustering.oracleSql ++ Analytics.oracleSql ++ LlmOpsPipeline.oracleSql ++
+      TimeSeries.oracleSql ++ Clustering.oracleSql ++ Analytics.oracleSql ++ Analytics2.oracleSql ++ LlmOpsPipeline.oracleSql ++
       DataQuality.oracleSql ++ RuntimeFilter.oracleSql ++ ScaleIdioms.oracleSql ++ Workload.oracleSql ++
       JdbcSink.oracleSql ++ Billing.oracleSql
 }

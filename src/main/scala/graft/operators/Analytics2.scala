@@ -1,0 +1,313 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.Tables
+
+/** Round-9 wave 5 — second analytics family: the cohort matrix, the
+  * skyline operator, market-basket association rules, the moving-average
+  * crossover signal, and multi-touch revenue attribution. Each is a
+  * distinct operator CLASS (not a variation on an existing query): the
+  * cohort triangle is the month×age retention matrix funnel_retention's
+  * single-week flag cannot express; the skyline is the classic
+  * non-dominated-set operator with no SQL aggregate form; basket rules
+  * are the frequent-itemset statistic (support/confidence/lift);
+  * sma_crossover is the signal-detection shape (two frames + lag edge
+  * detection); attr_touch is the first/last-touch model marketing
+  * pipelines run nightly.
+  *
+  * Determinism discipline (SURVEY §2.Z): every money measure travels as
+  * exact integer cents until one final division; every ratio divides
+  * exact integers (bit-identical doubles in both engines); the skyline
+  * compares raw fixture doubles only for equality/order (no arithmetic).
+  */
+object Analytics2 {
+
+  /** Cohort retention triangle over orders — customers grouped by
+    * first-order month; for each (cohort month, age-in-months) the count
+    * of cohort customers with ≥1 order that month, plus the retention
+    * share. The month-grain matrix every growth dashboard renders, and
+    * funnel_retention's general form (that query flags one fixed window
+    * over the 30-day event stream; this one runs unbounded ages over the
+    * 80-month order history).
+    *
+    * Age is exact integer month arithmetic ((Δyear)·12 + Δmonth) — NOT
+    * months_between, whose fractional day semantics differ between
+    * engines.
+    *
+    * Scale: the (customer, month) distinct is the only corpus-scale
+    * shuffle; the cohort min reuses the same customer key; the matrix is
+    * month²-sized (bounded by calendar span, not rows) and the age-0
+    * cohort census rides back as a broadcast join. */
+  def cohortTriangle(spark: SparkSession, dir: String): DataFrame = {
+    val om = Tables.orders(spark, dir)
+      .select(col("o_custkey"), date_trunc("month", col("o_orderdate")).as("m"))
+      .distinct()
+    val coh = om.groupBy("o_custkey").agg(min("m").as("m0"))
+    val act = om.join(coh, "o_custkey")
+      .select(col("o_custkey"), col("m0"),
+        ((year(col("m")) - year(col("m0"))) * 12 +
+          (month(col("m")) - month(col("m0")))).as("age"))
+      .groupBy("m0", "age").agg(count(lit(1)).as("active"))
+    val size0 = act.filter(col("age") === 0)
+      .select(col("m0"), col("active").as("cohort_users"))
+    act.join(broadcast(size0), "m0")
+      .select(to_date(col("m0")).as("cohort_month"), col("age"), col("active"),
+        col("cohort_users"),
+        round(col("active") / col("cohort_users").cast("double"), 6).as("retention"))
+      .orderBy(col("cohort_month").asc, col("age").asc)
+  }
+
+  /** 2-D skyline (Pareto frontier) of parts — minimize p_size, maximize
+    * p_retailprice: a part survives iff no other part is at least as
+    * small AND at least as expensive with one strict. The classic
+    * skyline operator (Börzsönyi et al.), which SQL can only state as a
+    * quadratic NOT EXISTS self-join — and that quadratic form IS the
+    * DuckDB oracle, making this the one query where the engines run
+    * genuinely different algorithms to a provably identical answer.
+    *
+    * Spark runs the O(n log n) sweep: one sort by size, the running max
+    * price over STRICTLY smaller sizes (RANGE frame to -1) kills
+    * dominance from the left, and the per-size max kills same-size
+    * dominance; equal (size, price) duplicates stay (neither dominates
+    * under the strict-in-one rule). No arithmetic touches the doubles —
+    * only comparisons of raw fixture values, so engine-identical.
+    *
+    * Scale: the frontier sweep is a single sort + two frames over one
+    * exchange. For a fact-scale input the standard shard-then-merge
+    * refinement applies (local frontier per partition via the same
+    * window, then re-sweep the surviving ≤|frontier|·P rows — skylines
+    * shrink catastrophically, so pass 2 is driver-trivial); the
+    * dimension-scale declared form keeps the single sweep. */
+  def skyline2d(spark: SparkSession, dir: String): DataFrame = {
+    val wLt = Window.orderBy(col("p_size").asc)
+      .rangeBetween(Window.unboundedPreceding, -1)
+    val wEq = Window.partitionBy(col("p_size"))
+    Tables.part(spark, dir)
+      .withColumn("max_lt", max("p_retailprice").over(wLt))
+      .withColumn("max_eq", max("p_retailprice").over(wEq))
+      .filter((col("max_lt").isNull || col("max_lt") < col("p_retailprice")) &&
+        col("max_eq") === col("p_retailprice"))
+      .select(col("p_partkey"), col("p_brand"), col("p_size"), col("p_retailprice"))
+      .orderBy(col("p_size").asc, col("p_partkey").asc)
+  }
+
+  /** Market-basket association rules over order baskets — for every
+    * ordered brand pair (antecedent → consequent) co-occurring in ≥5
+    * orders: support count, confidence n(ab)/n(a), and lift
+    * n(ab)·N/(n(a)·n(b)). The frequent-itemset statistic (Agrawal's
+    * Apriori inner loop at k=2) — a recommender's co-purchase signal.
+    *
+    * The basket frame is (order, brand) DISTINCT; the pair join is a
+    * self-join on the order key where each side carries ~4 brands per
+    * order, so pair volume stays linear in baskets (bounded by
+    * brands-per-order², never |brands|²). Brand supports and the basket
+    * total ride back as BROADCAST joins (25 brands). Confidence and lift
+    * divide exact integer counts — products stay < 2^53, bit-identical
+    * doubles in both engines.
+    *
+    * Scale: one orderkey exchange for the distinct + self-join
+    * (co-partitioned, AQE handles the residual skew); everything
+    * downstream is brand²-sized. */
+  def basketRules(spark: SparkSession, dir: String): DataFrame = {
+    val b = Tables.lineitem(spark, dir)
+      .join(Tables.part(spark, dir),
+        col("l_partkey") === col("p_partkey"))
+      .select(col("l_orderkey").as("ok"), col("p_brand").as("brand"))
+      .distinct()
+    val tot = b.select(countDistinct("ok").as("n_orders"))
+    val sup = b.groupBy("brand").agg(count(lit(1)).as("n_brand"))
+    val pairs = b.as("x")
+      .join(b.as("y").withColumnRenamed("brand", "brand2"), "ok")
+      .filter(col("brand") =!= col("brand2"))
+      .groupBy(col("brand").as("ant"), col("brand2").as("cons"))
+      .agg(count(lit(1)).as("n_ab"))
+      .filter(col("n_ab") >= 5)
+    pairs
+      .join(broadcast(sup.select(col("brand").as("ant"), col("n_brand").as("n_ant"))), "ant")
+      .join(broadcast(sup.select(col("brand").as("cons"), col("n_brand").as("n_cons"))), "cons")
+      .crossJoin(broadcast(tot))
+      .select(col("ant"), col("cons"), col("n_ab"),
+        round(col("n_ab") / col("n_ant").cast("double"), 6).as("confidence"),
+        round((col("n_ab") * col("n_orders")) /
+          (col("n_ant") * col("n_cons")).cast("double"), 6).as("lift"))
+      .orderBy(col("ant").asc, col("cons").asc)
+  }
+
+  /** SMA(5)/SMA(20) crossover signals over per-type daily revenue — the
+    * golden-cross / death-cross detector: for every day with a full
+    * 20-day frame AND a full previous frame, whether the fast average
+    * sits above the slow one and whether TODAY is the crossing edge.
+    * The signal-detection window shape (two trailing frames + lag edge
+    * compare) ts_rsi's single frame doesn't cover.
+    *
+    * The comparison never divides: SMA5 > SMA20 ⇔ s5/5 > s20/20 ⇔
+    * 4·s5 > s20 in EXACT integer cents (value is 2dp so cents are
+    * exact), so the above/below flag — and therefore every crossing —
+    * is integer arithmetic in both engines; the displayed SMAs divide
+    * the exact cent sums once (bit-identical doubles).
+    *
+    * Scale: day-grain frame after one corpus hash agg; all three
+    * windows (s5, s20, lag) share the single (event_type) exchange. */
+  def tsSmaCrossover(spark: SparkSession, dir: String): DataFrame = {
+    val d = Tables.events(spark, dir)
+      .groupBy(col("event_type"), date_trunc("day", col("ts")).as("day"))
+      .agg(sum(round(col("value") * 100, 0).cast("long")).as("cents"))
+    val w = Window.partitionBy("event_type").orderBy(col("day").asc)
+    val wq = (n: Int) => w.rowsBetween(-(n - 1), 0)
+    d.withColumn("rn", row_number().over(w))
+      .withColumn("s5", sum("cents").over(wq(5)))
+      .withColumn("s20", sum("cents").over(wq(20)))
+      .withColumn("above", (col("s5") * 4 > col("s20")).cast("int"))
+      .withColumn("prev_above", lag("above", 1).over(w))
+      .filter(col("rn") >= 21)
+      .select(col("event_type"), to_date(col("day")).as("day"),
+        round(col("s5") / 500.0, 4).as("sma5"),
+        round(col("s20") / 2000.0, 4).as("sma20"),
+        col("above"),
+        (col("above") === 1 && col("prev_above") === 0).cast("int").as("golden"),
+        (col("above") === 0 && col("prev_above") === 1).cast("int").as("death"))
+      .orderBy(col("event_type").asc, col("day").asc)
+  }
+
+  /** First-touch / last-touch revenue attribution — every purchase's
+    * value credited to the user's first and to their most recent
+    * engagement touch (view/click/signup; error is noise, purchases
+    * don't self-attribute) STRICTLY BEFORE the purchase; purchases with
+    * no prior touch land in the '(none)' bucket. Both models report
+    * purchases and attributed revenue per touch type — the
+    * budget-allocation readout whose first/last disagreement IS the
+    * marketing-mix signal.
+    *
+    * Both touch lookups are IGNORE NULLS first/last frames (rows to
+    * -1 — strictly prior) over ONE (user_id) exchange shared with the
+    * purchase filter. Revenue sums exact cents and divides once at the
+    * end. The two models unpivot map-side into (model, touch) rows so
+    * one hash agg serves both.
+    *
+    * Scale: single user-key exchange + one vocabulary-sized agg;
+    * partial aggregation compresses each task to |models×touches|. */
+  def attrTouch(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy("user_id").orderBy(col("ts").asc, col("event_id").asc)
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val touch = when(col("event_type").isin("view", "click", "signup"), col("event_type"))
+    val p = Tables.events(spark, dir)
+      .withColumn("ft", first(touch, ignoreNulls = true).over(w))
+      .withColumn("lt", last(touch, ignoreNulls = true).over(w))
+      .filter(col("event_type") === "purchase")
+      .select(coalesce(col("ft"), lit("(none)")).as("first_touch"),
+        coalesce(col("lt"), lit("(none)")).as("last_touch"),
+        round(col("value") * 100, 0).cast("long").as("cents"))
+    p.select(lit("first").as("model"), col("first_touch").as("touch"), col("cents"))
+      .unionAll(p.select(lit("last").as("model"), col("last_touch").as("touch"), col("cents")))
+      .groupBy("model", "touch")
+      .agg(count(lit(1)).as("purchases"),
+        (sum("cents") / 100.0).as("revenue"))
+      .orderBy(col("model").asc, col("touch").asc)
+  }
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "cohort_triangle"  -> (cohortTriangle _),
+    "skyline_2d"       -> (skyline2d _),
+    "basket_rules"     -> (basketRules _),
+    "ts_sma_crossover" -> (tsSmaCrossover _),
+    "attr_touch"       -> (attrTouch _))
+
+  val oracleSql: Map[String, String] = Map(
+    "cohort_triangle" ->
+      """WITH om AS (
+        |  SELECT DISTINCT o_custkey, date_trunc('month', o_orderdate) AS m
+        |  FROM orders),
+        |coh AS (SELECT o_custkey, min(m) AS m0 FROM om GROUP BY o_custkey),
+        |act AS (
+        |  SELECT m0,
+        |    (year(m) - year(m0)) * 12 + (month(m) - month(m0)) AS age,
+        |    count(*) AS active
+        |  FROM om JOIN coh USING (o_custkey)
+        |  GROUP BY m0, age),
+        |s0 AS (SELECT m0, active AS cohort_users FROM act WHERE age = 0)
+        |SELECT CAST(act.m0 AS DATE) AS cohort_month, age, active, cohort_users,
+        |  round(active / CAST(cohort_users AS DOUBLE), 6) AS retention
+        |FROM act JOIN s0 ON act.m0 = s0.m0
+        |ORDER BY cohort_month ASC, age ASC""".stripMargin,
+    "skyline_2d" ->
+      """SELECT a.p_partkey, a.p_brand, a.p_size, a.p_retailprice
+        |FROM part a
+        |WHERE NOT EXISTS (
+        |  SELECT 1 FROM part b
+        |  WHERE b.p_size <= a.p_size AND b.p_retailprice >= a.p_retailprice
+        |    AND (b.p_size < a.p_size OR b.p_retailprice > a.p_retailprice))
+        |ORDER BY a.p_size ASC, a.p_partkey ASC""".stripMargin,
+    "basket_rules" ->
+      """WITH b AS (
+        |  SELECT DISTINCT l_orderkey AS ok, p_brand AS brand
+        |  FROM lineitem JOIN part ON l_partkey = p_partkey),
+        |tot AS (SELECT count(DISTINCT ok) AS n_orders FROM b),
+        |sup AS (SELECT brand, count(*) AS n_brand FROM b GROUP BY brand),
+        |pairs AS (
+        |  SELECT x.brand AS ant, y.brand AS cons, count(*) AS n_ab
+        |  FROM b x JOIN b y ON x.ok = y.ok AND x.brand <> y.brand
+        |  GROUP BY ant, cons
+        |  HAVING count(*) >= 5)
+        |SELECT ant, cons, n_ab,
+        |  round(n_ab / CAST(sa.n_brand AS DOUBLE), 6) AS confidence,
+        |  round((n_ab * tot.n_orders) / CAST(sa.n_brand * sc.n_brand AS DOUBLE), 6) AS lift
+        |FROM pairs
+        |JOIN sup sa ON sa.brand = ant
+        |JOIN sup sc ON sc.brand = cons
+        |CROSS JOIN tot
+        |ORDER BY ant ASC, cons ASC""".stripMargin,
+    "ts_sma_crossover" ->
+      """WITH d AS (
+        |  SELECT event_type, date_trunc('day', ts) AS day,
+        |    CAST(sum(CAST(round(value * 100, 0) AS BIGINT)) AS BIGINT) AS cents
+        |  FROM events GROUP BY event_type, day),
+        |f AS (
+        |  SELECT event_type, day,
+        |    row_number() OVER (PARTITION BY event_type ORDER BY day ASC) AS rn,
+        |    sum(cents) OVER (PARTITION BY event_type ORDER BY day ASC
+        |      ROWS BETWEEN 4 PRECEDING AND CURRENT ROW) AS s5,
+        |    sum(cents) OVER (PARTITION BY event_type ORDER BY day ASC
+        |      ROWS BETWEEN 19 PRECEDING AND CURRENT ROW) AS s20
+        |  FROM d),
+        |g AS (
+        |  SELECT *, CAST(s5 * 4 > s20 AS INT) AS above
+        |  FROM f),
+        |h AS (
+        |  SELECT *, lag(above) OVER (PARTITION BY event_type ORDER BY day ASC) AS prev_above
+        |  FROM g)
+        |SELECT event_type, CAST(day AS DATE) AS day,
+        |  round(s5 / 500.0, 4) AS sma5,
+        |  round(s20 / 2000.0, 4) AS sma20,
+        |  above,
+        |  CAST(above = 1 AND prev_above = 0 AS INT) AS golden,
+        |  CAST(above = 0 AND prev_above = 1 AS INT) AS death
+        |FROM h WHERE rn >= 21
+        |ORDER BY event_type ASC, day ASC""".stripMargin,
+    "attr_touch" ->
+      """WITH t AS (
+        |  SELECT event_type, value,
+        |    first_value(CASE WHEN event_type IN ('view', 'click', 'signup')
+        |        THEN event_type END IGNORE NULLS)
+        |      OVER (PARTITION BY user_id ORDER BY ts ASC, event_id ASC
+        |        ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS ft,
+        |    last_value(CASE WHEN event_type IN ('view', 'click', 'signup')
+        |        THEN event_type END IGNORE NULLS)
+        |      OVER (PARTITION BY user_id ORDER BY ts ASC, event_id ASC
+        |        ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS lt
+        |  FROM events),
+        |p AS (
+        |  SELECT coalesce(ft, '(none)') AS first_touch,
+        |    coalesce(lt, '(none)') AS last_touch,
+        |    CAST(round(value * 100, 0) AS BIGINT) AS cents
+        |  FROM t WHERE event_type = 'purchase'),
+        |u AS (
+        |  SELECT 'first' AS model, first_touch AS touch, cents FROM p
+        |  UNION ALL
+        |  SELECT 'last' AS model, last_touch AS touch, cents FROM p)
+        |SELECT model, touch, count(*) AS purchases,
+        |  sum(cents) / 100.0 AS revenue
+        |FROM u GROUP BY model, touch
+        |ORDER BY model ASC, touch ASC""".stripMargin)
+}

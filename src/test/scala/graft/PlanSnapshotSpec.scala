@@ -152,7 +152,10 @@ class PlanSnapshotSpec extends AnyFunSuite {
       "rfm_segments",
       // round-9 wave 5: llm_dedup_funnel assembles its census from four
       // 1-row stage counts (dataset_card pattern)
-      "llm_dedup_funnel")
+      "llm_dedup_funnel",
+      // round-9 wave 6: basket_rules carries the 1-row basket total as a
+      // broadcast scalar into the brand²-sized rule frame
+      "basket_rules")
     val withNlj = plans.flatMap { case (name, plan) =>
       val n = plan.collect {
         case j: BroadcastNestedLoopJoinExec => j
