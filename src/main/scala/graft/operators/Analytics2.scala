@@ -207,14 +207,64 @@ object Analytics2 {
       .orderBy(col("model").asc, col("touch").asc)
   }
 
+  /** Leave-one-out target encoding — the ML feature-prep primitive with
+    * the leakage subtlety this operator exists to handle: each order's
+    * priority encodes as the mean o_totalprice of OTHER orders sharing
+    * the priority ((Σ−x)/(n−1)); the naive same-group mean (which leaks
+    * the row's own target into its feature) rides along as the contrast
+    * column. The encoding a gradient-boosted model consumes for
+    * high-cardinality categoricals.
+    *
+    * Exactness: group sums are integer cents; the LOO numerator Σ−x is
+    * exact int64; both encodings divide exact integers (two divisions,
+    * mirrored operation-for-operation in the oracle — bit-identical
+    * doubles). Singleton groups encode NULL by definition.
+    *
+    * Scale: one corpus hash agg to the category-grain (5-row) frame,
+    * broadcast back into a map-side encode — NO per-row window (a
+    * 5-partition window over the fact table is the skew the broadcast
+    * form avoids). */
+  def featTargetEncode(spark: SparkSession, dir: String): DataFrame = {
+    val o = Tables.orders(spark, dir)
+      .select(col("o_orderkey"), col("o_orderpriority"),
+        round(col("o_totalprice") * 100, 0).cast("long").as("cents"))
+    val g = o.groupBy("o_orderpriority")
+      .agg(sum("cents").as("s"), count(lit(1)).as("n"))
+    o.join(broadcast(g), "o_orderpriority")
+      .select(col("o_orderkey"), col("o_orderpriority"),
+        (col("cents") / 100.0).as("target"),
+        when(col("n") > 1,
+          round((col("s") - col("cents")).cast("double") / (col("n") - 1) / 100.0, 6))
+          .as("loo_enc"),
+        round(col("s").cast("double") / col("n") / 100.0, 6).as("naive_enc"))
+      .orderBy(col("o_orderkey").asc)
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "cohort_triangle"  -> (cohortTriangle _),
     "skyline_2d"       -> (skyline2d _),
     "basket_rules"     -> (basketRules _),
     "ts_sma_crossover" -> (tsSmaCrossover _),
+    "feat_target_encode" -> (featTargetEncode _),
     "attr_touch"       -> (attrTouch _))
 
   val oracleSql: Map[String, String] = Map(
+    "feat_target_encode" ->
+      """WITH o AS (
+        |  SELECT o_orderkey, o_orderpriority,
+        |    CAST(round(o_totalprice * 100, 0) AS BIGINT) AS cents
+        |  FROM orders),
+        |g AS (
+        |  SELECT o_orderpriority, CAST(sum(cents) AS BIGINT) AS s,
+        |    count(*) AS n
+        |  FROM o GROUP BY o_orderpriority)
+        |SELECT o_orderkey, o.o_orderpriority,
+        |  cents / 100.0 AS target,
+        |  CASE WHEN n > 1
+        |    THEN round(CAST(s - cents AS DOUBLE) / (n - 1) / 100.0, 6) END AS loo_enc,
+        |  round(CAST(s AS DOUBLE) / n / 100.0, 6) AS naive_enc
+        |FROM o JOIN g ON o.o_orderpriority = g.o_orderpriority
+        |ORDER BY o_orderkey ASC""".stripMargin,
     "cohort_triangle" ->
       """WITH om AS (
         |  SELECT DISTINCT o_custkey, date_trunc('month', o_orderdate) AS m

@@ -1,6 +1,7 @@
 package graft.operators
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import graft.Tables
 
@@ -158,7 +159,47 @@ object Billing {
         round(col("open_ar") / (col("billed") / col("dim")), 4).as("dso_days"))
       .orderBy(col("month").asc)
 
+  /** Unit-value price index (round-9 wave 7) — per ship year: the
+    * unit value (revenue per unit shipped) and its index vs the base
+    * (first) year, with the year-over-year change: the price-level
+    * trend a billing analyst reads before attributing revenue motion
+    * to volume vs price (the econ "unit value index" — the exact-sum
+    * form of Laspeyres/Paasche that needs no per-product base-period
+    * join).
+    *
+    * Exactness discipline: all four inputs are EXACT int64 sums
+    * (revenue cents; quantities are integral at every SF, summed as
+    * longs), so the index (c_t/c_0)·(q_0/q_t) multiplies two
+    * exact-integer-ratio doubles — bit-identical both engines, no
+    * order-dependent accumulation anywhere. The YoY change lags the
+    * unrounded index inside the same year-grain frame.
+    *
+    * Scale: one corpus hash agg to the year-grain frame; the base-year
+    * row rides back as a 1-row broadcast scalar (allowlisted cross);
+    * the lag window runs on the ~7-row frame. */
+  def billPriceIndex(spark: SparkSession, dir: String): DataFrame = {
+    val y = Tables.lineitem(spark, dir)
+      .groupBy(year(col("l_shipdate")).as("yr"))
+      .agg(count(lit(1)).as("lines"),
+        sum(round(col("l_extendedprice") * 100, 0).cast("long")).as("c"),
+        sum(col("l_quantity").cast("long")).as("q"))
+    val base = y.orderBy(col("yr").asc).limit(1)
+      .select(col("c").as("c0"), col("q").as("q0"))
+    val idx = (col("c").cast("double") / col("c0")) *
+      (col("q0").cast("double") / col("q"))
+    val w = Window.orderBy(col("yr").asc)
+    y.crossJoin(broadcast(base))
+      .withColumn("idx", idx)
+      .withColumn("prev_idx", lag("idx", 1).over(w))
+      .select(col("yr"), col("lines"),
+        round(col("c").cast("double") / col("q") / 100.0, 4).as("unit_value"),
+        round(col("idx") * 100, 4).as("index_base100"),
+        round((col("idx") / col("prev_idx") - 1) * 100, 4).as("yoy_pct"))
+      .orderBy(col("yr").asc)
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "bill_price_index" -> (billPriceIndex _),
     "bill_dso"       -> (billDso _),
     "bill_tiered"    -> (billTiered _),
     "bill_aging"     -> (billAging _),
@@ -167,6 +208,24 @@ object Billing {
     "bill_mrr_bridge" -> (billMrrBridge _))
 
   val oracleSql: Map[String, String] = Map(
+    "bill_price_index" ->
+      """WITH y AS (
+        |  SELECT year(l_shipdate) AS yr, count(*) AS lines,
+        |    CAST(sum(CAST(round(l_extendedprice * 100, 0) AS BIGINT)) AS BIGINT) AS c,
+        |    CAST(sum(CAST(l_quantity AS BIGINT)) AS BIGINT) AS q
+        |  FROM lineitem GROUP BY yr),
+        |base AS (SELECT c AS c0, q AS q0 FROM y ORDER BY yr ASC LIMIT 1),
+        |f AS (
+        |  SELECT yr, lines, c, q,
+        |    (CAST(c AS DOUBLE) / c0) * (CAST(q0 AS DOUBLE) / q) AS idx
+        |  FROM y CROSS JOIN base),
+        |g AS (
+        |  SELECT *, lag(idx) OVER (ORDER BY yr ASC) AS prev_idx FROM f)
+        |SELECT yr, lines,
+        |  round(CAST(c AS DOUBLE) / q / 100.0, 4) AS unit_value,
+        |  round(idx * 100, 4) AS index_base100,
+        |  round((idx / prev_idx - 1) * 100, 4) AS yoy_pct
+        |FROM g ORDER BY yr ASC""".stripMargin,
     "bill_dso" ->
       """WITH m AS (
         |  SELECT CAST(date_trunc('month', o_orderdate) AS DATE) AS month,

@@ -1106,7 +1106,41 @@ object LlmOpsExtra {
       .orderBy(col("thr").asc)
   }
 
+  /** Cohen's kappa between two deterministic quality raters (round-9
+    * wave 7) — chance-corrected inter-rater agreement, the label-quality
+    * statistic an annotation pipeline reports before trusting its
+    * raters: rater A flags docs with ≥500 chars, rater B flags docs
+    * with ≥90 whitespace tokens (two cheap heuristic "annotators"
+    * whose systematic correlation is exactly what raw percent-agreement
+    * over-credits and kappa corrects). Emits the full 2×2 confusion
+    * matrix plus p_o, p_e, and κ = (p_o − p_e)/(1 − p_e).
+    *
+    * Every probability divides exact integer counts (the matrix cells),
+    * and κ is assembled from those bit-identical doubles in one
+    * mirrored expression — no accumulation-order exposure. One corpus
+    * pass: map-side flags → single 4-cell hash agg → 1-row pivot. */
+  def llmRaterKappa(spark: SparkSession, dir: String): DataFrame = {
+    val cells = Tables.documents(spark, dir)
+      .select((col("n_chars") >= 500).cast("int").as("a"),
+        (size(split(col("text"), " ")) >= 90).cast("int").as("b"))
+      .groupBy("a", "b").agg(count(lit(1)).as("n"))
+    val m = cells.agg(
+      sum("n").as("n"),
+      sum(when(col("a") === 1 && col("b") === 1, col("n")).otherwise(0L)).as("n11"),
+      sum(when(col("a") === 1 && col("b") === 0, col("n")).otherwise(0L)).as("n10"),
+      sum(when(col("a") === 0 && col("b") === 1, col("n")).otherwise(0L)).as("n01"),
+      sum(when(col("a") === 0 && col("b") === 0, col("n")).otherwise(0L)).as("n00"))
+    val nd = col("n").cast("double")
+    val po = (col("n11") + col("n00")) / nd
+    val pe = ((col("n11") + col("n10")) / nd) * ((col("n11") + col("n01")) / nd) +
+      ((col("n01") + col("n00")) / nd) * ((col("n10") + col("n00")) / nd)
+    m.select(col("n"), col("n11"), col("n10"), col("n01"), col("n00"),
+      round(po, 6).as("p_o"), round(pe, 6).as("p_e"),
+      round((po - pe) / (lit(1.0) - pe), 6).as("kappa"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "llm_rater_kappa"   -> (llmRaterKappa _),
     "llm_rouge_pairs"   -> (llmRougePairs _),
     "llm_dedup_sweep"   -> (llmDedupSweep _),
     "llm_emb_stats"     -> (llmEmbStats _),
@@ -1132,6 +1166,28 @@ object LlmOpsExtra {
     "llm_emb_pq"        -> (llmEmbPq _))
 
   val oracleSql: Map[String, String] = Map(
+    "llm_rater_kappa" ->
+      """WITH f AS (
+        |  SELECT CAST(n_chars >= 500 AS INT) AS a,
+        |    CAST(len(string_split(text, ' ')) >= 90 AS INT) AS b
+        |  FROM documents),
+        |m AS (
+        |  SELECT count(*) AS n,
+        |    count(*) FILTER (WHERE a = 1 AND b = 1) AS n11,
+        |    count(*) FILTER (WHERE a = 1 AND b = 0) AS n10,
+        |    count(*) FILTER (WHERE a = 0 AND b = 1) AS n01,
+        |    count(*) FILTER (WHERE a = 0 AND b = 0) AS n00
+        |  FROM f)
+        |SELECT n, n11, n10, n01, n00,
+        |  round((n11 + n00) / CAST(n AS DOUBLE), 6) AS p_o,
+        |  round(((n11 + n10) / CAST(n AS DOUBLE)) * ((n11 + n01) / CAST(n AS DOUBLE))
+        |    + ((n01 + n00) / CAST(n AS DOUBLE)) * ((n10 + n00) / CAST(n AS DOUBLE)), 6) AS p_e,
+        |  round(((n11 + n00) / CAST(n AS DOUBLE)
+        |      - (((n11 + n10) / CAST(n AS DOUBLE)) * ((n11 + n01) / CAST(n AS DOUBLE))
+        |         + ((n01 + n00) / CAST(n AS DOUBLE)) * ((n10 + n00) / CAST(n AS DOUBLE))))
+        |    / (1.0 - (((n11 + n10) / CAST(n AS DOUBLE)) * ((n11 + n01) / CAST(n AS DOUBLE))
+        |         + ((n01 + n00) / CAST(n AS DOUBLE)) * ((n10 + n00) / CAST(n AS DOUBLE)))), 6) AS kappa
+        |FROM m""".stripMargin,
     "llm_index_stats" ->
       """WITH post AS (
         |  SELECT doc_id, tok, count(*) AS tf FROM (

@@ -853,7 +853,40 @@ object LlmOpsPipeline {
           .as("removed_rate"))
   }
 
+  /** Train/val/test split-leakage audit (round-9 wave 7) — the famous
+    * eval-contamination bug as a first-class operator: docs split
+    * 18/1/1 by deterministic id arithmetic (doc_id mod 20 → train /
+    * val / test), then every near-duplicate pair (the memoized blocked-
+    * Jaccard ≥ 0.8 stream) is classified by its endpoints' splits. A
+    * cross-split pair means a test document has a near-copy in train —
+    * the leak that inflates eval scores. Reports, per unordered split
+    * class: pair count, distinct documents involved, and the cross
+    * flag.
+    *
+    * The split assignment is PURE ARITHMETIC ON THE PAIR STREAM — no
+    * join back to the corpus at all (the id encodes its own split), so
+    * the whole audit is map-side work over the memoized pairs plus two
+    * vocabulary-sized aggs. At 100 TB the pair stream is the LSH/IVF
+    * candidate output and this query is unchanged — the audit cost is
+    * the dedup cost, already paid. */
+  def llmSplitLeakage(spark: SparkSession, dir: String): DataFrame = {
+    def splitOf(c: org.apache.spark.sql.Column) =
+      when(c % 20 === 19, "test").when(c % 20 === 18, "val").otherwise("train")
+    val p = LlmOps.nearDupPairs(spark, dir)
+      .select(col("a_id"), col("b_id"),
+        least(splitOf(col("a_id")), splitOf(col("b_id"))).as("s1"),
+        greatest(splitOf(col("a_id")), splitOf(col("b_id"))).as("s2"))
+    val np = p.groupBy("s1", "s2").agg(count(lit(1)).as("n_pairs"))
+    val nd = p.select(col("s1"), col("s2"),
+        explode(array(col("a_id"), col("b_id"))).as("id"))
+      .groupBy("s1", "s2").agg(countDistinct("id").as("n_docs"))
+    np.join(nd, Seq("s1", "s2"))
+      .withColumn("cross_split", (col("s1") =!= col("s2")).cast("int"))
+      .orderBy(col("s1").asc, col("s2").asc)
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "llm_split_leakage"     -> (llmSplitLeakage _),
     "llm_dedup_funnel"      -> (llmDedupFunnel _),
     "llm_source_hhi"        -> (llmSourceHhi _),
     "llm_dataset_card"      -> (llmDatasetCard _),
@@ -879,6 +912,37 @@ object LlmOpsPipeline {
     "llm_heuristic_filter"  -> (llmHeuristicFilter _))
 
   val oracleSql: Map[String, String] = Map(
+    "llm_split_leakage" ->
+      """WITH d AS (
+        |  SELECT doc_id, lang, n_chars // 100 AS band,
+        |         list_distinct(string_split(text, ' ')) AS toks
+        |  FROM documents),
+        |pairs AS (
+        |  SELECT a.doc_id AS a_id, b.doc_id AS b_id
+        |  FROM d a JOIN d b
+        |    ON a.lang = b.lang AND a.band = b.band AND a.doc_id < b.doc_id
+        |  WHERE round(CAST(len(list_intersect(a.toks, b.toks)) AS DOUBLE) /
+        |        len(list_distinct(list_concat(a.toks, b.toks))), 6) >= 0.8),
+        |cls AS (
+        |  SELECT a_id, b_id,
+        |    least(CASE WHEN a_id % 20 = 19 THEN 'test'
+        |               WHEN a_id % 20 = 18 THEN 'val' ELSE 'train' END,
+        |          CASE WHEN b_id % 20 = 19 THEN 'test'
+        |               WHEN b_id % 20 = 18 THEN 'val' ELSE 'train' END) AS s1,
+        |    greatest(CASE WHEN a_id % 20 = 19 THEN 'test'
+        |                  WHEN a_id % 20 = 18 THEN 'val' ELSE 'train' END,
+        |             CASE WHEN b_id % 20 = 19 THEN 'test'
+        |                  WHEN b_id % 20 = 18 THEN 'val' ELSE 'train' END) AS s2
+        |  FROM pairs),
+        |np AS (SELECT s1, s2, count(*) AS n_pairs FROM cls GROUP BY s1, s2),
+        |nd AS (
+        |  SELECT s1, s2, count(DISTINCT id) AS n_docs
+        |  FROM (SELECT s1, s2, unnest([a_id, b_id]) AS id FROM cls)
+        |  GROUP BY s1, s2)
+        |SELECT np.s1, np.s2, n_pairs, n_docs,
+        |  CAST(np.s1 <> np.s2 AS INT) AS cross_split
+        |FROM np JOIN nd ON np.s1 = nd.s1 AND np.s2 = nd.s2
+        |ORDER BY np.s1 ASC, np.s2 ASC""".stripMargin,
     "llm_dedup_funnel" ->
       """WITH s1 AS (
         |  SELECT min(doc_id) AS doc_id FROM documents GROUP BY text),

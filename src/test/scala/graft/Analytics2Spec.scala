@@ -82,6 +82,70 @@ class Analytics2Spec extends AnyFunSuite {
     }
   }
 
+  test("feat_target_encode: LOO identity (n−1)·loo + target = n·naive per row") {
+    val out = operators.Analytics2.featTargetEncode(spark, sf0001).collect()
+    assert(out.nonEmpty)
+    val groups = out.groupBy(_.getString(1))
+    groups.foreach { case (_, rows) =>
+      val n = rows.length
+      rows.foreach { r =>
+        val (target, loo, naive) = (r.getDouble(2), r.getDouble(3), r.getDouble(4))
+        // identity up to the two 6dp display rounds
+        assert(math.abs((n - 1) * loo + target - n * naive) < 0.01 * n,
+          s"LOO identity broken: n=$n target=$target loo=$loo naive=$naive")
+      }
+      // all rows in a group share the naive encoding
+      assert(rows.map(_.getDouble(4)).distinct.length == 1)
+    }
+  }
+
+  test("llm_rater_kappa: matrix census and the kappa definition replayed") {
+    val r = operators.LlmOpsExtra.llmRaterKappa(spark, sf0001).head()
+    val (n, n11, n10, n01, n00) =
+      (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4))
+    assert(n == n11 + n10 + n01 + n00, "cells partition the corpus")
+    assert(n == Tables.documents(spark, sf0001).count())
+    val po = (n11 + n00).toDouble / n
+    val pe = ((n11 + n10).toDouble / n) * ((n11 + n01).toDouble / n) +
+      ((n01 + n00).toDouble / n) * ((n10 + n00).toDouble / n)
+    val kappa = (po - pe) / (1.0 - pe)
+    assert(math.abs(r.getDouble(5) - po) < 1e-6)
+    assert(math.abs(r.getDouble(6) - pe) < 1e-6)
+    assert(math.abs(r.getDouble(7) - kappa) < 1e-6)
+    assert(kappa <= 1.0 + 1e-9)
+  }
+
+  test("llm_split_leakage: classes partition the memoized pair stream") {
+    val out = operators.LlmOpsPipeline.llmSplitLeakage(spark, sf0001).collect()
+    assert(out.nonEmpty)
+    val totalPairs = out.map(_.getLong(2)).sum
+    // n_pairs over all classes = the full near-dup pair count
+    // (the same memoized artifact the query reads)
+    assert(totalPairs == operators.LlmOps.nearDupPairs(spark, sf0001).count())
+    out.foreach { r =>
+      val (s1, s2, nPairs, nDocs, cross) =
+        (r.getString(0), r.getString(1), r.getLong(2), r.getLong(3), r.getInt(4))
+      assert(s1 <= s2, "classes are canonically ordered")
+      assert(cross == (if (s1 != s2) 1 else 0))
+      // a class with p pairs involves between ~sqrt(p) and 2p docs
+      assert(nDocs >= 2 && nDocs <= 2 * nPairs)
+    }
+  }
+
+  test("bill_price_index: base year anchors at 100; YoY lags the index") {
+    val out = operators.Billing.billPriceIndex(spark, sf0001).collect()
+    assert(out.length >= 5)
+    val first = out.head
+    assert(first.getDouble(3) == 100.0, "base year index = 100")
+    assert(first.isNullAt(4), "first year has no YoY")
+    // index tracks unit value: idx_t ≈ 100 · uv_t / uv_0
+    val uv0 = first.getDouble(2)
+    out.foreach { r =>
+      assert(math.abs(r.getDouble(3) - 100.0 * r.getDouble(2) / uv0) < 0.05,
+        "index consistent with unit values")
+    }
+  }
+
   test("attr_touch: both models attribute the identical purchase set") {
     val out = operators.Analytics2.attrTouch(spark, sf0001).collect()
     val first = out.filter(_.getString(0) == "first")

@@ -155,7 +155,10 @@ class PlanSnapshotSpec extends AnyFunSuite {
       "llm_dedup_funnel",
       // round-9 wave 6: basket_rules carries the 1-row basket total as a
       // broadcast scalar into the brand²-sized rule frame
-      "basket_rules")
+      "basket_rules",
+      // round-9 wave 7: bill_price_index carries the 1-row base-year
+      // (c0, q0) pair as a broadcast scalar into the year-grain frame
+      "bill_price_index")
     val withNlj = plans.flatMap { case (name, plan) =>
       val n = plan.collect {
         case j: BroadcastNestedLoopJoinExec => j
