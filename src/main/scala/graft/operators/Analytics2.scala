@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import graft.Tables
@@ -240,7 +240,86 @@ object Analytics2 {
       .orderBy(col("o_orderkey").asc)
   }
 
+  /** Interval max-concurrency (round-9 wave 8) — per supplier, the PEAK
+    * number of simultaneously-open ship windows ([shipdate, shipdate +
+    * quantity days), interval_coverage's convention) and the first day
+    * the peak occurs: the sweep-line counting operator behind capacity
+    * planning ("how many concurrent jobs must this resource sustain"),
+    * the max-overlap complement to interval_coverage's union length.
+    *
+    * Each window explodes map-side into a (+1 at start, −1 at end)
+    * delta pair; a per-supplier day-grain hash agg nets the deltas; the
+    * running sum over days IS the concurrency profile, and the peak +
+    * first-peak-day fall out of one more agg. All integer arithmetic
+    * (day numbers, counts) — nothing to diverge.
+    *
+    * Scale: delta explosion is 2 rows per interval (linear), the day
+    * netting is a hash agg with partials, and ONE (suppkey) exchange
+    * serves the netting, the cumsum window, and the final rollup. */
+  def intervalConcurrency(spark: SparkSession, dir: String): DataFrame = {
+    val base = Tables.lineitem(spark, dir).select(
+      col("l_suppkey").as("suppkey"),
+      datediff(date_trunc("day", col("l_shipdate")), lit("1970-01-01").cast("date"))
+        .cast("long").as("sd"),
+      col("l_quantity").cast("long").as("qty"))
+    val deltas = base.select(col("suppkey"),
+        explode(array(
+          struct(col("sd").as("day"), lit(1L).as("d")),
+          struct((col("sd") + col("qty")).as("day"), lit(-1L).as("d")))).as("e"))
+      .select(col("suppkey"), col("e.day").as("day"), col("e.d").as("d"))
+      .groupBy("suppkey", "day").agg(sum("d").as("net"))
+    val w = Window.partitionBy("suppkey").orderBy(col("day").asc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val wp = Window.partitionBy("suppkey")
+    deltas.withColumn("conc", sum("net").over(w))
+      .withColumn("peak", max("conc").over(wp))
+      .groupBy("suppkey")
+      .agg(max("conc").as("peak_conc"),
+        min(when(col("conc") === col("peak"), col("day"))).as("peak_day_n"))
+      .select(col("suppkey"), col("peak_conc"),
+        date_add(lit("1970-01-01").cast("date"), col("peak_day_n").cast("int"))
+          .as("peak_day"))
+      .orderBy(col("suppkey").asc)
+  }
+
+  /** Customer segment-migration matrix (round-9 wave 8) — revenue
+    * quintile in the EARLY period (ship years ≤ 1997) vs the LATE
+    * period (≥ 1999), customers absent from a period in the 'none'
+    * bucket: the period-over-period transition matrix a CRM team reads
+    * for upgrade/downgrade/churn flow (rfm_segments says where
+    * customers SIT; this says how they MOVE).
+    *
+    * Quintiles are ntile(5) over FULLY-ORDERED customer frames (cents
+    * desc, custkey asc — the rfm_segments determinism rule); the two
+    * period frames FULL-OUTER join on custkey so absence is data, not
+    * dropped rows. Revenue is exact cents throughout.
+    *
+    * Scale: two customer-grain hash aggs off one corpus pass
+    * (conditional sums), two vocabulary-sized ntile windows, one
+    * custkey-keyed join — nothing at fact grain after the first agg. */
+  def custMigration(spark: SparkSession, dir: String): DataFrame = {
+    val o = Tables.orders(spark, dir).select(col("o_custkey"),
+      year(col("o_orderdate")).as("yr"),
+      round(col("o_totalprice") * 100, 0).cast("long").as("cents"))
+    def quintiles(maxYr: Column => Column, name: String) = {
+      val per = o.filter(maxYr(col("yr")))
+        .groupBy("o_custkey").agg(sum("cents").as("rev"))
+      per.select(col("o_custkey"),
+        ntile(5).over(Window.orderBy(col("rev").desc, col("o_custkey").asc))
+          .cast("string").as(name))
+    }
+    val early = quintiles(_ <= 1997, "q_early")
+    val late = quintiles(_ >= 1999, "q_late")
+    early.join(late, Seq("o_custkey"), "full_outer")
+      .select(coalesce(col("q_early"), lit("none")).as("q_early"),
+        coalesce(col("q_late"), lit("none")).as("q_late"))
+      .groupBy("q_early", "q_late").agg(count(lit(1)).as("customers"))
+      .orderBy(col("q_early").asc, col("q_late").asc)
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "interval_concurrency" -> (intervalConcurrency _),
+    "cust_migration"   -> (custMigration _),
     "cohort_triangle"  -> (cohortTriangle _),
     "skyline_2d"       -> (skyline2d _),
     "basket_rules"     -> (basketRules _),
@@ -249,6 +328,50 @@ object Analytics2 {
     "attr_touch"       -> (attrTouch _))
 
   val oracleSql: Map[String, String] = Map(
+    "interval_concurrency" ->
+      """WITH base AS (
+        |  SELECT l_suppkey AS suppkey,
+        |    date_diff('day', DATE '1970-01-01', date_trunc('day', l_shipdate)) AS sd,
+        |    CAST(l_quantity AS BIGINT) AS qty
+        |  FROM lineitem),
+        |deltas AS (
+        |  SELECT suppkey, day, CAST(sum(d) AS BIGINT) AS net
+        |  FROM (
+        |    SELECT suppkey, sd AS day, 1 AS d FROM base
+        |    UNION ALL
+        |    SELECT suppkey, sd + qty AS day, -1 AS d FROM base)
+        |  GROUP BY suppkey, day),
+        |prof AS (
+        |  SELECT suppkey, day,
+        |    sum(net) OVER (PARTITION BY suppkey ORDER BY day ASC
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS conc
+        |  FROM deltas),
+        |pk AS (
+        |  SELECT *, max(conc) OVER (PARTITION BY suppkey) AS peak
+        |  FROM prof)
+        |SELECT suppkey, CAST(max(conc) AS BIGINT) AS peak_conc,
+        |  DATE '1970-01-01'
+        |    + CAST(min(CASE WHEN conc = peak THEN day END) AS INT) AS peak_day
+        |FROM pk GROUP BY suppkey
+        |ORDER BY suppkey ASC""".stripMargin,
+    "cust_migration" ->
+      """WITH o AS (
+        |  SELECT o_custkey, year(o_orderdate) AS yr,
+        |    CAST(round(o_totalprice * 100, 0) AS BIGINT) AS cents
+        |  FROM orders),
+        |early AS (
+        |  SELECT o_custkey, CAST(ntile(5) OVER (ORDER BY sum(cents) DESC,
+        |    o_custkey ASC) AS VARCHAR) AS q_early
+        |  FROM o WHERE yr <= 1997 GROUP BY o_custkey),
+        |late AS (
+        |  SELECT o_custkey, CAST(ntile(5) OVER (ORDER BY sum(cents) DESC,
+        |    o_custkey ASC) AS VARCHAR) AS q_late
+        |  FROM o WHERE yr >= 1999 GROUP BY o_custkey)
+        |SELECT coalesce(q_early, 'none') AS q_early,
+        |  coalesce(q_late, 'none') AS q_late,
+        |  count(*) AS customers
+        |FROM early FULL OUTER JOIN late USING (o_custkey)
+        |GROUP BY 1, 2 ORDER BY 1 ASC, 2 ASC""".stripMargin,
     "feat_target_encode" ->
       """WITH o AS (
         |  SELECT o_orderkey, o_orderpriority,

@@ -885,7 +885,45 @@ object LlmOpsPipeline {
       .orderBy(col("s1").asc, col("s2").asc)
   }
 
+  /** Vocabulary-growth curve (round-9 wave 8) — Heaps'-law empirics:
+    * docs partitioned into 10 ordered id-range batches; per batch, the
+    * tokens seen for the FIRST time (new types), the cumulative
+    * vocabulary, batch token volume, and cumulative tokens. The curve a
+    * tokenizer-budget planner reads (vocab grows ~N^β, β<1 — a corpus
+    * whose curve hasn't flattened needs a bigger vocab or more dedup,
+    * and llm_novelty's per-doc marginal novelty is this curve's
+    * derivative).
+    *
+    * First-seen batch per type is ONE (token → min batch) hash agg off
+    * the explode — the corpus-scale pass; everything after runs on the
+    * 10-row batch frame (running sums over a literal-bounded frame).
+    * The batch spine joins batch token volumes + first-seen counts by
+    * batch id. The 1-row max-id scalar rides in as a broadcast cross
+    * (allowlisted idiom).
+    *
+    * Exactness: batch = least(9, id·10 div (max+1)) is pure int64
+    * arithmetic; every output is an exact integer count. */
+  def llmVocabGrowth(spark: SparkSession, dir: String): DataFrame = {
+    val d = Tables.documents(spark, dir)
+    val tot = d.agg((max("doc_id") + 1).as("n"))
+    val base = d.crossJoin(broadcast(tot))
+      .select(least(lit(9), expr("(doc_id * 10) div n")).cast("int").as("batch"),
+        explode(split(col("text"), " ")).as("tok"))
+    val vol = base.groupBy("batch").agg(count(lit(1)).as("batch_tokens"))
+    val fresh = base.groupBy("tok").agg(min("batch").as("batch"))
+      .groupBy("batch").agg(count(lit(1)).as("new_types"))
+    val w = Window.orderBy(col("batch").asc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    vol.join(fresh, Seq("batch"), "left")
+      .withColumn("new_types", coalesce(col("new_types"), lit(0L)))
+      .withColumn("cum_types", sum("new_types").over(w))
+      .withColumn("cum_tokens", sum("batch_tokens").over(w))
+      .select("batch", "new_types", "cum_types", "batch_tokens", "cum_tokens")
+      .orderBy(col("batch").asc)
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "llm_vocab_growth"      -> (llmVocabGrowth _),
     "llm_split_leakage"     -> (llmSplitLeakage _),
     "llm_dedup_funnel"      -> (llmDedupFunnel _),
     "llm_source_hhi"        -> (llmSourceHhi _),
@@ -912,6 +950,25 @@ object LlmOpsPipeline {
     "llm_heuristic_filter"  -> (llmHeuristicFilter _))
 
   val oracleSql: Map[String, String] = Map(
+    "llm_vocab_growth" ->
+      """WITH tot AS (SELECT max(doc_id) + 1 AS n FROM documents),
+        |base AS (
+        |  SELECT CAST(least(9, (doc_id * 10) // n) AS INT) AS batch,
+        |    unnest(string_split(text, ' ')) AS tok
+        |  FROM documents CROSS JOIN tot),
+        |vol AS (SELECT batch, count(*) AS batch_tokens FROM base GROUP BY batch),
+        |fresh AS (
+        |  SELECT batch, count(*) AS new_types
+        |  FROM (SELECT tok, min(batch) AS batch FROM base GROUP BY tok)
+        |  GROUP BY batch)
+        |SELECT batch, coalesce(new_types, 0) AS new_types,
+        |  CAST(sum(coalesce(new_types, 0)) OVER (ORDER BY batch ASC
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum_types,
+        |  batch_tokens,
+        |  CAST(sum(batch_tokens) OVER (ORDER BY batch ASC
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum_tokens
+        |FROM vol LEFT JOIN fresh USING (batch)
+        |ORDER BY batch ASC""".stripMargin,
     "llm_split_leakage" ->
       """WITH d AS (
         |  SELECT doc_id, lang, n_chars // 100 AS band,

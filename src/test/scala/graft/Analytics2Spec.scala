@@ -146,6 +146,56 @@ class Analytics2Spec extends AnyFunSuite {
     }
   }
 
+  test("interval_concurrency: peak bounded by window count, replayed for one supplier") {
+    val out = operators.Analytics2.intervalConcurrency(spark, sf0001).collect()
+    assert(out.nonEmpty)
+    val counts = Tables.lineitem(spark, sf0001)
+      .groupBy("l_suppkey").count().collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    out.foreach { r =>
+      assert(r.getLong(1) >= 1 && r.getLong(1) <= counts(r.getLong(0)),
+        "1 <= peak <= n_windows")
+    }
+    // replay the sweep in Scala for the first supplier
+    val sk = out.head.getLong(0)
+    val ivs = Tables.lineitem(spark, sf0001)
+      .filter(col("l_suppkey") === sk)
+      .select(datediff(date_trunc("day", col("l_shipdate")),
+        lit("1970-01-01").cast("date")).cast("long"),
+        col("l_quantity").cast("long"))
+      .collect().map(r => (r.getLong(0), r.getLong(0) + r.getLong(1)))
+    val days = ivs.flatMap(i => Seq(i._1, i._2)).distinct.sorted
+    val peak = days.map(d => ivs.count(i => i._1 <= d && d < i._2)).max
+    assert(out.head.getLong(1) == peak, s"sweep replay for supplier $sk")
+  }
+
+  test("cust_migration: matrix census covers every customer exactly once") {
+    val out = operators.Analytics2.custMigration(spark, sf0001).collect()
+    assert(out.nonEmpty)
+    val total = out.map(_.getLong(2)).sum
+    val custs = Tables.orders(spark, sf0001)
+      .filter(year(col("o_orderdate")) <= 1997 || year(col("o_orderdate")) >= 1999)
+      .select("o_custkey").distinct().count()
+    assert(total == custs, "every in-scope customer lands in exactly one cell")
+    assert(!out.exists(r => r.getString(0) == "none" && r.getString(1) == "none"),
+      "the (none, none) cell cannot exist")
+  }
+
+  test("llm_vocab_growth: running sums consistent, vocab census exact") {
+    val out = operators.LlmOpsPipeline.llmVocabGrowth(spark, sf0001).collect()
+    assert(out.length == 10)
+    var (ct, ctok) = (0L, 0L)
+    out.sortBy(_.getInt(0)).foreach { r =>
+      ct += r.getLong(1); ctok += r.getLong(3)
+      assert(r.getLong(2) == ct, "cum_types is the running sum")
+      assert(r.getLong(4) == ctok, "cum_tokens is the running sum")
+    }
+    val vocab = Tables.documents(spark, sf0001)
+      .select(explode(split(col("text"), " ")).as("t"))
+      .agg(countDistinct("t")).head().getLong(0)
+    assert(ct == vocab, "total new types = corpus vocabulary")
+  }
+
   test("attr_touch: both models attribute the identical purchase set") {
     val out = operators.Analytics2.attrTouch(spark, sf0001).collect()
     val first = out.filter(_.getString(0) == "first")

@@ -158,7 +158,10 @@ class PlanSnapshotSpec extends AnyFunSuite {
       "basket_rules",
       // round-9 wave 7: bill_price_index carries the 1-row base-year
       // (c0, q0) pair as a broadcast scalar into the year-grain frame
-      "bill_price_index")
+      "bill_price_index",
+      // round-9 wave 8: llm_vocab_growth carries the 1-row corpus-size
+      // scalar into the map-side batch assignment
+      "llm_vocab_growth")
     val withNlj = plans.flatMap { case (name, plan) =>
       val n = plan.collect {
         case j: BroadcastNestedLoopJoinExec => j
