@@ -678,7 +678,43 @@ object TimeSeries {
       .orderBy(col("event_type").asc)
   }
 
+  /** Local-maxima peak detection (round-9 wave 9) — per event type, the
+    * days whose revenue strictly exceeds every day within ±3 rows AND
+    * the type's own mean: the peak-picking primitive behind campaign /
+    * incident forensics ("which days spiked, and by how much"), with
+    * prominence = gap to the tallest neighbor. ts_anomaly flags
+    * deviation from a GLOBAL model; this detects LOCAL shape — a peak
+    * can be un-anomalous in level and still be the local event.
+    *
+    * Determinism: revenue is exact integer cents; the neighbor compares
+    * and the mean gate are pure int64 (cents·n > total — never divide
+    * before comparing); edge days without a full ±3 frame are excluded
+    * by row census, not null-propagation. Day-grain ⇒ O(days·types)
+    * after one corpus hash agg; all frames share one (type) exchange. */
+  def tsPeaks(spark: SparkSession, dir: String): DataFrame = {
+    val d = Tables.events(spark, dir)
+      .groupBy(col("event_type"), date_trunc("day", col("ts")).as("day"))
+      .agg(sum(round(col("value") * 100, 0).cast("long")).as("cents"))
+    val w = Window.partitionBy("event_type").orderBy(col("day").asc)
+    val wb = w.rowsBetween(-3, -1)
+    val wa = w.rowsBetween(1, 3)
+    val wp = Window.partitionBy("event_type")
+    d.withColumn("nb", max("cents").over(wb))
+      .withColumn("na", max("cents").over(wa))
+      .withColumn("rn", row_number().over(w))
+      .withColumn("nrow", count(lit(1)).over(wp))
+      .withColumn("tot", sum("cents").over(wp))
+      .filter(col("rn") > 3 && col("rn") <= col("nrow") - 3 &&
+        col("cents") > col("nb") && col("cents") > col("na") &&
+        col("cents") * col("nrow") > col("tot"))
+      .select(col("event_type"), to_date(col("day")).as("day"),
+        (col("cents") / 100.0).as("rev"),
+        ((col("cents") - greatest(col("nb"), col("na"))) / 100.0).as("prominence"))
+      .orderBy(col("event_type").asc, col("day").asc)
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "ts_peaks"    -> (tsPeaks _),
     "ts_perm_entropy" -> (tsPermEntropy _),
     "ts_rsi"      -> (tsRsi _),
     "ts_donchian" -> (tsDonchian _),
@@ -700,6 +736,28 @@ object TimeSeries {
     "ts_anomaly"  -> (tsAnomaly _))
 
   val oracleSql: Map[String, String] = Map(
+    "ts_peaks" ->
+      """WITH d AS (
+        |  SELECT event_type, date_trunc('day', ts) AS day,
+        |    CAST(sum(CAST(round(value * 100, 0) AS BIGINT)) AS BIGINT) AS cents
+        |  FROM events GROUP BY event_type, day),
+        |f AS (
+        |  SELECT event_type, day, cents,
+        |    max(cents) OVER (PARTITION BY event_type ORDER BY day ASC
+        |      ROWS BETWEEN 3 PRECEDING AND 1 PRECEDING) AS nb,
+        |    max(cents) OVER (PARTITION BY event_type ORDER BY day ASC
+        |      ROWS BETWEEN 1 FOLLOWING AND 3 FOLLOWING) AS na,
+        |    row_number() OVER (PARTITION BY event_type ORDER BY day ASC) AS rn,
+        |    count(*) OVER (PARTITION BY event_type) AS nrow,
+        |    CAST(sum(cents) OVER (PARTITION BY event_type) AS BIGINT) AS tot
+        |  FROM d)
+        |SELECT event_type, CAST(day AS DATE) AS day,
+        |  cents / 100.0 AS rev,
+        |  (cents - greatest(nb, na)) / 100.0 AS prominence
+        |FROM f
+        |WHERE rn > 3 AND rn <= nrow - 3
+        |  AND cents > nb AND cents > na AND cents * nrow > tot
+        |ORDER BY event_type ASC, day ASC""".stripMargin,
     "ts_perm_entropy" ->
       """WITH daily AS (
         |  SELECT event_type, date_trunc('day', ts) AS day,

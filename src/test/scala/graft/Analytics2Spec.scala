@@ -196,6 +196,44 @@ class Analytics2Spec extends AnyFunSuite {
     assert(ct == vocab, "total new types = corpus vocabulary")
   }
 
+  test("ts_peaks: exactly the strict ±3 local maxima above the mean (replayed)") {
+    val daily = Tables.events(spark, sf0001)
+      .groupBy(col("event_type"), date_trunc("day", col("ts")).as("day"))
+      .agg(sum(round(col("value") * 100, 0).cast("long")).as("cents"))
+      .collect().map(r => (r.getString(0), r.getTimestamp(1), r.getLong(2)))
+    // .toSeq before flatMap: flatMap over a Map of (type, day) tuples
+    // would rebuild a MAP keyed by type and keep only each type's last peak
+    val expect = daily.groupBy(_._1).toSeq.flatMap { case (t, rows) =>
+      val s = rows.sortBy(_._2.getTime)
+      val total = s.map(_._3).sum
+      s.indices.collect {
+        case i if i >= 3 && i < s.length - 3 &&
+          (i - 3 to i + 3).forall(j => j == i || s(j)._3 < s(i)._3) &&
+          s(i)._3 * s.length > total =>
+          (t, s(i)._2.toLocalDateTime.toLocalDate.toString)
+      }
+    }.toSet
+    val got = operators.TimeSeries.tsPeaks(spark, sf0001).collect()
+      .map(r => (r.getString(0), r.getDate(1).toString)).toSet
+    assert(got == expect, s"peak set mismatch: got $got expect $expect")
+    operators.TimeSeries.tsPeaks(spark, sf0001).collect()
+      .foreach(r => assert(r.getDouble(3) > 0, "prominence is strictly positive"))
+  }
+
+  test("ops_fulfillment: census, monotone service levels, bounds") {
+    val out = operators.Analytics2.opsFulfillment(spark, sf0001).collect()
+    assert(out.nonEmpty)
+    assert(out.map(_.getLong(1)).sum ==
+      Tables.orders(spark, sf0001).join(Tables.lineitem(spark, sf0001),
+        col("o_orderkey") === col("l_orderkey"), "left_semi").count(),
+      "every order with lineitems lands in exactly one priority row")
+    out.foreach { r =>
+      val (p30, p60, p90) = (r.getDouble(3), r.getDouble(4), r.getDouble(5))
+      assert(p30 <= p60 && p60 <= p90 && p90 <= 1.0, "service levels are monotone")
+      assert(r.getDouble(2) <= r.getLong(6), "avg lag bounded by max lag")
+    }
+  }
+
   test("attr_touch: both models attribute the identical purchase set") {
     val out = operators.Analytics2.attrTouch(spark, sf0001).collect()
     val first = out.filter(_.getString(0) == "first")
