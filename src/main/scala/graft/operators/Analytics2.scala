@@ -360,7 +360,61 @@ object Analytics2 {
       .orderBy(col("o_orderpriority").asc)
   }
 
+  /** Kaplan–Meier conversion-survival curve (round-9 wave 10) — the
+    * survival-analysis estimator (the statistic class behind
+    * time-to-convert and churn-halflife reporting, which naive
+    * "percent converted by day N" gets wrong because it ignores
+    * CENSORING): the event is a user's FIRST PURCHASE, timed from
+    * their first event; follow-up is administratively truncated at a
+    * 3-day horizon, so users not converting within it are
+    * right-censored at day 3 (they still occupy every risk set they
+    * survive through — dropping them is the bias K-M exists to avoid).
+    * Per death time t: the at-risk count, conversions, and
+    * Ŝ(t) = Π_{t'≤t} (1 − d/n).
+    *
+    * Determinism: conversion times and censoring are exact integer day
+    * arithmetic; n_risk(t) is a REVERSE running sum of exact counts
+    * (Σ_{t'≥t}(d+c) — no separate N scalar); the product is
+    * exp(Σ ln(1−d/n)) where each term is ln of an exact-int ratio and
+    * the cumulative sum runs in window order — the same left-to-right
+    * addition sequence in both engines (ordered window sums are
+    * sequential by definition), 6dp round absorbs libm ulps.
+    *
+    * Scale: one user-grain hash agg (partial agg compresses the event
+    * stream); every window then runs on the horizon-grain frame
+    * (bounded by the follow-up span in days, not by users). */
+  def survKm(spark: SparkSession, dir: String): DataFrame = {
+    val day = datediff(date_trunc("day", col("ts")), lit("1970-01-01").cast("date"))
+    val per = Tables.events(spark, dir)
+      .groupBy("user_id")
+      .agg(min(day).cast("long").as("s"),
+        min(when(col("event_type") === "purchase", day)).cast("long").as("p"))
+    val traw = col("p") - col("s")
+    val dead = col("p").isNotNull && traw <= 3
+    val at = per
+      .select(when(dead, traw).otherwise(lit(3L)).as("t"),
+        dead.cast("long").as("dead"))
+      .groupBy("t")
+      .agg(sum("dead").as("d"), sum(lit(1L) - col("dead")).as("c"))
+    val wRisk = Window.orderBy(col("t").asc)
+      .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+    val wCum = Window.orderBy(col("t").asc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    at.withColumn("n_risk", sum(col("d") + col("c")).over(wRisk))
+      // d = n_risk would be ln(0): Spark's log yields NULL there, DuckDB
+      // −inf — a §2.Z trap; −1e9 makes Ŝ collapse to exactly 0.0 in both
+      .withColumn("lnterm", when(col("d") > 0 && col("d") < col("n_risk"),
+          log(lit(1.0) - col("d") / col("n_risk").cast("double")))
+        .when(col("d") === col("n_risk"), lit(-1e9))
+        .otherwise(lit(0.0)))
+      .withColumn("surv", round(exp(sum("lnterm").over(wCum)), 6))
+      .filter(col("d") > 0)
+      .select(col("t"), col("n_risk"), col("d"), col("surv"))
+      .orderBy(col("t").asc)
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "surv_km"         -> (survKm _),
     "ops_fulfillment" -> (opsFulfillment _),
     "interval_concurrency" -> (intervalConcurrency _),
     "cust_migration"   -> (custMigration _),
@@ -372,6 +426,42 @@ object Analytics2 {
     "attr_touch"       -> (attrTouch _))
 
   val oracleSql: Map[String, String] = Map(
+    "surv_km" ->
+      """WITH per AS (
+        |  SELECT user_id,
+        |    date_diff('day', DATE '1970-01-01',
+        |      date_trunc('day', min(ts))) AS s,
+        |    date_diff('day', DATE '1970-01-01', date_trunc('day',
+        |      min(CASE WHEN event_type = 'purchase' THEN ts END))) AS p
+        |  FROM events GROUP BY user_id),
+        |cls AS (
+        |  SELECT CASE WHEN p IS NOT NULL AND p - s <= 3
+        |      THEN p - s ELSE 3 END AS t,
+        |    CAST(p IS NOT NULL AND p - s <= 3 AS INT) AS dead
+        |  FROM per),
+        |at AS (
+        |  SELECT t, CAST(sum(dead) AS BIGINT) AS d,
+        |    CAST(sum(1 - dead) AS BIGINT) AS c
+        |  FROM cls GROUP BY t),
+        |r AS (
+        |  SELECT t, d, c,
+        |    CAST(sum(d + c) OVER (ORDER BY t ASC
+        |      ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS BIGINT) AS n_risk
+        |  FROM at),
+        |s AS (
+        |  SELECT t, d, n_risk,
+        |    CASE WHEN d > 0 AND d < n_risk
+        |        THEN ln(1.0 - d / CAST(n_risk AS DOUBLE))
+        |      WHEN d = n_risk THEN -1e9
+        |      ELSE 0.0 END AS lnterm
+        |  FROM r),
+        |k AS (
+        |  SELECT t, d, n_risk,
+        |    round(exp(sum(lnterm) OVER (ORDER BY t ASC
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)), 6) AS surv
+        |  FROM s)
+        |SELECT t, n_risk, d, surv FROM k WHERE d > 0
+        |ORDER BY t ASC""".stripMargin,
     "ops_fulfillment" ->
       """WITH per_order AS (
         |  SELECT o_orderkey, o_orderpriority,

@@ -451,7 +451,57 @@ object DataQuality {
       .orderBy(col("key").asc)
   }
 
+  /** Header/detail reconciliation (round-9 wave 10) — the month-end
+    * finance control: every order's header total vs the rollup of its
+    * own lines (extprice·(1−disc)·(1+tax), the TPC-H charge formula),
+    * bucketed by discrepancy class — lines missing entirely, header
+    * above/below the rollup, split at 1% and 10% relative gap. On this
+    * fixture NO order reconciles exactly and 257 (sf0.01) have no lines
+    * at all — exactly the report a controller needs, which is the
+    * point: recon output is interesting precisely when it is non-empty.
+    *
+    * Exactness: the per-line charge is computed ENTIRELY in int64 —
+    * price cents (exactly integral in the fixture) × (100 − discount
+    * bp) × (100 + tax bp), i.e. cents·10⁻⁴ units — because the float
+    * form round(price·(1−d)·(1+t), 2) lands on .xx5 ties where Spark's
+    * BigDecimal HALF_UP and DuckDB's double rounding split (measured:
+    * 2 of 5 buckets off by a cent at sf0.01). Sums, gaps and the
+    * relative-gap buckets (|gap|·100 ≤ header) are all exact integer
+    * compares; the four totals divide once for display. LEFT join
+    * keeps line-less orders as data.
+    *
+    * Scale: one (orderkey) hash agg on the fact side, an orderkey
+    * equi-join, then a 5-row bucket census with map-side partials. */
+  def dqRecon(spark: SparkSession, dir: String): DataFrame = {
+    // charge in cents·1e-4 units: exact int64 (≤ ~1.2e11 per line)
+    val chargeU = round(col("l_extendedprice") * 100, 0).cast("long") *
+      (lit(100L) - round(col("l_discount") * 100, 0).cast("long")) *
+      (lit(100L) + round(col("l_tax") * 100, 0).cast("long"))
+    val l = Tables.lineitem(spark, dir)
+      .groupBy(col("l_orderkey"))
+      .agg(sum(chargeU).as("line_u"))
+    val j = Tables.orders(spark, dir)
+      .select(col("o_orderkey"),
+        (round(col("o_totalprice") * 100, 0).cast("long") * 10000L).as("hdr_u"))
+      .join(l, col("o_orderkey") === col("l_orderkey"), "left")
+      .withColumn("gap", col("hdr_u") - coalesce(col("line_u"), lit(0L)))
+      .withColumn("bucket",
+        when(col("line_u").isNull, "missing_lines")
+          .when(abs(col("gap")) * 100 <= col("hdr_u"), "within_1pct")
+          .when(abs(col("gap")) * 10 <= col("hdr_u"), "within_10pct")
+          .when(col("gap") > 0, "header_above_10pct")
+          .otherwise("header_below_10pct"))
+    j.groupBy("bucket")
+      .agg(count(lit(1)).as("n_orders"),
+        (sum("hdr_u") / 1e6).as("header_total"),
+        (sum(coalesce(col("line_u"), lit(0L))) / 1e6).as("line_total"),
+        (sum("gap") / 1e6).as("net_gap"),
+        (sum(abs(col("gap"))) / 1e6).as("abs_gap"))
+      .orderBy(col("bucket").asc)
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "dq_recon"       -> (dqRecon _),
     "dq_dup_keys" -> (dqDupKeys _),
     "dq_orphans" -> (dqOrphans _),
     "dq_freshness" -> (dqFreshness _),
@@ -467,6 +517,34 @@ object DataQuality {
     "join_scd2" -> (joinScd2 _))
 
   val oracleSql: Map[String, String] = Map(
+    "dq_recon" ->
+      """WITH l AS (
+        |  SELECT l_orderkey,
+        |    CAST(sum(CAST(round(l_extendedprice * 100, 0) AS BIGINT)
+        |      * (100 - CAST(round(l_discount * 100, 0) AS BIGINT))
+        |      * (100 + CAST(round(l_tax * 100, 0) AS BIGINT))) AS BIGINT) AS line_u
+        |  FROM lineitem GROUP BY l_orderkey),
+        |o AS (
+        |  SELECT o_orderkey,
+        |    CAST(round(o_totalprice * 100, 0) AS BIGINT) * 10000 AS hdr_u
+        |  FROM orders),
+        |g AS (
+        |  SELECT hdr_u, line_u,
+        |    hdr_u - coalesce(line_u, 0) AS gap,
+        |    CASE WHEN line_u IS NULL THEN 'missing_lines'
+        |      WHEN abs(hdr_u - coalesce(line_u, 0)) * 100 <= hdr_u
+        |        THEN 'within_1pct'
+        |      WHEN abs(hdr_u - coalesce(line_u, 0)) * 10 <= hdr_u
+        |        THEN 'within_10pct'
+        |      WHEN hdr_u - coalesce(line_u, 0) > 0 THEN 'header_above_10pct'
+        |      ELSE 'header_below_10pct' END AS bucket
+        |  FROM o LEFT JOIN l ON o_orderkey = l_orderkey)
+        |SELECT bucket, count(*) AS n_orders,
+        |  CAST(sum(hdr_u) AS DOUBLE) / 1e6 AS header_total,
+        |  CAST(sum(coalesce(line_u, 0)) AS DOUBLE) / 1e6 AS line_total,
+        |  CAST(sum(gap) AS DOUBLE) / 1e6 AS net_gap,
+        |  CAST(sum(abs(gap)) AS DOUBLE) / 1e6 AS abs_gap
+        |FROM g GROUP BY bucket ORDER BY bucket ASC""".stripMargin,
     "dq_dup_keys" ->
       """SELECT key, n_rows, n_keys, n_rows - n_keys AS dup_rows,
         |  round((n_rows - n_keys) / CAST(n_rows AS DOUBLE), 6) AS dup_rate

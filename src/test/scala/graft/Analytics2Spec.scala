@@ -234,6 +234,60 @@ class Analytics2Spec extends AnyFunSuite {
     }
   }
 
+  test("dq_recon: buckets partition the order ledger; gap identity holds") {
+    val out = operators.DataQuality.dqRecon(spark, sf0001).collect()
+    assert(out.nonEmpty)
+    assert(out.map(_.getLong(1)).sum == Tables.orders(spark, sf0001).count(),
+      "every order lands in exactly one bucket")
+    out.foreach { r =>
+      assert(math.abs((r.getDouble(2) - r.getDouble(3)) - r.getDouble(4)) < 1e-6,
+        "net gap = header − line per bucket")
+      assert(math.abs(r.getDouble(4)) <= r.getDouble(5) + 1e-9,
+        "|net| ≤ abs gap")
+      if (r.getString(0) == "missing_lines")
+        assert(r.getDouble(3) == 0.0, "line total of line-less orders is 0")
+    }
+  }
+
+  test("surv_km: the K-M estimator replayed; survival non-increasing") {
+    val out = operators.Analytics2.survKm(spark, sf0001).collect()
+      .sortBy(_.getLong(0))
+    assert(out.nonEmpty)
+    // replay from the raw events
+    val dayN = datediff(date_trunc("day", col("ts")), lit("1970-01-01").cast("date"))
+    val per = Tables.events(spark, sf0001).groupBy("user_id")
+      .agg(min(dayN).cast("long").as("s"),
+        min(when(col("event_type") === "purchase", dayN)).cast("long").as("p"))
+      .collect().map { r =>
+        val s = r.getLong(1)
+        val traw = if (r.isNullAt(2)) None else Some(r.getLong(2) - s)
+        val dead = traw.exists(_ <= 3)
+        (if (dead) traw.get else 3L, dead)
+      }
+    val n = per.length
+    var atRisk = n.toLong
+    var surv = 1.0
+    val exp = (0L to 3L).flatMap { t =>
+      val d = per.count(u => u._2 && u._1 == t).toLong
+      val c = per.count(u => !u._2 && u._1 == t).toLong
+      val row = if (d > 0) {
+        surv *= (1.0 - d.toDouble / atRisk)
+        Some((t, atRisk, d, surv))
+      } else None
+      atRisk -= (d + c)
+      row
+    }
+    assert(out.length == exp.length)
+    out.zip(exp).foreach { case (r, (t, nr, d, s)) =>
+      assert(r.getLong(0) == t && r.getLong(1) == nr && r.getLong(2) == d)
+      assert(math.abs(r.getDouble(3) - s) < 1e-5, s"S($t): ${r.getDouble(3)} vs $s")
+    }
+    out.sliding(2).foreach {
+      case Array(a, b) => assert(b.getDouble(3) <= a.getDouble(3) + 1e-12)
+      case _ =>
+    }
+  }
+
   test("attr_touch: both models attribute the identical purchase set") {
     val out = operators.Analytics2.attrTouch(spark, sf0001).collect()
     val first = out.filter(_.getString(0) == "first")
