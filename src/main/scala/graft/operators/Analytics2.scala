@@ -413,7 +413,60 @@ object Analytics2 {
       .orderBy(col("t").asc)
   }
 
+  /** Deterministic Poisson-bootstrap confidence interval (round-9 wave
+    * 11) — the resampling-at-scale pattern: 32 bootstrap replicas of
+    * mean order value, each row's per-replica multiplicity drawn from a
+    * QUANTIZED Poisson(1) (weights 0–3 at integer-literal cutpoints of
+    * the hash uniform — the Poisson bootstrap is the only bootstrap
+    * that needs no global resample pass, which is what makes it the
+    * 100 TB form; Chamandy et al.'s "estimating uncertainty for
+    * massive data streams"). Reports the point mean and the
+    * [2.5%, 97.5%] percentile interval over replica means.
+    *
+    * Determinism: the uniform is the Knuth modular hash of
+    * (orderkey·31 + replica) — reduce-before-multiply keeps every
+    * intermediate in int64 — and weight selection compares INTEGERS
+    * against literal cutpoints; each replica mean divides exact int64
+    * (Σw·cents / Σw) once; interval endpoints are SELECTED replica
+    * means (order-membership, never averaged), so no float ever
+    * accumulates. Replica means tie-break by replica id for a total
+    * order.
+    *
+    * Scale: the spine explode is map-side B× amplification feeding ONE
+    * 32-group hash agg with partials (no shuffle grows with B beyond
+    * the 32-row result); the windows run on the 32-row frame; the
+    * 1-row point-estimate scalar broadcasts (allowlisted idiom). */
+  def aggBootstrap(spark: SparkSession, dir: String): DataFrame = {
+    val p = 1000003L
+    val o = Tables.orders(spark, dir)
+      .select(col("o_orderkey"),
+        round(col("o_totalprice") * 100, 0).cast("long").as("cents"))
+    val point = o.agg(sum("cents").as("tc"), count(lit(1)).as("tn"))
+    val u = (((col("o_orderkey") * 31 + col("b")) % p) * 2654435761L % p) + 1L
+    // integer cutpoints ≈ Poisson(1) pmf: P(0)=P(1)=e⁻¹, P(2)=e⁻¹/2
+    val w = when(u < 367880L, 0L).when(u < 735761L, 1L)
+      .when(u < 919701L, 2L).otherwise(3L)
+    val reps = o.select(col("o_orderkey"), col("cents"),
+        explode(sequence(lit(0), lit(31))).as("b"))
+      .select(col("b"), col("cents"), w.as("w"))
+      .groupBy("b")
+      .agg(sum(col("w") * col("cents")).as("num"), sum("w").as("den"))
+      .select(col("b"), (col("num").cast("double") / col("den")).as("m"))
+    val wOrd = Window.orderBy(col("m").asc, col("b").asc)
+    val ranked = reps.withColumn("rn", row_number().over(wOrd))
+    ranked.agg(
+        min(when(col("rn") / 32.0 >= 0.025, col("m"))).as("ci_lo"),
+        min(when(col("rn") / 32.0 >= 0.975, col("m"))).as("ci_hi"),
+        count(lit(1)).as("replicas"))
+      .crossJoin(broadcast(point))
+      .select(col("replicas"),
+        round(col("tc").cast("double") / col("tn") / 100.0, 6).as("point_mean"),
+        round(col("ci_lo") / 100.0, 6).as("ci_lo"),
+        round(col("ci_hi") / 100.0, 6).as("ci_hi"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "agg_bootstrap"   -> (aggBootstrap _),
     "surv_km"         -> (survKm _),
     "ops_fulfillment" -> (opsFulfillment _),
     "interval_concurrency" -> (intervalConcurrency _),
@@ -426,6 +479,36 @@ object Analytics2 {
     "attr_touch"       -> (attrTouch _))
 
   val oracleSql: Map[String, String] = Map(
+    "agg_bootstrap" ->
+      """WITH o AS (
+        |  SELECT o_orderkey,
+        |    CAST(round(o_totalprice * 100, 0) AS BIGINT) AS cents
+        |  FROM orders),
+        |point AS (
+        |  SELECT CAST(sum(cents) AS BIGINT) AS tc, count(*) AS tn FROM o),
+        |sp AS (
+        |  SELECT o_orderkey, cents,
+        |    CAST(unnest(generate_series(0, 31)) AS BIGINT) AS b
+        |  FROM o),
+        |ww AS (
+        |  SELECT b, cents,
+        |    CASE WHEN u < 367880 THEN 0 WHEN u < 735761 THEN 1
+        |      WHEN u < 919701 THEN 2 ELSE 3 END AS w
+        |  FROM (SELECT *,
+        |    ((o_orderkey * 31 + b) % 1000003) * 2654435761 % 1000003 + 1 AS u
+        |    FROM sp)),
+        |reps AS (
+        |  SELECT b,
+        |    CAST(sum(w * cents) AS DOUBLE) / CAST(sum(w) AS BIGINT) AS m
+        |  FROM ww GROUP BY b),
+        |rk AS (
+        |  SELECT m, row_number() OVER (ORDER BY m ASC, b ASC) AS rn FROM reps)
+        |SELECT count(*) AS replicas,
+        |  round(CAST(tc AS DOUBLE) / tn / 100.0, 6) AS point_mean,
+        |  round(min(CASE WHEN rn / 32.0 >= 0.025 THEN m END) / 100.0, 6) AS ci_lo,
+        |  round(min(CASE WHEN rn / 32.0 >= 0.975 THEN m END) / 100.0, 6) AS ci_hi
+        |FROM rk CROSS JOIN point
+        |GROUP BY tc, tn""".stripMargin,
     "surv_km" ->
       """WITH per AS (
         |  SELECT user_id,

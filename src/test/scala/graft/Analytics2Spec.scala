@@ -288,6 +288,20 @@ class Analytics2Spec extends AnyFunSuite {
     }
   }
 
+  test("agg_bootstrap: point estimate exact, interval brackets it") {
+    val r = operators.Analytics2.aggBootstrap(spark, sf0001).head()
+    assert(r.getLong(0) == 32, "32 replicas")
+    val (point, lo, hi) = (r.getDouble(1), r.getDouble(2), r.getDouble(3))
+    val direct = Tables.orders(spark, sf0001)
+      .agg(sum(round(col("o_totalprice") * 100, 0).cast("long")).as("c"),
+        count(lit(1)).as("n")).head()
+    assert(math.abs(point -
+      direct.getLong(0).toDouble / direct.getLong(1) / 100.0) < 1e-4,
+      "point mean is the exact unweighted mean")
+    assert(lo < hi, "non-degenerate interval")
+    assert(lo <= point && point <= hi, "interval brackets the point estimate")
+  }
+
   test("attr_touch: both models attribute the identical purchase set") {
     val out = operators.Analytics2.attrTouch(spark, sf0001).collect()
     val first = out.filter(_.getString(0) == "first")

@@ -161,7 +161,10 @@ class PlanSnapshotSpec extends AnyFunSuite {
       "bill_price_index",
       // round-9 wave 8: llm_vocab_growth carries the 1-row corpus-size
       // scalar into the map-side batch assignment
-      "llm_vocab_growth")
+      "llm_vocab_growth",
+      // round-9 wave 11: agg_bootstrap carries the 1-row point-estimate
+      // (Σcents, n) scalar into the 1-row interval result
+      "agg_bootstrap")
     val withNlj = plans.flatMap { case (name, plan) =>
       val n = plan.collect {
         case j: BroadcastNestedLoopJoinExec => j
