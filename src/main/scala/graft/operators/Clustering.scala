@@ -580,7 +580,45 @@ object Clustering {
       .limit(100)
   }
 
+  /** HITS hubs & authorities (round-9 wave 12) — Kleinberg's mutual-
+    * reinforcement ranking on the part↔supplier bipartite graph, the
+    * member of the eigenvector-ranking family pagerank's random surfer
+    * doesn't cover (and the natural one for BIPARTITE graphs, where
+    * pagerank's mass just oscillates between the sides): a part is
+    * authoritative if well-connected suppliers stock it, a supplier a
+    * hub if it stocks authoritative parts. Two unrolled power-method
+    * steps from h₀ = 1 — a₁ = deg, h₁ = Σ a₁, a₂ = Σ h₁ — reported as
+    * the top-10 of each side.
+    *
+    * Determinism: scores stay EXACT int64 through both steps (sums of
+    * counts — the unnormalized power method; normalizing each step
+    * divides by an order-dependent float sum, so normalization is
+    * DISPLAY-ONLY territory and the declared output skips it; at true
+    * scale normalize by the max — a selection, not a sum — every few
+    * steps to stay in range). Top-10s tie-break by node id.
+    *
+    * Scale: fifth consumer of the memoized pair frame; two key-grain
+    * hash aggs + two edge joins riding AQE broadcasts, TakeOrdered
+    * heads — no global sort. */
+  def graphHits(spark: SparkSession, dir: String): DataFrame = {
+    val e = graphPairs(spark, dir)
+    val a1 = e.groupBy("p").agg(count(lit(1)).as("a1"))
+    val h1 = e.join(a1, "p").groupBy("s").agg(sum("a1").as("h1"))
+    val a2 = e.join(h1, "s").groupBy("p").agg(sum("h1").as("a2"))
+    val topA = a2
+      .select(lit("authority").as("role"), expr("p div 2").as("node"),
+        col("a2").as("score"))
+      .orderBy(col("score").desc, col("node").asc).limit(10)
+    val topH = h1
+      .select(lit("hub").as("role"), expr("(s - 1) div 2").as("node"),
+        col("h1").as("score"))
+      .orderBy(col("score").desc, col("node").asc).limit(10)
+    topA.unionAll(topH)
+      .orderBy(col("role").asc, col("score").desc, col("node").asc)
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "graph_hits"         -> (graphHits _),
     "graph_jaccard"      -> (graphJaccard _),
     "graph_pagerank"     -> (graphPagerank _),
     "graph_label_prop"   -> (graphLabelProp _),
@@ -604,6 +642,20 @@ object Clustering {
       |  FROM f x JOIN f y ON x.fp = y.fp AND x.doc_id < y.doc_id)""".stripMargin
 
   val oracleSql: Map[String, String] = Map(
+    "graph_hits" ->
+      """WITH e AS (
+        |  SELECT DISTINCT l_partkey AS p, l_suppkey AS s FROM lineitem),
+        |a1 AS (SELECT p, count(*) AS a1 FROM e GROUP BY p),
+        |h1 AS (SELECT s, CAST(sum(a1) AS BIGINT) AS h1
+        |       FROM e JOIN a1 USING (p) GROUP BY s),
+        |a2 AS (SELECT p, CAST(sum(h1) AS BIGINT) AS a2
+        |       FROM e JOIN h1 USING (s) GROUP BY p),
+        |ta AS (SELECT 'authority' AS role, p AS node, a2 AS score
+        |       FROM a2 ORDER BY score DESC, node ASC LIMIT 10),
+        |th AS (SELECT 'hub' AS role, s AS node, h1 AS score
+        |       FROM h1 ORDER BY score DESC, node ASC LIMIT 10)
+        |SELECT * FROM (SELECT * FROM ta UNION ALL SELECT * FROM th)
+        |ORDER BY role ASC, score DESC, node ASC""".stripMargin,
     "graph_assortativity" ->
       """WITH sp AS (
         |  SELECT DISTINCT l_partkey AS p, l_suppkey AS s FROM lineitem),

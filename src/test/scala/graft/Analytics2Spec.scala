@@ -302,6 +302,28 @@ class Analytics2Spec extends AnyFunSuite {
     assert(lo <= point && point <= hi, "interval brackets the point estimate")
   }
 
+  test("graph_hits: the two power-method steps replayed exactly") {
+    val edges = Tables.lineitem(spark, sf0001)
+      .select(col("l_partkey"), col("l_suppkey")).distinct()
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    val a1 = edges.groupBy(_._1).map { case (p, es) => p -> es.length.toLong }
+    val h1 = edges.groupBy(_._2).map { case (s, es) =>
+      s -> es.map(e => a1(e._1)).sum }
+    val a2 = edges.groupBy(_._1).map { case (p, es) =>
+      p -> es.map(e => h1(e._2)).sum }
+    def top10(m: Map[Long, Long]) =
+      m.toSeq.sortBy { case (k, v) => (-v, k) }.take(10)
+    val out = operators.Clustering.graphHits(spark, sf0001).collect()
+    val gotA = out.filter(_.getString(0) == "authority")
+      .map(r => (r.getLong(1), r.getLong(2))).toSeq
+    val gotH = out.filter(_.getString(0) == "hub")
+      .map(r => (r.getLong(1), r.getLong(2))).toSeq
+    assert(gotA.sortBy { case (k, v) => (-v, k) } == top10(a2),
+      "authority top-10 with exact integer scores")
+    assert(gotH.sortBy { case (k, v) => (-v, k) } == top10(h1),
+      "hub top-10 with exact integer scores")
+  }
+
   test("attr_touch: both models attribute the identical purchase set") {
     val out = operators.Analytics2.attrTouch(spark, sf0001).collect()
     val first = out.filter(_.getString(0) == "first")
