@@ -5,17 +5,16 @@ import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import graft.Tables
 
-/** Round-9 wave 5 — second analytics family: the cohort matrix, the
+/** Round-9 waves 5–12 — second analytics family: the cohort matrix, the
   * skyline operator, market-basket association rules, the moving-average
-  * crossover signal, and multi-touch revenue attribution. Each is a
-  * distinct operator CLASS (not a variation on an existing query): the
-  * cohort triangle is the month×age retention matrix funnel_retention's
-  * single-week flag cannot express; the skyline is the classic
-  * non-dominated-set operator with no SQL aggregate form; basket rules
-  * are the frequent-itemset statistic (support/confidence/lift);
-  * sma_crossover is the signal-detection shape (two frames + lag edge
-  * detection); attr_touch is the first/last-touch model marketing
-  * pipelines run nightly.
+  * crossover signal, multi-touch revenue attribution, leave-one-out
+  * target encoding, interval max-concurrency, the segment-migration
+  * matrix, fulfillment service levels, Kaplan–Meier conversion survival,
+  * and the deterministic Poisson bootstrap. Each is a distinct operator
+  * CLASS (not a variation on an existing query) — the non-dominated set,
+  * the frequent-itemset statistic, the survival estimator, the
+  * resampling CI — re-expressed in the engine's Spark-first,
+  * exact-arithmetic house style.
   *
   * Determinism discipline (SURVEY §2.Z): every money measure travels as
   * exact integer cents until one final division; every ratio divides
@@ -39,7 +38,7 @@ object Analytics2 {
     * Scale: the (customer, month) distinct is the only corpus-scale
     * shuffle; the cohort min reuses the same customer key; the matrix is
     * month²-sized (bounded by calendar span, not rows) and the age-0
-    * cohort census rides back as a broadcast join. */
+    * cohort census is a window over that tiny matrix. */
   def cohortTriangle(spark: SparkSession, dir: String): DataFrame = {
     val om = Tables.orders(spark, dir)
       .select(col("o_custkey"), date_trunc("month", col("o_orderdate")).as("m"))
@@ -294,7 +293,7 @@ object Analytics2 {
   }
 
   /** Customer segment-migration matrix (round-9 wave 8) — revenue
-    * quintile in the EARLY period (ship years ≤ 1997) vs the LATE
+    * quintile in the EARLY period (order years ≤ 1997) vs the LATE
     * period (≥ 1999), customers absent from a period in the 'none'
     * bucket: the period-over-period transition matrix a CRM team reads
     * for upgrade/downgrade/churn flow (rfm_segments says where
@@ -305,9 +304,9 @@ object Analytics2 {
     * period frames FULL-OUTER join on custkey so absence is data, not
     * dropped rows. Revenue is exact cents throughout.
     *
-    * Scale: two customer-grain hash aggs off one corpus pass
-    * (conditional sums), two vocabulary-sized ntile windows, one
-    * custkey-keyed join — nothing at fact grain after the first agg. */
+    * Scale: two pushed-filter scans each collapsing to a customer-grain
+    * hash agg, two vocabulary-sized ntile windows, one custkey-keyed
+    * join — nothing at fact grain after the first agg. */
   def custMigration(spark: SparkSession, dir: String): DataFrame = {
     val o = Tables.orders(spark, dir).select(col("o_custkey"),
       year(col("o_orderdate")).as("yr"),
