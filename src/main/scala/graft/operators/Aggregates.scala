@@ -309,30 +309,45 @@ object Aggregates {
     * the smallest l_extendedprice whose CUMULATIVE l_quantity reaches
     * half the flag's total quantity.
     *
-    * The declared form IS the scale form (promoted from a scaladoc note
-    * in the first r8 cut, which windowed the RAW fact table partitioned
-    * by a 3-value flag — per-flag corpus-sized sorts, precisely the
-    * partition strategy that dies at 1000×): first a (flag, price) hash
-    * aggregate collapses the fact table to a weight table — map-side
-    * partials make this the only corpus-scale pass, and the output is
-    * price-vocabulary-sized at ANY volume — then the running-sum window,
-    * crossing filter, and min-over-crossing aggregate all run on that
-    * frame, reusing one hash(flag) partitioning. Collapsing equal prices
-    * also makes the tie-break question vanish: price alone fully orders
-    * the rows, so the cumulative weight at every row is engine-identical
-    * by construction (the row-grain form needed a three-key tie-break
-    * for the same guarantee). */
+    * The running sum is the SHARDED two-phase prefix sum (llm_pack's
+    * scan-algorithm pattern, applied here in round 9 after bench
+    * evidence): l_extendedprice is NEARLY UNIQUE (583k distinct of 600k
+    * rows at sf0.1), so the round-8 "price-vocabulary-sized" claim was
+    * wrong on this fixture — the (flag, price) frame IS corpus-sized,
+    * and a per-flag running window sorts a third of the corpus in ONE
+    * partition (the strategy that dies at 1000×). Prices shard into
+    * contiguous buckets (price DIV 1000 — monotone in price, so shard
+    * order = price order); per-(flag, shard) totals cumsum into
+    * OFFSETS on the shard-grain frame (thousands of rows at any
+    * volume), and the within-shard running sum + offset reproduces the
+    * global cumulative weight EXACTLY (weights are integral doubles —
+    * exact in any grouping). Collapsing equal prices first also makes
+    * the tie-break question vanish: price alone fully orders the rows,
+    * so the cumulative weight at every row is engine-identical by
+    * construction. */
   def aggWeightedMedian(spark: SparkSession, dir: String): DataFrame = {
+    // lazy localCheckpoint: the weight table feeds BOTH the shard-total
+    // branch and the final join — without it each branch re-runs the
+    // corpus hash agg (the only corpus-scale pass; distributed block
+    // storage, so the materialization itself scales)
     val byPrice = Tables.lineitem(spark, dir)
       .groupBy(col("l_returnflag"), col("l_extendedprice"))
       .agg(sum("l_quantity").as("wgt"))
-    val w = Window.partitionBy("l_returnflag")
+      .withColumn("shard", floor(col("l_extendedprice") / 1000).cast("long"))
+      .localCheckpoint(eager = false)
+    val wOff = Window.partitionBy("l_returnflag").orderBy(col("shard").asc)
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val wTot = Window.partitionBy("l_returnflag")
+    val offs = byPrice.groupBy("l_returnflag", "shard")
+      .agg(sum("wgt").as("stot"))
+      .withColumn("off", coalesce(sum("stot").over(wOff), lit(0.0)))
+      .withColumn("tot", sum("stot").over(wTot))
+      .select("l_returnflag", "shard", "off", "tot")
+    val wShard = Window.partitionBy("l_returnflag", "shard")
       .orderBy(col("l_extendedprice").asc)
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    val wAll = Window.partitionBy("l_returnflag")
-    byPrice
-      .withColumn("cumw", sum("wgt").over(w))
-      .withColumn("tot", sum("wgt").over(wAll))
+    byPrice.join(offs, Seq("l_returnflag", "shard"))
+      .withColumn("cumw", sum("wgt").over(wShard) + col("off"))
       .filter(col("cumw") >= col("tot") / 2)
       .groupBy(col("l_returnflag"))
       .agg(count(lit(1)).as("n_prices_above"),
