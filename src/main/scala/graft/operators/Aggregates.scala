@@ -517,6 +517,42 @@ object Aggregates {
     * cell deviates). One corpus hash agg to the 15-cell frame; margins
     * re-aggregate from the cells (never a second corpus pass) and join
     * back broadcast. */
+  /** Mutual information between two categorical columns (round-9 wave
+    * 13) — I(segment; nation) over customers, with both marginal
+    * entropies and the normalized MI = I/min(H_X, H_Y): the model-free
+    * association measure feature selection ranks candidate columns by
+    * (agg_chisq TESTS independence on its contingency table; MI
+    * QUANTIFIES the dependence in nats, comparable across pairs).
+    *
+    * Everything derives from ONE cell frame (segment × nation counts)
+    * via three window marginals; every ln argument is a ratio of exact
+    * int64 products (n_xy·n ≤ ~2e10 — exact), entropies come from the
+    * same cells (H(X) = −Σ_cells (n_xy/n)·ln(n_x/n) — the cell-grain
+    * identity, no second pass), and the ≤|X|·|Y|-term sums round at
+    * 6dp (the llm_source_kl precedent). Scale: one corpus hash agg;
+    * the windows and final agg run on the vocabulary²-sized frame. */
+  def aggMutualInfo(spark: SparkSession, dir: String): DataFrame = {
+    val cells = Tables.customer(spark, dir)
+      .groupBy(col("c_mktsegment").as("x"), col("c_nationkey").as("y"))
+      .agg(count(lit(1)).as("nxy"))
+    val wx = Window.partitionBy("x")
+    val wy = Window.partitionBy("y")
+    val wAll = Window.partitionBy()
+    val e = cells
+      .withColumn("nx", sum("nxy").over(wx))
+      .withColumn("ny", sum("nxy").over(wy))
+      .withColumn("n", sum("nxy").over(wAll))
+    val p = col("nxy") / col("n").cast("double")
+    e.agg(
+        max(col("n")).as("n_rows"),
+        count(lit(1)).as("cells"),
+        round(sum(p * log((col("nxy") * col("n")) /
+          (col("nx") * col("ny")).cast("double"))), 6).as("mi"),
+        round(-sum(p * log(col("nx") / col("n").cast("double"))), 6).as("h_x"),
+        round(-sum(p * log(col("ny") / col("n").cast("double"))), 6).as("h_y"))
+      .withColumn("nmi", round(col("mi") / least(col("h_x"), col("h_y")), 6))
+  }
+
   def aggChisq(spark: SparkSession, dir: String): DataFrame = {
     val cells = Tables.orders(spark, dir)
       .groupBy(col("o_orderpriority").as("prio"), col("o_orderstatus").as("status"))
@@ -684,6 +720,7 @@ object Aggregates {
     "agg_mannwhitney"   -> (aggMannwhitney _),
     "agg_ttest"         -> (aggTtest _),
     "agg_chisq"         -> (aggChisq _),
+    "agg_mutual_info"   -> (aggMutualInfo _),
     "agg_gini"          -> (aggGini _),
     "agg_moments"       -> (aggMoments _),
     "agg_topk_sketch"   -> (aggTopkSketch _),
@@ -821,6 +858,31 @@ object Aggregates {
         |  round(pow(s21 / n1 + s22 / n2, 2.0)
         |    / (pow(s21 / n1, 2.0) / (n1 - 1) + pow(s22 / n2, 2.0) / (n2 - 1)), 2) AS dof
         |FROM p""".stripMargin,
+    "agg_mutual_info" ->
+      """WITH cells AS (
+        |  SELECT c_mktsegment AS x, c_nationkey AS y, count(*) AS nxy
+        |  FROM customer GROUP BY x, y),
+        |e AS (
+        |  SELECT nxy,
+        |    CAST(sum(nxy) OVER (PARTITION BY x) AS BIGINT) AS nx,
+        |    CAST(sum(nxy) OVER (PARTITION BY y) AS BIGINT) AS ny,
+        |    CAST(sum(nxy) OVER () AS BIGINT) AS n
+        |  FROM cells)
+        |SELECT max(n) AS n_rows, count(*) AS cells,
+        |  round(sum((nxy / CAST(n AS DOUBLE))
+        |    * ln((nxy * n) / CAST(nx * ny AS DOUBLE))), 6) AS mi,
+        |  round(-sum((nxy / CAST(n AS DOUBLE))
+        |    * ln(nx / CAST(n AS DOUBLE))), 6) AS h_x,
+        |  round(-sum((nxy / CAST(n AS DOUBLE))
+        |    * ln(ny / CAST(n AS DOUBLE))), 6) AS h_y,
+        |  round(round(sum((nxy / CAST(n AS DOUBLE))
+        |      * ln((nxy * n) / CAST(nx * ny AS DOUBLE))), 6)
+        |    / least(
+        |      round(-sum((nxy / CAST(n AS DOUBLE))
+        |        * ln(nx / CAST(n AS DOUBLE))), 6),
+        |      round(-sum((nxy / CAST(n AS DOUBLE))
+        |        * ln(ny / CAST(n AS DOUBLE))), 6)), 6) AS nmi
+        |FROM e""".stripMargin,
     "agg_chisq" ->
       """WITH cells AS (
         |  SELECT o_orderpriority AS prio, o_orderstatus AS status, count(*) AS n

@@ -324,6 +324,19 @@ class Analytics2Spec extends AnyFunSuite {
       "hub top-10 with exact integer scores")
   }
 
+  test("agg_mutual_info: information-theoretic bounds hold") {
+    val r = operators.Aggregates.aggMutualInfo(spark, sf0001).head()
+    val (n, cells) = (r.getLong(0), r.getLong(1))
+    assert(n == Tables.customer(spark, sf0001).count())
+    assert(cells >= 2)
+    val (mi, hx, hy, nmi) =
+      (r.getDouble(2), r.getDouble(3), r.getDouble(4), r.getDouble(5))
+    assert(mi >= -1e-9, "MI is non-negative (Gibbs)")
+    assert(hx > 0 && hy > 0, "marginals are non-degenerate")
+    assert(mi <= math.min(hx, hy) + 1e-9, "MI bounded by min marginal entropy")
+    assert(nmi >= -1e-9 && nmi <= 1.0 + 1e-9, "NMI in [0, 1]")
+  }
+
   test("attr_touch: both models attribute the identical purchase set") {
     val out = operators.Analytics2.attrTouch(spark, sf0001).collect()
     val first = out.filter(_.getString(0) == "first")
