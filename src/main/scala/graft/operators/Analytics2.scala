@@ -464,7 +464,68 @@ object Analytics2 {
         round(col("ci_hi") / 100.0, 6).as("ci_hi"))
   }
 
+  /** ABC/XYZ inventory classification (round-9 wave 13) — the supply-
+    * chain planning grid: brands classed A/B/C by cumulative revenue
+    * share (80/95 Pareto cuts) and X/Y/Z by demand variability
+    * (dispersion of the brand's monthly shipped quantity). A-X items
+    * get tight auto-replenishment, C-Z manual review — the grid IS the
+    * policy table.
+    *
+    * Determinism: ABC membership compares exact int64 (cum·5 ≤ tot·4
+    * and cum·20 ≤ tot·19 — the 80/95 cuts without a float share);
+    * variability is the QUARTILE COEFFICIENT of dispersion
+    * (Q3−Q1)/(Q3+Q1) from rank-selected exact monthly totals (a CV
+    * would subtract near-equal float squares — the §2.Z trap this
+    * formulation avoids), and XYZ is dispersion TERCILES via ntile(3)
+    * with the brand tie-break — data-relative, because absolute
+    * dispersion falls with density and any fixed threshold
+    * degenerates at some SF (measured: median qcd 0.47 → 0.05 from
+    * sf0.001 → sf0.1).
+    *
+    * Scale: one (brand, month) corpus hash agg; quartiles, cuts, and
+    * both ntile windows run on the 25-brand / brand×month frames. */
+  def opsAbcXyz(spark: SparkSession, dir: String): DataFrame = {
+    val m = Tables.lineitem(spark, dir)
+      .join(broadcast(Tables.part(spark, dir)),
+        col("l_partkey") === col("p_partkey"))
+      .groupBy(col("p_brand"), date_trunc("month", col("l_shipdate")).as("mo"))
+      .agg(sum(round(col("l_extendedprice") * 100, 0).cast("long")).as("cents"),
+        sum(col("l_quantity").cast("long")).as("qty"))
+    val wq = Window.partitionBy("p_brand").orderBy(col("qty").asc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val wn = Window.partitionBy("p_brand")
+    // percentile_disc by rank selection over the brand's monthly qtys
+    val quart = m
+      .withColumn("rnk", count(lit(1)).over(wq))
+      .withColumn("nm", count(lit(1)).over(wn))
+      .groupBy("p_brand")
+      .agg(sum("cents").as("rev_cents"), max("nm").as("months"),
+        min(when(col("rnk") * 4 >= col("nm"), col("qty"))).as("q1"),
+        min(when(col("rnk") * 4 >= col("nm") * 3, col("qty"))).as("q3"))
+      .withColumn("qcd", (col("q3") - col("q1")).cast("double") /
+        (col("q3") + col("q1")))
+    val wRev = Window.orderBy(col("rev_cents").desc, col("p_brand").asc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val wTot = Window.partitionBy()
+    quart
+      .withColumn("cum", sum("rev_cents").over(wRev))
+      .withColumn("tot", sum("rev_cents").over(wTot))
+      .withColumn("abc",
+        when(col("cum") * 5 <= col("tot") * 4, "A")
+          .when(col("cum") * 20 <= col("tot") * 19, "B")
+          .otherwise("C"))
+      .withColumn("xyz",
+        when(ntile(3).over(Window.orderBy(col("qcd").asc, col("p_brand").asc)) === 1, "X")
+          .when(ntile(3).over(Window.orderBy(col("qcd").asc, col("p_brand").asc)) === 2, "Y")
+          .otherwise("Z"))
+      .select(col("p_brand"), col("abc"), col("xyz"),
+        (col("rev_cents") / 100.0).as("revenue"),
+        round(col("qcd"), 6).as("qcd"), col("months"))
+      .orderBy(col("p_brand").asc)
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "ops_abc_xyz"     -> (opsAbcXyz _),
     "agg_bootstrap"   -> (aggBootstrap _),
     "surv_km"         -> (survKm _),
     "ops_fulfillment" -> (opsFulfillment _),
@@ -478,6 +539,33 @@ object Analytics2 {
     "attr_touch"       -> (attrTouch _))
 
   val oracleSql: Map[String, String] = Map(
+    "ops_abc_xyz" ->
+      """WITH m AS (
+        |  SELECT p_brand, date_trunc('month', l_shipdate) AS mo,
+        |    CAST(sum(CAST(round(l_extendedprice * 100, 0) AS BIGINT)) AS BIGINT) AS cents,
+        |    CAST(sum(CAST(l_quantity AS BIGINT)) AS BIGINT) AS qty
+        |  FROM lineitem JOIN part ON l_partkey = p_partkey
+        |  GROUP BY p_brand, mo),
+        |q AS (
+        |  SELECT p_brand, CAST(sum(cents) AS BIGINT) AS rev_cents,
+        |    count(*) AS months,
+        |    percentile_disc(0.25) WITHIN GROUP (ORDER BY qty) AS q1,
+        |    percentile_disc(0.75) WITHIN GROUP (ORDER BY qty) AS q3
+        |  FROM m GROUP BY p_brand),
+        |c AS (
+        |  SELECT *, CAST(q3 - q1 AS DOUBLE) / (q3 + q1) AS qcd,
+        |    CAST(sum(rev_cents) OVER (ORDER BY rev_cents DESC, p_brand ASC
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum,
+        |    CAST(sum(rev_cents) OVER () AS BIGINT) AS tot
+        |  FROM q)
+        |SELECT p_brand,
+        |  CASE WHEN cum * 5 <= tot * 4 THEN 'A'
+        |    WHEN cum * 20 <= tot * 19 THEN 'B' ELSE 'C' END AS abc,
+        |  CASE ntile(3) OVER (ORDER BY qcd ASC, p_brand ASC)
+        |    WHEN 1 THEN 'X' WHEN 2 THEN 'Y' ELSE 'Z' END AS xyz,
+        |  rev_cents / 100.0 AS revenue,
+        |  round(qcd, 6) AS qcd, months
+        |FROM c ORDER BY p_brand ASC""".stripMargin,
     "agg_bootstrap" ->
       """WITH o AS (
         |  SELECT o_orderkey,

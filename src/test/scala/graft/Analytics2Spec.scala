@@ -337,6 +337,25 @@ class Analytics2Spec extends AnyFunSuite {
     assert(nmi >= -1e-9 && nmi <= 1.0 + 1e-9, "NMI in [0, 1]")
   }
 
+  test("ops_abc_xyz: Pareto cuts and tercile census hold") {
+    val out = operators.Analytics2.opsAbcXyz(spark, sf0001).collect()
+    assert(out.length == 25, "all 25 brands classified")
+    // A-class revenue is at most 80% of total plus the straddling brand
+    val byRev = out.sortBy(r => (-r.getDouble(3), r.getString(0)))
+    val tot = out.map(_.getDouble(3)).sum
+    var cum = 0.0
+    byRev.foreach { r =>
+      cum += r.getDouble(3)
+      val cls = r.getString(1)
+      if (cum <= 0.80 * tot + 1e-6) assert(cls == "A", s"${r.getString(0)} in A")
+      else if (cum > 0.95 * tot + 1e-6) assert(cls == "C", s"${r.getString(0)} in C")
+    }
+    // terciles split 25 brands 9/8/8
+    val xyz = out.groupBy(_.getString(2)).view.mapValues(_.length).toMap
+    assert(xyz == Map("X" -> 9, "Y" -> 8, "Z" -> 8), s"tercile census: $xyz")
+    out.foreach(r => assert(r.getDouble(4) >= 0 && r.getDouble(4) < 1, "qcd in [0,1)"))
+  }
+
   test("attr_touch: both models attribute the identical purchase set") {
     val out = operators.Analytics2.attrTouch(spark, sf0001).collect()
     val first = out.filter(_.getString(0) == "first")
