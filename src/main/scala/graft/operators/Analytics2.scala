@@ -524,7 +524,47 @@ object Analytics2 {
       .orderBy(col("p_brand").asc)
   }
 
+  /** Weight-of-Evidence / Information-Value binning (round-9 wave 14) —
+    * the credit-scoring feature-prep statistic: order value binned into
+    * the ten equi-width buckets (hist_equiwidth's grid), WoE =
+    * ln((good share)/(bad share)) per bin against the binary target
+    * "order finished" (status F), and IV = Σ (Δshare)·WoE — the
+    * monotone-predictiveness score a scorecard builder ranks candidate
+    * features by (IV < 0.02 = useless, > 0.5 = suspicious).
+    *
+    * Near-zero WoE on this fixture is the HONEST readout (value and
+    * status are independent by construction) — the operator is the
+    * machinery. Every share divides exact int64 counts; WoE is ln of a
+    * ratio of those bit-identical doubles; the IV running total sums
+    * ≤10 terms (6dp round). Empty classes can't occur on these bins
+    * (verified at every SF) and would be a data bug the NULL ln
+    * surfaces rather than hides.
+    *
+    * Scale: one corpus hash agg to the 10-bin frame; windows on 10
+    * rows. */
+  def featWoeIv(spark: SparkSession, dir: String): DataFrame = {
+    val bins = Tables.orders(spark, dir)
+      .select(least(lit(9), floor(col("o_totalprice") / 50000)).cast("int").as("bin"),
+        (col("o_orderstatus") === "F").cast("long").as("good"))
+      .groupBy("bin")
+      .agg(sum("good").as("g"), sum(lit(1L) - col("good")).as("b"))
+    val wAll = Window.partitionBy()
+    val e = bins
+      .withColumn("tg", sum("g").over(wAll))
+      .withColumn("tb", sum("b").over(wAll))
+      .withColumn("pg", col("g") / col("tg").cast("double"))
+      .withColumn("pb", col("b") / col("tb").cast("double"))
+      .withColumn("woe", log(col("pg") / col("pb")))
+    e.select(col("bin"), col("g").as("n_good"), col("b").as("n_bad"),
+        round(col("pg"), 6).as("pct_good"),
+        round(col("pb"), 6).as("pct_bad"),
+        round(col("woe"), 6).as("woe"),
+        round(sum((col("pg") - col("pb")) * col("woe")).over(wAll), 6).as("iv_total"))
+      .orderBy(col("bin").asc)
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "feat_woe_iv"     -> (featWoeIv _),
     "ops_abc_xyz"     -> (opsAbcXyz _),
     "agg_bootstrap"   -> (aggBootstrap _),
     "surv_km"         -> (survKm _),
@@ -539,6 +579,28 @@ object Analytics2 {
     "attr_touch"       -> (attrTouch _))
 
   val oracleSql: Map[String, String] = Map(
+    "feat_woe_iv" ->
+      """WITH bins AS (
+        |  SELECT CAST(least(9, floor(o_totalprice / 50000)) AS INT) AS bin,
+        |    count(*) FILTER (WHERE o_orderstatus = 'F') AS g,
+        |    count(*) FILTER (WHERE o_orderstatus <> 'F') AS b
+        |  FROM orders GROUP BY bin),
+        |e AS (
+        |  SELECT bin, g, b,
+        |    CAST(sum(g) OVER () AS BIGINT) AS tg,
+        |    CAST(sum(b) OVER () AS BIGINT) AS tb
+        |  FROM bins),
+        |f AS (
+        |  SELECT bin, g, b,
+        |    g / CAST(tg AS DOUBLE) AS pg,
+        |    b / CAST(tb AS DOUBLE) AS pb,
+        |    ln((g / CAST(tg AS DOUBLE)) / (b / CAST(tb AS DOUBLE))) AS woe
+        |  FROM e)
+        |SELECT bin, g AS n_good, b AS n_bad,
+        |  round(pg, 6) AS pct_good, round(pb, 6) AS pct_bad,
+        |  round(woe, 6) AS woe,
+        |  round(sum((pg - pb) * woe) OVER (), 6) AS iv_total
+        |FROM f ORDER BY bin ASC""".stripMargin,
     "ops_abc_xyz" ->
       """WITH m AS (
         |  SELECT p_brand, date_trunc('month', l_shipdate) AS mo,

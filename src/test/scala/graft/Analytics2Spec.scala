@@ -356,6 +356,21 @@ class Analytics2Spec extends AnyFunSuite {
     out.foreach(r => assert(r.getDouble(4) >= 0 && r.getDouble(4) < 1, "qcd in [0,1)"))
   }
 
+  test("feat_woe_iv: shares sum to one per class; IV non-negative and shared") {
+    val out = operators.Analytics2.featWoeIv(spark, sf0001).collect()
+    assert(out.length == 10)
+    assert(math.abs(out.map(_.getDouble(3)).sum - 1.0) < 1e-4, "good shares sum to 1")
+    assert(math.abs(out.map(_.getDouble(4)).sum - 1.0) < 1e-4, "bad shares sum to 1")
+    val iv = out.head.getDouble(6)
+    out.foreach(r => assert(r.getDouble(6) == iv, "IV total identical on every row"))
+    assert(iv >= -1e-9, "IV is a sum of (p−q)(ln p − ln q) terms — non-negative")
+    // replay one bin's WoE
+    val r0 = out.head
+    val (tg, tb) = (out.map(_.getLong(1)).sum, out.map(_.getLong(2)).sum)
+    val expect = math.log((r0.getLong(1).toDouble / tg) / (r0.getLong(2).toDouble / tb))
+    assert(math.abs(r0.getDouble(5) - expect) < 1e-5)
+  }
+
   test("attr_touch: both models attribute the identical purchase set") {
     val out = operators.Analytics2.attrTouch(spark, sf0001).collect()
     val first = out.filter(_.getString(0) == "first")
