@@ -922,7 +922,43 @@ object LlmOpsPipeline {
       .orderBy(col("batch").asc)
   }
 
+  /** Temperature-scaled mixture sampling weights (round-9 wave 15) —
+    * the mT5/XLM-R multilingual recipe: sampling probability q_i ∝
+    * p_i^α with α = 0.7, where p_i is the source's raw token share.
+    * Flattening the mixture (α < 1) up-samples small sources so they
+    * aren't drowned by the dominant crawl — the boost column (q/p)
+    * makes the effect auditable: boost > 1 for the tail, < 1 for the
+    * head. llm_mix_weights reports the RAW shares; this is the
+    * schedule the training loader actually draws from.
+    *
+    * Determinism: p^α is spelled exp(α·ln p) IDENTICALLY in both
+    * engines (two libm calls on identical exact-int-ratio doubles);
+    * the normalizer sums 20 source-grain terms (6dp round absorbs
+    * order ulps — source_kl precedent); shares and boosts divide the
+    * rounded statistics.
+    *
+    * Scale: one corpus hash agg to the source-grain frame; the
+    * normalizer and every ratio run on ~20 rows via window sums. */
+  def llmMixTemperature(spark: SparkSession, dir: String): DataFrame = {
+    val per = Tables.documents(spark, dir)
+      .select(col("source"), size(split(col("text"), " ")).cast("bigint").as("ntok"))
+      .groupBy("source")
+      .agg(count(lit(1)).as("docs"), sum("ntok").as("tokens"))
+    val wAll = Window.partitionBy()
+    per
+      .withColumn("total", sum("tokens").over(wAll))
+      .withColumn("p", col("tokens") / col("total").cast("double"))
+      .withColumn("w", exp(lit(0.7) * log(col("p"))))
+      .withColumn("z", sum("w").over(wAll))
+      .select(col("source"), col("docs"), col("tokens"),
+        round(col("p"), 6).as("p_raw"),
+        round(col("w") / col("z"), 6).as("q_sampled"),
+        round((col("w") / col("z")) / col("p"), 6).as("boost"))
+      .orderBy(col("source").asc)
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "llm_mix_temperature"   -> (llmMixTemperature _),
     "llm_vocab_growth"      -> (llmVocabGrowth _),
     "llm_split_leakage"     -> (llmSplitLeakage _),
     "llm_dedup_funnel"      -> (llmDedupFunnel _),
@@ -950,6 +986,24 @@ object LlmOpsPipeline {
     "llm_heuristic_filter"  -> (llmHeuristicFilter _))
 
   val oracleSql: Map[String, String] = Map(
+    "llm_mix_temperature" ->
+      """WITH per AS (
+        |  SELECT source, count(*) AS docs,
+        |    CAST(sum(len(string_split(text, ' '))) AS BIGINT) AS tokens
+        |  FROM documents GROUP BY source),
+        |e AS (
+        |  SELECT *, CAST(sum(tokens) OVER () AS BIGINT) AS total FROM per),
+        |f AS (
+        |  SELECT source, docs, tokens,
+        |    tokens / CAST(total AS DOUBLE) AS p,
+        |    exp(0.7 * ln(tokens / CAST(total AS DOUBLE))) AS w
+        |  FROM e),
+        |g AS (SELECT *, sum(w) OVER () AS z FROM f)
+        |SELECT source, docs, tokens,
+        |  round(p, 6) AS p_raw,
+        |  round(w / z, 6) AS q_sampled,
+        |  round((w / z) / p, 6) AS boost
+        |FROM g ORDER BY source ASC""".stripMargin,
     "llm_vocab_growth" ->
       """WITH tot AS (SELECT max(doc_id) + 1 AS n FROM documents),
         |base AS (

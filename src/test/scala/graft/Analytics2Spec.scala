@@ -371,6 +371,23 @@ class Analytics2Spec extends AnyFunSuite {
     assert(math.abs(r0.getDouble(5) - expect) < 1e-5)
   }
 
+  test("llm_mix_temperature: flattening law — q between p and uniform") {
+    val out = operators.LlmOpsPipeline.llmMixTemperature(spark, sf0001).collect()
+    assert(out.nonEmpty)
+    val n = out.length
+    assert(math.abs(out.map(_.getDouble(4)).sum - 1.0) < 1e-4,
+      "sampled shares sum to 1")
+    out.foreach { r =>
+      val (p, q, boost) = (r.getDouble(3), r.getDouble(4), r.getDouble(5))
+      // α<1 flattens: q sits between the raw share and uniform 1/n
+      val lo = math.min(p, 1.0 / n) - 1e-4
+      val hi = math.max(p, 1.0 / n) + 1e-4
+      assert(q >= lo && q <= hi, s"q=$q outside [$lo, $hi] for p=$p")
+      assert(if (p < 1.0 / n) boost >= 1.0 - 1e-4 else boost <= 1.0 + 1e-4,
+        "tail sources boosted, head sources damped")
+    }
+  }
+
   test("attr_touch: both models attribute the identical purchase set") {
     val out = operators.Analytics2.attrTouch(spark, sf0001).collect()
     val first = out.filter(_.getString(0) == "first")
