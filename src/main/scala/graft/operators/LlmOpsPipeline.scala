@@ -957,7 +957,47 @@ object LlmOpsPipeline {
       .orderBy(col("source").asc)
   }
 
+  /** N-gram LM pruning census (round-9 wave 15) — the KenLM/SRILM
+    * count-threshold table: for cutoffs 1/2/4/8, how many bigram TYPES
+    * survive c ≥ t and what share of the corpus bigram MASS they
+    * retain. The size-vs-coverage trade a production LM prunes by
+    * (types collapse fast, mass barely moves — the whole point of
+    * count pruning), and the pruning decision llm_bigram_lm's
+    * add-one-smoothed scorer would consume.
+    *
+    * Purely exact integer arithmetic end to end: counts, survivors,
+    * and retained mass are int64 sums; the one display ratio divides
+    * exact ints. The threshold spine explodes map-side against the
+    * vocabulary²-bounded bigram frame.
+    *
+    * Scale: one corpus explode → (w1, w2) hash agg with partials (the
+    * only corpus-scale pass); the spine × census runs on the
+    * vocab²-sized frame. */
+  def llmNgramPrune(spark: SparkSession, dir: String): DataFrame = {
+    val toks = split(col("text"), " ")
+    val bi = Tables.documents(spark, dir)
+      .select(expr("posexplode(slice(split(text, ' '), 1, greatest(size(split(text, ' ')) - 1, 0)))")
+        .as(Seq("i", "w1")), toks.as("toks"))
+      .select(col("w1"), expr("toks[i + 1]").as("w2"))
+      .groupBy("w1", "w2").agg(count(lit(1)).as("c"))
+    val wAll = Window.partitionBy()
+    bi.withColumn("tot_types", count(lit(1)).over(wAll))
+      .withColumn("tot_mass", sum("c").over(wAll))
+      .select(col("c"), col("tot_types"), col("tot_mass"),
+        explode(array(lit(1L), lit(2L), lit(4L), lit(8L))).as("threshold"))
+      .groupBy("threshold")
+      .agg(max("tot_types").as("total_types"),
+        max("tot_mass").as("total_mass"),
+        sum(when(col("c") >= col("threshold"), 1L).otherwise(0L)).as("kept_types"),
+        sum(when(col("c") >= col("threshold"), col("c")).otherwise(0L)).as("kept_mass"))
+      .select(col("threshold"), col("total_types"), col("kept_types"),
+        col("total_mass"), col("kept_mass"),
+        round(col("kept_mass") / col("total_mass").cast("double"), 6).as("mass_retained"))
+      .orderBy(col("threshold").asc)
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "llm_ngram_prune"       -> (llmNgramPrune _),
     "llm_mix_temperature"   -> (llmMixTemperature _),
     "llm_vocab_growth"      -> (llmVocabGrowth _),
     "llm_split_leakage"     -> (llmSplitLeakage _),
@@ -986,6 +1026,28 @@ object LlmOpsPipeline {
     "llm_heuristic_filter"  -> (llmHeuristicFilter _))
 
   val oracleSql: Map[String, String] = Map(
+    "llm_ngram_prune" ->
+      """WITH t AS (SELECT string_split(text, ' ') AS toks FROM documents),
+        |bi AS (
+        |  SELECT unnest(list_transform(
+        |    generate_series(1, greatest(len(toks) - 1, 0)),
+        |    i -> struct_pack(w1 := toks[i], w2 := toks[i + 1]))) AS p
+        |  FROM t),
+        |c AS (SELECT p.w1, p.w2, count(*) AS c FROM bi GROUP BY p.w1, p.w2),
+        |e AS (
+        |  SELECT c, count(*) OVER () AS tot_types,
+        |    CAST(sum(c) OVER () AS BIGINT) AS tot_mass
+        |  FROM c),
+        |s AS (
+        |  SELECT e.*, CAST(unnest([1, 2, 4, 8]) AS BIGINT) AS threshold FROM e)
+        |SELECT threshold,
+        |  max(tot_types) AS total_types,
+        |  count(*) FILTER (WHERE c >= threshold) AS kept_types,
+        |  max(tot_mass) AS total_mass,
+        |  CAST(sum(c) FILTER (WHERE c >= threshold) AS BIGINT) AS kept_mass,
+        |  round(CAST(sum(c) FILTER (WHERE c >= threshold) AS BIGINT)
+        |    / CAST(max(tot_mass) AS DOUBLE), 6) AS mass_retained
+        |FROM s GROUP BY threshold ORDER BY threshold ASC""".stripMargin,
     "llm_mix_temperature" ->
       """WITH per AS (
         |  SELECT source, count(*) AS docs,

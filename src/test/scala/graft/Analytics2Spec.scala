@@ -388,6 +388,28 @@ class Analytics2Spec extends AnyFunSuite {
     }
   }
 
+  test("llm_ngram_prune: monotone in the threshold, t=1 keeps everything") {
+    val out = operators.LlmOpsPipeline.llmNgramPrune(spark, sf0001).collect()
+      .sortBy(_.getLong(0))
+    assert(out.map(_.getLong(0)).toSeq == Seq(1L, 2L, 4L, 8L))
+    val t1 = out.head
+    assert(t1.getLong(2) == t1.getLong(1) && t1.getLong(4) == t1.getLong(3),
+      "threshold 1 keeps every type and all mass")
+    assert(t1.getDouble(5) == 1.0)
+    out.sliding(2).foreach {
+      case Array(a, b) =>
+        assert(b.getLong(2) <= a.getLong(2), "kept types non-increasing")
+        assert(b.getLong(4) <= a.getLong(4), "kept mass non-increasing")
+      case _ =>
+    }
+    // mass retains more than types at every cutoff > 1 (the pruning point)
+    out.tail.foreach { r =>
+      val typeShare = r.getLong(2).toDouble / r.getLong(1)
+      assert(r.getDouble(5) >= typeShare - 1e-9,
+        "retained mass share ≥ retained type share (high-count survivors)")
+    }
+  }
+
   test("attr_touch: both models attribute the identical purchase set") {
     val out = operators.Analytics2.attrTouch(spark, sf0001).collect()
     val first = out.filter(_.getString(0) == "first")
