@@ -713,7 +713,63 @@ object TimeSeries {
       .orderBy(col("event_type").asc, col("day").asc)
   }
 
+  /** Hurst exponent by the aggregated-variance method (round-9 wave 15)
+    * — the long-memory diagnostic: block the daily revenue series at
+    * scales k ∈ {1,2,5,10}, variance of FULL-block sums scales as
+    * k^2H, and the OLS slope of ln Var vs ln k halves into Ĥ. H ≈ 0.5
+    * = no memory (this fixture's honest readout), > 0.5 = persistent
+    * trends (forecast horizon exists), < 0.5 = mean-reverting. The
+    * third member of the forecastability panel — ts_perm_entropy asks
+    * "how complex", ts_autocorr "how correlated at lag ℓ", this asks
+    * "does dependence DECAY like a power law".
+    *
+    * Determinism: block sums are exact integer cents (block id = exact
+    * integer arithmetic on row_number, partial blocks dropped by
+    * census); variance is the TWO-PASS form (mean window, then
+    * Σ(s−mean)²/(m−1)) spelled identically in both engines — never
+    * var_samp, whose streaming accumulation differs per engine; the
+    * regressor ln k is a LITERAL per branch of the scale spine, so the
+    * OLS slope reduces to sums of ≤4 products of engine-identical
+    * doubles, 4dp-rounded.
+    *
+    * Scale: one corpus hash agg to day grain; every window and the
+    * regression run on the (type, scale, block) frame — bounded by the
+    * calendar, not the corpus. */
+  def tsHurst(spark: SparkSession, dir: String): DataFrame = {
+    val daily = Tables.events(spark, dir)
+      .groupBy(col("event_type"), date_trunc("day", col("ts")).as("day"))
+      .agg(sum(round(col("value") * 100, 0).cast("long")).as("cents"))
+    val wDay = Window.partitionBy("event_type").orderBy(col("day").asc)
+    val blocks = daily
+      .withColumn("rn", row_number().over(wDay))
+      .select(col("event_type"), col("cents"),
+        explode(array(lit(1), lit(2), lit(5), lit(10))).as("k"),
+        col("rn"))
+      .withColumn("blk", expr("(rn - 1) div k"))
+      .groupBy("event_type", "k", "blk")
+      .agg(sum("cents").as("s"), count(lit(1)).as("bn"))
+      .filter(col("bn") === col("k"))
+    val wScale = Window.partitionBy("event_type", "k")
+    val v = blocks
+      .withColumn("m", count(lit(1)).over(wScale))
+      .filter(col("m") >= 3)
+      .withColumn("mean", avg(col("s").cast("double")).over(wScale))
+      .groupBy("event_type", "k")
+      .agg((sum((col("s") - col("mean")) * (col("s") - col("mean")))
+        / (max("m") - 1)).as("v"))
+      .withColumn("x", log(col("k").cast("double")))
+      .withColumn("y", log(col("v")))
+    v.groupBy("event_type")
+      .agg(count(lit(1)).as("n_scales"),
+        round((count(lit(1)) * sum(col("x") * col("y")) - sum("x") * sum("y")) /
+          (count(lit(1)) * sum(col("x") * col("x")) - sum("x") * sum("x")) / 2.0, 4)
+          .as("hurst"),
+        round(log(max(when(col("k") === 1, col("v")))), 4).as("ln_var_k1"))
+      .orderBy(col("event_type").asc)
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "ts_hurst"    -> (tsHurst _),
     "ts_peaks"    -> (tsPeaks _),
     "ts_perm_entropy" -> (tsPermEntropy _),
     "ts_rsi"      -> (tsRsi _),
@@ -736,6 +792,41 @@ object TimeSeries {
     "ts_anomaly"  -> (tsAnomaly _))
 
   val oracleSql: Map[String, String] = Map(
+    "ts_hurst" ->
+      """WITH daily AS (
+        |  SELECT event_type, date_trunc('day', ts) AS day,
+        |    CAST(sum(CAST(round(value * 100, 0) AS BIGINT)) AS BIGINT) AS cents
+        |  FROM events GROUP BY event_type, day),
+        |r AS (
+        |  SELECT event_type, cents,
+        |    row_number() OVER (PARTITION BY event_type ORDER BY day ASC) AS rn
+        |  FROM daily),
+        |sp AS (SELECT r.*, CAST(unnest([1, 2, 5, 10]) AS INT) AS k FROM r),
+        |b AS (
+        |  SELECT event_type, k, (rn - 1) // k AS blk,
+        |    CAST(sum(cents) AS BIGINT) AS s, count(*) AS bn
+        |  FROM sp GROUP BY event_type, k, blk
+        |  HAVING count(*) = k),
+        |m AS (
+        |  SELECT *, count(*) OVER (PARTITION BY event_type, k) AS m FROM b),
+        |f AS (SELECT * FROM m WHERE m >= 3),
+        |mn AS (
+        |  SELECT *, avg(CAST(s AS DOUBLE))
+        |    OVER (PARTITION BY event_type, k) AS mean
+        |  FROM f),
+        |v AS (
+        |  SELECT event_type, k,
+        |    sum((s - mean) * (s - mean)) / (max(m) - 1) AS v
+        |  FROM mn GROUP BY event_type, k),
+        |xy AS (
+        |  SELECT event_type, k, v,
+        |    ln(CAST(k AS DOUBLE)) AS x, ln(v) AS y
+        |  FROM v)
+        |SELECT event_type, count(*) AS n_scales,
+        |  round((count(*) * sum(x * y) - sum(x) * sum(y))
+        |    / (count(*) * sum(x * x) - sum(x) * sum(x)) / 2.0, 4) AS hurst,
+        |  round(ln(max(CASE WHEN k = 1 THEN v END)), 4) AS ln_var_k1
+        |FROM xy GROUP BY event_type ORDER BY event_type ASC""".stripMargin,
     "ts_peaks" ->
       """WITH d AS (
         |  SELECT event_type, date_trunc('day', ts) AS day,

@@ -410,6 +410,27 @@ class Analytics2Spec extends AnyFunSuite {
     }
   }
 
+  test("ts_hurst: all four scales used; k=1 variance replayed; H plausible") {
+    val out = operators.TimeSeries.tsHurst(spark, sf0001).collect()
+    assert(out.nonEmpty)
+    val dailies = Tables.events(spark, sf0001)
+      .groupBy(col("event_type"), date_trunc("day", col("ts")).as("day"))
+      .agg(sum(round(col("value") * 100, 0).cast("long")).as("cents"))
+      .collect().groupBy(_.getString(0))
+    out.foreach { r =>
+      val t = r.getString(0)
+      assert(r.getLong(1) == 4, "30-day series admits all four scales")
+      val h = r.getDouble(2)
+      assert(h > -0.5 && h < 1.5, s"H=$h wildly implausible for $t")
+      // replay the k=1 (daily) log-variance
+      val xs = dailies(t).map(_.getLong(2).toDouble)
+      val mean = xs.sum / xs.length
+      val v = xs.map(x => (x - mean) * (x - mean)).sum / (xs.length - 1)
+      assert(math.abs(r.getDouble(3) - math.log(v)) < 1e-3,
+        s"ln Var(k=1) replay for $t")
+    }
+  }
+
   test("attr_touch: both models attribute the identical purchase set") {
     val out = operators.Analytics2.attrTouch(spark, sf0001).collect()
     val first = out.filter(_.getString(0) == "first")
