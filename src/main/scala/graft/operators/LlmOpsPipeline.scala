@@ -996,7 +996,45 @@ object LlmOpsPipeline {
       .orderBy(col("threshold").asc)
   }
 
+  /** Dedup method-agreement census (round-9 wave 16) — winnowing-
+    * fingerprint pairs vs exact blocked-Jaccard pairs as a confusion
+    * census with precision/recall of the cheap method against the
+    * expensive truth: the evaluation a pipeline owner runs before
+    * trusting fingerprint-only dedup at a scale where exact Jaccard is
+    * unaffordable (llm_dedup_funnel CHAINS the two stages; this
+    * operator MEASURES how much the fast stage agrees with the exact
+    * one). Fingerprint-only pairs are boilerplate-share false
+    * positives; Jaccard-only pairs are reshuffled near-dups the single
+    * min-shingle can't see — both counts are actionable.
+    *
+    * Both inputs are MEMOIZED artifacts (the fingerprint frame, the
+    * ≥0.8 pair stream) — the audit costs two file scans, a pair-keyed
+    * full-outer join, and ONE census aggregate. All counts exact
+    * int64; ratios divide them once. */
+  def llmDedupAgreement(spark: SparkSession, dir: String): DataFrame = {
+    val fp = LlmOpsExtra.fpFrame(spark, dir).select("doc_id", "fp")
+    val fpPairs = fp.as("x")
+      .join(fp.as("y"),
+        col("x.fp") === col("y.fp") && col("x.doc_id") < col("y.doc_id"))
+      .select(col("x.doc_id").as("a_id"), col("y.doc_id").as("b_id"),
+        lit(1L).as("in_fp"))
+    val jacPairs = LlmOps.nearDupPairs(spark, dir)
+      .select(col("a_id"), col("b_id"), lit(1L).as("in_jac"))
+    fpPairs.join(jacPairs, Seq("a_id", "b_id"), "full_outer")
+      .agg(
+        sum(coalesce(col("in_fp"), lit(0L))).as("fp_pairs"),
+        sum(coalesce(col("in_jac"), lit(0L))).as("jac_pairs"),
+        sum(when(col("in_fp") === 1 && col("in_jac") === 1, 1L)
+          .otherwise(0L)).as("n_both"))
+      .select(col("fp_pairs"), col("jac_pairs"), col("n_both"),
+        (col("fp_pairs") - col("n_both")).as("fp_only"),
+        (col("jac_pairs") - col("n_both")).as("jac_only"),
+        round(col("n_both") / col("fp_pairs").cast("double"), 6).as("precision"),
+        round(col("n_both") / col("jac_pairs").cast("double"), 6).as("recall"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "llm_dedup_agreement"   -> (llmDedupAgreement _),
     "llm_ngram_prune"       -> (llmNgramPrune _),
     "llm_mix_temperature"   -> (llmMixTemperature _),
     "llm_vocab_growth"      -> (llmVocabGrowth _),
@@ -1026,6 +1064,38 @@ object LlmOpsPipeline {
     "llm_heuristic_filter"  -> (llmHeuristicFilter _))
 
   val oracleSql: Map[String, String] = Map(
+    "llm_dedup_agreement" ->
+      """WITH f AS (
+        |  SELECT doc_id,
+        |    list_min(list_transform(
+        |      generate_series(1, greatest(len(string_split(text, ' ')) - 7, 1)),
+        |      i -> md5(array_to_string(
+        |        list_slice(string_split(text, ' '), i, i + 7), ' ')))) AS fp
+        |  FROM documents),
+        |fpp AS (
+        |  SELECT x.doc_id AS a_id, y.doc_id AS b_id
+        |  FROM f x JOIN f y ON x.fp = y.fp AND x.doc_id < y.doc_id),
+        |d AS (
+        |  SELECT doc_id, lang, n_chars // 100 AS band,
+        |         list_distinct(string_split(text, ' ')) AS toks
+        |  FROM documents),
+        |jac AS (
+        |  SELECT a.doc_id AS a_id, b.doc_id AS b_id
+        |  FROM d a JOIN d b
+        |    ON a.lang = b.lang AND a.band = b.band AND a.doc_id < b.doc_id
+        |  WHERE round(CAST(len(list_intersect(a.toks, b.toks)) AS DOUBLE) /
+        |        len(list_distinct(list_concat(a.toks, b.toks))), 6) >= 0.8),
+        |c AS (SELECT
+        |  (SELECT count(*) FROM fpp) AS fp_pairs,
+        |  (SELECT count(*) FROM jac) AS jac_pairs,
+        |  (SELECT count(*) FROM (SELECT * FROM fpp INTERSECT SELECT * FROM jac))
+        |    AS n_both)
+        |SELECT fp_pairs, jac_pairs, n_both,
+        |  fp_pairs - n_both AS fp_only,
+        |  jac_pairs - n_both AS jac_only,
+        |  round(n_both / CAST(fp_pairs AS DOUBLE), 6) AS precision,
+        |  round(n_both / CAST(jac_pairs AS DOUBLE), 6) AS recall
+        |FROM c""".stripMargin,
     "llm_ngram_prune" ->
       """WITH t AS (SELECT string_split(text, ' ') AS toks FROM documents),
         |bi AS (

@@ -431,6 +431,18 @@ class Analytics2Spec extends AnyFunSuite {
     }
   }
 
+  test("llm_dedup_agreement: confusion census consistent with the two pair streams") {
+    val r = operators.LlmOpsPipeline.llmDedupAgreement(spark, sf0001).head()
+    val (fp, jac, both, fpOnly, jacOnly) =
+      (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4))
+    assert(both <= math.min(fp, jac))
+    assert(fpOnly == fp - both && jacOnly == jac - both)
+    // jaccard pair count matches the memoized stream this query reads
+    assert(jac == operators.LlmOps.nearDupPairs(spark, sf0001).count())
+    assert(math.abs(r.getDouble(5) - both.toDouble / fp) < 1e-6, "precision")
+    assert(math.abs(r.getDouble(6) - both.toDouble / jac) < 1e-6, "recall")
+  }
+
   test("attr_touch: both models attribute the identical purchase set") {
     val out = operators.Analytics2.attrTouch(spark, sf0001).collect()
     val first = out.filter(_.getString(0) == "first")

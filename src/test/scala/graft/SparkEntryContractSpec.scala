@@ -29,10 +29,10 @@ class SparkEntryContractSpec extends AnyFunSuite {
   }
 
   test("inventory size matches the SURVEY census") {
-    assert(SparkEntry.queries.size == 298,
+    assert(SparkEntry.queries.size == 299,
       s"${SparkEntry.queries.size} declared queries — update SURVEY §2's " +
         "inventory census AND this pin together")
-    assert(SparkEntry.oracleSql.size == 287)
+    assert(SparkEntry.oracleSql.size == 288)
   }
 
   test("no duplicate keys are silently swallowed by the map unions") {
