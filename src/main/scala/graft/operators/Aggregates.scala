@@ -713,7 +713,93 @@ object Aggregates {
       .orderBy(col("nationkey").asc)
   }
 
+  /** Spearman rank correlation (round-9 wave 17) — per market segment,
+    * between a customer's order COUNT and total SPEND: the monotone-
+    * association measure that survives the heavy-tailed spend
+    * distribution agg_moments documents (Pearson, agg_regression's
+    * slope family, is leverage-dominated there). The whole statistic is
+    * EXACT-INTEGER until one final division: ties take average ranks,
+    * and 2·avgrank = 2·minrank + ties − 1 is an int64 (rank()/count()
+    * windows — deterministic under ties by construction), so the five
+    * moment sums Σr, Σr², Σrᵣy are exact and ρ = (nΣxy − ΣxΣy) /
+    * (√(nΣxx−Σx²)·√(nΣyy−Σy²)) is bit-identical across engines and
+    * partitionings before the 6dp round (IEEE sqrt/divide are
+    * correctly rounded). The rank windows run on the CUSTOMER-grain
+    * frame (vocabulary-sized vs the order corpus; one exchange on
+    * segment serves all four windows); at extreme per-segment
+    * cardinality the agg_mannwhitney two-level prefix-sum idiom
+    * replaces them — and past ~39k rows/group the exact-int64 moments
+    * (≤4n⁴) would switch to centered DECIMAL(38) sums, noted here
+    * because silent overflow is the failure mode of the exact trick. */
+  def aggSpearman(spark: SparkSession, dir: String): DataFrame = {
+    val cust = Tables.orders(spark, dir)
+      .groupBy("o_custkey")
+      .agg(count(lit(1)).as("x"),
+        round(round(sum("o_totalprice"), 2) * 100, 0).cast("long").as("y"))
+      .join(broadcast(Tables.customer(spark, dir)
+          .select(col("c_custkey").as("o_custkey"),
+            col("c_mktsegment").as("segment"))),
+        "o_custkey")
+    def r2(c: String) =
+      (rank().over(Window.partitionBy("segment").orderBy(col(c).asc))
+        .cast("long") * 2
+        + count(lit(1)).over(Window.partitionBy("segment", c)) - 1)
+    val ranked = cust.select(col("segment"), r2("x").as("rx"), r2("y").as("ry"))
+    ranked.groupBy("segment")
+      .agg(count(lit(1)).as("n"),
+        sum("rx").as("sx"), sum("ry").as("sy"),
+        sum(col("rx") * col("rx")).as("sxx"),
+        sum(col("ry") * col("ry")).as("syy"),
+        sum(col("rx") * col("ry")).as("sxy"))
+      .select(col("segment"), col("n"),
+        round((col("n") * col("sxy") - col("sx") * col("sy")).cast("double")
+          / (sqrt((col("n") * col("sxx") - col("sx") * col("sx")).cast("double"))
+            * sqrt((col("n") * col("syy") - col("sy") * col("sy")).cast("double"))),
+          6).as("rho"))
+      .orderBy(col("segment").asc)
+  }
+
+  /** Kendall τ-b (round-9 wave 17) — concordant/discordant pair census
+    * between the 25 nations' customer COUNT and balance-cents TOTAL
+    * ranks: the pair-probability companion to agg_spearman (τ reads as
+    * P(concordant) − P(discordant); ρ weights by rank distance). The
+    * O(n²) all-pairs form is used DELIBERATELY on a bounded
+    * pre-aggregated grain (25 nations → 300 pairs after one corpus
+    * hash agg — the honest warehouse shape; unbounded grains take the
+    * O(n log n) merge-count or fall back to agg_spearman). Pair signs
+    * are integer CASE compares on exact int64 aggregates, the tie-
+    * corrected denominator √((n₀−tx)(n₀−ty)) divides once at the end —
+    * nothing order-dependent anywhere, so the 6dp round is decoration.
+    * The self-join broadcasts the 25-row frame (BNLJ on k<k' is the
+    * right plan at this size and is allowlisted as such). */
+  def aggKendall(spark: SparkSession, dir: String): DataFrame = {
+    val g = Tables.customer(spark, dir)
+      .groupBy(col("c_nationkey").as("k"))
+      .agg(count(lit(1)).as("x"),
+        sum(round(col("c_acctbal") * 100, 0).cast("long")).as("y"))
+    val a = g.select(col("k").as("ka"), col("x").as("xa"), col("y").as("ya"))
+    val b = g.select(col("k").as("kb"), col("x").as("xb"), col("y").as("yb"))
+    val pairs = a.join(broadcast(b), col("ka") < col("kb"))
+      .select(
+        when(col("xb") > col("xa"), 1L).when(col("xb") < col("xa"), -1L)
+          .otherwise(0L).as("sx"),
+        when(col("yb") > col("ya"), 1L).when(col("yb") < col("ya"), -1L)
+          .otherwise(0L).as("sy"))
+    pairs
+      .agg(count(lit(1)).as("n0"),
+        sum(when(col("sx") * col("sy") > 0, 1L).otherwise(0L)).as("conc"),
+        sum(when(col("sx") * col("sy") < 0, 1L).otherwise(0L)).as("disc"),
+        sum(when(col("sx") === 0, 1L).otherwise(0L)).as("ties_x"),
+        sum(when(col("sy") === 0, 1L).otherwise(0L)).as("ties_y"))
+      .select(col("n0"), col("conc"), col("disc"), col("ties_x"), col("ties_y"),
+        round((col("conc") - col("disc")).cast("double")
+          / (sqrt((col("n0") - col("ties_x")).cast("double"))
+            * sqrt((col("n0") - col("ties_y")).cast("double"))), 6).as("tau_b"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "agg_spearman"      -> (aggSpearman _),
+    "agg_kendall"       -> (aggKendall _),
     "agg_theil"         -> (aggTheil _),
     "agg_pareto"        -> (aggPareto _),
     "agg_winsorized"    -> (aggWinsorized _),
@@ -749,6 +835,56 @@ object Aggregates {
     "agg_minmax_by"     -> (aggMinmaxBy _))
 
   val oracleSql: Map[String, String] = Map(
+    "agg_spearman" ->
+      """WITH cust AS (
+        |  SELECT o_custkey, count(*) AS x,
+        |    CAST(round(round(sum(o_totalprice), 2) * 100, 0) AS BIGINT) AS y
+        |  FROM orders GROUP BY o_custkey),
+        |j AS (
+        |  SELECT c_mktsegment AS segment, x, y
+        |  FROM cust JOIN customer ON o_custkey = c_custkey),
+        |r AS (
+        |  SELECT segment,
+        |    CAST(2 * rank() OVER (PARTITION BY segment ORDER BY x ASC)
+        |      + count(*) OVER (PARTITION BY segment, x) - 1 AS BIGINT) AS rx,
+        |    CAST(2 * rank() OVER (PARTITION BY segment ORDER BY y ASC)
+        |      + count(*) OVER (PARTITION BY segment, y) - 1 AS BIGINT) AS ry
+        |  FROM j),
+        |s AS (
+        |  SELECT segment, count(*) AS n,
+        |    CAST(sum(rx) AS BIGINT) AS sx, CAST(sum(ry) AS BIGINT) AS sy,
+        |    CAST(sum(rx * rx) AS BIGINT) AS sxx,
+        |    CAST(sum(ry * ry) AS BIGINT) AS syy,
+        |    CAST(sum(rx * ry) AS BIGINT) AS sxy
+        |  FROM r GROUP BY segment)
+        |SELECT segment, n,
+        |  round(CAST(n * sxy - sx * sy AS DOUBLE)
+        |    / (sqrt(CAST(n * sxx - sx * sx AS DOUBLE))
+        |      * sqrt(CAST(n * syy - sy * sy AS DOUBLE))), 6) AS rho
+        |FROM s ORDER BY segment ASC""".stripMargin,
+    "agg_kendall" ->
+      """WITH g AS (
+        |  SELECT c_nationkey AS k, count(*) AS x,
+        |    CAST(sum(CAST(round(c_acctbal * 100, 0) AS BIGINT)) AS BIGINT) AS y
+        |  FROM customer GROUP BY c_nationkey),
+        |p AS (
+        |  SELECT
+        |    CASE WHEN b.x > a.x THEN 1 WHEN b.x < a.x THEN -1 ELSE 0 END AS sx,
+        |    CASE WHEN b.y > a.y THEN 1 WHEN b.y < a.y THEN -1 ELSE 0 END AS sy
+        |  FROM g a JOIN g b ON a.k < b.k)
+        |SELECT count(*) AS n0,
+        |  CAST(sum(CASE WHEN sx * sy > 0 THEN 1 ELSE 0 END) AS BIGINT) AS conc,
+        |  CAST(sum(CASE WHEN sx * sy < 0 THEN 1 ELSE 0 END) AS BIGINT) AS disc,
+        |  CAST(sum(CASE WHEN sx = 0 THEN 1 ELSE 0 END) AS BIGINT) AS ties_x,
+        |  CAST(sum(CASE WHEN sy = 0 THEN 1 ELSE 0 END) AS BIGINT) AS ties_y,
+        |  round(CAST(sum(CASE WHEN sx * sy > 0 THEN 1 ELSE 0 END)
+        |      - sum(CASE WHEN sx * sy < 0 THEN 1 ELSE 0 END) AS DOUBLE)
+        |    / (sqrt(CAST(count(*)
+        |        - sum(CASE WHEN sx = 0 THEN 1 ELSE 0 END) AS DOUBLE))
+        |      * sqrt(CAST(count(*)
+        |        - sum(CASE WHEN sy = 0 THEN 1 ELSE 0 END) AS DOUBLE))), 6)
+        |    AS tau_b
+        |FROM p""".stripMargin,
     "agg_theil" ->
       """WITH cust AS (
         |  SELECT c_nationkey AS nationkey,

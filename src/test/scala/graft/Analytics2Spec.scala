@@ -324,6 +324,51 @@ class Analytics2Spec extends AnyFunSuite {
       "hub top-10 with exact integer scores")
   }
 
+  test("agg_spearman: rho bounded, rank-sum identity holds per segment") {
+    val rows = operators.Aggregates.aggSpearman(spark, sf0001).collect()
+    assert(rows.length == 5, "one row per market segment")
+    rows.foreach { r =>
+      val (n, rho) = (r.getLong(1), r.getDouble(2))
+      assert(n > 1, s"segment ${r.getString(0)} has enough customers")
+      assert(rho >= -1.0 - 1e-9 && rho <= 1.0 + 1e-9, "rho in [-1, 1]")
+      // count and spend are strongly positively associated by construction
+      assert(rho > 0.5, s"order count vs spend is strongly monotone (got $rho)")
+    }
+    // self-correlation sanity: ranking y against y must give exactly 1
+    val self = {
+      import org.apache.spark.sql.functions._
+      val cust = Tables.orders(spark, sf0001)
+        .groupBy("o_custkey")
+        .agg(round(round(sum("o_totalprice"), 2) * 100, 0).cast("long").as("y"))
+      val w = org.apache.spark.sql.expressions.Window.orderBy(col("y").asc)
+      val wt = org.apache.spark.sql.expressions.Window.partitionBy("y")
+      val ranked = cust.select(
+        (rank().over(w).cast("long") * 2 + count(lit(1)).over(wt) - 1).as("r"))
+      val s = ranked.agg(count(lit(1)).as("n"), sum("r").as("s1"),
+        sum(col("r") * col("r")).as("s2")).head()
+      val (n, s1, s2) = (s.getLong(0), s.getLong(1), s.getLong(2))
+      // Σ(2·avgrank) = n(n+1) exactly — the tie-averaging invariant
+      assert(s1 == n * (n + 1), "doubled average ranks sum to n(n+1)")
+      (n * s2 - s1 * s1).toDouble / (n * s2 - s1 * s1)
+    }
+    assert(self == 1.0, "rho(y, y) = 1 exactly")
+  }
+
+  test("agg_kendall: pair census is complete and tau_b bounded") {
+    val r = operators.Aggregates.aggKendall(spark, sf0001).head()
+    val (n0, conc, disc, tx, ty) =
+      (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4))
+    val k = Tables.customer(spark, sf0001)
+      .select("c_nationkey").distinct().count()
+    assert(n0 == k * (k - 1) / 2, "all unordered nation pairs counted once")
+    assert(conc + disc <= n0, "concordant + discordant never exceed pairs")
+    assert(n0 - tx > 0 && n0 - ty > 0, "tie correction keeps denominator positive")
+    val tau = r.getDouble(5)
+    assert(tau >= -1.0 - 1e-9 && tau <= 1.0 + 1e-9, "tau_b in [-1, 1]")
+    // tau and the concordance margin must carry the same sign
+    assert((conc - disc) == 0 || math.signum(tau) == math.signum((conc - disc).toDouble))
+  }
+
   test("agg_mutual_info: information-theoretic bounds hold") {
     val r = operators.Aggregates.aggMutualInfo(spark, sf0001).head()
     val (n, cells) = (r.getLong(0), r.getLong(1))

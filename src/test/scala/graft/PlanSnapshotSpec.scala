@@ -164,7 +164,12 @@ class PlanSnapshotSpec extends AnyFunSuite {
       "llm_vocab_growth",
       // round-9 wave 11: agg_bootstrap carries the 1-row point-estimate
       // (Σcents, n) scalar into the 1-row interval result
-      "agg_bootstrap")
+      "agg_bootstrap",
+      // round-9 wave 17: agg_kendall's concordance census is a k<k'
+      // self-join of the BOUNDED 25-nation aggregate (300 pairs after
+      // one corpus hash agg — the deliberate O(n²)-on-bounded-grain
+      // form; unbounded grains take merge-count or agg_spearman)
+      "agg_kendall")
     val withNlj = plans.flatMap { case (name, plan) =>
       val n = plan.collect {
         case j: BroadcastNestedLoopJoinExec => j
