@@ -553,6 +553,44 @@ object Aggregates {
       .withColumn("nmi", round(col("mi") / least(col("h_x"), col("h_y")), 6))
   }
 
+  /** Cramér's V effect-size panel (round-9 wave 18) — the 1-row
+    * summary agg_chisq deliberately is not: χ² TESTS independence but
+    * grows with n (any big table "significantly" rejects); V =
+    * √(χ²/(n·min(r−1,c−1))) is the [0,1] association STRENGTH a
+    * report actually compares across tables, shipped with φ² and
+    * Pearson's contingency coefficient for the classical panel.
+    * Same cells frame as agg_chisq (priority × status over orders);
+    * expected counts are exact-int ratios, the 15-term χ² sum rounds
+    * at 4dp (absorbing summation order), and every derived statistic
+    * is computed FROM the rounded χ² in both engines (the agg_mutual_info
+    * rounded-numerator precedent, §2.Z). One corpus hash agg; margins
+    * re-aggregate from the 15 cells — never a second pass. */
+  def aggCramersV(spark: SparkSession, dir: String): DataFrame = {
+    val cells = Tables.orders(spark, dir)
+      .groupBy(col("o_orderpriority").as("prio"), col("o_orderstatus").as("status"))
+      .agg(count(lit(1)).as("nxy"))
+    val wr = Window.partitionBy("prio")
+    val wc = Window.partitionBy("status")
+    val wAll = Window.partitionBy()
+    val e = cells
+      .withColumn("rt", sum("nxy").over(wr))
+      .withColumn("ct", sum("nxy").over(wc))
+      .withColumn("n", sum("nxy").over(wAll))
+      .withColumn("exp", col("rt").cast("double") * col("ct") / col("n"))
+    val base = e.agg(
+      max(col("n")).as("n"),
+      countDistinct("prio").as("r"),
+      countDistinct("status").as("c"),
+      round(sum((col("nxy") - col("exp")) * (col("nxy") - col("exp"))
+        / col("exp")), 4).as("chi2"))
+    base.select(col("n"), col("r"), col("c"), col("chi2"),
+      round(col("chi2") / col("n"), 6).as("phi2"),
+      round(sqrt(col("chi2")
+        / (col("n") * least(col("r") - 1, col("c") - 1)).cast("double")), 6)
+        .as("cramers_v"),
+      round(sqrt(col("chi2") / (col("chi2") + col("n"))), 6).as("contingency_c"))
+  }
+
   def aggChisq(spark: SparkSession, dir: String): DataFrame = {
     val cells = Tables.orders(spark, dir)
       .groupBy(col("o_orderpriority").as("prio"), col("o_orderstatus").as("status"))
@@ -800,6 +838,7 @@ object Aggregates {
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "agg_spearman"      -> (aggSpearman _),
     "agg_kendall"       -> (aggKendall _),
+    "agg_cramers_v"     -> (aggCramersV _),
     "agg_theil"         -> (aggTheil _),
     "agg_pareto"        -> (aggPareto _),
     "agg_winsorized"    -> (aggWinsorized _),
@@ -885,6 +924,31 @@ object Aggregates {
         |        - sum(CASE WHEN sy = 0 THEN 1 ELSE 0 END) AS DOUBLE))), 6)
         |    AS tau_b
         |FROM p""".stripMargin,
+    "agg_cramers_v" ->
+      """WITH cells AS (
+        |  SELECT o_orderpriority AS prio, o_orderstatus AS status,
+        |    count(*) AS nxy
+        |  FROM orders GROUP BY prio, status),
+        |e AS (
+        |  SELECT nxy,
+        |    CAST(sum(nxy) OVER (PARTITION BY prio) AS BIGINT) AS rt,
+        |    CAST(sum(nxy) OVER (PARTITION BY status) AS BIGINT) AS ct,
+        |    CAST(sum(nxy) OVER () AS BIGINT) AS n,
+        |    prio, status
+        |  FROM cells),
+        |b AS (
+        |  SELECT max(n) AS n,
+        |    count(DISTINCT prio) AS r, count(DISTINCT status) AS c,
+        |    round(sum((nxy - rt * CAST(ct AS DOUBLE) / n)
+        |      * (nxy - rt * CAST(ct AS DOUBLE) / n)
+        |      / (rt * CAST(ct AS DOUBLE) / n)), 4) AS chi2
+        |  FROM e)
+        |SELECT n, r, c, chi2,
+        |  round(chi2 / n, 6) AS phi2,
+        |  round(sqrt(chi2 / CAST(n * least(r - 1, c - 1) AS DOUBLE)), 6)
+        |    AS cramers_v,
+        |  round(sqrt(chi2 / (chi2 + n)), 6) AS contingency_c
+        |FROM b""".stripMargin,
     "agg_theil" ->
       """WITH cust AS (
         |  SELECT c_nationkey AS nationkey,

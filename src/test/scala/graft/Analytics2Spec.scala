@@ -369,6 +369,27 @@ class Analytics2Spec extends AnyFunSuite {
     assert((conc - disc) == 0 || math.signum(tau) == math.signum((conc - disc).toDouble))
   }
 
+  test("agg_cramers_v: effect sizes bounded and consistent with chi2") {
+    val r = operators.Aggregates.aggCramersV(spark, sf0001).head()
+    val (n, nr, nc) = (r.getLong(0), r.getLong(1), r.getLong(2))
+    assert(n == Tables.orders(spark, sf0001).count())
+    assert(nr >= 2 && nc >= 2, "contingency table is non-degenerate")
+    val (chi2, phi2, v, cc) =
+      (r.getDouble(3), r.getDouble(4), r.getDouble(5), r.getDouble(6))
+    assert(chi2 >= 0.0)
+    assert(v >= 0.0 && v <= 1.0 + 1e-9, "Cramér's V in [0, 1]")
+    assert(cc >= 0.0 && cc < 1.0, "contingency coefficient in [0, 1)")
+    assert(math.abs(phi2 - chi2 / n) < 1e-4, "phi2 = chi2/n")
+    // V² = phi2 / min(r-1, c-1) up to the published rounding
+    val minDim = math.min(nr - 1, nc - 1).toDouble
+    assert(math.abs(v * v - chi2 / (n * minDim)) < 1e-4)
+    // consistency with agg_chisq: its per-cell terms sum to this chi2
+    val cellSum = operators.Aggregates.aggChisq(spark, sf0001)
+      .collect().map(_.getDouble(4)).sum
+    assert(math.abs(cellSum - chi2) < 0.01,
+      "1-row panel agrees with the per-cell decomposition")
+  }
+
   test("agg_mutual_info: information-theoretic bounds hold") {
     val r = operators.Aggregates.aggMutualInfo(spark, sf0001).head()
     val (n, cells) = (r.getLong(0), r.getLong(1))
