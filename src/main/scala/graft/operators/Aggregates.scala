@@ -325,15 +325,23 @@ object Aggregates {
     * the tie-break question vanish: price alone fully orders the rows,
     * so the cumulative weight at every row is engine-identical by
     * construction. */
+  /** The pre-checkpoint weight table behind aggWeightedMedian, exposed so
+    * PlanSnapshotSpec can fingerprint it separately (ADVICE r9: the lazy
+    * localCheckpoint truncates the DECLARED plan at a LogicalRDD, hiding
+    * the one corpus-scale scan — and its pushdown — from the plan guards;
+    * the spec snapshots this frame as "agg_weighted_median#weights"). */
+  private[graft] def weightedMedianWeights(spark: SparkSession, dir: String): DataFrame =
+    Tables.lineitem(spark, dir)
+      .groupBy(col("l_returnflag"), col("l_extendedprice"))
+      .agg(sum("l_quantity").as("wgt"))
+      .withColumn("shard", floor(col("l_extendedprice") / 1000).cast("long"))
+
   def aggWeightedMedian(spark: SparkSession, dir: String): DataFrame = {
     // lazy localCheckpoint: the weight table feeds BOTH the shard-total
     // branch and the final join — without it each branch re-runs the
     // corpus hash agg (the only corpus-scale pass; distributed block
     // storage, so the materialization itself scales)
-    val byPrice = Tables.lineitem(spark, dir)
-      .groupBy(col("l_returnflag"), col("l_extendedprice"))
-      .agg(sum("l_quantity").as("wgt"))
-      .withColumn("shard", floor(col("l_extendedprice") / 1000).cast("long"))
+    val byPrice = weightedMedianWeights(spark, dir)
       .localCheckpoint(eager = false)
     val wOff = Window.partitionBy("l_returnflag").orderBy(col("shard").asc)
       .rowsBetween(Window.unboundedPreceding, -1)

