@@ -774,9 +774,15 @@ object Aggregates {
     * frame (vocabulary-sized vs the order corpus; one exchange on
     * segment serves all four windows); at extreme per-segment
     * cardinality the agg_mannwhitney two-level prefix-sum idiom
-    * replaces them — and past ~39k rows/group the exact-int64 moments
-    * (≤4n⁴) would switch to centered DECIMAL(38) sums, noted here
-    * because silent overflow is the failure mode of the exact trick. */
+    * replaces them. The moment sums accumulate as DECIMAL(38,0)
+    * (round 10, ADVICE r9): the doubled ranks are int64-safe to
+    * n ~ 1.5e9 per PRODUCT, but Σr² and the n·Σxy − ΣxΣy numerator
+    * reach 4n³/4n⁴ — silent int64 overflow past ~39k rows/group, i.e.
+    * ~sf10, with no runtime error. Decimal sums push the bound to
+    * n ~ 1.3e9 rows/group; every intermediate is exact in BOTH
+    * representations at every fixture SF (the decimal→double cast of an
+    * exactly-held integer is the same nearest-double as long→double),
+    * so the 6dp rho is bit-unchanged where both are in range. */
   def aggSpearman(spark: SparkSession, dir: String): DataFrame = {
     val cust = Tables.orders(spark, dir)
       .groupBy("o_custkey")
@@ -793,10 +799,13 @@ object Aggregates {
     val ranked = cust.select(col("segment"), r2("x").as("rx"), r2("y").as("ry"))
     ranked.groupBy("segment")
       .agg(count(lit(1)).as("n"),
-        sum("rx").as("sx"), sum("ry").as("sy"),
-        sum(col("rx") * col("rx")).as("sxx"),
-        sum(col("ry") * col("ry")).as("syy"),
-        sum(col("rx") * col("ry")).as("sxy"))
+        // per-row products stay int64 (4n² — safe to n ~ 1.5e9); only the
+        // SUMS cross into decimal, where the n³/n⁴ magnitudes live
+        sum(col("rx").cast("decimal(38,0)")).as("sx"),
+        sum(col("ry").cast("decimal(38,0)")).as("sy"),
+        sum((col("rx") * col("rx")).cast("decimal(38,0)")).as("sxx"),
+        sum((col("ry") * col("ry")).cast("decimal(38,0)")).as("syy"),
+        sum((col("rx") * col("ry")).cast("decimal(38,0)")).as("sxy"))
       .select(col("segment"), col("n"),
         round((col("n") * col("sxy") - col("sx") * col("sy")).cast("double")
           / (sqrt((col("n") * col("sxx") - col("sx") * col("sx")).cast("double"))

@@ -461,7 +461,17 @@ object Analytics2 {
     * Scale: the spine explode is map-side B× amplification feeding ONE
     * 32-group hash agg with partials (no shuffle grows with B beyond
     * the 32-row result); the windows run on the 32-row frame; the
-    * 1-row point-estimate scalar broadcasts (allowlisted idiom). */
+    * 1-row point-estimate scalar broadcasts (allowlisted idiom).
+    *
+    * Coverage caveat (ADVICE r9): at B = 32 the type-1 empirical
+    * quantile cuts rn/32 ≥ 0.025 and ≥ 0.975 select rn = 1 and rn = 32
+    * — the reported [2.5%, 97.5%] interval IS the replica-mean RANGE,
+    * the widest interval this replica count can produce (valid
+    * percentile-method endpoints, but nominal coverage overstates the
+    * 32-replica resolution). B is pinned at 32 because the oracle
+    * mirrors the same cuts literally; a production caller raises B
+    * until the cuts are interior (B ≥ 40 makes rn=1 strictly below the
+    * 2.5% cut), which changes only the spine literal. */
   def aggBootstrap(spark: SparkSession, dir: String): DataFrame = {
     val p = 1000003L
     val o = Tables.orders(spark, dir)

@@ -171,25 +171,29 @@ object LlmOpsExtra {
     * stream — SkewCanarySpec bounds the hottest shingle's work share,
     * and a production corpus would cap df (drop non-discriminative
     * shingles) before the self-join. */
-  def llmNgramJaccard(spark: SparkSession, dir: String): DataFrame = {
-    val toksRaw = split(col("text"), " ") // order matters for shingles
-    val nsh = greatest(size(toksRaw) - 2, lit(1))
-    val shingles = array_distinct(transform(sequence(lit(1), nsh),
-      i => concat_ws(" ", slice(toksRaw, i, lit(3)))))
-    // Memoize the encoded doc frame (parquet, one write job): it feeds
-    // the df aggregate and both sides of the intersect join, and the
-    // per-doc shingle transform is the query's heaviest map pass. One row
-    // per doc (~one long per shingle); the explode to the occurrence
-    // stream happens per consumer AFTER the scan. The doc's
-    // distinct-shingle count n rides along so the Jaccard denominator
-    // needs no size-lookup joins later.
-    val d = MemoFrames.frame(spark, s"ngram3_sh|$dir") {
+  /** The encoded 3-gram shingle frame behind llmNgramJaccard, MEMOIZED
+    * per (session, dir) — parquet, one write job: it feeds the df
+    * aggregate and both sides of the intersect join, and the per-doc
+    * shingle transform is the query's heaviest map pass. One row per doc
+    * (~one long per shingle); the explode to the occurrence stream
+    * happens per consumer AFTER the scan. The doc's distinct-shingle
+    * count n rides along so the Jaccard denominator needs no size-lookup
+    * joins later. */
+  private[operators] def ngramShFrame(spark: SparkSession, dir: String): DataFrame =
+    MemoFrames.frame(spark, s"ngram3_sh|$dir") {
+      val toksRaw = split(col("text"), " ") // order matters for shingles
+      val nsh = greatest(size(toksRaw) - 2, lit(1))
+      val shingles = array_distinct(transform(sequence(lit(1), nsh),
+        i => concat_ws(" ", slice(toksRaw, i, lit(3)))))
       Tables.documents(spark, dir)
         .repartition(spark.sparkContext.defaultParallelism) // single-row-group file
         .select(col("doc_id").as("id"), col("lang"), expr("n_chars div 100").as("band"),
           transform(shingles, s => xxhash64(s)).as("sh"))
         .withColumn("n", size(col("sh")).cast("bigint"))
     }
+
+  def llmNgramJaccard(spark: SparkSession, dir: String): DataFrame = {
+    val d = ngramShFrame(spark, dir)
     val occ = d.select(col("id"), col("lang"), col("band"), col("n"),
       explode(col("sh")).as("h"))
     // Round-8 candidate pruning (the PPJoin prefix-filter idea, applied
@@ -1012,7 +1016,7 @@ object LlmOpsExtra {
     * (session, dir): blocker-output-sized (never n²), and two consumers
     * read it — the per-pair listing and llm_dedup_sweep's threshold
     * table — so the bigram-intersection join runs once per session. */
-  private def rougeFrame(spark: SparkSession, dir: String): DataFrame =
+  private[operators] def rougeFrame(spark: SparkSession, dir: String): DataFrame =
     MemoFrames.frame(spark, s"rouge_f1|$dir")(rougeBuild(spark, dir))
 
   private def rougeBuild(spark: SparkSession, dir: String): DataFrame = {
@@ -1049,7 +1053,7 @@ object LlmOpsExtra {
     * built once per (session, dir), read by llm_bm25_retrieve's scorer
     * and llm_index_stats' health report. See llmBm25Retrieve for the
     * index-persists-len/df rationale. */
-  private def bm25Post(spark: SparkSession, dir: String): DataFrame =
+  private[operators] def bm25Post(spark: SparkSession, dir: String): DataFrame =
     graft.operators.MemoFrames.frame(spark, s"bm25_post|$dir") {
       val wd = Window.partitionBy("doc_id")
       val wt = Window.partitionBy("tok")

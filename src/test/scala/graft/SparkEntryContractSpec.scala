@@ -58,4 +58,32 @@ class SparkEntryContractSpec extends AnyFunSuite {
       s"$total per-object entries vs ${SparkEntry.queries.size} merged — " +
         "a query id is declared in two operator files")
   }
+
+  test("no query id is registered twice inside one operator file") {
+    // The census above compares Map SIZES, which cannot see a key
+    // duplicated within a single Map LITERAL — Scala dedups it at
+    // construction, the later entry silently shadowing the earlier one
+    // (ADVICE r9). Scan the SOURCE: a declared query id may appear as a
+    // `"id" ->` registration at most twice per operator file (once in
+    // `queries`, once in `oracleSql`); a third occurrence means a
+    // duplicated literal key. Oracle SQL bodies never contain the
+    // quote+arrow pattern, so the count is registration sites only.
+    val srcDir = java.nio.file.Paths.get("src/main/scala/graft/operators")
+    val ids = SparkEntry.queries.keySet
+    val offenders = java.nio.file.Files.list(srcDir).toArray.toSeq
+      .map(_.asInstanceOf[java.nio.file.Path])
+      .filter(_.toString.endsWith(".scala"))
+      .flatMap { p =>
+        val src = java.nio.file.Files.readString(p)
+        ids.flatMap { id =>
+          val n = ("\"" + java.util.regex.Pattern.quote(id) + "\"\\s*->").r
+            .findAllMatchIn(src).size
+          if (n > 2) Some(s"${p.getFileName}: $id ($n registration sites)")
+          else None
+        }
+      }
+    assert(offenders.isEmpty,
+      s"query ids registered more than twice in one file (duplicate Map " +
+        s"literal keys shadow silently): ${offenders.sorted.mkString("; ")}")
+  }
 }
