@@ -325,11 +325,12 @@ object Aggregates {
     * the tie-break question vanish: price alone fully orders the rows,
     * so the cumulative weight at every row is engine-identical by
     * construction. */
-  /** The pre-checkpoint weight table behind aggWeightedMedian, exposed so
-    * PlanSnapshotSpec can fingerprint it separately (ADVICE r9: the lazy
-    * localCheckpoint truncates the DECLARED plan at a LogicalRDD, hiding
-    * the one corpus-scale scan — and its pushdown — from the plan guards;
-    * the spec snapshots this frame as "agg_weighted_median#weights"). */
+  /** The pre-materialization weight table behind aggWeightedMedian,
+    * exposed so PlanSnapshotSpec can fingerprint it separately (ADVICE
+    * r9: the materialize — previously a lazy localCheckpoint — truncates
+    * the DECLARED plan, hiding the one corpus-scale scan and its
+    * pushdown from the plan guards; the spec snapshots this frame as
+    * "agg_weighted_median#weights"). */
   private[graft] def weightedMedianWeights(spark: SparkSession, dir: String): DataFrame =
     Tables.lineitem(spark, dir)
       .groupBy(col("l_returnflag"), col("l_extendedprice"))
@@ -337,12 +338,17 @@ object Aggregates {
       .withColumn("shard", floor(col("l_extendedprice") / 1000).cast("long"))
 
   def aggWeightedMedian(spark: SparkSession, dir: String): DataFrame = {
-    // lazy localCheckpoint: the weight table feeds BOTH the shard-total
-    // branch and the final join — without it each branch re-runs the
-    // corpus hash agg (the only corpus-scale pass; distributed block
-    // storage, so the materialization itself scales)
-    val byPrice = weightedMedianWeights(spark, dir)
-      .localCheckpoint(eager = false)
+    // The weight table feeds BOTH the shard-total branch and the final
+    // join, so it is materialized once (without this each branch re-runs
+    // the corpus hash agg — the only corpus-scale pass). Round 10: the
+    // r9 lazy localCheckpoint became a MemoFrames.materialize — the
+    // checkpoint pinned the truncation blocks in executor memory (lost-
+    // executor fragility, the round-2 lesson llmDedupClusters already
+    // applied) and its first-action materialization ran under AQE, whose
+    // per-exchange stage jobs made this 8 scheduled jobs; the AQE-off
+    // parquet write is one job and both branches get columnar scans.
+    val byPrice = MemoFrames.materialize(spark, "wmed_weights",
+      weightedMedianWeights(spark, dir))
     val wOff = Window.partitionBy("l_returnflag").orderBy(col("shard").asc)
       .rowsBetween(Window.unboundedPreceding, -1)
     val wTot = Window.partitionBy("l_returnflag")
@@ -354,13 +360,17 @@ object Aggregates {
     val wShard = Window.partitionBy("l_returnflag", "shard")
       .orderBy(col("l_extendedprice").asc)
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    byPrice.join(offs, Seq("l_returnflag", "shard"))
+    val medians = byPrice.join(offs, Seq("l_returnflag", "shard"))
       .withColumn("cumw", sum("wgt").over(wShard) + col("off"))
       .filter(col("cumw") >= col("tot") / 2)
       .groupBy(col("l_returnflag"))
       .agg(count(lit(1)).as("n_prices_above"),
         round(min("l_extendedprice"), 2).as("w_median"),
         round(max("tot"), 2).as("total_qty"))
+    // flag-grain result (3 rows, bounded at any corpus size): the offs/
+    // join/window/agg chain collapses into one more AQE-off write job —
+    // under AQE its ~5 exchanges each scheduled a stage job
+    MemoFrames.materialize(spark, "wmed_out", medians)
       .orderBy(col("l_returnflag").asc)
   }
 
