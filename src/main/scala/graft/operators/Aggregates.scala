@@ -713,23 +713,31 @@ object Aggregates {
     * cumulative sums run in integer CENTS (2dp-rounded revenue × 100 —
     * exact prefix sums in ANY accumulation order, so the threshold
     * comparison can never flip on a summation ulp; the §2.Z fix applied
-    * to row MEMBERSHIP, where it matters most). The global rank window
-    * runs over the CUSTOMER-grain frame (vocabulary-sized vs the order
-    * corpus); at extreme customer cardinality the two-level prefix-sum
-    * idiom (agg_mannwhitney) replaces it, same output. The 8-threshold
-    * spine explodes map-side per row — no join. */
-  def aggPareto(spark: SparkSession, dir: String): DataFrame = {
+    * to row MEMBERSHIP, where it matters most). Global rank + running
+    * cents come from the TWO-LEVEL prefix-sum idiom
+    * (ScaleIdioms.twoLevelRank, round 10): the r9 form's single
+    * unpartitioned rank/cumsum window sorted the whole CUSTOMER-grain
+    * frame on one task — a frame that grows linearly with the corpus,
+    * the hist_eqdepth scale-killer class. Bins are $5000 revenue bands
+    * (aligned with the cents-desc order; per-customer revenue is
+    * SF-independent so the bin frame is DOMAIN-bounded); only the
+    * bin-offset cumsum is unpartitioned. The 8-threshold spine explodes
+    * map-side per row — no join. */
+  /** The pre-materialization plan behind aggPareto — fingerprinted as
+    * "agg_pareto#inner" in PlanSnapshotSpec, since the declared query
+    * truncates it behind the result write. */
+  private[graft] def aggParetoPlan(spark: SparkSession, dir: String): DataFrame = {
     val cust = Tables.orders(spark, dir)
       .groupBy("o_custkey")
       .agg(round(sum("o_totalprice"), 2).as("rev"))
       .select(col("o_custkey"),
         round(col("rev") * 100, 0).cast("long").as("cents"))
-    val w = Window.orderBy(col("cents").desc, col("o_custkey").asc)
     val tot = cust.agg(sum("cents").as("tot"), count(lit(1)).as("n"))
-    cust
-      .select(row_number().over(w).as("rn"),
-        sum("cents").over(w.rowsBetween(Window.unboundedPreceding,
-          Window.currentRow)).as("cum"))
+    ScaleIdioms.twoLevelRank(cust,
+        bin = floor(col("cents") / 500000L), binAsc = false,
+        order = Seq(col("cents").desc, col("o_custkey").asc),
+        cumOf = Some(col("cents")), offsJoinHint = "merge")
+      .select(col("rn"), col("cum"))
       .crossJoin(broadcast(tot))
       .select(col("rn"), col("n"),
         (col("cum").cast("double") / col("tot")).as("share"),
@@ -739,8 +747,15 @@ object Aggregates {
       .agg(min("rn").as("n_cust"),
         round(min("rn") / max("n").cast("double"), 4).as("cust_frac"),
         round(min("share"), 6).as("rev_share"))
-      .orderBy(col("p").asc)
   }
+
+  def aggPareto(spark: SparkSession, dir: String): DataFrame =
+    // 8-row threshold-grain result: the whole rank/cumsum/spine chain
+    // runs in ONE AQE-off write job (under AQE the two-level form's
+    // exchanges scheduled ~10 jobs — worse than the single-window form
+    // it replaced; this keeps the scalable plan AND the r9 job count)
+    MemoFrames.materialize(spark, "pareto_out", aggParetoPlan(spark, dir))
+      .orderBy(col("p").asc)
 
   /** Theil T index (round-9 wave 4) — per-nation revenue inequality as
     * the entropy-based measure beside agg_gini's rank-based one (Theil

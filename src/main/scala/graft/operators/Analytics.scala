@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import graft.Tables
@@ -424,8 +424,15 @@ object Analytics {
     * cents), each cut into quintiles by ntile(5) with the custkey
     * tie-break (a fully-ordered input makes ntile's bucket assignment
     * deterministic); segments of ≥ 5 customers report census + per-axis
-    * profiles. Windows run over the CUSTOMER-grain frame (three
-    * vocabulary-sized sorts, not corpus sorts); avgs divide exact
+    * profiles. Windows run over the CUSTOMER-grain frame; at extreme
+    * customer cardinality each becomes ScaleIdioms.twoLevelRank +
+    * ntileFromRank (the exact-equivalent two-level form, in-repo and
+    * NtileFormulaSpec-pinned — agg_pareto ships it live). Round 10
+    * measured that swap HERE at 5× the wall clock of the three ntile
+    * sorts (≥15 serial codegen'd stages vs 6 — stage count, not data,
+    * dominates at fixture scale), so this query keeps the window form
+    * and the swap stays the documented 1000× escape hatch — see
+    * PLANS.md round-10 notes for the numbers. Avgs divide exact
     * integers. The marketing-ops companion to funnel_retention's
     * cohort view. */
   def rfmSegments(spark: SparkSession, dir: String): DataFrame = {

@@ -329,7 +329,12 @@ object Analytics2 {
     * Quintiles are ntile(5) over FULLY-ORDERED customer frames (cents
     * desc, custkey asc — the rfm_segments determinism rule); the two
     * period frames FULL-OUTER join on custkey so absence is data, not
-    * dropped rows. Revenue is exact cents throughout.
+    * dropped rows. Revenue is exact cents throughout. At extreme
+    * customer cardinality each ntile becomes ScaleIdioms.twoLevelRank +
+    * ntileFromRank (exact-equivalent, NtileFormulaSpec-pinned;
+    * agg_pareto ships the idiom live) — the round-10 measurement that
+    * keeps the window form HERE is in rfmSegments' scaladoc and
+    * PLANS.md.
     *
     * Scale: two pushed-filter scans each collapsing to a customer-grain
     * hash agg, two vocabulary-sized ntile windows, one custkey-keyed

@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import graft.Tables
@@ -118,6 +118,80 @@ object ScaleIdioms {
       }
       .toDF("user_id", "n", "path")
       .orderBy(col("user_id").asc)
+  }
+
+  /** Global `rn` (row_number, 1-based) — and, when `cumOf` is set, a
+    * global running `cum` of that column — over a TOTAL order, WITHOUT a
+    * single-task global sort: the declarative two-level prefix-sum idiom
+    * (agg_mannwhitney's rank trick, generalized in round 10 for the
+    * customer-grain rank consumers agg_pareto / rfm_segments /
+    * cust_migration, after hist_eqdepth's instance of the same
+    * scale-killer was fixed).
+    *
+    * Contract: `bin` must be a coarse bucketing ALIGNED with the leading
+    * order column — bin boundaries never split equal order keys, and bin
+    * order (`binAsc`) equals row order — so global rank = preceding-bin
+    * count + within-bin rank. Within-bin windows are partitioned
+    * (parallel, frames bounded by bin width); the only unpartitioned
+    * window is the bin-offset cumsum over the DOMAIN-bounded bin frame.
+    * `order` must totally order rows within a bin (tie-break included),
+    * exactly as the single-window form it replaces. `cumOf` must be an
+    * exact-integer column (LongType) so prefix sums are
+    * grouping-independent.
+    *
+    * `offsJoinHint`: "broadcast" (default) for plans executed under AQE;
+    * "merge" when the caller runs the whole plan inside an AQE-off
+    * materialize write, where a planned broadcast builds its relation in
+    * a DEDICATED scheduled job and the in-job shuffle of the bin-grain
+    * offset frame is free (the basket_rules/hist_eqdepth measurement). */
+  private[graft] def twoLevelRank(df: DataFrame, bin: Column, binAsc: Boolean,
+      order: Seq[Column], cumOf: Option[Column] = None,
+      offsJoinHint: String = "broadcast"): DataFrame = {
+    val d = df.withColumn("__bin", bin)
+    val wBin = Window.partitionBy("__bin").orderBy(order: _*)
+    val binOrd = if (binAsc) col("__bin").asc else col("__bin").desc
+    val wOff = Window.orderBy(binOrd).rowsBetween(Window.unboundedPreceding, -1)
+    val binAgg = cumOf match {
+      case Some(c) => d.groupBy("__bin").agg(count(lit(1)).as("__n"), sum(c).as("__s"))
+      case None    => d.groupBy("__bin").agg(count(lit(1)).as("__n"))
+    }
+    val offs = {
+      val o = binAgg.withColumn("__offn", coalesce(sum("__n").over(wOff), lit(0L)))
+      val withCum = cumOf match {
+        case Some(_) => o.withColumn("__offs", coalesce(sum("__s").over(wOff), lit(0L)))
+        case None    => o
+      }
+      withCum.drop("__n", "__s")
+    }
+    val hinted = if (offsJoinHint == "broadcast") broadcast(offs)
+                 else offs.hint(offsJoinHint)
+    val joined = d
+      .withColumn("__rnb", row_number().over(wBin).cast("long"))
+      .join(hinted, "__bin")
+      .withColumn("rn", col("__offn") + col("__rnb"))
+    val out = cumOf match {
+      case Some(c) => joined.withColumn("cum",
+        col("__offs") + sum(c).over(
+          wBin.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      case None => joined
+    }
+    out.drop("__bin", "__rnb", "__offn", "__offs")
+  }
+
+  /** `ntile(k)` reproduced from a GLOBAL 1-based rank `rn` and the total
+    * row count `n` — SQL ntile semantics exactly (first n mod k buckets
+    * get ⌈n/k⌉ rows, the rest ⌊n/k⌋): lets the two-level rank above
+    * replace an unpartitioned `ntile(k) OVER (ORDER BY …)` without a
+    * single-task sort. All arithmetic is exact for n < 2^52 (double
+    * division of exact integers, truncating cast = floor for
+    * non-negatives). NtileFormulaSpec pins equality against Spark's
+    * ntile for every n in 1..64. */
+  private[graft] def ntileFromRank(k: Int, rn: Column, n: Column): Column = {
+    val q = (n / k).cast("long")           // ⌊n/k⌋
+    val m = n - q * k                      // n mod k: the big-bucket count
+    when(q === 0, rn)                      // n < k: row r is bucket r
+      .when(rn <= m * (q + 1), ((rn - 1) / (q + 1)).cast("long") + 1)
+      .otherwise(m + ((rn - 1 - m * (q + 1)) / q).cast("long") + 1)
   }
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(

@@ -34,16 +34,20 @@ class PlanSnapshotSpec extends AnyFunSuite {
   // side-effect-free (graph_pagerank's AQE-off materialize, jdbc_sink's
   // Derby write, llm_dedup_clusters' iterative fixpoint), so the NLJ
   // guard must reuse these plans, not re-construct every query.
-  // The extra "#weights" entry fingerprints agg_weighted_median's
-  // PRE-checkpoint weight table (ADVICE r9): its lazy localCheckpoint
-  // truncates the declared plan at a LogicalRDD, so the only
-  // corpus-scale scan — and its pushdown — would otherwise be invisible
-  // to both guards here.
+  // The "#weights"/"#inner" entries fingerprint the PRE-materialization
+  // plans of queries whose declared form is a bounded-result scan
+  // (ADVICE r9: a materialize/checkpoint truncates the declared plan,
+  // so the corpus-scale scans — and their pushdowns — would otherwise
+  // be invisible to both guards here).
+  private lazy val innerPlans: Seq[(String, org.apache.spark.sql.DataFrame)] = Seq(
+    "agg_weighted_median#weights" ->
+      operators.Aggregates.weightedMedianWeights(session, sf0001),
+    "agg_pareto#inner" -> operators.Aggregates.aggParetoPlan(session, sf0001))
+
   private lazy val plans: Seq[(String, org.apache.spark.sql.execution.SparkPlan)] =
     (SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
       name -> fn(session, sf0001)
-    } :+ ("agg_weighted_median#weights" ->
-      operators.Aggregates.weightedMedianWeights(session, sf0001)))
+    } ++ innerPlans)
       .map { case (name, df) => name -> df.queryExecution.executedPlan }
 
   private def fingerprint(plan: org.apache.spark.sql.execution.SparkPlan): Seq[Int] = {
@@ -157,7 +161,10 @@ class PlanSnapshotSpec extends AnyFunSuite {
       "llm_knn_classify", "llm_source_hhi",
       // round-9 wave 3: agg_pareto carries the 1-row (total cents, n)
       // scalar into the customer-grain rank frame
-      "agg_pareto",
+      // (round 10: agg_pareto moved to its #inner entry — the declared
+      // plan is a bounded-result scan, and the scalar crossJoin now
+      // executes inside the AQE-off result write)
+      "agg_pareto#inner",
       // round-9 wave 4: rfm_segments anchors recency at the 1-row
       // corpus ledger date (bill_aging's pattern)
       "rfm_segments",

@@ -177,17 +177,20 @@ class Round9OpsSpec extends AnyFunSuite {
   }
 
   test("agg_pareto: monotone curve, endpoints pinned") {
+    // n_cust is LongType since round 10 (the two-level rank carries
+    // ranks as int64 — the scale-correct width, matching the oracle's
+    // BIGINT)
     val out = operators.Aggregates.aggPareto(spark, sf0001).collect()
       .sortBy(_.getInt(0))
     assert(out.length == 8)
     // more revenue share requires at least as many customers
     out.sliding(2).foreach { p =>
-      assert(p(0).getInt(1) <= p(1).getInt(1))
+      assert(p(0).getLong(1) <= p(1).getLong(1))
       assert(p(0).getDouble(3) <= p(1).getDouble(3) + 1e-9)
     }
     val last = out.last
     assert(last.getInt(0) == 100 &&
-      last.getInt(1).toLong == Tables.customer(spark, sf0001).count() &&
+      last.getLong(1) == Tables.customer(spark, sf0001).count() &&
       math.abs(last.getDouble(3) - 1.0) < 1e-9,
       "the 100% row must need every customer and reach share 1")
     // definitional bound: the reached share meets its threshold
