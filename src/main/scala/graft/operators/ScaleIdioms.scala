@@ -147,6 +147,11 @@ object ScaleIdioms {
   private[graft] def twoLevelRank(df: DataFrame, bin: Column, binAsc: Boolean,
       order: Seq[Column], cumOf: Option[Column] = None,
       offsJoinHint: String = "broadcast"): DataFrame = {
+    // the helper appends rn/cum and threads __-prefixed internals; a
+    // caller column with one of these names would be silently replaced
+    val reserved = Seq("rn", "cum", "__bin", "__rnb", "__offn", "__offs", "__n", "__s")
+    val clash = df.columns.toSeq.intersect(reserved)
+    require(clash.isEmpty, s"twoLevelRank input must not contain ${clash.mkString(", ")}")
     val d = df.withColumn("__bin", bin)
     val wBin = Window.partitionBy("__bin").orderBy(order: _*)
     val binOrd = if (binAsc) col("__bin").asc else col("__bin").desc
