@@ -550,22 +550,19 @@ object Clustering {
       .join(sp.select(col("pk"), col("sk").as("s2")), "pk")
       .filter(col("s1") < col("s2"))
       .groupBy("s1", "s2").agg(count(lit(1)).as("inter"))
-    // merge hints + one AQE-off result write (round 10): the two degree
-    // joins' planned broadcasts each built their relation in a dedicated
-    // scheduled job, and the top-100 cut bounds the result — the whole
-    // pair pass collapses into one write job (5 → 3 scheduled jobs).
-    // The degree frame is supplier-cardinality — at 100 TB the merge
-    // join shuffles it once per side, same class as the co-occurrence
-    // shuffle it sits next to.
-    val top = co
-      .join(deg.select(col("sk").as("s1"), col("d").as("d1")).hint("merge"), "s1")
-      .join(deg.select(col("sk").as("s2"), col("d").as("d2")).hint("merge"), "s2")
+    // Negative result (round 10, measured): swapping the two broadcast
+    // degree joins for merge hints inside one AQE-off materialize saved
+    // one scheduled job (5 → 4) but cost +0.7-1.2 s local across three
+    // runs (2.6 → 3.2-3.8 s) — the sort-merge exchanges plus the memo
+    // write outweigh a single job's contention tax. Reverted to the
+    // broadcast form: the degree frame is supplier-cardinality, the
+    // textbook broadcast side at any SF.
+    co.join(broadcast(deg.select(col("sk").as("s1"), col("d").as("d1"))), "s1")
+      .join(broadcast(deg.select(col("sk").as("s2"), col("d").as("d2"))), "s2")
       .select(col("s1"), col("s2"), col("inter"), col("d1"), col("d2"),
         round(col("inter").cast("double") / (col("d1") + col("d2") - col("inter")), 6).as("jacc"))
       .orderBy(col("jacc").desc, col("s1").asc, col("s2").asc)
       .limit(100)
-    MemoFrames.materialize(spark, "jaccard_top", top)
-      .orderBy(col("jacc").desc, col("s1").asc, col("s2").asc)
   }
 
   /** HITS hubs & authorities (round-9 wave 12) — Kleinberg's mutual-

@@ -42,7 +42,9 @@ class PlanSnapshotSpec extends AnyFunSuite {
   private lazy val innerPlans: Seq[(String, org.apache.spark.sql.DataFrame)] = Seq(
     "agg_weighted_median#weights" ->
       operators.Aggregates.weightedMedianWeights(session, sf0001),
-    "agg_pareto#inner" -> operators.Aggregates.aggParetoPlan(session, sf0001))
+    "agg_pareto#inner" -> operators.Aggregates.aggParetoPlan(session, sf0001),
+    "llm_dedup_funnel#inner" ->
+      operators.LlmOpsPipeline.llmDedupFunnelPlan(session, sf0001))
 
   private lazy val plans: Seq[(String, org.apache.spark.sql.execution.SparkPlan)] =
     (SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
@@ -168,9 +170,9 @@ class PlanSnapshotSpec extends AnyFunSuite {
       // round-9 wave 4: rfm_segments anchors recency at the 1-row
       // corpus ledger date (bill_aging's pattern)
       "rfm_segments",
-      // round-9 wave 5: llm_dedup_funnel assembles its census from four
-      // 1-row stage counts (dataset_card pattern)
-      "llm_dedup_funnel",
+      // (llm_dedup_funnel left this list in round 10: the census is now
+      // one conditional agg over the tagged stage union inside an AQE-off
+      // materialize — no 1-row crosses remain in either plan.)
       // (basket_rules left this list in round 10: the basket total is now
       // a denormalized column of the materialized basket artifact, so the
       // declared plan has no scalar crossJoin.)
