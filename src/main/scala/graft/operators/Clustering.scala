@@ -360,12 +360,13 @@ object Clustering {
     val k = sp.groupBy("p").agg(count(lit(1)).as("d"))
       .selectExpr("cast(percentile_disc(0.5) within group (order by d) as bigint) as k")
       .head().getLong(0)
-    var edges = MemoFrames.materialize(spark, "kcore_e0", sym)
     // Convergence probes compare EDGE counts, not node sets: a peel step
     // only ever deletes nodes, deleting a node deletes its edges, so a
-    // stable edge count ⇒ stable node set — and a count() is one cheap
-    // job per round where a distinct() is an extra exchange.
-    var nEdges = edges.count()
+    // stable edge count ⇒ stable node set. Round 10: the counts come
+    // from the materialized file's parquet FOOTERS (materializeCounted)
+    // — the per-round count() was a metadata-only plan but still one
+    // scheduled job per round, half this query's remaining job bill.
+    var (edges, nEdges) = MemoFrames.materializeCounted(spark, "kcore_e0", sym)
     var rounds = 0
     var converged = false
     // Termination is structural, not a tuned constant (ADVICE r8: a fixed
@@ -387,8 +388,7 @@ object Clustering {
       val pruned = edges
         .join(keep, "src", "left_semi")
         .join(keep.withColumnRenamed("src", "dst"), "dst", "left_semi")
-      val next = MemoFrames.materialize(spark, s"kcore_r$rounds", pruned)
-      val n2 = next.count()
+      val (next, n2) = MemoFrames.materializeCounted(spark, s"kcore_r$rounds", pruned)
       converged = n2 == nEdges
       nEdges = n2
       edges = next

@@ -151,6 +151,37 @@ object MemoFrames {
       spark.read.schema(df.schema).parquet(p)
     }
 
+  /** `materialize` plus the written ROW COUNT, read driver-side from the
+    * parquet FOOTERS the write just produced — zero scheduled jobs. The
+    * fixpoint loops (k-core peel, star contraction) probe convergence
+    * with a count per round; a `count()` over the fresh file is a
+    * metadata-only plan but still a scheduled job, which is exactly what
+    * the contended driver bills for (~0.4 s/round). Footer row counts
+    * are exact by the parquet spec (each file's FileMetaData carries
+    * num_rows), so this is the same number `count()` returns. Scope:
+    * round-local fixpoint artifacts — file counts are partition-bounded
+    * (one footer per task), so the driver-side listing stays trivially
+    * small; a corpus-scale artifact with ~10^5 files would want the
+    * distributed count job back, and gets it by calling `materialize`. */
+  def materializeCounted(spark: SparkSession, tag: String,
+      df: DataFrame): (DataFrame, Long) = synchronized {
+    val safe = tag.replaceAll("[^A-Za-z0-9._-]", "_").take(48)
+    val p = s"${entriesFor(spark)("")}/mat_${safe}_${matCtr.incrementAndGet()}"
+    writeNoAqe(df, p)
+    schemaCache.put(p, df.schema)
+    val conf = spark.sparkContext.hadoopConfiguration
+    val path = new org.apache.hadoop.fs.Path(p)
+    val fs = path.getFileSystem(conf)
+    val rows = fs.listStatus(path).iterator
+      .filter(f => f.isFile && f.getPath.getName.endsWith(".parquet"))
+      .map { f =>
+        val in = org.apache.parquet.hadoop.util.HadoopInputFile.fromStatus(f, conf)
+        val r = org.apache.parquet.hadoop.ParquetFileReader.open(in)
+        try r.getRecordCount finally r.close()
+      }.sum
+    (spark.read.schema(df.schema).parquet(p), rows)
+  }
+
   /** Write with AQE disabled for the duration of THIS action. Under AQE
     * every exchange materializes as its own Spark JOB, so a memo build
     * with k shuffles/broadcasts schedules ~k+1 jobs — and on the graded
