@@ -30,6 +30,9 @@ object SharedArtifacts {
   /** (artifact name, memoized frame accessor) — every MemoFrames.frame
     * key with more than one consumer (or more than one consumer CALL:
     * superstep lineage re-reads count too). */
+  private[graft] def enumerate(spark: SparkSession,
+      dir: String): Seq[(String, () => DataFrame)] = artifacts(spark, dir)
+
   private def artifacts(spark: SparkSession, dir: String): Seq[(String, () => DataFrame)] = Seq(
     "winnow_fp"     -> (() => LlmOpsExtra.fpFrame(spark, dir)),
     "neardup_pairs" -> (() => LlmOps.nearDupPairs(spark, dir)),
