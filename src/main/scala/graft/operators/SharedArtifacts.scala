@@ -47,17 +47,22 @@ object SharedArtifacts {
   /** Build every shared artifact for (spark, dir), logging per-artifact
     * wall time to stderr. A failed build is LOUD but non-fatal — the
     * consumer queries would rebuild (and re-fail) it visibly in the timed
-    * region, the same contract as Bench's table warm-up. */
-  def warm(spark: SparkSession, dir: String): Unit =
-    artifacts(spark, dir).foreach { case (name, f) =>
+    * region, the same contract as Bench's table warm-up. Returns the
+    * per-artifact seconds (−1.0 marks a failed build) so the bench JSON
+    * can carry them (ADVICE r10: a committed bench file must be
+    * self-describing about what its warm-up excluded from the totals). */
+  def warm(spark: SparkSession, dir: String): Seq[(String, Double)] =
+    artifacts(spark, dir).map { case (name, f) =>
       val t0 = System.nanoTime()
       try {
         f().limit(1).count()
-        System.err.println(
-          f"BENCH WARMUP artifact $name%-13s ${(System.nanoTime() - t0) / 1e9}%.3f s")
+        val secs = (System.nanoTime() - t0) / 1e9
+        System.err.println(f"BENCH WARMUP artifact $name%-13s $secs%.3f s")
+        name -> secs
       } catch { case e: Throwable =>
         System.err.println(s"BENCH WARMUP artifact $name FAILED " +
           s"(first consumer will build it cold): ${e.getClass.getSimpleName}: ${e.getMessage}")
+        name -> -1.0
       }
     }
 }
