@@ -42,7 +42,13 @@ object SharedArtifacts {
     "ngram3_sh"     -> (() => LlmOpsExtra.ngramShFrame(spark, dir)),
     "rouge_f1"      -> (() => LlmOpsExtra.rougeFrame(spark, dir)),
     "bm25_post"     -> (() => LlmOpsExtra.bm25Post(spark, dir)),
-    "bigram_doclp"  -> (() => LlmOpsPipeline.bigramDocLp(spark, dir)))
+    "bigram_doclp"  -> (() => LlmOpsPipeline.bigramDocLp(spark, dir)),
+    // staged streaming input drops (MemoFrames.stagedPath): the builder is
+    // the write; the returned scan's limit(1) touch is one cheap job
+    "stream_incr"   -> (() => { val (p, s) = Streaming.incrStage(spark, dir)
+                                spark.read.schema(s).parquet(p) }),
+    "stream_ddw"    -> (() => { val (p, s) = Streaming.ddwStage(spark, dir)
+                                spark.read.schema(s).parquet(p) }))
 
   /** Build every shared artifact for (spark, dir), logging per-artifact
     * wall time to stderr. A failed build is LOUD but non-fatal — the
