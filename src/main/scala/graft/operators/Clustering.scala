@@ -292,17 +292,42 @@ object Clustering {
     * distinct-pair-sized, not corpus-sized. Undirected-as-two-arcs means
     * every node appears as a src, so countDistinct(src) IS the node
     * count (matches the oracle's nodes CTE). */
-  private[operators] def graphEdges(spark: SparkSession, dir: String): DataFrame =
-    MemoFrames.frame(spark, s"graph_edges|$dir") {
+  private[operators] def graphEdges(spark: SparkSession, dir: String): DataFrame = {
+    // Round-11 (VERDICT r10 task 3, A/B measured in ProbeGraphBucket): the
+    // artifact is a BUCKETED table — bucketBy(32, src) with an aligned
+    // repartition so each task owns exactly one bucket (32 files, no
+    // small-file fan-out) — instead of the r10 plain parquet. Plain
+    // parquet forgets the hash(src) partitioning, so every
+    // pagerank/label_prop superstep re-shuffled the arc side in-job;
+    // the bucketed scan REPORTS hash(src) and the superstep joins plan
+    // with zero arc exchange. Measured warm at sf0.1: pagerank
+    // 2.6-2.9 → 2.0-2.4 s, label_prop 3.3-5.8 → 2.5 s. At 100 TB this is
+    // exactly the bucketed-arc-table layout a production graph pipeline
+    // keeps between runs (the join_bucketed machinery). The table name
+    // carries the session identity so concurrent test sessions cannot
+    // drop each other's tables; files live under the session memo dir
+    // and ride its three-layer cleanup (the in-memory catalog entry dies
+    // with the JVM).
+    val tbl = "graft_arcs_b_" + Integer.toHexString(dir.hashCode) + "_" +
+      Integer.toHexString(System.identityHashCode(spark))
+    MemoFrames.stagedPath(spark, s"graph_edges_bkt|$dir") { path =>
       val sp = graphPairs(spark, dir)
       val ed0 = sp.select(col("p").as("src"), col("s").as("dst"))
         .unionAll(sp.select(col("s").as("src"), col("p").as("dst")))
       val outdeg = ed0.groupBy("src").agg(count(lit(1)).as("deg"))
       val n = ed0.agg(countDistinct("src").as("n"))
-      // 1-row broadcast scalar (the crossJoin(broadcast(agg)) idiom) —
-      // executes INSIDE the memo's single AQE-off write job
-      ed0.join(outdeg, "src").crossJoin(broadcast(n))
+      spark.sql(s"DROP TABLE IF EXISTS $tbl")
+      MemoFrames.noAqe(spark) {
+        // 1-row broadcast scalar (the crossJoin(broadcast(agg)) idiom) —
+        // executes INSIDE the single AQE-off bucketed-write job
+        ed0.join(outdeg, "src").crossJoin(broadcast(n))
+          .repartition(32, col("src"))
+          .write.mode("overwrite").option("path", path)
+          .bucketBy(32, "src").saveAsTable(tbl)
+      }
     }
+    spark.table(tbl)
+  }
 
   /** Degree assortativity of the bipartite part↔supplier graph (round-8
     * wave 17) — do high-degree parts source from high-degree suppliers?
