@@ -428,13 +428,18 @@ object Analytics {
     * customer cardinality each becomes ScaleIdioms.twoLevelRank +
     * ntileFromRank (the exact-equivalent two-level form, in-repo and
     * NtileFormulaSpec-pinned — agg_pareto ships it live). Round 10
-    * measured that swap HERE at 5× the wall clock of the three ntile
-    * sorts (≥15 serial codegen'd stages vs 6 — stage count, not data,
-    * dominates at fixture scale), so this query keeps the window form
-    * and the swap stays the documented 1000× escape hatch — see
-    * PLANS.md round-10 notes for the numbers. Avgs divide exact
-    * integers. The marketing-ops companion to funnel_retention's
-    * cohort view. */
+    * measured the lazy-frame swap at 5× the window form; round 11
+    * re-measured it in the TWO-WRITE shape (customer frame materialized
+    * AQE-off, rank chains off the file — ProbeRfmScale) at BOTH fixture
+    * scale and the StressGen 10× frame, row-equality verified at both:
+    * window 0.7 → 1.4 s vs two-level 4.3 → 6.4 s from 10k → 100k
+    * customers (STRESS.md). FLIP TRIGGER: the window form's single-task
+    * sort grows linearly in customers while the two-level form's cost is
+    * stage-count-dominated; the measured curves cross at roughly 10M+
+    * customers (~1000× fixture) — swap the three ntile windows for
+    * twoLevelRank + ntileFromRank when the customer-grain frame exceeds
+    * ~10M rows. Avgs divide exact integers. The marketing-ops companion
+    * to funnel_retention's cohort view. */
   def rfmSegments(spark: SparkSession, dir: String): DataFrame = {
     val o = Tables.orders(spark, dir)
     val ref = broadcast(o.agg(max(to_date(col("o_orderdate"))).as("ref")))

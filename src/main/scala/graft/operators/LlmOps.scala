@@ -106,7 +106,17 @@ object LlmOps {
     * side carries the earlier bands' hashes and the join filters pairs
     * that already matched before — the standard LSH dedup trick).
     * Profiling at sf0.1 showed the naive pair-level `distinct()` shuffled
-    * 11M rows and dominated the query. */
+    * 11M rows and dominated the query.
+    *
+    * Measured failure mode (STRESS.md, round 11): on a corpus where every
+    * doc appears K times VERBATIM, band buckets grow K-fold and
+    * within-bucket pair generation is quadratic in K — the 10× stress
+    * frame (K=10) ran ×34, not ×10. That is the exact-duplicate hub
+    * problem of banded LSH, and the production answer is ordering, not a
+    * knob: run exact dedup FIRST (llm_dedup_funnel's pipeline does) so
+    * each duplicate class reaches banding as one representative; where
+    * pre-dedup is impossible, cap bucket width (the llm_ngram_jaccard
+    * df-cap idiom). */
   def llmMinhash(spark: SparkSession, dir: String): DataFrame = {
     val bands = minhashBands(spark, dir)
     val jac = graft.functions.sim.jaccardLongSim(col("x.toks"), col("y.toks"))
