@@ -337,7 +337,11 @@ object Aggregates {
       .agg(sum("l_quantity").as("wgt"))
       .withColumn("shard", floor(col("l_extendedprice") / 1000).cast("long"))
 
-  def aggWeightedMedian(spark: SparkSession, dir: String): DataFrame = {
+  /** The post-weights offs/join/window/agg chain, pre-materialization,
+    * exposed for PlanSnapshotSpec ("agg_weighted_median#inner" — ADVICE
+    * r10: the final materialize truncated this chain out of both plan
+    * guards). */
+  private[graft] def aggWeightedMedianPlan(spark: SparkSession, dir: String): DataFrame = {
     // The weight table feeds BOTH the shard-total branch and the final
     // join, so it is materialized once (without this each branch re-runs
     // the corpus hash agg — the only corpus-scale pass). Round 10: the
@@ -367,12 +371,15 @@ object Aggregates {
       .agg(count(lit(1)).as("n_prices_above"),
         round(min("l_extendedprice"), 2).as("w_median"),
         round(max("tot"), 2).as("total_qty"))
+    medians
+  }
+
+  def aggWeightedMedian(spark: SparkSession, dir: String): DataFrame =
     // flag-grain result (3 rows, bounded at any corpus size): the offs/
     // join/window/agg chain collapses into one more AQE-off write job —
     // under AQE its ~5 exchanges each scheduled a stage job
-    MemoFrames.materialize(spark, "wmed_out", medians)
+    MemoFrames.materialize(spark, "wmed_out", aggWeightedMedianPlan(spark, dir))
       .orderBy(col("l_returnflag").asc)
-  }
 
   def aggMode(spark: SparkSession, dir: String): DataFrame = {
     val counts = Tables.orders(spark, dir)

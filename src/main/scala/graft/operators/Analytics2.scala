@@ -113,6 +113,20 @@ object Analytics2 {
     *
     * Scale: one orderkey exchange total; everything downstream of the
     * basket arrays is map-side explosion + brand²-sized aggregation. */
+  /** The corpus-scale basket-array build, pre-materialization, exposed
+    * for PlanSnapshotSpec ("basket_rules#inner" — ADVICE r10: the memo
+    * write truncated the lineitem scan + part broadcast join out of both
+    * plan guards; its 1-row basket-total crossJoin(broadcast(agg)) is on
+    * the NLJ allowlist under the same name). */
+  private[graft] def basketRulesPlan(spark: SparkSession, dir: String): DataFrame =
+    Tables.lineitem(spark, dir)
+      .join(broadcast(Tables.part(spark, dir)),
+        col("l_partkey") === col("p_partkey"))
+      .groupBy(col("l_orderkey").as("ok"))
+      .agg(collect_set(col("p_brand")).as("brands"))
+      .crossJoin(broadcast(Tables.lineitem(spark, dir)
+        .agg(countDistinct("l_orderkey").as("n_orders"))))
+
   def basketRules(spark: SparkSession, dir: String): DataFrame = {
     // ONE (orderkey) shuffle builds the basket arrays (collect_set dedups
     // in the aggregate — no separate distinct), MATERIALIZED to the memo
@@ -132,13 +146,7 @@ object Analytics2 {
     // self-joined), and the support joins + rule assembly collapse into
     // a second AQE-off write of the brand²-bounded rule table.
     val baskets = MemoFrames.materialize(spark, "basket_arrays",
-      Tables.lineitem(spark, dir)
-        .join(broadcast(Tables.part(spark, dir)),
-          col("l_partkey") === col("p_partkey"))
-        .groupBy(col("l_orderkey").as("ok"))
-        .agg(collect_set(col("p_brand")).as("brands"))
-        .crossJoin(broadcast(Tables.lineitem(spark, dir)
-          .agg(countDistinct("l_orderkey").as("n_orders")))))
+      basketRulesPlan(spark, dir))
     val sup = baskets.select(explode(col("brands")).as("brand"))
       .groupBy("brand").agg(count(lit(1)).as("n_brand"))
     val pairs = baskets

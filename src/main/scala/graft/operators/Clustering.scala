@@ -431,7 +431,11 @@ object Clustering {
       .toDF("k", "n_parts", "n_supps", "n_edges", "rounds")
   }
 
-  def graphPagerank(spark: SparkSession, dir: String): DataFrame = {
+  /** The full pre-materialization superstep chain, exposed for
+    * PlanSnapshotSpec ("graph_pagerank#inner" — ADVICE r10: the AQE-off
+    * materialize truncated the corpus-scale lineage out of both plan
+    * guards, leaving only the bounded result scan fingerprinted). */
+  private[graft] def pagerankPlan(spark: SparkSession, dir: String): DataFrame = {
     // Nodes travel as LONGS (part → 2k, supplier → 2k+1; the bipartite
     // sides can't collide) through every shuffle and join — 8-byte keys
     // instead of "p123"/"s45" strings, the same id-encoding trick as
@@ -482,18 +486,20 @@ object Clustering {
         .select(col("node"),
           (lit(0.15) / col("n") + lit(0.85) * col("inflow")).as("pr"))
     }
-    val top = ranks
+    ranks
       .select(
         when(col("node") % 2 === 0, concat(lit("p"), (col("node") / 2).cast("long")))
           .otherwise(concat(lit("s"), ((col("node") - 1) / 2).cast("long"))).as("node"),
         round(col("pr"), 6).as("pr"))
       .orderBy(col("pr").desc, col("node").asc)
       .limit(20)
+  }
+
+  def graphPagerank(spark: SparkSession, dir: String): DataFrame =
     // one AQE-off job for the whole superstep chain; re-sort the 20-row
     // scan because parquet does not guarantee read order
-    MemoFrames.materialize(spark, "pagerank_top", top)
+    MemoFrames.materialize(spark, "pagerank_top", pagerankPlan(spark, dir))
       .orderBy(col("pr").desc, col("node").asc)
-  }
 
   /** Label propagation (round-8 addendum) — the community-detection
     * member of the Pregel family (pagerank = weighted mass, connected
@@ -518,7 +524,9 @@ object Clustering {
     * (14.1 s contended driver) for 3.8 s of local work. Two fixed
     * rounds keep the lineage bounded; a run-to-convergence variant
     * materializes per round exactly like llmDedupClusters' fixpoint. */
-  def graphLabelProp(spark: SparkSession, dir: String): DataFrame = {
+  /** Pre-materialization superstep chain ("graph_label_prop#inner") —
+    * same plan-guard rationale as pagerankPlan. */
+  private[graft] def labelPropPlan(spark: SparkSession, dir: String): DataFrame = {
     // column pruning: the superstep needs neither deg nor n
     val edges = graphEdges(spark, dir).select("src", "dst")
     // round 0: every node its own label; the node set is exactly the
@@ -535,7 +543,7 @@ object Clustering {
         .agg(max(struct(col("cnt"), (-col("lbl")).as("nl"))).as("m"))
         .select(col("node"), (-col("m.nl")).as("lbl"))
     }
-    val top = labels
+    labels
       .groupBy("lbl").agg(count(lit(1)).as("n_nodes"))
       .select(
         when(col("lbl") % 2 === 0, concat(lit("p"), (col("lbl") / 2).cast("long")))
@@ -544,9 +552,11 @@ object Clustering {
         col("n_nodes"))
       .orderBy(col("n_nodes").desc, col("community").asc)
       .limit(20)
-    MemoFrames.materialize(spark, "labelprop_top", top)
-      .orderBy(col("n_nodes").desc, col("community").asc)
   }
+
+  def graphLabelProp(spark: SparkSession, dir: String): DataFrame =
+    MemoFrames.materialize(spark, "labelprop_top", labelPropPlan(spark, dir))
+      .orderBy(col("n_nodes").desc, col("community").asc)
 
   /** Neighborhood Jaccard similarity (round-8 addendum) — for every
     * supplier pair sharing at least one part, |parts(a) ∩ parts(b)| /

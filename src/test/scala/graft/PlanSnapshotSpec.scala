@@ -42,7 +42,16 @@ class PlanSnapshotSpec extends AnyFunSuite {
   private lazy val innerPlans: Seq[(String, org.apache.spark.sql.DataFrame)] = Seq(
     "agg_weighted_median#weights" ->
       operators.Aggregates.weightedMedianWeights(session, sf0001),
-    "agg_pareto#inner" -> operators.Aggregates.aggParetoPlan(session, sf0001))
+    "agg_weighted_median#inner" ->
+      operators.Aggregates.aggWeightedMedianPlan(session, sf0001),
+    "agg_pareto#inner" -> operators.Aggregates.aggParetoPlan(session, sf0001),
+    // ADVICE r10: these three execute their whole corpus-scale lineage
+    // inside an AQE-off materialize, so the declared-plan fingerprint is
+    // a bounded result scan; the #inner entries keep the real scans,
+    // joins and supersteps under both guards.
+    "basket_rules#inner" -> operators.Analytics2.basketRulesPlan(session, sf0001),
+    "graph_pagerank#inner" -> operators.Clustering.pagerankPlan(session, sf0001),
+    "graph_label_prop#inner" -> operators.Clustering.labelPropPlan(session, sf0001))
 
   private lazy val plans: Seq[(String, org.apache.spark.sql.execution.SparkPlan)] =
     (SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
@@ -176,6 +185,9 @@ class PlanSnapshotSpec extends AnyFunSuite {
       // (basket_rules left this list in round 10: the basket total is now
       // a denormalized column of the materialized basket artifact, so the
       // declared plan has no scalar crossJoin.)
+      // round-11: basket_rules' PRE-materialization build carries that
+      // 1-row basket-total scalar — fingerprinted under its #inner entry
+      "basket_rules#inner",
       // round-9 wave 7: bill_price_index carries the 1-row base-year
       // (c0, q0) pair as a broadcast scalar into the year-grain frame
       "bill_price_index",
