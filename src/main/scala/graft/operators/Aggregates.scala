@@ -815,15 +815,15 @@ object Aggregates {
     * representations at every fixture SF (the decimal→double cast of an
     * exactly-held integer is the same nearest-double as long→double),
     * so the 6dp rho is bit-unchanged where both are in range. */
-  def aggSpearman(spark: SparkSession, dir: String): DataFrame = {
-    val cust = Tables.orders(spark, dir)
-      .groupBy("o_custkey")
-      .agg(count(lit(1)).as("x"),
-        round(round(sum("o_totalprice"), 2) * 100, 0).cast("long").as("y"))
-      .join(broadcast(Tables.customer(spark, dir)
-          .select(col("c_custkey").as("o_custkey"),
-            col("c_mktsegment").as("segment"))),
-        "o_custkey")
+  /** The rank + decimal-moment ρ formula over a prepared (segment, x, y)
+    * frame, exposed so Round11GuardSpec can drive an OVERSIZED group
+    * (n³ past int64) through the exact production arithmetic (VERDICT
+    * r10 task 7). Overflow posture: all five moment SUMS accumulate as
+    * DECIMAL(38,0) unconditionally — the n³/n⁴ magnitudes; the per-row
+    * rank products stay int64 (≤4n², exact to n ≈ 1.5e9 rows per
+    * segment), and past that they FAIL FAST under the sessions' ANSI
+    * mode (ARITHMETIC_OVERFLOW) rather than wrapping silently. */
+  private[graft] def spearmanBySegment(cust: DataFrame): DataFrame = {
     def r2(c: String) =
       (rank().over(Window.partitionBy("segment").orderBy(col(c).asc))
         .cast("long") * 2
@@ -845,6 +845,16 @@ object Aggregates {
           6).as("rho"))
       .orderBy(col("segment").asc)
   }
+
+  def aggSpearman(spark: SparkSession, dir: String): DataFrame =
+    spearmanBySegment(Tables.orders(spark, dir)
+      .groupBy("o_custkey")
+      .agg(count(lit(1)).as("x"),
+        round(round(sum("o_totalprice"), 2) * 100, 0).cast("long").as("y"))
+      .join(broadcast(Tables.customer(spark, dir)
+          .select(col("c_custkey").as("o_custkey"),
+            col("c_mktsegment").as("segment"))),
+        "o_custkey"))
 
   /** Kendall τ-b (round-9 wave 17) — concordant/discordant pair census
     * between the 25 nations' customer COUNT and balance-cents TOTAL
