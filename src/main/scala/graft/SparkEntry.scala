@@ -27,7 +27,7 @@ object SparkEntry {
       LlmOpsExtra.queries ++ Multimodal.queries ++ Skew.queries ++ SqlOps.queries ++
       TimeSeries.queries ++ Clustering.queries ++ Analytics.queries ++ Analytics2.queries ++ LlmOpsPipeline.queries ++
       DataQuality.queries ++ RuntimeFilter.queries ++ ScaleIdioms.queries ++ Workload.queries ++
-      JdbcSink.queries ++ Billing.queries
+      JdbcSink.queries ++ Billing.queries ++ EventPattern.queries ++ BpeTrain.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
@@ -38,5 +38,5 @@ object SparkEntry {
       LlmOpsExtra.oracleSql ++ Multimodal.oracleSql ++ Skew.oracleSql ++ SqlOps.oracleSql ++
       TimeSeries.oracleSql ++ Clustering.oracleSql ++ Analytics.oracleSql ++ Analytics2.oracleSql ++ LlmOpsPipeline.oracleSql ++
       DataQuality.oracleSql ++ RuntimeFilter.oracleSql ++ ScaleIdioms.oracleSql ++ Workload.oracleSql ++
-      JdbcSink.oracleSql ++ Billing.oracleSql
+      JdbcSink.oracleSql ++ Billing.oracleSql ++ EventPattern.oracleSql ++ BpeTrain.oracleSql
 }

@@ -1,0 +1,97 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.Tables
+
+/** SURVEY.md §2.J/K addendum (round 11, VERDICT r10 "what's missing" #3)
+  * — the BPE merge LOOP: `llm_bpe_pairs` ranks ONE round's candidate
+  * merges; this operator runs the iterative tokenizer-training recursion
+  * (Sennrich's byte-pair encoding): seed every word as a space-separated
+  * character sequence, then N times (a) count adjacent symbol pairs
+  * weighted by word frequency, (b) merge the most frequent pair
+  * everywhere it occurs. The output is the learned merge table — the
+  * artifact a tokenizer ships.
+  *
+  * Distribution shape (the real BPE trainer's): the CORPUS is touched
+  * exactly once, collapsing into the word-frequency dict — vocabulary-
+  * bounded at any corpus size (the explode→hash-agg shape every llm_*
+  * text op uses). All N training rounds then operate on that dict: each
+  * round is ONE scheduled job (a TakeOrdered argmax over the lazily
+  * merge-chained dict, AQE-off), and the only driver-side state is the
+  * 1-row winning pair per round — codebook-class, the llm_ann_ivf
+  * allowance. The merge application is a regexp_replace chained ON the
+  * materialized dict file, so round k re-evaluates k cheap
+  * vocab-bounded projections instead of re-scanning the corpus; at 10×
+  * the vocabulary this is still dict-sized work.
+  *
+  * Merge semantics: left-to-right non-overlapping replacement (Java
+  * replaceAll's scan — exactly BPE's greedy application; "a a a" under
+  * merge (a,a) → "aa a"). Symbol boundaries are guarded by 1-char
+  * lookarounds (?<![^ ]) / (?![^ ]), so "ab c" never matches inside
+  * "dab c". Ties break (count desc, pair asc) — fully deterministic,
+  * partition-layout-independent (pinned in BpeTrainSpec).
+  *
+  * NO-ORACLE: the data-dependent loop has no recursive-SQL form in the
+  * oracle dialect (the llm_pca/llm_minhash allowance); BpeTrainSpec pins
+  * the invariants instead — determinism under repartition, boundary
+  * safety, and the exact symbol-count ledger (each round shrinks the
+  * weighted symbol total by its winning pair's count when the pair's
+  * halves differ; overlapping self-pairs shrink by ≥ half of it). */
+object BpeTrain {
+
+  /** Run `rounds` BPE merges over a (word, freq) dict. Returns the merge
+    * table (round, left, right, freq) — driver-side rows are 1 per
+    * round. */
+  private[graft] def bpeMerges(spark: SparkSession, dict: DataFrame,
+      rounds: Int): Seq[(Long, String, String, Long)] = MemoFrames.noAqe(spark) {
+    // seed: word → space-separated characters (filter drops the empty
+    // fragments Java's zero-width split emits at the edges)
+    val seeded = dict.select(
+      array_join(filter(split(col("word"), ""), x => x =!= ""), " ").as("sym"),
+      col("freq"))
+    var cur = MemoFrames.materialize(spark, "bpe_dict", seeded)
+    val merges = scala.collection.mutable.ArrayBuffer.empty[(Long, String, String, Long)]
+    for (r <- 1 to rounds) {
+      val arr = split(col("sym"), " ")
+      // §2.Z guard: sequence(1, n) counts DOWN for n < 1 — single-symbol
+      // words must contribute an empty pair array, not junk
+      val pairs = when(size(arr) >= 2,
+        transform(sequence(lit(1), size(arr) - 1),
+          i => concat(element_at(arr, i), lit(" "), element_at(arr, i + 1))))
+        .otherwise(array())
+      val top = cur.select(explode(pairs).as("pair"), col("freq"))
+        .groupBy("pair").agg(sum("freq").as("cnt"))
+        .orderBy(col("cnt").desc, col("pair").asc)
+        .limit(1).head()
+      val Array(l, rgt) = top.getString(0).split(" ", 2)
+      merges += ((r.toLong, l, rgt, top.getLong(1)))
+      val pat = "(?<![^ ])" + java.util.regex.Pattern.quote(l + " " + rgt) + "(?![^ ])"
+      // lazily chain the merge; the NEXT round's argmax evaluates it —
+      // k chained vocab-bounded projections, no per-round write
+      cur = cur.select(
+        regexp_replace(col("sym"), pat, l + rgt).as("sym"), col("freq"))
+    }
+    merges.toSeq
+  }
+
+  /** Declared instance: 8 merges over the documents corpus (lowercased
+    * alphanumeric words). */
+  def llmBpeTrain(spark: SparkSession, dir: String): DataFrame = {
+    val dict = Tables.documents(spark, dir)
+      .select(explode(split(regexp_replace(lower(col("text")),
+        "[^a-z0-9 ]", " "), " ")).as("word"))
+      .filter(col("word") =!= "")
+      .groupBy("word").agg(count(lit(1)).as("freq"))
+    val merges = bpeMerges(spark, dict, 8)
+    val session = spark
+    import session.implicits._
+    merges.toDF("round", "left", "right", "freq")
+      .orderBy(col("round").asc)
+  }
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "llm_bpe_train" -> (llmBpeTrain _))
+
+  val oracleSql: Map[String, String] = Map.empty
+}
