@@ -360,4 +360,29 @@ class StreamingEquivalenceSpec extends AnyFunSuite {
     val r2 = spark.table("inc2_b").collect().map(r => (r.getString(0), r.getLong(1))).toMap
     assert(r2.values.sum === evs.size.toLong, "state restores + delta = full total")
   }
+  test("seq_nfa: incremental mapGroupsWithState automaton == batch (state survives batch splits)") {
+    implicit val ctx = spark.sqlContext
+    import graft.operators.EventPattern
+    // time-ordered chunks: per-user event order is preserved across
+    // micro-batches, so the carried (state, count) must resume exactly
+    val evs = fixtureEvents.sortBy(e => (e.ts.getTime, e.event_id))
+      .map(e => graft.streaming.GEvent(e.event_id, e.ts, e.user_id, e.event_type, e.value))
+    val ms = MemoryStream[graft.streaming.GEvent]
+    val nfa = EventPattern.NfaSpec.stages(Seq("view", "click", "purchase"))
+    val q = EventPattern.matchCountsIncremental(ms.toDS(), nfa)
+      .toDF("user_id", "n_matches")
+      .writeStream.format("memory").queryName("nfa_inc").outputMode("update").start()
+    try {
+      evs.grouped(317).foreach { chunk => ms.addData(chunk); q.processAllAvailable() }
+      // counts are monotone per user; update-mode emissions keep the max
+      val streamed = spark.table("nfa_inc")
+        .groupBy($"user_id").agg(max($"n_matches").as("n_matches"))
+        .filter($"n_matches" > 0)
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      val batch = EventPattern.seqNfa(spark, sf0001)
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      assert(streamed === batch)
+    } finally q.stop()
+  }
+
 }
