@@ -115,7 +115,7 @@ object Bench {
           // 20-28 of a TimeQ trace). byName populates the cache here,
           // in the untimed region.
           val df = Tables.byName(spark, sfDir, t)
-          df.select(org.apache.spark.sql.functions.xxhash64(df.columns.map(
+          df.select(org.apache.spark.sql.functions.xxhash64(df.columns.toIndexedSeq.map(
             org.apache.spark.sql.functions.col): _*).as("h"))
             .selectExpr("sum(h)").collect()
           System.err.println(f"BENCH WARMUP $t%-10s ${(System.nanoTime() - w0) / 1e9}%.3f s")

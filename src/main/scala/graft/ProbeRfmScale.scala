@@ -117,7 +117,7 @@ object ProbeRfmScale {
 
     // equality audit at this scale: the two forms must agree row-for-row
     def checksum(df: DataFrame): String =
-      df.agg(sum(xxhash64(df.columns.map(col): _*).cast("decimal(38,0)")).as("h"),
+      df.agg(sum(xxhash64(df.columns.toIndexedSeq.map(col): _*).cast("decimal(38,0)")).as("h"),
         count(lit(1)).as("n")).head().toString
     println("PROBE rfm_eq window=" +
       checksum(SparkEntry.queries("rfm_segments")(spark, sfDir)) +

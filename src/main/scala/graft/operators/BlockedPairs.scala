@@ -42,7 +42,7 @@ object BlockedPairs {
     * everything else rides in the `r`/`s` payload structs. */
   private[graft] def saltedSides(d: DataFrame, blockKeys: Seq[String],
       shards: Int): (DataFrame, DataFrame) = {
-    val payload = struct(d.columns.filterNot(blockKeys.contains).map(col): _*)
+    val payload = struct(d.columns.toIndexedSeq.filterNot(blockKeys.contains).map(col): _*)
     val keyed = d.select(
       blockKeys.map(col) ++ Seq(
         pmod(xxhash64(col("id")), lit(shards.toLong)).cast("int").as("salt"),
