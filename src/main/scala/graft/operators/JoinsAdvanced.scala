@@ -19,13 +19,32 @@ import graft.Tables
 object JoinsAdvanced {
 
   /** Band (theta) join: part pairs within the same brand whose sizes differ
-    * by ≤ 2. Equi on brand bounds the candidate set; `a_key < b_key`
-    * canonicalizes pairs. */
+    * by ≤ 2; `a_key < b_key` canonicalizes pairs.
+    *
+    * Round-11 re-block (STRESS.md full-suite finding): the original equi
+    * key was brand ALONE — 25 values, so candidates grew with
+    * (parts-per-brand)² and the 10× frame ran ×52 while only ~10% of
+    * brand-pairs survive the size filter. The join key is now
+    * (brand, size-bucket) with bucket = size DIV 3 and the a-side
+    * exploded to its 3 adjacent buckets — the standard banded block for
+    * |Δ| ≤ 2 with stride 3: every qualifying pair lands in EXACTLY one
+    * (a-emitted bucket = b's bucket) cell (|Δsize| ≤ 2 ⇒ bucket diff
+    * ≤ 1, and b's bucket is a single value), so no dedup pass, and the
+    * candidate set is Σ per-(brand, bucket) occupancy² — bounded by
+    * local size density like every blocked pair stage in the engine,
+    * not by brand width. Same rows out; the TRUE output (all
+    * qualifying pairs) is inherently quadratic in per-size density, so
+    * past the block fix, work ∝ output is the floor. */
   def joinThetaBand(spark: SparkSession, dir: String): DataFrame = {
     val p = Tables.part(spark, dir)
-    val a = p.select(col("p_partkey").as("a_key"), col("p_brand").as("brand"), col("p_size").as("a_size"))
-    val b = p.select(col("p_partkey").as("b_key"), col("p_brand").as("b_brand"), col("p_size").as("b_size"))
-    a.join(b, col("brand") === col("b_brand") &&
+    val a = p.select(col("p_partkey").as("a_key"), col("p_brand").as("brand"),
+        col("p_size").as("a_size"))
+      .withColumn("bkt",
+        explode(array(expr("a_size DIV 3 - 1"), expr("a_size DIV 3"),
+          expr("a_size DIV 3 + 1"))))
+    val b = p.select(col("p_partkey").as("b_key"), col("p_brand").as("b_brand"),
+        col("p_size").as("b_size"), expr("p_size DIV 3").as("b_bkt"))
+    a.join(b, col("brand") === col("b_brand") && col("bkt") === col("b_bkt") &&
              col("a_key") < col("b_key") &&
              abs(col("a_size") - col("b_size")) <= 2)
       .groupBy("brand")
