@@ -107,6 +107,53 @@ class Round11OpsSpec extends AnyFunSuite {
     assert(merges.head._2 == "a" && merges.head._3 == "b" && merges.head._4 == 11L)
   }
 
+  test("NFA stage-chain matches equal the run-triple census on 500 random streams") {
+    // property: for a distinct-alphabet A+ B+ C+ chain, greedy
+    // non-overlapping NFA matches == count of consecutive maximal-run
+    // triples (the oracle's gaps-and-islands formulation) — checked on
+    // seeded random symbol streams over a 5-letter alphabet
+    val rnd = new scala.util.Random(42)
+    val alpha = Vector("v", "c", "p", "x", "s")
+    (1 to 500).foreach { _ =>
+      val syms = Vector.fill(rnd.nextInt(40))(alpha(rnd.nextInt(alpha.size)))
+      val nfaN = EventPattern.matchCount(syms.iterator, vcp)
+      val runs = syms.foldLeft(List.empty[String]) {
+        case (acc, s) if acc.headOption.contains(s) => acc
+        case (acc, s) => s :: acc
+      }.reverse
+      val runN = runs.sliding(3).count(_ == List("v", "c", "p"))
+      assert(nfaN == runN, s"stream=${syms.mkString} nfa=$nfaN runs=$runN")
+    }
+  }
+
+  test("ntileFromRank column equals the SQL bucket-width definition at larger random (n, k)") {
+    // NtileFormulaSpec pins the formula against Spark's ntile for
+    // n 1..64 × k {2,3,5,7}; this evaluates the ACTUAL Column at larger
+    // random sizes against an independent replay of the SQL definition
+    // (first n mod k buckets get ⌈n/k⌉ rows, the rest ⌊n/k⌋)
+    val rnd = new scala.util.Random(7)
+    import org.apache.spark.sql.functions.{col, lit}
+    (1 to 6).foreach { _ =>
+      val n = rnd.nextInt(5000) + 1
+      val k = rnd.nextInt(64) + 1
+      val got = spark.range(1, n + 1)
+        .select(col("id").as("rn"),
+          graft.operators.ScaleIdioms.ntileFromRank(k, col("id"), lit(n.toLong))
+            .as("b"))
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      val q = n / k; val m = n % k
+      var rn = 1L
+      (1 to k).foreach { bucket =>
+        val width = if (bucket <= m) q + 1 else q
+        (1 to width).foreach { _ =>
+          assert(got(rn) == bucket.toLong, s"n=$n k=$k rn=$rn got=${got(rn)}")
+          rn += 1
+        }
+      }
+      assert(rn == n + 1)
+    }
+  }
+
   test("BPE training is partition-layout-invariant") {
     import spark.implicits._
     val words = (1 to 200).map(i => (s"w${i % 7}x${i % 3}", (i % 5 + 1).toLong))
