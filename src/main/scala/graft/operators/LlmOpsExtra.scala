@@ -279,7 +279,10 @@ object LlmOpsExtra {
     * 4×16-bit band bucketing, candidate pairs at Hamming distance ≤ 3.
     * No-oracle (xxhash64 is engine-specific); unit-tested against token
     * Jaccard. This is the O(n) signature + banded-join dedup pattern that
-    * complements MinHash at 100 TB. */
+    * complements MinHash at 100 TB. Shares llm_minhash's measured
+    * exact-duplicate hub mode (STRESS.md round 11: verbatim copies make
+    * band buckets quadratic) and the same mitigation — exact dedup
+    * first, per the funnel's ordering. */
   def llmSimhash(spark: SparkSession, dir: String): DataFrame = {
     // Signature computed INSIDE the document row by the codegen'd
     // simhash64 kernel (one pass over the token-hash array). Round 1
