@@ -281,25 +281,77 @@ object LlmOpsExtra {
     * Jaccard. This is the O(n) signature + banded-join dedup pattern that
     * complements MinHash at 100 TB. Shares llm_minhash's measured
     * exact-duplicate hub mode (STRESS.md round 11: verbatim copies make
-    * band buckets quadratic) and the same mitigation — exact dedup
-    * first, per the funnel's ordering. */
-  def llmSimhash(spark: SparkSession, dir: String): DataFrame = {
-    // Signature computed INSIDE the document row by the codegen'd
-    // simhash64 kernel (one pass over the token-hash array). Round 1
-    // exploded every (doc, token) pair and shuffled it into a 64-column
-    // vote aggregate — same bits, one whole table of shuffle for nothing.
-    val sig = Tables.documents(spark, dir)
+    * band buckets quadratic) and the same MEASURED VERDICT (ProbeHub,
+    * round-11 session 2): the 10× growth is output-bound (10.1M declared
+    * pair rows), the direct form runs it in 2.2-2.9 s at 32 threads, and
+    * the representative-collapse variant (llmSimhashCollapsed below,
+    * pair set pinned identical by HubCollapseSpec) was ~0.6 s slower at
+    * sf0.1 and at best par at 10× — direct stays shipped, dedup-first
+    * ordering remains the production answer to duplication. */
+  def llmSimhash(spark: SparkSession, dir: String): DataFrame =
+    simhashPairsOf(simhashSignatures(spark, dir))
+      .orderBy(col("a_id").asc, col("b_id").asc)
+
+  /** The representative-collapse variant (class key = the 64-bit
+    * signature; within-class Hamming 0 unconditionally — simhash64 is
+    * total, so unlike minhash there is no empty-array null band to
+    * exclude) — measured and NOT adopted (scaladoc above); kept under
+    * HubCollapseSpec's pair-set-equality pin. */
+  private[graft] def llmSimhashCollapsed(spark: SparkSession, dir: String): DataFrame = {
+    // pre-materialized for the same three-consumer reason as llmMinhash's
+    // class table (stream side + broadcast side + within-class branch)
+    val classes = MemoFrames.materialize(spark, "simhash_classes",
+      simhashSignatures(spark, dir).groupBy("simhash")
+        .agg(min("doc_id").as("rep"),
+          sort_array(collect_list(col("doc_id"))).as("members")))
+    // tiny class file → spread the band join + member expansion across
+    // the cores (see llmMinhashCollapsed)
+    val reps = classes.repartition(spark.sparkContext.defaultParallelism)
+      .select(col("rep").as("doc_id"), col("simhash"), col("members"))
+    // member lists ride through the band table and expand in-row in the
+    // candidate projection — no pair-grain joins (see llmMinhashCollapsed)
+    val cross = simhashCandidates(reps, Seq("members"))
+      .select(col("x.members").as("ma"), col("y.members").as("mb"), col("hamming"))
+      .select(explode(LlmOps.crossClassPairs(col("ma"), col("mb"))).as("p"), col("hamming"))
+      .select(col("p.a").as("a_id"), col("p.b").as("b_id"), col("hamming"))
+    val within = classes
+      .filter(size(col("members")) > 1)
+      // XOR with itself: Hamming 0 in exactly bit_count's result type
+      .select(explode(LlmOps.dupClassPairs(col("members"))).as("p"),
+        bit_count(col("simhash").bitwiseXOR(col("simhash"))).as("hamming"))
+      .select(col("p.a").as("a_id"), col("p.b").as("b_id"), col("hamming"))
+    cross.unionByName(within).orderBy(col("a_id").asc, col("b_id").asc)
+  }
+
+  /** Per-doc 64-bit signature, computed INSIDE the document row by the
+    * codegen'd simhash64 kernel (one pass over the token-hash array).
+    * Round 1 exploded every (doc, token) pair and shuffled it into a
+    * 64-column vote aggregate — same bits, one whole table of shuffle
+    * for nothing. */
+  private[graft] def simhashSignatures(spark: SparkSession, dir: String): DataFrame =
+    Tables.documents(spark, dir)
       .repartition(spark.sparkContext.defaultParallelism) // single-row-group file
       .select(col("doc_id"), graft.functions.sim.simhash64(
         transform(array_distinct(split(col("text"), " ")), t => xxhash64(t))).as("simhash"))
+
+  /** Band bucketing + self-join + Hamming ≤ 3 over an arbitrary
+    * (doc_id, simhash) frame; returns the x/y-aliased candidate frame
+    * with the `hamming` column. `extras` = additional columns carried
+    * through the band table (the shipped collapsed form rides the
+    * duplicate-class member list through here). */
+  private[graft] def simhashCandidates(sig: DataFrame, extras: Seq[String] = Nil): DataFrame = {
+    val ex = extras.map(col)
     val bandCols = (0 until 4).map { j =>
       struct(lit(j).as("band"),
         shiftrightunsigned(col("simhash"), j * 16).bitwiseAND(0xFFFFL).as("bh"))
     }
     // each pair emitted once, at its first shared band (bh_j recomputable
     // from the carried simhash) — avoids the pair-level distinct shuffle
-    val bands = sig.select(col("doc_id"), col("simhash"), explode(array(bandCols: _*)).as("bnd"))
-      .select(col("doc_id"), col("simhash"), col("bnd.band").as("band"), col("bnd.bh").as("bh"))
+    val bands = sig
+      .select(Seq(col("doc_id"), col("simhash")) ++ ex :+
+        explode(array(bandCols: _*)).as("bnd"): _*)
+      .select(Seq(col("doc_id"), col("simhash"),
+        col("bnd.band").as("band"), col("bnd.bh").as("bh")) ++ ex: _*)
     def bandOf(side: String, j: Int) =
       shiftrightunsigned(col(s"$side.simhash"), j * 16).bitwiseAND(0xFFFFL)
     val firstSharedBand = (0 until 4).map { j =>
@@ -312,11 +364,21 @@ object LlmOpsExtra {
         col("x.band") === col("y.band") && col("x.bh") === col("y.bh") &&
           col("x.doc_id") < col("y.doc_id"))
       .filter(firstSharedBand)
-      .select(col("x.doc_id").as("a_id"), col("y.doc_id").as("b_id"),
-        bit_count(col("x.simhash").bitwiseXOR(col("y.simhash"))).as("hamming"))
+      .withColumn("hamming",
+        bit_count(col("x.simhash").bitwiseXOR(col("y.simhash"))))
       .filter(col("hamming") <= 3)
-      .orderBy(col("a_id").asc, col("b_id").asc)
   }
+
+  /** The direct form's stages at document grain. */
+  private[graft] def simhashPairsOf(sig: DataFrame): DataFrame =
+    simhashCandidates(sig)
+      .select(col("x.doc_id").as("a_id"), col("y.doc_id").as("b_id"), col("hamming"))
+
+  /** The pre-collapse quadratic form — kept for HubCollapseSpec's
+    * pair-set-equality pin; NOT registered as a query. */
+  private[graft] def llmSimhashDirect(spark: SparkSession, dir: String): DataFrame =
+    simhashPairsOf(simhashSignatures(spark, dir))
+      .orderBy(col("a_id").asc, col("b_id").asc)
 
   private def embDouble(spark: SparkSession, dir: String): DataFrame =
     Tables.embeddings(spark, dir)
@@ -351,17 +413,71 @@ object LlmOpsExtra {
   /** Embedding-cosine near-duplicate pairs, blocked by label. Threshold
     * 0.4 is a demo value — this synthetic corpus's vectors are
     * near-orthogonal (max intra-label cosine ≈ 0.51 measured); real
-    * embedding dedup uses ~0.95 with the identical plan shape. */
+    * embedding dedup uses ~0.95 with the identical plan shape.
+    *
+    * Hub fix (STRESS.md round 11, same family as llm_minhash — but here
+    * the collapse SHIPS): cosine is a pure function of the two vectors,
+    * so the blocked pair join runs on ONE representative per distinct
+    * (label, vector) class and qualifying representative pairs expand
+    * back through the members. Unlike the minhash/simhash band joins —
+    * whose 10× cost is output-row materialization, making their collapse
+    * a wash (see llmMinhash) — this operator's candidate stage evaluates
+    * a 64-dim cosine per label-blocked pair, so shrinking the candidate
+    * set is real work saved: ProbeHub measured 3.1→0.9 s warm on the 10×
+    * verbatim-duplicated frame, parity (~0.5 s) at sf0.1. Within-class
+    * similarity is computed by the SAME fused kernel on (e, e) — not a
+    * literal 1.0 — so zero-norm vectors (cos = NaN, dropped by the ≥ 0.4
+    * filter in the direct form too) and any sub-1.0 rounding behave
+    * bit-identically. Pinned by HubCollapseSpec against
+    * llmEmbNeardupDirect (exceptAll both ways), so the oracle is
+    * untouched. */
   def llmEmbNeardup(spark: SparkSession, dir: String): DataFrame = {
-    val e = embDouble(spark, dir)
-    val a = e.select(col("vec_id").as("a_id"), col("label"), col("e").as("ae"))
-    val b = e.select(col("vec_id").as("b_id"), col("label").as("b_label"), col("e").as("be"))
+    // NOT pre-materialized (unlike llmMinhashCollapsed's class table):
+    // the A/B showed the extra write job costs more than the class agg's
+    // three in-plan executions at this table's size — 6 jobs / ~2 s vs
+    // 5 jobs / ~1.2 s warm at sf0.1
+    val classes = embDouble(spark, dir).groupBy("label", "e")
+      .agg(min("vec_id").as("rep"),
+        sort_array(collect_list(col("vec_id"))).as("members"))
+    val a = classes.select(col("rep").as("a_id"), col("label"),
+      col("e").as("ae"), col("members").as("ma"))
+    val b = classes.select(col("rep").as("b_id"), col("label").as("b_label"),
+      col("e").as("be"), col("members").as("mb"))
+    // member lists ride through the blocked pair join and expand by
+    // explode in the projection — no pair-grain joins (see llmMinhash)
+    val cross = a.join(b, col("label") === col("b_label") && col("a_id") < col("b_id"))
+      .withColumn("sim", round(cos(col("ae"), col("be")), 6))
+      .filter(col("sim") >= 0.4)
+      .select(explode(col("ma")).as("av"), col("mb"), col("label"), col("sim"))
+      .select(col("av"), explode(col("mb")).as("bv"), col("label"), col("sim"))
+      .select(least(col("av"), col("bv")).as("a_id"),
+        greatest(col("av"), col("bv")).as("b_id"), col("label"), col("sim"))
+    val within = classes
+      .withColumn("sim", round(cos(col("e"), col("e")), 6))
+      .filter(col("sim") >= 0.4 && size(col("members")) > 1)
+      .select(explode(LlmOps.dupClassPairs(col("members"))).as("p"),
+        col("label"), col("sim"))
+      .select(col("p.a").as("a_id"), col("p.b").as("b_id"), col("label"), col("sim"))
+    cross.unionByName(within).orderBy(col("a_id").asc, col("b_id").asc)
+  }
+
+  /** Label-blocked pair join + cosine ≥ 0.4 over an arbitrary
+    * (vec_id, label, e) frame — vector grain in the direct form,
+    * representative grain in the shipped collapsed form. */
+  private[graft] def embNeardupPairsOf(vecs: DataFrame): DataFrame = {
+    val a = vecs.select(col("vec_id").as("a_id"), col("label"), col("e").as("ae"))
+    val b = vecs.select(col("vec_id").as("b_id"), col("label").as("b_label"), col("e").as("be"))
     a.join(b, col("label") === col("b_label") && col("a_id") < col("b_id"))
       .withColumn("sim", round(cos(col("ae"), col("be")), 6))
       .filter(col("sim") >= 0.4)
       .select("a_id", "b_id", "label", "sim")
-      .orderBy(col("a_id").asc, col("b_id").asc)
   }
+
+  /** The pre-collapse quadratic form — kept for HubCollapseSpec's
+    * pair-set-equality pin; NOT registered as a query. */
+  private[graft] def llmEmbNeardupDirect(spark: SparkSession, dir: String): DataFrame =
+    embNeardupPairsOf(embDouble(spark, dir))
+      .orderBy(col("a_id").asc, col("b_id").asc)
 
   /** Hard-negative mining (round-8 addendum) — the contrastive-training
     * data step (SimCLR/DPR class): for every anchor, the single most

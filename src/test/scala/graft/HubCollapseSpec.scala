@@ -1,0 +1,90 @@
+package graft
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Round-11 hub-collapse pins: the representative-collapsed forms of
+  * llm_minhash / llm_simhash / llm_emb_neardup emit EXACTLY the pair set
+  * of the direct quadratic band/block joins — exceptAll in both
+  * directions on (a) the pristine sf0.001 fixture and (b) a 3× verbatim-
+  * duplicated corpus (the STRESS.md hub mode distilled: every text and
+  * every vector appears three times, so within-class AND cross-class
+  * expansions are both exercised; non-vacuity is asserted via the pair
+  * counts). The collapse SHIPS in llm_emb_neardup (kernel-bound
+  * candidates) and is kept as the measured-and-reverted alternative for
+  * llm_minhash / llm_simhash (output-bound — see the operator
+  * scaladocs); this spec pins all three equalities so whichever form
+  * ships, the other remains a verified drop-in. */
+class HubCollapseSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+
+  /** sf0.001 with every doc_id/vec_id cloned at +1e7 and +2e7 strides,
+    * payloads verbatim — written once per test run. */
+  private lazy val dupDir: String = {
+    val dir = java.nio.file.Files.createTempDirectory("graft_hub_").toString
+    val docs = Tables.documents(spark, TestSpark.sf0001)
+    (0 until 3).map(k => docs.withColumn("doc_id", col("doc_id") + lit(k * 10000000L)))
+      .reduce(_ unionByName _)
+      .coalesce(1).write.parquet(s"$dir/documents.parquet")
+    val emb = Tables.embeddings(spark, TestSpark.sf0001)
+    (0 until 3).map(k => emb.withColumn("vec_id", col("vec_id") + lit(k * 10000000L)))
+      .reduce(_ unionByName _)
+      .coalesce(1).write.parquet(s"$dir/embeddings.parquet")
+    dir
+  }
+
+  private def assertPairSetEqual(name: String, a: DataFrame, b: DataFrame): Long = {
+    val extra = a.exceptAll(b).count()
+    val missing = b.exceptAll(a).count()
+    assert(extra == 0 && missing == 0,
+      s"$name pair sets diverge: collapsed-only=$extra direct-only=$missing")
+    a.count()
+  }
+
+  test("llm_minhash collapsed == direct on pristine sf0.001") {
+    assertPairSetEqual("llm_minhash",
+      operators.LlmOps.llmMinhashCollapsed(spark, TestSpark.sf0001),
+      operators.LlmOps.llmMinhash(spark, TestSpark.sf0001))
+  }
+
+  test("llm_simhash collapsed == direct on pristine sf0.001") {
+    assertPairSetEqual("llm_simhash",
+      operators.LlmOpsExtra.llmSimhashCollapsed(spark, TestSpark.sf0001),
+      operators.LlmOpsExtra.llmSimhash(spark, TestSpark.sf0001))
+  }
+
+  test("llm_emb_neardup shipped (collapsed) == direct on pristine sf0.001") {
+    assertPairSetEqual("llm_emb_neardup",
+      operators.LlmOpsExtra.llmEmbNeardup(spark, TestSpark.sf0001),
+      operators.LlmOpsExtra.llmEmbNeardupDirect(spark, TestSpark.sf0001))
+  }
+
+  test("llm_minhash collapsed == direct on the 3x verbatim-duplicated corpus") {
+    val nDocs = spark.read.parquet(s"$dupDir/documents.parquet").count()
+    val pairs = assertPairSetEqual("llm_minhash",
+      operators.LlmOps.llmMinhashCollapsed(spark, dupDir),
+      operators.LlmOps.llmMinhash(spark, dupDir))
+    // every non-empty doc sits in a 3-member class → ≥ C(3,2) pairs per
+    // original doc; far more than nDocs ⇒ the within+cross branches fired
+    assert(pairs >= nDocs, s"hub pin vacuous: $pairs pairs for $nDocs docs")
+  }
+
+  test("llm_simhash collapsed == direct on the 3x verbatim-duplicated corpus") {
+    val nDocs = spark.read.parquet(s"$dupDir/documents.parquet").count()
+    val pairs = assertPairSetEqual("llm_simhash",
+      operators.LlmOpsExtra.llmSimhashCollapsed(spark, dupDir),
+      operators.LlmOpsExtra.llmSimhash(spark, dupDir))
+    assert(pairs >= nDocs, s"hub pin vacuous: $pairs pairs for $nDocs docs")
+  }
+
+  test("llm_emb_neardup shipped (collapsed) == direct on the 3x duplicated embeddings") {
+    val nVecs = spark.read.parquet(s"$dupDir/embeddings.parquet").count()
+    val pairs = assertPairSetEqual("llm_emb_neardup",
+      operators.LlmOpsExtra.llmEmbNeardup(spark, dupDir),
+      operators.LlmOpsExtra.llmEmbNeardupDirect(spark, dupDir))
+    // every vector's two clones pair at cosine 1.0 ≥ 0.4 within its label
+    // block ⇒ at least C(3,2) per original vector
+    assert(pairs >= nVecs, s"hub pin vacuous: $pairs pairs for $nVecs vecs")
+  }
+}
