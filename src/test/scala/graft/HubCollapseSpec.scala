@@ -42,6 +42,26 @@ class HubCollapseSpec extends AnyFunSuite {
     a.count()
   }
 
+  test("dupClassPairs / crossClassPairs HOF expansions: exact pair sets and edge cases") {
+    import spark.implicits._
+    def evalPairs(c: org.apache.spark.sql.Column): Seq[(Long, Long)] =
+      Seq(1).toDF("x").select(c.as("p"))
+        .selectExpr("transform(p, q -> struct(q.a, q.b)) as p")
+        .as[Seq[(Long, Long)]].head()
+    // C(3,2) ordered pairs of a sorted member array
+    assert(evalPairs(operators.LlmOps.dupClassPairs(typedLit(Seq(1L, 2L, 3L))))
+      == Seq((1L, 2L), (1L, 3L), (2L, 3L)))
+    // singleton and empty classes expand to nothing
+    assert(evalPairs(operators.LlmOps.dupClassPairs(typedLit(Seq(7L)))).isEmpty)
+    assert(evalPairs(operators.LlmOps.dupClassPairs(typedLit(Seq.empty[Long]))).isEmpty)
+    // cross-class cartesian with interleaved ids normalized via least/greatest
+    assert(evalPairs(operators.LlmOps.crossClassPairs(
+        typedLit(Seq(1L, 5L)), typedLit(Seq(3L))))
+      == Seq((1L, 3L), (3L, 5L)))
+    assert(evalPairs(operators.LlmOps.crossClassPairs(
+        typedLit(Seq.empty[Long]), typedLit(Seq(3L)))).isEmpty)
+  }
+
   test("llm_minhash collapsed == direct on pristine sf0.001") {
     assertPairSetEqual("llm_minhash",
       operators.LlmOps.llmMinhashCollapsed(spark, TestSpark.sf0001),
