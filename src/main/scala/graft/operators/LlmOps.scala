@@ -126,7 +126,11 @@ object LlmOps {
     * verbatim-duplicated corpus), and was MEASURED SLOWER at both
     * scales: 1.2-1.4 s vs 0.7 s at sf0.1, 32 s vs 28 s at 10× — both
     * forms are row-materialization-bound on the expanded output, and
-    * the collapse only adds the class-table build. Direct stays
+    * the collapse only adds the class-table build. The claim was then
+    * falsification-tested at K=100 duplication (STRESS.md): parity,
+    * 24-30 s vs 25.5 s on an identical 291M-pair output — the direct
+    * band join's in-bucket quadratic never overtakes row generation at
+    * any measured duplication depth. Direct stays
     * shipped; the production answer to duplication remains ordering
     * (exact dedup FIRST — llm_dedup_funnel's pipeline — collapses each
     * class to one representative and shrinks the OUTPUT itself).

@@ -424,7 +424,10 @@ object LlmOpsExtra {
     * a wash (see llmMinhash) — this operator's candidate stage evaluates
     * a 64-dim cosine per label-blocked pair, so shrinking the candidate
     * set is real work saved: ProbeHub measured 3.1→0.9 s warm on the 10×
-    * verbatim-duplicated frame, parity (~0.5 s) at sf0.1. Within-class
+    * verbatim-duplicated frame, parity (~0.5 s) at sf0.1, and the win
+    * grows with duplication exactly as a kernel-bound candidate stage
+    * predicts — 21× (24.5→1.2 s) on the K=100 frame (STRESS.md).
+    * Within-class
     * similarity is computed by the SAME fused kernel on (e, e) — not a
     * literal 1.0 — so zero-norm vectors (cos = NaN, dropped by the ≥ 0.4
     * filter in the direct form too) and any sub-1.0 rounding behave
