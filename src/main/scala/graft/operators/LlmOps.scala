@@ -184,9 +184,9 @@ object LlmOps {
   }
 
   /** Stages 1–3 (bands → bucket self-join → Jaccard ≥ 0.8 verify) over an
-    * arbitrary (doc_id, toks) frame at document grain — the direct form's
-    * whole pipeline (the shipped collapsed form inlines the same stages
-    * with the member-list passthrough instead). */
+    * arbitrary (doc_id, toks) frame at document grain — the SHIPPED
+    * llmMinhash pipeline (the reverted collapsed variant inlines the
+    * same stages with the member-list passthrough instead). */
   private[graft] def minhashPairsOf(docs: DataFrame): DataFrame = {
     val jac = graft.functions.sim.jaccardLongSim(col("x.toks"), col("y.toks"))
     minhashCandidates(minhashBandsOf(docs))
@@ -246,8 +246,8 @@ object LlmOps {
     minhashBandsOf(minhashTokenIds(spark, dir))
 
   /** `extras` = additional columns of `base` carried through the band
-    * table untouched (the shipped collapsed form rides the duplicate-class
-    * member list through here). */
+    * table untouched (the reverted collapsed variant rides the
+    * duplicate-class member list through here). */
   private[graft] def minhashBandsOf(base: DataFrame, extras: Seq[String] = Nil): DataFrame = {
     val ex = extras.map(col)
     val sigs = (0 until 16).map { i =>

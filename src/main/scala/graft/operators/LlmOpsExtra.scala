@@ -337,7 +337,7 @@ object LlmOpsExtra {
   /** Band bucketing + self-join + Hamming ≤ 3 over an arbitrary
     * (doc_id, simhash) frame; returns the x/y-aliased candidate frame
     * with the `hamming` column. `extras` = additional columns carried
-    * through the band table (the shipped collapsed form rides the
+    * through the band table (the reverted collapsed variant rides the
     * duplicate-class member list through here). */
   private[graft] def simhashCandidates(sig: DataFrame, extras: Seq[String] = Nil): DataFrame = {
     val ex = extras.map(col)
