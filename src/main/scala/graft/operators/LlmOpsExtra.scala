@@ -293,10 +293,11 @@ object LlmOpsExtra {
       .orderBy(col("a_id").asc, col("b_id").asc)
 
   /** The representative-collapse variant (class key = the 64-bit
-    * signature; within-class Hamming 0 unconditionally — simhash64 is
-    * total, so unlike minhash there is no empty-array null band to
-    * exclude) — measured and NOT adopted (scaladoc above); kept under
-    * HubCollapseSpec's pair-set-equality pin. */
+    * signature; within-class Hamming 0 for every non-null-signature
+    * class — NULL texts hash to a NULL signature and are excluded, the
+    * same null-band semantics as minhash) — measured and NOT adopted
+    * (scaladoc above); kept under HubCollapseSpec's pair-set-equality
+    * pin. */
   private[graft] def llmSimhashCollapsed(spark: SparkSession, dir: String): DataFrame = {
     // pre-materialized for the same three-consumer reason as llmMinhash's
     // class table (stream side + broadcast side + within-class branch)
@@ -315,7 +316,13 @@ object LlmOpsExtra {
       .select(explode(LlmOps.crossClassPairs(col("ma"), col("mb"))).as("p"), col("hamming"))
       .select(col("p.a").as("a_id"), col("p.b").as("b_id"), col("hamming"))
     val within = classes
-      .filter(size(col("members")) > 1)
+      // the isNotNull guard mirrors the direct form's behavior on NULL
+      // texts: a null token array yields a NULL signature, whose band
+      // hashes never equi-join — so the null-signature class must not
+      // emit within-class pairs either (caught by the crafted-corpus
+      // pin in HubCollapseSpec; simhash64 is total only on non-null
+      // arrays)
+      .filter(size(col("members")) > 1 && col("simhash").isNotNull)
       // XOR with itself: Hamming 0 in exactly bit_count's result type
       .select(explode(LlmOps.dupClassPairs(col("members"))).as("p"),
         bit_count(col("simhash").bitwiseXOR(col("simhash"))).as("hamming"))

@@ -42,6 +42,66 @@ class HubCollapseSpec extends AnyFunSuite {
     a.count()
   }
 
+  /** Crafted corpus hitting the semantics the fixture-derived pins may
+    * never exercise: NULL text (null token array → null band hashes —
+    * the direct band join silently drops these docs, so the collapsed
+    * within-class branch must too), token MULTISET variants that
+    * normalize to one set ("a b" / "b a" / "a a b" are one duplicate
+    * class for minhash: toks = sorted DISTINCT hashes), singletons, and
+    * for embeddings a zero-norm vector pair (cosine 0/0 = NaN, which
+    * Spark's comparison semantics rank ABOVE any number, so NaN ≥ 0.4
+    * holds and the pair is emitted with sim = NaN by BOTH forms — the
+    * same greatest-value NaN ordering DuckDB uses) plus identical
+    * vectors under DIFFERENT labels (blocked — must never pair). */
+  private lazy val craftedDir: String = {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft_hubedge_").toString
+    Seq[(Long, String)](
+      (1L, "a b"), (2L, "b a"), (3L, "a a b"),       // one class of 3 (set {a,b})
+      (4L, "a b c d e f g h"), (5L, "a b c d e f g h"), // verbatim pair
+      (6L, "a b c d e f g x"),                        // near-dup of 4/5 (jac 7/9 < 0.8? 7 shared of 9 union = .78 — candidate but filtered; bands may or may not match)
+      (7L, null.asInstanceOf[String]), (8L, null.asInstanceOf[String]), // null texts: never pair
+      (9L, "lonely"), (10L, "z")                      // singletons
+    ).toDF("doc_id", "text").coalesce(1).write.parquet(s"$dir/documents.parquet")
+    val zero = Seq.fill(4)(0.0)
+    val v1 = Seq(1.0, 0.0, 0.0, 0.0); val v2 = Seq(0.9, 0.1, 0.0, 0.0)
+    Seq[(Long, String, Seq[Double])](
+      (1L, "L1", v1), (2L, "L1", v1), (3L, "L1", v1), // 3-member class
+      (4L, "L1", v2),                                  // near-dup of the class
+      (5L, "L2", v1),                                  // same vector, OTHER label — must not pair with 1-3
+      (6L, "L2", zero), (7L, "L2", zero)               // zero-norm: NaN cosine, dropped
+    ).toDF("vec_id", "label", "embedding").coalesce(1).write.parquet(s"$dir/embeddings.parquet")
+    dir
+  }
+
+  test("crafted edge corpus: null texts, multiset-equal classes, zero vectors, cross-label dups") {
+    val mc = operators.LlmOps.llmMinhashCollapsed(spark, craftedDir)
+    val md = operators.LlmOps.llmMinhash(spark, craftedDir)
+    assertPairSetEqual("llm_minhash[crafted]", mc, md)
+    val mRows = md.collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    // the multiset class {1,2,3} pairs fully; the verbatim pair (4,5) too
+    assert(Set((1L, 2L), (1L, 3L), (2L, 3L), (4L, 5L)).subsetOf(mRows))
+    // null-text docs never pair (null band hashes in BOTH forms)
+    assert(!mRows.exists(p => p._1 == 7L || p._2 == 7L || p._1 == 8L || p._2 == 8L))
+
+    assertPairSetEqual("llm_simhash[crafted]",
+      operators.LlmOpsExtra.llmSimhashCollapsed(spark, craftedDir),
+      operators.LlmOpsExtra.llmSimhash(spark, craftedDir))
+
+    val ec = operators.LlmOpsExtra.llmEmbNeardup(spark, craftedDir)
+    val ed = operators.LlmOpsExtra.llmEmbNeardupDirect(spark, craftedDir)
+    assertPairSetEqual("llm_emb_neardup[crafted]", ec, ed)
+    val eRows = ed.collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(Set((1L, 2L), (1L, 3L), (2L, 3L)).subsetOf(eRows))
+    // zero-norm identical vectors DO pair — their NaN cosine passes the
+    // ≥0.4 filter under Spark's NaN-is-greatest comparison semantics
+    // (identically in both forms; pinned so a future "fix" can't change
+    // one form silently)
+    assert(eRows.contains((6L, 7L)))
+    // cross-label duplicates never pair (the label block)
+    assert(!eRows.contains((1L, 5L)) && !eRows.contains((2L, 5L)) && !eRows.contains((3L, 5L)))
+  }
+
   test("dupClassPairs / crossClassPairs HOF expansions: exact pair sets and edge cases") {
     import spark.implicits._
     def evalPairs(c: org.apache.spark.sql.Column): Seq[(Long, Long)] =
