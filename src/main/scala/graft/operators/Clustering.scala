@@ -159,7 +159,28 @@ object Clustering {
         val ck = MemoFrames.materialize(spark, s"cc_round$iter", next)
         // min(lbl) ≤ prev always, so "changed" ⇔ lbl < prev
         converged = ck.filter(col("lbl") < col("prev")).limit(1).count() == 0L
-        labels = ck.select("id", "lbl")
+        // POINTER DOUBLING at probe rounds (round-11 session 2): compose
+        // the just-MATERIALIZED labels through themselves — lbl ←
+        // lbl(lbl), a tiny-file self-join with no lineage recompute — so
+        // the fixpoint closes in O(log diameter) probe blocks instead of
+        // O(diameter) one-hop rounds. Dense near-dup blocks (every
+        // fixture) converge at the first probe with the doubling a
+        // no-op (at a fixpoint lbl(lbl) = lbl), and the lazy rounds
+        // between probes keep the original single-reference plans — the
+        // first cut composed INSIDE every lazy round and doubled the
+        // plan per round (cc_labels warm build 3.9 → 7.5 s; reverted to
+        // this probe-round form, 3.9 s restored). The motivating input
+        // is a CHAIN-shaped duplicate graph (template drift: doc i
+        // near-dups only doc i±1), which keeps ~full diameter through
+        // the one-shot star contraction and blew the 50-round rail —
+        // caught by CcDeepChainSpec's 64-doc chain. A label value with
+        // no row in the table is already its own root (settled star) —
+        // the left join + coalesce keeps it fixed; labels only shrink,
+        // so the `prev` convergence test above is unaffected.
+        labels = ck.join(
+            ck.select(col("id").as("p_id"), col("lbl").as("p_lbl")),
+            col("lbl") === col("p_id"), "left")
+          .select(col("id"), coalesce(col("p_lbl"), col("lbl")).as("lbl"))
       } else {
         labels = next.select("id", "lbl")
       }
