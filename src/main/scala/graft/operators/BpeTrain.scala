@@ -52,7 +52,8 @@ object BpeTrain {
       col("freq"))
     var cur = MemoFrames.materialize(spark, "bpe_dict", seeded)
     val merges = scala.collection.mutable.ArrayBuffer.empty[(Long, String, String, Long)]
-    for (r <- 1 to rounds) {
+    var exhausted = false
+    for (r <- 1 to rounds if !exhausted) {
       val arr = split(col("sym"), " ")
       // §2.Z guard: sequence(1, n) counts DOWN for n < 1 — single-symbol
       // words must contribute an empty pair array, not junk
@@ -60,17 +61,24 @@ object BpeTrain {
         transform(sequence(lit(1), size(arr) - 1),
           i => concat(element_at(arr, i), lit(" "), element_at(arr, i + 1))))
         .otherwise(array())
-      val top = cur.select(explode(pairs).as("pair"), col("freq"))
+      // headOption, not head (round-11 session 2, EmptyInputSpec): a
+      // corpus that runs out of adjacent pairs before the requested
+      // round count — empty dict, or every word already fused to one
+      // symbol — must END the training, not throw on the empty argmax
+      cur.select(explode(pairs).as("pair"), col("freq"))
         .groupBy("pair").agg(sum("freq").as("cnt"))
         .orderBy(col("cnt").desc, col("pair").asc)
-        .limit(1).head()
-      val Array(l, rgt) = top.getString(0).split(" ", 2)
-      merges += ((r.toLong, l, rgt, top.getLong(1)))
-      val pat = "(?<![^ ])" + java.util.regex.Pattern.quote(l + " " + rgt) + "(?![^ ])"
-      // lazily chain the merge; the NEXT round's argmax evaluates it —
-      // k chained vocab-bounded projections, no per-round write
-      cur = cur.select(
-        regexp_replace(col("sym"), pat, l + rgt).as("sym"), col("freq"))
+        .limit(1).collect().headOption match {
+        case None => exhausted = true
+        case Some(top) =>
+          val Array(l, rgt) = top.getString(0).split(" ", 2)
+          merges += ((r.toLong, l, rgt, top.getLong(1)))
+          val pat = "(?<![^ ])" + java.util.regex.Pattern.quote(l + " " + rgt) + "(?![^ ])"
+          // lazily chain the merge; the NEXT round's argmax evaluates it —
+          // k chained vocab-bounded projections, no per-round write
+          cur = cur.select(
+            regexp_replace(col("sym"), pat, l + rgt).as("sym"), col("freq"))
+      }
     }
     merges.toSeq
   }

@@ -422,6 +422,15 @@ object Clustering {
     // artifact, so distinct collapses arc-grain to node-grain
     val nodes0 = e.select(col("src").as("node"), col("deg")).distinct()
     var (alive, nAlive) = MemoFrames.materializeCounted(spark, "kcore_n0", nodes0)
+    // degenerate-input guard (round-11 session 2, EmptyInputSpec): an
+    // EMPTY graph has no median degree — percentile_disc returns NULL and
+    // the getLong below would throw. The k-core of nothing is nothing.
+    if (nAlive == 0L) {
+      val session = spark
+      import session.implicits._
+      return Seq((0L, 0L, 0L, 0L, 0L))
+        .toDF("k", "n_parts", "n_supps", "n_edges", "rounds")
+    }
     // adaptive k: median part-side (even-node) degree — a 1-value driver
     // scalar, codebook-class, same legitimacy as the IVF means; equals
     // the r10 per-part pair count by construction of the arc artifact.

@@ -460,7 +460,11 @@ object SourcesSinks {
       .select("l_orderkey", "l_partkey", "l_suppkey", "l_linenumber",
         "l_quantity", "l_extendedprice", "l_returnflag")
     val mx = li.agg(max("l_partkey"), max("l_suppkey")).head()
-    val (maxP, maxS) = (math.max(mx.getLong(0), 1L), math.max(mx.getLong(1), 1L))
+    // max over an EMPTY table is NULL (round-11 session 2,
+    // EmptyInputSpec) — normalize against 1 so the z-scaling constants
+    // stay defined and the rewrite of nothing is just an empty file
+    def maxOr1(i: Int) = if (mx.isNullAt(i)) 1L else math.max(mx.getLong(i), 1L)
+    val (maxP, maxS) = (maxOr1(0), maxOr1(1))
     def norm16(c: org.apache.spark.sql.Column, mx: Long) =
       least(lit(65535L), floor(c * 65536.0 / (mx + 1))).cast("long")
     val zp = norm16(col("l_partkey"), maxP)
