@@ -162,18 +162,42 @@ object Bench {
       try new String(java.nio.file.Files.readAllBytes(
         java.nio.file.Paths.get("/proc/loadavg"))).split("\\s+")(0).toDouble
       catch { case _: Throwable => -1.0 }
-    def cpuStallUs(): Long =
+    def pressureSomeUs(file: String): Long =
       try {
         val txt = new String(java.nio.file.Files.readAllBytes(
-          java.nio.file.Paths.get("/proc/pressure/cpu")))
+          java.nio.file.Paths.get(file)))
         txt.linesIterator.find(_.startsWith("some")).flatMap(
           _.split("\\s+").find(_.startsWith("total=")).map(_.drop(6).toLong)).getOrElse(-1L)
       } catch { case _: Throwable => -1L }
+    def cpuStallUs(): Long = pressureSomeUs("/proc/pressure/cpu")
+    def ioStallUs(): Long = pressureSomeUs("/proc/pressure/io")
+    // Per-query PROCESS CPU seconds (VERDICT r11 task 1): the r11 artifact
+    // proved the host was loaded (`load`) but not where a 29 s kcore's
+    // time went — host-wide CPU-PSI recorded 0.31 s because the OTHER
+    // processes weren't stalling, OURS was simply descheduled. Process CPU
+    // time (utime+stime across all JVM threads, from the JDK's own
+    // OperatingSystemMXBean, ns precision) closes that: a query whose
+    // wall ≫ cpu/threads was starved BY THE HOST on its face, while a
+    // query with cpu ≈ 32×wall was genuinely compute-parallel. Emitted
+    // per query as `cpu` (raw process-CPU seconds — can exceed wall by up
+    // to the thread count) plus the derived `wall_minus_cpu` the verdict
+    // asked for (negative ⇒ CPU-parallel compute; large positive on a
+    // multi-job query ⇒ the process barely ran ⇒ host contention, not
+    // code). IO-PSI some-total rides along so an I/O-starved tail (page
+    // cache eviction under memory pressure) separates from CPU steal.
+    val osBean = java.lang.management.ManagementFactory.getOperatingSystemMXBean
+    def procCpuNs(): Long = osBean match {
+      case b: com.sun.management.OperatingSystemMXBean => b.getProcessCpuTime
+      case _ => -1L
+    }
     val benchT0 = System.nanoTime()
-    val results: Seq[(String, Either[String, Double], Double, Double, Double)] =
+    final case class QRes(name: String, r: Either[String, Double], t0: Double,
+        load: Double, stall: Double, cpu: Double, ioStall: Double)
+    val results: Seq[QRes] =
       SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
         spark.sparkContext.setJobGroup(s"q:$name", name, false)
-        val la0 = loadavg1(); val st0 = cpuStallUs()
+        val la0 = loadavg1(); val st0 = cpuStallUs(); val io0 = ioStallUs()
+        val cpu0 = procCpuNs()
         val t0 = System.nanoTime()
         val r = try {
           fn(spark, sfDir).count()
@@ -183,11 +207,14 @@ object Bench {
             System.err.println(s"BENCH FAIL $name: ${e.getClass.getSimpleName}: ${e.getMessage}")
             Left("err")
         } finally spark.sparkContext.clearJobGroup()
-        val st1 = cpuStallUs()
+        val cpu1 = procCpuNs()
+        val st1 = cpuStallUs(); val io1 = ioStallUs()
         val stall = if (st0 >= 0 && st1 >= 0) (st1 - st0) / 1e6 else -1.0
-        (name, r, (t0 - benchT0) / 1e9, la0, stall)
+        val ioSt = if (io0 >= 0 && io1 >= 0) (io1 - io0) / 1e6 else -1.0
+        val cpu = if (cpu0 >= 0 && cpu1 >= 0) (cpu1 - cpu0) / 1e9 else -1.0
+        QRes(name, r, (t0 - benchT0) / 1e9, la0, stall, cpu, ioSt)
       }
-    val resultMap = results.map { case (n, r, _, _, _) => n -> r }.toMap
+    val resultMap = results.map(q => q.name -> q.r).toMap
     // 3-decimal seconds (1 ms resolution) keeps entries compact.
     def fmt(v: Double): String = BigDecimal(v)
       .setScale(3, BigDecimal.RoundingMode.HALF_UP).toString
@@ -199,36 +226,43 @@ object Bench {
     // Let the listener bus drain before reading the per-group job counts;
     // all actions have returned, so only event delivery is pending.
     Thread.sleep(1500)
-    val jobsQs = results.map { case (name, _, _, _, _) =>
-      "\"" + name + "\":" + Option(jobsByGroup.get(s"q:$name")).fold(0)(_.intValue)
-    }.mkString("{", ",", "}")
+    def qmap(f: QRes => String): String =
+      results.map(q => "\"" + q.name + "\":" + f(q)).mkString("{", ",", "}")
+    val jobsQs = qmap(q =>
+      Option(jobsByGroup.get(s"q:${q.name}")).fold(0)(_.intValue).toString)
     // per-query start offsets (seconds since the first query began)
-    val t0Qs = results.map { case (name, _, t0r, _, _) =>
-      "\"" + name + "\":" + fmt(t0r)
-    }.mkString("{", ",", "}")
-    // per-query ambient evidence: 1-min loadavg at query start, and CPU-PSI
-    // stall seconds accumulated host-wide WHILE the query ran
-    val loadQs = results.map { case (name, _, _, la, _) =>
-      "\"" + name + "\":" + fmt(la)
-    }.mkString("{", ",", "}")
-    val stallQs = results.map { case (name, _, _, _, st) =>
-      "\"" + name + "\":" + fmt(st)
-    }.mkString("{", ",", "}")
+    val t0Qs = qmap(q => fmt(q.t0))
+    // per-query ambient evidence: 1-min loadavg at query start, CPU-PSI /
+    // IO-PSI stall seconds accumulated host-wide WHILE the query ran,
+    // process-CPU seconds consumed BY THIS JVM during the query, and the
+    // derived wall−cpu (negative = compute-parallel; large positive =
+    // the process was descheduled — host contention, not code)
+    val loadQs = qmap(q => fmt(q.load))
+    val stallQs = qmap(q => fmt(q.stall))
+    val ioStallQs = qmap(q => fmt(q.ioStall))
+    val cpuQs = qmap(q => fmt(q.cpu))
+    val wmcQs = qmap(q => q.r match {
+      case Right(w) if q.cpu >= 0 => fmt(w - q.cpu)
+      case _ => "\"n/a\""
+    })
     val warmJson = warmArtifacts match {
       case Some(secs) => secs.map { case (n, s) => "\"" + n + "\":" + fmt(s) }
         .mkString("""{"mode":"warm","secs":{""", ",", "}}")
       case None => """{"mode":"cold"}"""
     }
-    val fullQs = results.map { case (k, _, _, _, _) => entry(k) }.mkString("{", ",", "}")
-    val nerr = results.count(_._2.isLeft)
-    val total = results.collect { case (_, Right(v), _, _, _) => v }.sum
-    val loads = results.map(_._4).filter(_ >= 0)
-    val stalls = results.map(_._5).filter(_ >= 0)
+    val fullQs = results.map(q => entry(q.name)).mkString("{", ",", "}")
+    val nerr = results.count(_.r.isLeft)
+    val total = results.collect { case QRes(_, Right(v), _, _, _, _, _) => v }.sum
+    val loads = results.map(_.load).filter(_ >= 0)
+    val stalls = results.map(_.stall).filter(_ >= 0)
+    val ioStalls = results.map(_.ioStall).filter(_ >= 0)
+    val cpuSecs = results.map(_.cpu).filter(_ >= 0)
     val loadSummary =
       s""""load_max":${fmt(if (loads.isEmpty) -1 else loads.max)},"load_mean":${fmt(
-        if (loads.isEmpty) -1 else loads.sum / loads.size)},"stall_total":${fmt(stalls.sum)}"""
+        if (loads.isEmpty) -1 else loads.sum / loads.size)},"stall_total":${fmt(stalls.sum)},"io_stall_total":${fmt(
+        ioStalls.sum)},"cpu_total":${fmt(cpuSecs.sum)}"""
     val fullLine =
-      s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":$fullQs,"jobs":$jobsQs,"t0":$t0Qs,"load":$loadQs,"cpu_stall":$stallQs,$loadSummary,"warm_artifacts":$warmJson,"errors":$nerr,"n_queries":${results.size},"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":$fullQs,"jobs":$jobsQs,"t0":$t0Qs,"load":$loadQs,"cpu_stall":$stallQs,"io_stall":$ioStallQs,"cpu":$cpuQs,"wall_minus_cpu":$wmcQs,$loadSummary,"warm_artifacts":$warmJson,"errors":$nerr,"n_queries":${results.size},"sf":"$sfDir"}"""
 
     // Complete map -> repo file (judge-readable even when stdout is clipped).
     // Delete the previous run's file FIRST: if this run's write fails, a
@@ -256,7 +290,7 @@ object Bench {
 
     // Compact final stdout line: headline + slowest-8, hard-capped so the
     // whole line plus sbt's epilogue fits the 2000-char tail window.
-    val slowest = results.collect { case (k, Right(v), _, _, _) => k -> v }
+    val slowest = results.collect { case QRes(k, Right(v), _, _, _, _, _) => k -> v }
       .sortBy(-_._2).take(8).map(_._1)
     // no filter on results.contains: a renamed/removed headline query must
     // surface as "absent" in the compact line, not silently vanish

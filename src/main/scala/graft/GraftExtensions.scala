@@ -3,7 +3,7 @@ package graft
 import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
-import graft.functions.{CosineSim, JaccardLongSim, JaccardSim, KmvDistinct, SimHash64}
+import graft.functions.{CosineSim, JaccardLongSim, JaccardSim, KmvDistinct, KmvState, SimHash64}
 
 /** SparkSessionExtensions entry point: registers the engine's native
   * expressions as SQL functions (`jaccard_sim`, `cosine_sim`) so they are
@@ -25,6 +25,10 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       new FunctionIdentifier("kmv_distinct"),
       new ExpressionInfo(classOf[KmvDistinct].getName, "kmv_distinct"),
       (children: Seq[Expression]) => KmvDistinct(children.head).toAggregateExpression()))
+    ext.injectFunction((
+      new FunctionIdentifier("kmv_state"),
+      new ExpressionInfo(classOf[KmvState].getName, "kmv_state"),
+      (children: Seq[Expression]) => KmvState(children.head).toAggregateExpression()))
     ext.injectFunction((
       new FunctionIdentifier("jaccard_long_sim"),
       new ExpressionInfo(classOf[JaccardLongSim].getName, "jaccard_long_sim"),

@@ -311,6 +311,8 @@ object sim {
     column(SimHash64(expression(a)))
   def kmvDistinct(c: Column, k: Int = 256): Column =
     column(KmvDistinct(expression(c), k).toAggregateExpression())
+  def kmvState(c: Column, k: Int = 256): Column =
+    column(KmvState(expression(c), k).toAggregateExpression())
   def topkSketch(c: Column, m: Int = 64, k: Int = 10): Column =
     column(TopKSketch(expression(c), m, k).toAggregateExpression())
   def countMinFreq(c: Column, probes: Seq[String],

@@ -329,8 +329,17 @@ object Clustering {
     // drop each other's tables; files live under the session memo dir
     // and ride its three-layer cleanup (the in-memory catalog entry dies
     // with the JVM).
-    val tbl = "graft_arcs_b_" + Integer.toHexString(dir.hashCode) + "_" +
-      Integer.toHexString(System.identityHashCode(spark))
+    // The full sanitized dir rides in the name (ADVICE r11): a 32-bit
+    // dir.hashCode collision between two fixture dirs in one session
+    // would have silently cross-wired their catalog tables while
+    // stagedPath (memoized on the exact dir string) kept serving the
+    // first dir's files. Sanitization itself can alias ("/a.b" vs
+    // "/a_b"), so the exact dir's hash stays appended as a tie-break —
+    // but now both dirs must collide on BOTH the sanitized string and
+    // the hash, which distinct paths cannot.
+    val tbl = ("graft_arcs_b_" + dir.replaceAll("[^A-Za-z0-9]", "_") + "_" +
+      Integer.toHexString(dir.hashCode) + "_" +
+      Integer.toHexString(System.identityHashCode(spark))).toLowerCase
     MemoFrames.stagedPath(spark, s"graph_edges_bkt|$dir") { path =>
       val sp = graphPairs(spark, dir)
       val ed0 = sp.select(col("p").as("src"), col("s").as("dst"))

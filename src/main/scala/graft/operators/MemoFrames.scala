@@ -158,7 +158,19 @@ object MemoFrames {
     * Keep `.checkpoint()` where a downstream join keys on the
     * materialized frame's preserved partitioning (e.g. pagerank's
     * pre-partitioned edges): parquet forgets partitioning and would
-    * re-introduce a per-iteration shuffle there. */
+    * re-introduce a per-iteration shuffle there.
+    *
+    * LIFETIME CONTRACT (ADVICE r11): re-materializing a tag DELETES the
+    * previous same-tag file (supersedeMat) — that is the unbounded
+    * /dev/shm growth fix, and it makes the returned frame valid only
+    * until the SAME tag (or a tag-sharing sibling: the cc_* tags are
+    * shared by graph_cc_sizes and llm_dedup_clusters) is materialized
+    * again. Callers must consume the frame within the invocation that
+    * produced it; holding it across a re-invocation yields
+    * FileNotFoundException (or an empty scan), by design. Every in-tree
+    * consumer (bench, Verify, the suites) runs queries to completion
+    * before re-invoking, so the ban is structural there — but it is a
+    * public-API contract, not an implementation footnote. */
   def materialize(spark: SparkSession, tag: String, df: DataFrame): DataFrame =
     synchronized {
       val safe = tag.replaceAll("[^A-Za-z0-9._-]", "_").take(48)

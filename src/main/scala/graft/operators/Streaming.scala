@@ -282,11 +282,16 @@ object Streaming {
     val ndKey = "spark.sql.streaming.noDataMicroBatches.enabled"
     val ndPrev = spark.conf.getOption(ndKey)
     spark.conf.set(ndKey, "false")
-    val q = qw.start()
-    // only the per-call checkpoint is deleted — the staged drop is
-    // session-shared and rides the memo dir's cleanup
-    try q.awaitTermination(300000) finally {
-      q.stop(); deleteStaging(tmp)
+    // start() runs INSIDE the try (ADVICE r11): it can throw (bad
+    // checkpoint dir, source listing failure), and outside the block a
+    // failure would leave the session-global no-data-microbatch flag
+    // disabled for every later streaming query in this session.
+    // Only the per-call checkpoint is deleted in the finally — the
+    // staged drop is session-shared and rides the memo dir's cleanup.
+    var q: org.apache.spark.sql.streaming.StreamingQuery = null
+    try { q = qw.start(); q.awaitTermination(300000) } finally {
+      if (q != null) q.stop()
+      deleteStaging(tmp)
       ndPrev match { case Some(v) => spark.conf.set(ndKey, v)
                      case None    => spark.conf.unset(ndKey) }
     }

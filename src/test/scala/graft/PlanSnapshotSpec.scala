@@ -201,7 +201,11 @@ class PlanSnapshotSpec extends AnyFunSuite {
       // self-join of the BOUNDED 25-nation aggregate (300 pairs after
       // one corpus hash agg — the deliberate O(n²)-on-bounded-grain
       // form; unbounded grains take merge-count or agg_spearman)
-      "agg_kendall")
+      "agg_kendall",
+      // round-12: agg_theta_union's union row carries the 1-row exact
+      // countDistinct audit scalar into the 1-row union-state frame —
+      // the crossJoin(broadcast(agg)) scalar idiom
+      "agg_theta_union")
     val withNlj = plans.flatMap { case (name, plan) =>
       val n = plan.collect {
         case j: BroadcastNestedLoopJoinExec => j
