@@ -319,6 +319,117 @@ object TimeSeries {
       .orderBy(col("event_type").asc, col("level").asc, col("segment").asc)
   }
 
+  /** Depth-k binary segmentation (round 12, VERDICT r11 task 6 — the
+    * named generalization of ts_changepoint's fixed depth-2): the SAME
+    * exact-int64 CUSUM statistic recursively re-applied inside every
+    * regime for `depth` levels, with a MIN-SEGMENT-LENGTH guard — a
+    * segment shorter than `minSeg` days is a leaf, so noise-grain
+    * micro-segments never split (the guard PELT-family implementations
+    * ship as `minseglen`). Segments are path-labelled ("all",
+    * "all.pre", "all.pre.post", …) so every row names its full lineage.
+    *
+    * Plan shape: the recursion is a SCALA loop over lazily-composed
+    * bounded re-windows — each level re-windows the (event_type, path)
+    * day-grain frame (domain-bounded, like the parent op) and inner-
+    * joins the level's 1-row-per-segment split table (AQE broadcasts
+    * from measured size). Depth ≤ 4 ⇒ at most 15 segments/type; the
+    * only corpus-scale work remains the one events scan behind the
+    * daily agg. One action, no per-level jobs. */
+  def tsChangepointDeep(spark: SparkSession, dir: String): DataFrame = {
+    val daily = Tables.events(spark, dir)
+      .groupBy(col("event_type"),
+        date_trunc("day", col("ts")).as("day"))
+      .agg(sum(round(col("value") * 100, 0).cast("long")).as("c"))
+    changepointDeepFrom(daily, depth = 4, minSeg = 8L)
+  }
+
+  /** The recursion itself over any (event_type, day, c) day-grain frame —
+    * split out so ChangepointDeepSpec can drive it with crafted
+    * multi-changepoint series and guard-boundary lengths. */
+  private[graft] def changepointDeepFrom(daily: DataFrame,
+      depth: Int, minSeg: Long): DataFrame = {
+    var assigned = daily.withColumn("path", lit("all"))
+    var out: Option[DataFrame] = None
+    for (level <- 1 to depth) {
+      val w = Window.partitionBy("event_type", "path")
+      val wOrd = w.orderBy(col("day").asc)
+      val wRun = wOrd.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val scored = assigned
+        .withColumn("i", row_number().over(wOrd).cast("long"))
+        .withColumn("cum", sum("c").over(wRun))
+        .withColumn("m", count(lit(1)).over(w))
+        .withColumn("t", sum("c").over(w))
+        .withColumn("dev", abs(col("m") * col("cum") - col("i") * col("t")))
+      val splits = scored
+        .filter(col("i") < col("m") && col("m") >= minSeg)
+        .withColumn("rn", row_number().over(
+          Window.partitionBy("event_type", "path")
+            .orderBy(col("dev").desc, col("day").asc)))
+        .filter(col("rn") === 1)
+        .select(col("event_type"), col("path"), col("i").as("split_i"),
+          col("day").as("split_day"), col("dev").as("sdev"), col("m").as("sm"))
+      val lvl = splits.select(col("event_type"), lit(level.toLong).as("level"),
+        col("path").as("segment"), col("sm").as("seg_days"),
+        col("split_day"), col("sdev").as("dev"))
+      out = Some(out.fold(lvl)(_.unionAll(lvl)))
+      if (level < depth)
+        assigned = scored
+          .join(splits.select(col("event_type"), col("path"), col("split_i")),
+            Seq("event_type", "path"))
+          .withColumn("path", concat(col("path"),
+            when(col("i") <= col("split_i"), lit(".pre")).otherwise(lit(".post"))))
+          .select(col("event_type"), col("day"), col("c"), col("path"))
+    }
+    out.get.orderBy(col("event_type").asc, col("level").asc, col("segment").asc)
+  }
+
+  /** Oracle for tsChangepointDeep: the same level-by-level unrolling as
+    * static CTEs (the loop above, written out), one (score → split →
+    * reassign) block per level. Generated rather than hand-typed so
+    * depth/minSeg stay in one place; the emitted SQL is plain ANSI
+    * windows + joins, DuckDB-runnable. Sums are CAST AS BIGINT
+    * (DuckDB sum(BIGINT) returns HUGEINT — §2.Z). */
+  private[graft] def changepointDeepOracle(depth: Int, minSeg: Long): String = {
+    val sb = new StringBuilder
+    sb.append(
+      """WITH a0 AS (
+        |  SELECT event_type, date_trunc('day', ts) AS day,
+        |    CAST(sum(CAST(round(value * 100, 0) AS BIGINT)) AS BIGINT) AS c,
+        |    'all' AS path
+        |  FROM events GROUP BY event_type, date_trunc('day', ts))""".stripMargin)
+    for (l <- 1 to depth) {
+      sb.append(s""",
+        |s$l AS (
+        |  SELECT event_type, day, c, path,
+        |    CAST(row_number() OVER w AS BIGINT) AS i,
+        |    CAST(sum(c) OVER (PARTITION BY event_type, path ORDER BY day ASC
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum,
+        |    count(*) OVER (PARTITION BY event_type, path) AS m,
+        |    CAST(sum(c) OVER (PARTITION BY event_type, path) AS BIGINT) AS t
+        |  FROM a${l - 1}
+        |  WINDOW w AS (PARTITION BY event_type, path ORDER BY day ASC)),
+        |p$l AS (
+        |  SELECT event_type, path, i AS split_i, day AS split_day, dev, m
+        |  FROM (SELECT *, abs(m * cum - i * t) AS dev,
+        |          row_number() OVER (PARTITION BY event_type, path
+        |            ORDER BY abs(m * cum - i * t) DESC, day ASC) AS rn
+        |        FROM s$l WHERE i < m AND m >= $minSeg)
+        |  WHERE rn = 1)""".stripMargin)
+      if (l < depth) sb.append(s""",
+        |a$l AS (
+        |  SELECT s.event_type, s.day, s.c,
+        |    s.path || CASE WHEN s.i <= p.split_i THEN '.pre' ELSE '.post' END AS path
+        |  FROM s$l s JOIN p$l p ON s.event_type = p.event_type AND s.path = p.path)""".stripMargin)
+    }
+    sb.append("\n")
+    sb.append((1 to depth).map(l =>
+      s"""SELECT event_type, CAST($l AS BIGINT) AS level, path AS segment,
+         |  m AS seg_days, split_day, dev FROM p$l""".stripMargin)
+      .mkString("", "\nUNION ALL\n", "\n"))
+    sb.append("ORDER BY event_type ASC, level ASC, segment ASC")
+    sb.toString
+  }
+
   /** Day-of-week seasonal decomposition (round-8 addendum) — the additive
     * seasonal-profile model behind every ops dashboard's "adjusted"
     * series: each event_type's daily revenue splits into a DOW profile
@@ -863,6 +974,7 @@ object TimeSeries {
     "ts_seasonal" -> (tsSeasonal _),
     "ts_cusum"    -> (tsCusum _),
     "ts_changepoint" -> (tsChangepoint _),
+    "ts_changepoint_deep" -> (tsChangepointDeep _),
     "ts_mad"      -> (tsMad _),
     "ts_ewma"     -> (tsEwma _),
     "ts_autocorr" -> (tsAutocorr _),
@@ -871,6 +983,7 @@ object TimeSeries {
     "ts_anomaly"  -> (tsAnomaly _))
 
   val oracleSql: Map[String, String] = Map(
+    "ts_changepoint_deep" -> changepointDeepOracle(4, 8L),
     "ts_changepoint" ->
       """WITH daily AS (
         |  SELECT event_type, date_trunc('day', ts) AS day,

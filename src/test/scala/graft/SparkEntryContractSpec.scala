@@ -30,10 +30,10 @@ class SparkEntryContractSpec extends AnyFunSuite {
   }
 
   test("inventory size matches the SURVEY census") {
-    assert(SparkEntry.queries.size == 307,
+    assert(SparkEntry.queries.size == 308,
       s"${SparkEntry.queries.size} declared queries — update SURVEY §2's " +
         "inventory census AND this pin together")
-    assert(SparkEntry.oracleSql.size == 294)
+    assert(SparkEntry.oracleSql.size == 295)
   }
 
   test("no duplicate keys are silently swallowed by the map unions") {
