@@ -302,6 +302,11 @@ object LlmOps {
     emb.filter(col("vec_id") =!= 0)
       .crossJoin(broadcast(q))
       .select(col("vec_id"), round(cosine(col("e"), col("qe")), 6).as("sim"))
+      // round-12 NaN policy (VERDICT r11 task 5): a zero-norm vector's
+      // cosine is NaN, and NaN ranks ABOVE every number in both engines —
+      // a top-k that admits NaN returns garbage neighbors first. Excluded
+      // explicitly here and mirrored in the oracle; NanPolicySpec pins it.
+      .filter(!isnan(col("sim")))
       .orderBy(col("sim").desc, col("vec_id").asc)
       .limit(10)
   }
@@ -316,6 +321,7 @@ object LlmOps {
       .crossJoin(broadcast(q))
       .filter(col("n_id") =!= col("q_id"))
       .select(col("q_id"), col("n_id"), round(cosine(col("e"), col("qe")), 6).as("sim"))
+      .filter(!isnan(col("sim"))) // same NaN-ranks-top exclusion as llmCosineKnn
       .withColumn("rnk", row_number().over(w))
       .filter(col("rnk") <= 5)
       .select("q_id", "rnk", "n_id", "sim")
@@ -792,10 +798,12 @@ object LlmOps {
         |      len(list_distinct(list_concat(a.toks, b.toks))), 6) >= 0.8
         |ORDER BY a_id ASC, b_id ASC""".stripMargin,
     "llm_cosine_knn" ->
-      """SELECT vec_id,
-        |  round(list_cosine_similarity(CAST(embedding AS DOUBLE[]),
-        |    (SELECT CAST(embedding AS DOUBLE[]) FROM embeddings WHERE vec_id = 0)), 6) AS sim
-        |FROM embeddings WHERE vec_id <> 0
+      """WITH s AS (
+        |  SELECT vec_id,
+        |    round(list_cosine_similarity(CAST(embedding AS DOUBLE[]),
+        |      (SELECT CAST(embedding AS DOUBLE[]) FROM embeddings WHERE vec_id = 0)), 6) AS sim
+        |  FROM embeddings WHERE vec_id <> 0)
+        |SELECT vec_id, sim FROM s WHERE NOT isnan(sim)
         |ORDER BY sim DESC, vec_id ASC LIMIT 10""".stripMargin,
     "llm_knn_join" ->
       """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS ve FROM embeddings),
@@ -803,7 +811,8 @@ object LlmOps {
         |  SELECT q.vec_id AS q_id, n.vec_id AS n_id,
         |    round(list_cosine_similarity(q.ve, n.ve), 6) AS sim
         |  FROM e q JOIN e n ON q.vec_id < 5 AND n.vec_id <> q.vec_id),
-        |r AS (SELECT *, row_number() OVER (PARTITION BY q_id ORDER BY sim DESC, n_id ASC) AS rnk FROM p)
+        |r AS (SELECT *, row_number() OVER (PARTITION BY q_id ORDER BY sim DESC, n_id ASC) AS rnk
+        |      FROM p WHERE NOT isnan(sim))
         |SELECT q_id, rnk, n_id, sim FROM r WHERE rnk <= 5
         |ORDER BY q_id ASC, rnk ASC""".stripMargin,
     "llm_centroid" ->

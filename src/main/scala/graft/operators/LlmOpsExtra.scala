@@ -436,11 +436,15 @@ object LlmOpsExtra {
     * predicts — 21× (24.5→1.2 s) on the K=100 frame (STRESS.md).
     * Within-class
     * similarity is computed by the SAME fused kernel on (e, e) — not a
-    * literal 1.0 — so zero-norm vectors (cos = NaN, dropped by the ≥ 0.4
-    * filter in the direct form too) and any sub-1.0 rounding behave
-    * bit-identically. Pinned by HubCollapseSpec against
-    * llmEmbNeardupDirect (exceptAll both ways), so the oracle is
-    * untouched. */
+    * literal 1.0 — so rounding behaves bit-identically across forms.
+    * NaN POLICY (round 12, VERDICT r11 task 5): zero-norm vectors
+    * produce cos = NaN, which Spark's NaN-is-greatest comparisons would
+    * pass through a bare ≥ 0.4 filter as top-ranked garbage — both
+    * forms and the oracle now carry an explicit !isnan / NOT isnan
+    * guard, so zero-norm pairs are excluded everywhere (HubCollapseSpec
+    * pins the exclusion AND the cross-form parity). Pinned by
+    * HubCollapseSpec against llmEmbNeardupDirect (exceptAll both
+    * ways). */
   def llmEmbNeardup(spark: SparkSession, dir: String): DataFrame = {
     // NOT pre-materialized (unlike llmMinhashCollapsed's class table):
     // the A/B showed the extra write job costs more than the class agg's
@@ -457,14 +461,14 @@ object LlmOpsExtra {
     // explode in the projection — no pair-grain joins (see llmMinhash)
     val cross = a.join(b, col("label") === col("b_label") && col("a_id") < col("b_id"))
       .withColumn("sim", round(cos(col("ae"), col("be")), 6))
-      .filter(col("sim") >= 0.4)
+      .filter(col("sim") >= 0.4 && !isnan(col("sim")))
       .select(explode(col("ma")).as("av"), col("mb"), col("label"), col("sim"))
       .select(col("av"), explode(col("mb")).as("bv"), col("label"), col("sim"))
       .select(least(col("av"), col("bv")).as("a_id"),
         greatest(col("av"), col("bv")).as("b_id"), col("label"), col("sim"))
     val within = classes
       .withColumn("sim", round(cos(col("e"), col("e")), 6))
-      .filter(col("sim") >= 0.4 && size(col("members")) > 1)
+      .filter(col("sim") >= 0.4 && !isnan(col("sim")) && size(col("members")) > 1)
       .select(explode(LlmOps.dupClassPairs(col("members"))).as("p"),
         col("label"), col("sim"))
       .select(col("p.a").as("a_id"), col("p.b").as("b_id"), col("label"), col("sim"))
@@ -479,7 +483,7 @@ object LlmOpsExtra {
     val b = vecs.select(col("vec_id").as("b_id"), col("label").as("b_label"), col("e").as("be"))
     a.join(b, col("label") === col("b_label") && col("a_id") < col("b_id"))
       .withColumn("sim", round(cos(col("ae"), col("be")), 6))
-      .filter(col("sim") >= 0.4)
+      .filter(col("sim") >= 0.4 && !isnan(col("sim")))
       .select("a_id", "b_id", "label", "sim")
   }
 
@@ -839,7 +843,7 @@ object LlmOpsExtra {
       .select(col("vec_id").as("id"), col("label"), col("bkt"), col("e"))
     val cos = graft.functions.sim.cosineSim(col("a.e"), col("b.e"))
     val dropped = BlockedPairs.saltedSelfPairs(d, Seq("bkt"))
-      .filter(round(cos, 6) >= 0.25)
+      .filter(round(cos, 6) >= 0.25 && !isnan(cos))
       .select(col("b.id").as("id")).distinct()
     d.join(dropped, Seq("id"), "left_anti")
       .groupBy("label").agg(count(lit(1)).as("kept"))
@@ -1556,6 +1560,7 @@ object LlmOpsExtra {
         |  round(list_cosine_similarity(a.v, b.v), 6) AS sim
         |FROM e a JOIN e b ON a.label = b.label AND a.vec_id < b.vec_id
         |WHERE round(list_cosine_similarity(a.v, b.v), 6) >= 0.4
+        |  AND NOT isnan(list_cosine_similarity(a.v, b.v))
         |ORDER BY a_id ASC, b_id ASC""".stripMargin,
     "llm_quantize" ->
       """WITH e AS (SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
@@ -1586,7 +1591,8 @@ object LlmOpsExtra {
         |drp AS (
         |  SELECT DISTINCT y.vec_id FROM ev x JOIN ev y
         |    ON x.bkt = y.bkt AND x.vec_id < y.vec_id
-        |  WHERE round(list_cosine_similarity(x.v, y.v), 6) >= 0.25)
+        |  WHERE round(list_cosine_similarity(x.v, y.v), 6) >= 0.25
+        |    AND NOT isnan(list_cosine_similarity(x.v, y.v)))
         |SELECT label,
         |  count(*) FILTER (drp.vec_id IS NULL) AS kept,
         |  count(*) FILTER (drp.vec_id IS NOT NULL) AS dropped

@@ -48,11 +48,13 @@ class HubCollapseSpec extends AnyFunSuite {
     * within-class branch must too), token MULTISET variants that
     * normalize to one set ("a b" / "b a" / "a a b" are one duplicate
     * class for minhash: toks = sorted DISTINCT hashes), singletons, and
-    * for embeddings a zero-norm vector pair (cosine 0/0 = NaN, which
-    * Spark's comparison semantics rank ABOVE any number, so NaN ≥ 0.4
-    * holds and the pair is emitted with sim = NaN by BOTH forms — the
-    * same greatest-value NaN ordering DuckDB uses) plus identical
-    * vectors under DIFFERENT labels (blocked — must never pair). */
+    * for embeddings a zero-norm vector pair (cosine 0/0 = NaN; Spark's
+    * comparison semantics rank NaN ABOVE any number, so the bare ≥ 0.4
+    * filter would emit the pair — the round-12 NaN POLICY (VERDICT r11
+    * task 5) adds an explicit !isnan guard in both forms and in the
+    * oracle, so zero-norm pairs are now EXCLUDED, identically
+    * everywhere) plus identical vectors under DIFFERENT labels
+    * (blocked — must never pair). */
   private lazy val craftedDir: String = {
     import spark.implicits._
     val dir = java.nio.file.Files.createTempDirectory("graft_hubedge_").toString
@@ -93,11 +95,11 @@ class HubCollapseSpec extends AnyFunSuite {
     assertPairSetEqual("llm_emb_neardup[crafted]", ec, ed)
     val eRows = ed.collect().map(r => (r.getLong(0), r.getLong(1))).toSet
     assert(Set((1L, 2L), (1L, 3L), (2L, 3L)).subsetOf(eRows))
-    // zero-norm identical vectors DO pair — their NaN cosine passes the
-    // ≥0.4 filter under Spark's NaN-is-greatest comparison semantics
-    // (identically in both forms; pinned so a future "fix" can't change
-    // one form silently)
-    assert(eRows.contains((6L, 7L)))
+    // round-12 NaN policy: zero-norm identical vectors must NOT pair —
+    // their NaN cosine is excluded by the explicit !isnan guard in BOTH
+    // forms (previously NaN ≥ 0.4 held under NaN-is-greatest semantics
+    // and the pair leaked through; pinned so neither form regresses)
+    assert(!eRows.contains((6L, 7L)))
     // cross-label duplicates never pair (the label block)
     assert(!eRows.contains((1L, 5L)) && !eRows.contains((2L, 5L)) && !eRows.contains((3L, 5L)))
   }
