@@ -20,6 +20,7 @@ object ProbeHub {
     val sfDir = args(0); val reps = args(1).toInt
     val skipDirect = args.contains("--skip-direct")
     val skipEq = skipDirect || args.contains("--skip-eq")
+    val capOnly = args.contains("--cap-only") // round-12 df-cap A/B alone
     val spark = SparkSession.builder().master("local[32]")
       .config("spark.sql.shuffle.partitions", "32")
       .config("spark.sql.session.timeZone", "UTC")
@@ -34,7 +35,7 @@ object ProbeHub {
       ("llm_simhash", operators.LlmOpsExtra.llmSimhashCollapsed, operators.LlmOpsExtra.llmSimhash),
       ("llm_emb_neardup", operators.LlmOpsExtra.llmEmbNeardup, operators.LlmOpsExtra.llmEmbNeardupDirect))
 
-    forms.foreach { case (name, collapsed, direct) =>
+    (if (capOnly) Nil else forms).foreach { case (name, collapsed, direct) =>
       if (!skipEq) {
         val s = collapsed(spark, sfDir); val d = direct(spark, sfDir)
         val onlyS = s.exceptAll(d).count(); val onlyD = d.exceptAll(s).count()
@@ -53,6 +54,33 @@ object ProbeHub {
           val t2 = System.nanoTime()
           println(f"TIME $name rep=$r collapsed=${(t1 - t0) / 1e9}%.2f s direct=${(t2 - t1) / 1e9}%.2f s rows=$c/$c2")
         }
+      }
+    }
+
+    // round-12 df-cap A/B (VERDICT r11 task 4): the capped form must be
+    // a SUBSET of the direct pair set (capped_only == 0 always; on a
+    // bucket-width-bounded corpus the sets are equal), and the question
+    // is whether truncating hub buckets buys wall-clock where the
+    // collapse could not (it attacks candidate GENERATION and the
+    // output rows together).
+    val capped = (s: SparkSession, d: String) => operators.LlmOps.llmMinhashCapped(s, d)
+    if (!skipEq) {
+      val cf = capped(spark, sfDir); val df = operators.LlmOps.llmMinhash(spark, sfDir)
+      val onlyC = cf.exceptAll(df).count(); val onlyD = df.exceptAll(cf).count()
+      println(s"EQ llm_minhash_capped(64) capped_only=$onlyC direct_only=$onlyD " +
+        (if (onlyC == 0) "SUBSET-OK" else "VIOLATION") +
+        (if (onlyD == 0) " (exact-equal)" else s" (cap dropped $onlyD pairs)"))
+    }
+    (1 to reps).foreach { r =>
+      val t0 = System.nanoTime()
+      val c = capped(spark, sfDir).count()
+      val t1 = System.nanoTime()
+      if (skipDirect) {
+        println(f"TIME llm_minhash_capped rep=$r capped=${(t1 - t0) / 1e9}%.2f s rows=$c (direct skipped)")
+      } else {
+        val c2 = operators.LlmOps.llmMinhash(spark, sfDir).count()
+        val t2 = System.nanoTime()
+        println(f"TIME llm_minhash_capped rep=$r capped=${(t1 - t0) / 1e9}%.2f s direct=${(t2 - t1) / 1e9}%.2f s rows=$c/$c2")
       }
     }
     spark.stop()

@@ -269,6 +269,41 @@ object LlmOps {
         col("bh0"), col("bh1"), col("bh2")) ++ ex: _*)
   }
 
+  /** The DF-CAP variant (round 12, VERDICT r11 task 4 — STRESS.md's
+    * mitigation (b) made concrete): each (band, band-hash) bucket is
+    * truncated to its `cap` lowest doc_ids BEFORE the self-join, so an
+    * undeduplicated corpus (verbatim duplication factor K) generates at
+    * most cap·(cap−1)/2 candidates per bucket instead of K²-quadratic —
+    * the posting-list df-cap idiom llm_ngram_jaccard already ships,
+    * applied to LSH bands. This is a deliberate, NON-SILENT recall
+    * trade: pairs whose every shared band is wider than `cap` are
+    * DROPPED (including pairs that shared an earlier capped band — the
+    * emit-once predicate keys on hash equality, not on capped-bucket
+    * membership), which is exactly the hub mode where the full listing
+    * is 284M duplicate-class expansions nobody consumes. On corpora
+    * whose bucket widths stay ≤ cap the output is BIT-identical to
+    * llmMinhash (MinhashCapSpec pins equality on a bucket-width-bounded
+    * corpus, strict-subset always — note the sf0.001 documents FIXTURE
+    * is itself duplication-heavy: direct emits 31k pairs and cap=64
+    * keeps 2.2k, which is the cap doing its job, not a recall bug).
+    * NOT declared: the declared query's contract is the full
+    * pair listing; this is the documented swap for corpora that cannot
+    * pre-dedup (the funnel's exact-first ordering remains the shipped
+    * production answer). ProbeHub measures both; datum in STRESS.md. */
+  private[graft] def llmMinhashCapped(spark: SparkSession, dir: String,
+      cap: Int = 64): DataFrame = {
+    val bands = minhashBandsOf(minhashTokenIds(spark, dir))
+    val w = Window.partitionBy("band", "bh").orderBy(col("doc_id").asc)
+    val capped = bands.withColumn("rk", row_number().over(w))
+      .filter(col("rk") <= cap).drop("rk")
+    val jac = graft.functions.sim.jaccardLongSim(col("x.toks"), col("y.toks"))
+    minhashCandidates(capped)
+      .select(col("x.doc_id").as("a_id"), col("y.doc_id").as("b_id"),
+        round(jac, 6).as("jac"))
+      .filter(col("jac") >= 0.8)
+      .orderBy(col("a_id").asc, col("b_id").asc)
+  }
+
   /** llmMinhash stage 2 — bucket self-join on (band, band-hash), each
     * candidate pair emitted ONCE at its first shared band (the earlier
     * bands' hashes ride along and the predicate drops pairs that already
