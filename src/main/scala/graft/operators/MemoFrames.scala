@@ -111,7 +111,12 @@ object MemoFrames {
       val entries = entriesFor(spark)
       val path = entries.getOrElse(key, {
         val safe = key.replaceAll("[^A-Za-z0-9._-]", "_").take(64)
-        val p = s"${entries("")}/${safe}_${Integer.toHexString(key.hashCode)}"
+        // a session-unique counter rides in the path (round 12, same bug
+        // class as ADVICE r11's arc-table name): memoization is by the
+        // EXACT key in `entries`, so the path needs no key fidelity —
+        // but two distinct keys colliding on (64-char prefix, 32-bit
+        // hashCode) must never share a directory
+        val p = s"${entries("")}/${safe}_${Integer.toHexString(key.hashCode)}_${matCtr.incrementAndGet()}"
         val df = build
         writeNoAqe(df, p)
         // The writer's own schema: it produced the file, so its (non-)
@@ -238,7 +243,8 @@ object MemoFrames {
       val entries = entriesFor(spark)
       entries.getOrElse(key, {
         val safe = key.replaceAll("[^A-Za-z0-9._-]", "_").take(64)
-        val p = s"${entries("")}/stage_${safe}_${Integer.toHexString(key.hashCode)}"
+        // counter for the same collision-proofing as `frame` above
+        val p = s"${entries("")}/stage_${safe}_${Integer.toHexString(key.hashCode)}_${matCtr.incrementAndGet()}"
         write(p)
         entries(key) = p
         p
