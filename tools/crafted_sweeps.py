@@ -14,8 +14,14 @@ is checked on the hazard class, not just the happy path:
             ties at identical timestamps resolved by event_id
             (verified 4/4 in round 12; outputs hand-derived in
             PLANS.md round-12 sweep tally)
+  coarse  : the WHOLE 295-query oracle surface over a time-coarsened
+            copy of sf0.001 (events ts -> hour, all order/lineitem
+            dates -> month), so every window gains peer groups and
+            every (ts, date) order key gains duplicates — the global
+            tie/determinism sweep (verified 295/295 in round 12: the
+            §2.Z tie-break discipline holds surface-wide)
 
-Usage: python3 tools/crafted_sweeps.py [unicode|scd|all]
+Usage: python3 tools/crafted_sweeps.py [unicode|scd|coarse|all]
 Exit 0 = every query matches its oracle on every crafted corpus.
 """
 import subprocess
@@ -71,6 +77,27 @@ def build_scd(d):
     return ["join_scd2", "cdc_apply", "join_asof", "join_asof_native"]
 
 
+def build_coarse(d):
+    con = duckdb.connect()
+    src = "/root/testdata/sf0.001"
+    for t in ["region", "nation", "customer", "supplier", "part",
+              "documents", "embeddings"]:
+        con.execute(f"COPY (SELECT * FROM '{src}/{t}.parquet') TO "
+                    f"'{d}/{t}.parquet' (FORMAT PARQUET)")
+    con.execute(
+        f"COPY (SELECT * REPLACE (date_trunc('month', o_orderdate) AS o_orderdate)"
+        f" FROM '{src}/orders.parquet') TO '{d}/orders.parquet' (FORMAT PARQUET)")
+    cols = [r[0] for r in con.execute(
+        f"describe select * from '{src}/lineitem.parquet'").fetchall()]
+    rep = ", ".join(f"date_trunc('month', {c}) AS {c}"
+                    for c in cols if "date" in c)
+    con.execute(f"COPY (SELECT * REPLACE ({rep}) FROM '{src}/lineitem.parquet')"
+                f" TO '{d}/lineitem.parquet' (FORMAT PARQUET)")
+    con.execute(f"COPY (SELECT * REPLACE (date_trunc('hour', ts) AS ts)"
+                f" FROM '{src}/events.parquet') TO '{d}/events.parquet' (FORMAT PARQUET)")
+    return []  # empty = run the FULL declared oracle surface
+
+
 def run(name, build):
     import tempfile
     src = tempfile.mkdtemp(prefix=f"graft_sweep_{name}_")
@@ -85,13 +112,15 @@ def run(name, build):
     if r.returncode != 0:
         print(f"SWEEP {name}: MISMATCH")
         return False
-    print(f"SWEEP {name}: {len(queries)}/{len(queries)} match")
+    scope = f"{len(queries)}/{len(queries)}" if queries else "full surface"
+    print(f"SWEEP {name}: {scope} match")
     return True
 
 
 if __name__ == "__main__":
     which = sys.argv[1] if len(sys.argv) > 1 else "all"
-    builders = {"unicode": build_unicode, "scd": build_scd}
+    builders = {"unicode": build_unicode, "scd": build_scd,
+                "coarse": build_coarse}
     todo = builders if which == "all" else {which: builders[which]}
     ok = all([run(n, b) for n, b in todo.items()])
     sys.exit(0 if ok else 1)
