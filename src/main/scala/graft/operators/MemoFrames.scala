@@ -289,4 +289,25 @@ object MemoFrames {
       case None    => conf.unset(k)
     }
   }
+
+  /** Run `body` (actions included) with spark.sql.shuffle.partitions
+    * scoped to `n`, restoring after — for DOMAIN-BOUNDED frames (day
+    * grain, segment grain) whose exchanges otherwise fan every one of a
+    * multi-level plan's shuffles into 32 mostly-empty tasks (round 12:
+    * ts_changepoint_deep's 9 day-grain exchanges = ~288 near-empty
+    * tasks per run). Values are partitioning-independent (§2.Z pins),
+    * so only task count changes. Same monitor as noAqe: the toggle
+    * mutates session-global conf. */
+  private[graft] def withShufflePartitions[T](spark: SparkSession, n: Int)(
+      body: => T): T = synchronized {
+    val conf = spark.conf
+    val k = "spark.sql.shuffle.partitions"
+    val prev = conf.getOption(k)
+    conf.set(k, n.toString)
+    try body
+    finally prev match {
+      case Some(v) => conf.set(k, v)
+      case None    => conf.unset(k)
+    }
+  }
 }

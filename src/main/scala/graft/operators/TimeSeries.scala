@@ -336,11 +336,23 @@ object TimeSeries {
     * only corpus-scale work remains the one events scan behind the
     * daily agg. One action, no per-level jobs. */
   def tsChangepointDeep(spark: SparkSession, dir: String): DataFrame = {
-    val daily = Tables.events(spark, dir)
-      .groupBy(col("event_type"),
-        date_trunc("day", col("ts")).as("day"))
-      .agg(sum(round(col("value") * 100, 0).cast("long")).as("c"))
-    changepointDeepFrom(daily, depth = 4, minSeg = 8L)
+    // Two-materialize shape (round-12 A/B, measured with TimeQ): the
+    // lazy 4-level recursion re-plans the events→daily agg under every
+    // level's lineage and AQE schedules 13 escalating stage jobs
+    // (3.3 s warm at sf0.1, and 13×~0.4 s of pure scheduling on a
+    // contended driver). Materializing the DAY-GRAIN frame once (the
+    // only corpus-scale work) and running the bounded recursion inside
+    // one AQE-off write collapses it to 3 scheduled jobs. The mat files
+    // ride the per-call supersede (consumed within the invocation).
+    val daily = MemoFrames.materialize(spark, "cp_deep_daily",
+      Tables.events(spark, dir)
+        .groupBy(col("event_type"),
+          date_trunc("day", col("ts")).as("day"))
+        .agg(sum(round(col("value") * 100, 0).cast("long")).as("c")))
+    MemoFrames.withShufflePartitions(spark, 4)(
+      MemoFrames.materialize(spark, "cp_deep_res",
+        changepointDeepFrom(daily, depth = 4, minSeg = 8L)))
+      .orderBy(col("event_type").asc, col("level").asc, col("segment").asc)
   }
 
   /** The recursion itself over any (event_type, day, c) day-grain frame —
