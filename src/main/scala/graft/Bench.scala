@@ -59,11 +59,41 @@ object Bench {
     // not inline — attribution stays exact because the group id travels
     // in the job's own properties.
     val jobsByGroup = new java.util.concurrent.ConcurrentHashMap[String, Integer]()
+    // Task-level CPU attribution (VERDICT r12 task 1): the r12 `cpu` column
+    // is whole-process OperatingSystemMXBean CPU, which includes GC, JIT,
+    // and shuffle-fetch spin threads — under host memory pressure it
+    // DOUBLED for graph_jaccard/kcore/scan_dpp while the calibration table
+    // promised invariance, so it could neither convict nor acquit. Spark's
+    // own per-task executorCpuTime (the task runner THREAD's CPU via
+    // ThreadMXBean — GC/JIT threads excluded by construction) is the
+    // app-work measure that stays invariant across host states; summing it
+    // per job group gives per-query `task_cpu`. executorRunTime (task wall
+    // on the executor, ms) rides along: task_run ≫ task_cpu separates
+    // blocked-on-fetch/spill from descheduled-by-host. Stage→group mapping
+    // comes from onJobStart's own stageIds (the group id travels in the
+    // job's properties, exactly like the jobs counter); accumulation is
+    // LongAdder, read ONCE after the end-of-run listener-bus drain.
+    val stageToGroup = new java.util.concurrent.ConcurrentHashMap[Integer, String]()
+    val taskCpuByGroup =
+      new java.util.concurrent.ConcurrentHashMap[String, java.util.concurrent.atomic.LongAdder]()
+    val taskRunByGroup =
+      new java.util.concurrent.ConcurrentHashMap[String, java.util.concurrent.atomic.LongAdder]()
     spark.sparkContext.addSparkListener(new org.apache.spark.scheduler.SparkListener {
       override def onJobStart(js: org.apache.spark.scheduler.SparkListenerJobStart): Unit = {
         val g = Option(js.properties)
           .flatMap(p => Option(p.getProperty("spark.jobGroup.id"))).getOrElse("ungrouped")
-        jobsByGroup.merge(g, 1, (a, b) => a + b); ()
+        jobsByGroup.merge(g, 1, (a, b) => a + b)
+        js.stageIds.foreach(sid => stageToGroup.put(Int.box(sid), g))
+      }
+      override def onTaskEnd(te: org.apache.spark.scheduler.SparkListenerTaskEnd): Unit = {
+        val g = Option(stageToGroup.get(Int.box(te.stageId))).getOrElse("ungrouped")
+        val m = te.taskMetrics
+        if (m != null) {
+          taskCpuByGroup.computeIfAbsent(g, _ => new java.util.concurrent.atomic.LongAdder)
+            .add(m.executorCpuTime)  // ns
+          taskRunByGroup.computeIfAbsent(g, _ => new java.util.concurrent.atomic.LongAdder)
+            .add(m.executorRunTime)  // ms
+        }
       }
     })
     // Warm-up outside the timed region: JVM/codegen/parquet-reader init
@@ -190,14 +220,25 @@ object Bench {
       case b: com.sun.management.OperatingSystemMXBean => b.getProcessCpuTime
       case _ => -1L
     }
+    // Cumulative stop-the-world GC wall ms across all collectors (VERDICT
+    // r12 task 1): collectionTime is GC WALL time, and parallel collectors
+    // burn ~#gc-threads × that in process CPU — so a query whose process
+    // `cpu` inflated while `cpu_gc` grew in step is convicted of GC churn
+    // (host memory pressure), not of doing more app work. Synchronous read,
+    // so per-query deltas are exact at the boundaries.
+    def gcTimeMs(): Long = {
+      import scala.jdk.CollectionConverters._
+      java.lang.management.ManagementFactory.getGarbageCollectorMXBeans.asScala
+        .map(_.getCollectionTime).filter(_ >= 0).sum
+    }
     val benchT0 = System.nanoTime()
     final case class QRes(name: String, r: Either[String, Double], t0: Double,
-        load: Double, stall: Double, cpu: Double, ioStall: Double)
+        load: Double, stall: Double, cpu: Double, ioStall: Double, gc: Double)
     val results: Seq[QRes] =
       SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
         spark.sparkContext.setJobGroup(s"q:$name", name, false)
         val la0 = loadavg1(); val st0 = cpuStallUs(); val io0 = ioStallUs()
-        val cpu0 = procCpuNs()
+        val cpu0 = procCpuNs(); val gc0 = gcTimeMs()
         val t0 = System.nanoTime()
         val r = try {
           fn(spark, sfDir).count()
@@ -207,12 +248,12 @@ object Bench {
             System.err.println(s"BENCH FAIL $name: ${e.getClass.getSimpleName}: ${e.getMessage}")
             Left("err")
         } finally spark.sparkContext.clearJobGroup()
-        val cpu1 = procCpuNs()
+        val cpu1 = procCpuNs(); val gc1 = gcTimeMs()
         val st1 = cpuStallUs(); val io1 = ioStallUs()
         val stall = if (st0 >= 0 && st1 >= 0) (st1 - st0) / 1e6 else -1.0
         val ioSt = if (io0 >= 0 && io1 >= 0) (io1 - io0) / 1e6 else -1.0
         val cpu = if (cpu0 >= 0 && cpu1 >= 0) (cpu1 - cpu0) / 1e9 else -1.0
-        QRes(name, r, (t0 - benchT0) / 1e9, la0, stall, cpu, ioSt)
+        QRes(name, r, (t0 - benchT0) / 1e9, la0, stall, cpu, ioSt, (gc1 - gc0) / 1e3)
       }
     val resultMap = results.map(q => q.name -> q.r).toMap
     // 3-decimal seconds (1 ms resolution) keeps entries compact.
@@ -241,10 +282,25 @@ object Bench {
     val stallQs = qmap(q => fmt(q.stall))
     val ioStallQs = qmap(q => fmt(q.ioStall))
     val cpuQs = qmap(q => fmt(q.cpu))
+    // numeric sentinel, not the string "n/a" (ADVICE r12): consumers parse
+    // the per-query columns as numeric. −1.0 collides with no real
+    // unattributed case: a consumer checks cpu ≥ 0 first, and that row's
+    // cpu is −1.0 whenever this one is.
     val wmcQs = qmap(q => q.r match {
       case Right(w) if q.cpu >= 0 => fmt(w - q.cpu)
-      case _ => "\"n/a\""
+      case _ => "-1.0"
     })
+    // task-level attribution columns (VERDICT r12 task 1): task_cpu =
+    // Σ executorCpuTime over the query's job group (app work on task
+    // threads — the column calibrated to be host-invariant), task_run =
+    // Σ executorRunTime (task wall on executors; run ≫ cpu ⇒ blocked or
+    // descheduled), cpu_gc = stop-the-world GC wall during the query.
+    def adderSecs(m: java.util.concurrent.ConcurrentHashMap[String, java.util.concurrent.atomic.LongAdder],
+        q: QRes, divisor: Double): String =
+      fmt(Option(m.get(s"q:${q.name}")).fold(0.0)(_.sum / divisor))
+    val taskCpuQs = qmap(q => adderSecs(taskCpuByGroup, q, 1e9))
+    val taskRunQs = qmap(q => adderSecs(taskRunByGroup, q, 1e3))
+    val gcQs = qmap(q => fmt(q.gc))
     val warmJson = warmArtifacts match {
       case Some(secs) => secs.map { case (n, s) => "\"" + n + "\":" + fmt(s) }
         .mkString("""{"mode":"warm","secs":{""", ",", "}}")
@@ -252,17 +308,21 @@ object Bench {
     }
     val fullQs = results.map(q => entry(q.name)).mkString("{", ",", "}")
     val nerr = results.count(_.r.isLeft)
-    val total = results.collect { case QRes(_, Right(v), _, _, _, _, _) => v }.sum
+    val total = results.collect { case QRes(_, Right(v), _, _, _, _, _, _) => v }.sum
     val loads = results.map(_.load).filter(_ >= 0)
     val stalls = results.map(_.stall).filter(_ >= 0)
     val ioStalls = results.map(_.ioStall).filter(_ >= 0)
     val cpuSecs = results.map(_.cpu).filter(_ >= 0)
+    val taskCpuTotal = results.map(q =>
+      Option(taskCpuByGroup.get(s"q:${q.name}")).fold(0.0)(_.sum / 1e9)).sum
+    val gcTotal = results.map(_.gc).sum
     val loadSummary =
       s""""load_max":${fmt(if (loads.isEmpty) -1 else loads.max)},"load_mean":${fmt(
         if (loads.isEmpty) -1 else loads.sum / loads.size)},"stall_total":${fmt(stalls.sum)},"io_stall_total":${fmt(
-        ioStalls.sum)},"cpu_total":${fmt(cpuSecs.sum)}"""
+        ioStalls.sum)},"cpu_total":${fmt(cpuSecs.sum)},"task_cpu_total":${fmt(
+        taskCpuTotal)},"gc_total":${fmt(gcTotal)}"""
     val fullLine =
-      s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":$fullQs,"jobs":$jobsQs,"t0":$t0Qs,"load":$loadQs,"cpu_stall":$stallQs,"io_stall":$ioStallQs,"cpu":$cpuQs,"wall_minus_cpu":$wmcQs,$loadSummary,"warm_artifacts":$warmJson,"errors":$nerr,"n_queries":${results.size},"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":$fullQs,"jobs":$jobsQs,"t0":$t0Qs,"load":$loadQs,"cpu_stall":$stallQs,"io_stall":$ioStallQs,"cpu":$cpuQs,"wall_minus_cpu":$wmcQs,"task_cpu":$taskCpuQs,"task_run":$taskRunQs,"cpu_gc":$gcQs,$loadSummary,"warm_artifacts":$warmJson,"errors":$nerr,"n_queries":${results.size},"sf":"$sfDir"}"""
 
     // Complete map -> repo file (judge-readable even when stdout is clipped).
     // Delete the previous run's file FIRST: if this run's write fails, a
@@ -290,7 +350,7 @@ object Bench {
 
     // Compact final stdout line: headline + slowest-8, hard-capped so the
     // whole line plus sbt's epilogue fits the 2000-char tail window.
-    val slowest = results.collect { case QRes(k, Right(v), _, _, _, _, _) => k -> v }
+    val slowest = results.collect { case QRes(k, Right(v), _, _, _, _, _, _) => k -> v }
       .sortBy(-_._2).take(8).map(_._1)
     // no filter on results.contains: a renamed/removed headline query must
     // surface as "absent" in the compact line, not silently vanish

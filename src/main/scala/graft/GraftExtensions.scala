@@ -3,7 +3,7 @@ package graft
 import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
-import graft.functions.{CosineSim, JaccardLongSim, JaccardSim, KmvDistinct, KmvState, SimHash64}
+import graft.functions.{CosineSim, DdSketchState, JaccardLongSim, JaccardSim, KmvDistinct, KmvState, SimHash64}
 
 /** SparkSessionExtensions entry point: registers the engine's native
   * expressions as SQL functions (`jaccard_sim`, `cosine_sim`) so they are
@@ -29,6 +29,10 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       new FunctionIdentifier("kmv_state"),
       new ExpressionInfo(classOf[KmvState].getName, "kmv_state"),
       (children: Seq[Expression]) => KmvState(children.head).toAggregateExpression()))
+    ext.injectFunction((
+      new FunctionIdentifier("ddsketch_state"),
+      new ExpressionInfo(classOf[DdSketchState].getName, "ddsketch_state"),
+      (children: Seq[Expression]) => DdSketchState(children.head).toAggregateExpression()))
     ext.injectFunction((
       new FunctionIdentifier("jaccard_long_sim"),
       new ExpressionInfo(classOf[JaccardLongSim].getName, "jaccard_long_sim"),

@@ -1,0 +1,157 @@
+package graft.functions
+
+import java.nio.ByteBuffer
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.expressions.Expression
+import org.apache.spark.sql.catalyst.expressions.aggregate.TypedImperativeAggregate
+import org.apache.spark.sql.catalyst.util.{ArrayBasedMapData, GenericArrayData}
+import org.apache.spark.sql.types.{DataType, IntegerType, LongType, MapType}
+
+/** DDSketch quantile state as a `TypedImperativeAggregate` — the fourth
+  * custom sketch aggregate next to KMV / Count-Min / SpaceSaving, and the
+  * QUANTILE twin of the theta/KMV union seam (SURVEY §2.D round-13
+  * addendum, VERDICT r12 task 4 / "what's missing" #1).
+  *
+  * Algorithm: the relative-error exponential-bucket quantile sketch of
+  * Masson, Rim & Lee, "DDSketch: a fast and fully-mergeable quantile
+  * sketch with relative-error guarantees" (VLDB 2019 — public paper).
+  * A positive value x lands in bucket ⌈ln(x)/ln(γ)⌉ with
+  * γ = (1+α)/(1−α); the bucket's representative 2·γ^i/(γ+1) (the
+  * geometric midpoint of (γ^{i−1}, γ^i]) is within relative error α of
+  * every value in the bucket, so ANY rank's estimate is within α of the
+  * true order statistic. Non-positive values (none in the declared
+  * inputs, but the aggregate must not silently corrupt) go to the
+  * reserved bucket Int.MinValue with representative 0.0.
+  *
+  * Why DDSketch over the t-digest/KLL the verdict floated: the state is a
+  * bucket→count map of LONGS, so `merge` is integer vector addition —
+  * exactly commutative/associative, which makes the state BIT-equal under
+  * any partitioning or merge order (t-digest centroids drift with merge
+  * order; KLL compaction is randomized). That is the same determinism
+  * contract ThetaUnionSpec pins for KMV, and it makes the cross-source
+  * union expressible as pure column algebra
+  * (`aggregate(collect_list(state), map(), map_zip_with-add)`) with the
+  * algebraic union's state provably identical to a direct corpus-wide
+  * sketch — QuantileUnionSpec pins all of it.
+  *
+  * Buffer growth is logarithmic in the value RANGE, not the data: at
+  * α = 1% a bucket spans 2% of value space, so [1, 10⁶] needs ~690
+  * buckets (~8 KB serialized) and the absolute worst case over all
+  * positive doubles is ~71k buckets — but `eval` additionally
+  * CANONICALIZES to `maxBuckets` by collapsing the lowest-index buckets
+  * into the lowest kept one (the paper's collapse rule, applied at
+  * eval rather than per-update so it is a pure function of the final
+  * merged multiset — per-update collapse would break merge-order
+  * invariance). Low-rank quantiles of a collapsed state lose the α
+  * guarantee only below bucket `maxBuckets` from the top, documented
+  * exactly like the paper's bounded variant.
+  */
+case class DdSketchState(
+    child: Expression,
+    alpha: Double = 0.01,
+    maxBuckets: Int = 2048,
+    mutableAggBufferOffset: Int = 0,
+    inputAggBufferOffset: Int = 0)
+    extends TypedImperativeAggregate[java.util.TreeMap[Integer, java.lang.Long]] {
+
+  private val gamma = (1 + alpha) / (1 - alpha)
+  private val invLogGamma = 1.0 / math.log(gamma)
+
+  override def createAggregationBuffer(): java.util.TreeMap[Integer, java.lang.Long] =
+    new java.util.TreeMap[Integer, java.lang.Long]()
+
+  private def bucketOf(x: Double): Int =
+    if (x > 0) math.ceil(math.log(x) * invLogGamma).toInt else Int.MinValue
+
+  private def bump(buf: java.util.TreeMap[Integer, java.lang.Long], i: Int, n: Long): Unit = {
+    val prev = buf.get(i)
+    buf.put(i, if (prev == null) n else prev + n); ()
+  }
+
+  override def update(
+      buf: java.util.TreeMap[Integer, java.lang.Long],
+      input: InternalRow): java.util.TreeMap[Integer, java.lang.Long] = {
+    val v = child.eval(input)
+    if (v != null) {
+      val x = v match {
+        case d: java.lang.Double => d.doubleValue()
+        case f: java.lang.Float => f.doubleValue()
+        case l: java.lang.Long => l.doubleValue()
+        case i: java.lang.Integer => i.doubleValue()
+        case s: java.lang.Short => s.doubleValue()
+        case b: java.lang.Byte => b.doubleValue()
+        case d: org.apache.spark.sql.types.Decimal => d.toDouble
+        case other => other.toString.toDouble
+      }
+      if (!x.isNaN) bump(buf, bucketOf(x), 1L)
+    }
+    buf
+  }
+
+  override def merge(
+      b1: java.util.TreeMap[Integer, java.lang.Long],
+      b2: java.util.TreeMap[Integer, java.lang.Long]): java.util.TreeMap[Integer, java.lang.Long] = {
+    b2.forEach((i, n) => bump(b1, i.intValue(), n.longValue()))
+    b1
+  }
+
+  /** Canonical state: entries ascending by bucket index, collapsed to at
+    * most `maxBuckets` by folding the lowest indices into the lowest kept
+    * bucket. Pure function of the merged buffer ⇒ partition invariant. */
+  override def eval(buf: java.util.TreeMap[Integer, java.lang.Long]): Any = {
+    val entries = new java.util.ArrayList[(Int, Long)](buf.size())
+    buf.forEach((i, n) => { entries.add((i.intValue(), n.longValue())); () })
+    val over = entries.size() - maxBuckets
+    val (keys, counts) =
+      if (over <= 0) {
+        (Array.tabulate(entries.size())(j => entries.get(j)._1),
+         Array.tabulate(entries.size())(j => entries.get(j)._2))
+      } else {
+        // collapse entries [0, over] into the single bucket entries(over)
+        var folded = 0L
+        var j = 0
+        while (j <= over) { folded += entries.get(j)._2; j += 1 }
+        val n = entries.size() - over
+        val ks = new Array[Int](n); val cs = new Array[Long](n)
+        ks(0) = entries.get(over)._1; cs(0) = folded
+        j = 1
+        while (j < n) {
+          ks(j) = entries.get(over + j)._1; cs(j) = entries.get(over + j)._2
+          j += 1
+        }
+        (ks, cs)
+      }
+    new ArrayBasedMapData(new GenericArrayData(keys),
+      new GenericArrayData(counts))
+  }
+
+  override def serialize(buf: java.util.TreeMap[Integer, java.lang.Long]): Array[Byte] = {
+    val bb = ByteBuffer.allocate(4 + buf.size() * 12)
+    bb.putInt(buf.size())
+    buf.forEach((i, n) => { bb.putInt(i.intValue()); bb.putLong(n.longValue()); () })
+    bb.array()
+  }
+
+  override def deserialize(bytes: Array[Byte]): java.util.TreeMap[Integer, java.lang.Long] = {
+    val bb = ByteBuffer.wrap(bytes)
+    val n = bb.getInt
+    val buf = createAggregationBuffer()
+    var i = 0
+    while (i < n) { buf.put(bb.getInt, bb.getLong); i += 1 }
+    buf
+  }
+
+  override def dataType: DataType =
+    MapType(IntegerType, LongType, valueContainsNull = false)
+  override def nullable: Boolean = false
+  override def children: Seq[Expression] = Seq(child)
+  override def prettyName: String = "ddsketch_state"
+
+  override def withNewMutableAggBufferOffset(newOffset: Int): DdSketchState =
+    copy(mutableAggBufferOffset = newOffset)
+  override def withNewInputAggBufferOffset(newOffset: Int): DdSketchState =
+    copy(inputAggBufferOffset = newOffset)
+  override protected def withNewChildrenInternal(
+      newChildren: IndexedSeq[Expression]): DdSketchState =
+    copy(child = newChildren.head)
+}

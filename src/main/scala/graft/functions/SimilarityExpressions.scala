@@ -318,4 +318,6 @@ object sim {
   def countMinFreq(c: Column, probes: Seq[String],
       depth: Int = 4, width: Int = 512): Column =
     column(CountMinFreq(expression(c), probes, depth, width).toAggregateExpression())
+  def ddsketchState(c: Column, alpha: Double = 0.01, maxBuckets: Int = 2048): Column =
+    column(DdSketchState(expression(c), alpha, maxBuckets).toAggregateExpression())
 }

@@ -30,6 +30,22 @@ import graft.operators.{UserEventRow => Ev}
   * the accept state counts a match and resets to start — greedy,
   * non-overlapping, skip-past-match.
   *
+  * KNOWN RESTRICTION vs SQL-standard AFTER MATCH SKIP TO NEXT ROW
+  * (ADVICE r12, pinned in EventPatternQuantSpec): mismatch recovery is
+  * the ONE-SYMBOL restart δ(0, symbol) — the scan never re-reads events
+  * before the current one. Patterns whose failed attempt consumes events
+  * that a later successful match would need (multi-symbol lookbehind)
+  * therefore miss matches a skip-to-next-row engine finds: a{2,2} c+ on
+  * the stream `a a a c` counts 0 here (the first two a's satisfy a{2,2},
+  * the third a kills the attempt, and the restart opens at the c), while
+  * SKIP TO NEXT ROW retries from event 2 and matches events 2-4. Engine,
+  * incremental form, and oracle all share the restart semantics, so
+  * results are internally consistent; the divergence only matters when
+  * comparing against an external MATCH_RECOGNIZE implementation, and it
+  * requires a bounded repetition with min ≥ 2 (the a{2,2} shape) — the
+  * declared instances use only `+` / `?` quantifiers over distinct
+  * symbols, where no diverging case is known or pinned.
+  *
   * §2.Z determinism: the scan order (ts, event_id) is a total order; the
   * automaton is a function, so match counts are partition-layout-
   * independent (pinned in EventPatternSpec). The declared query's
@@ -158,11 +174,22 @@ object EventPattern {
 
   /** General form: match `nfa` over every user's event stream; emit
     * (user_id, n_matches) for users with at least one match. */
-  def matchUsers(spark: SparkSession, dir: String, nfa: NfaSpec): DataFrame = {
+  def matchUsers(spark: SparkSession, dir: String, nfa: NfaSpec): DataFrame =
+    matchUsersOf(
+      Tables.events(spark, dir)
+        .select(col("user_id"), unix_micros(col("ts")).as("tsus"),
+          col("event_id"), col("event_type")),
+      nfa)
+
+  /** Same runner over a caller-supplied (user_id, tsus, event_id,
+    * event_type) frame — the seam that makes PREDICATE-guarded stages a
+    * symbol-refinement concern (round 13): a guard like purchase(value >
+    * p90) rewrites the SYMBOL map-side before the one user-key exchange,
+    * and the automaton/plan stay byte-identical. */
+  private[graft] def matchUsersOf(events: DataFrame, nfa: NfaSpec): DataFrame = {
+    val spark = events.sparkSession
     import spark.implicits._
-    val sorted = Tables.events(spark, dir)
-      .select(col("user_id"), unix_micros(col("ts")).as("tsus"),
-        col("event_id"), col("event_type"))
+    val sorted = events
       .repartition(32, col("user_id"))
       .sortWithinPartitions(col("user_id"), col("tsus"), col("event_id"))
     sorted.as[Ev]
@@ -203,6 +230,41 @@ object EventPattern {
       QStage("view", 1, QStage.Inf),
       QStage("click", 0, 1),
       QStage("purchase", 1, QStage.Inf))))
+
+  /** PREDICATE-GUARDED stage (round 13, VERDICT r12 task 6 / named gap
+    * 3): view+ click? purchase(value > p90)+ — the MATCH_RECOGNIZE
+    * DEFINE-clause idiom where a stage matches only events satisfying a
+    * value predicate. Implemented as SYMBOL REFINEMENT, which is how a
+    * DFA expresses guards over a finite predicate partition: the p90
+    * threshold over purchase values (percentile_disc — an ACTUAL datum,
+    * so the strict `>` comparison is tie-exact in both engines) is
+    * computed in one small column-pruned agg and broadcast; each event's
+    * symbol is rewritten map-side (`purchase` stays `purchase` only when
+    * value > p90, else becomes the dead symbol `purchase_lo`, which has
+    * no transition anywhere ⇒ the runner's δ(0,·) restart abandons the
+    * attempt — a low-value purchase mid-pattern kills the match, exactly
+    * MATCH_RECOGNIZE's failed-DEFINE semantics under our skip rule).
+    * Runner, incremental form, per-user state, and plan are unchanged;
+    * the guard costs one broadcast-scalar join before the same single
+    * user-key exchange. Oracle: the seq_nfa_quant δ-emulation CTE with
+    * the refined symbol computed in its ev CTE. Incremental equivalence
+    * (same refinement fed to matchCountsIncremental) is pinned in
+    * StreamingEquivalenceSpec. */
+  def seqNfaPred(spark: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(spark, dir)
+    val thr = ev.filter(col("event_type") === "purchase")
+      .agg(expr("percentile_disc(0.9) WITHIN GROUP (ORDER BY value)").as("p90"))
+    matchUsersOf(
+      ev.crossJoin(broadcast(thr))
+        .select(col("user_id"), unix_micros(col("ts")).as("tsus"), col("event_id"),
+          when(col("event_type") === "purchase" && !(col("value") > col("p90")),
+            lit("purchase_lo"))
+            .otherwise(col("event_type")).as("event_type")),
+      quantified(Seq(
+        QStage("view", 1, QStage.Inf),
+        QStage("click", 0, 1),
+        QStage("purchase", 1, QStage.Inf))))
+  }
 
   /** Per-user NFA progress carried across micro-batches: the ENTIRE
     * streaming state of a MATCH_RECOGNIZE run is one automaton state +
@@ -250,7 +312,8 @@ object EventPattern {
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "seq_nfa" -> (seqNfa _),
-    "seq_nfa_quant" -> (seqNfaQuant _))
+    "seq_nfa_quant" -> (seqNfaQuant _),
+    "seq_nfa_pred" -> (seqNfaPred _))
 
   val oracleSql: Map[String, String] = Map(
     // gaps-and-islands runs per user, then count run triples
@@ -294,6 +357,50 @@ object EventPattern {
     "seq_nfa_quant" ->
       """WITH RECURSIVE ev AS (
         |  SELECT user_id, event_type,
+        |    row_number() OVER (PARTITION BY user_id ORDER BY ts ASC, event_id ASC) AS rn
+        |  FROM events),
+        |scan AS (
+        |  SELECT user_id, 0 AS rn, 0 AS state, 0 AS matches
+        |  FROM (SELECT DISTINCT user_id FROM ev)
+        |  UNION ALL
+        |  SELECT s.user_id, e.rn,
+        |    CASE WHEN (CASE
+        |        WHEN s.state = 1 AND e.event_type = 'view' THEN 1
+        |        WHEN s.state = 1 AND e.event_type = 'click' THEN 2
+        |        WHEN s.state = 1 AND e.event_type = 'purchase' THEN 3
+        |        WHEN s.state = 2 AND e.event_type = 'purchase' THEN 3
+        |        WHEN e.event_type = 'view' THEN 1 ELSE 0 END) = 3
+        |      THEN 0 ELSE (CASE
+        |        WHEN s.state = 1 AND e.event_type = 'view' THEN 1
+        |        WHEN s.state = 1 AND e.event_type = 'click' THEN 2
+        |        WHEN s.state = 1 AND e.event_type = 'purchase' THEN 3
+        |        WHEN s.state = 2 AND e.event_type = 'purchase' THEN 3
+        |        WHEN e.event_type = 'view' THEN 1 ELSE 0 END) END AS state,
+        |    s.matches + CASE WHEN (CASE
+        |        WHEN s.state = 1 AND e.event_type = 'view' THEN 1
+        |        WHEN s.state = 1 AND e.event_type = 'click' THEN 2
+        |        WHEN s.state = 1 AND e.event_type = 'purchase' THEN 3
+        |        WHEN s.state = 2 AND e.event_type = 'purchase' THEN 3
+        |        WHEN e.event_type = 'view' THEN 1 ELSE 0 END) = 3
+        |      THEN 1 ELSE 0 END AS matches
+        |  FROM scan s
+        |  JOIN ev e ON e.user_id = s.user_id AND e.rn = s.rn + 1)
+        |SELECT user_id, CAST(max(matches) AS BIGINT) AS n_matches
+        |FROM scan GROUP BY user_id HAVING max(matches) > 0
+        |ORDER BY user_id ASC""".stripMargin,
+    // the same δ-emulation, over the REFINED alphabet: a purchase whose
+    // value fails the p90 guard is renamed to the dead symbol
+    // purchase_lo inside the ev CTE (quantile_disc returns an actual
+    // datum ↔ Spark's percentile_disc, so the strict > is tie-exact);
+    // δ itself is unchanged — purchase_lo hits no CASE arm and the
+    // ELSE 0 restart abandons the attempt, mirroring the runner
+    "seq_nfa_pred" ->
+      """WITH RECURSIVE ev AS (
+        |  SELECT user_id,
+        |    CASE WHEN event_type = 'purchase' AND NOT (value >
+        |        (SELECT quantile_disc(value, 0.9) FROM events
+        |         WHERE event_type = 'purchase'))
+        |      THEN 'purchase_lo' ELSE event_type END AS event_type,
         |    row_number() OVER (PARTITION BY user_id ORDER BY ts ASC, event_id ASC) AS rn
         |  FROM events),
         |scan AS (

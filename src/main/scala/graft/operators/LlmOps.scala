@@ -286,10 +286,14 @@ object LlmOps {
     * corpus, strict-subset always — note the sf0.001 documents FIXTURE
     * is itself duplication-heavy: direct emits 31k pairs and cap=64
     * keeps 2.2k, which is the cap doing its job, not a recall bug).
-    * NOT declared: the declared query's contract is the full
-    * pair listing; this is the documented swap for corpora that cannot
-    * pre-dedup (the funnel's exact-first ordering remains the shipped
-    * production answer). ProbeHub measures both; datum in STRESS.md. */
+    * DECLARED round 13 as `llm_minhash_capped` (VERDICT r12 task 3 /
+    * r11 named gap 2): no-oracle — the kept pair SET depends on this
+    * engine's band-hash space, so no engine-independent SQL reproduces
+    * it — with MinhashCapSpec's subset/equality pins and the measured
+    * 5-21× (10× duplication) / 3.3× (K=100) STRESS.md datums as the
+    * bound. llm_minhash keeps the full-listing contract; this entry
+    * puts the production-recommended capped path under the driver's
+    * per-round regression check. ProbeHub measures both. */
   private[graft] def llmMinhashCapped(spark: SparkSession, dir: String,
       cap: Int = 64): DataFrame = {
     val bands = minhashBandsOf(minhashTokenIds(spark, dir))
@@ -692,6 +696,7 @@ object LlmOps {
     "llm_dedup_exact" -> (llmDedupExact _),
     "llm_dedup_near"  -> (llmDedupNear _),
     "llm_minhash"     -> (llmMinhash _),
+    "llm_minhash_capped" -> ((s: SparkSession, d: String) => llmMinhashCapped(s, d)),
     "llm_cosine_knn"  -> (llmCosineKnn _),
     "llm_knn_join"    -> (llmKnnJoin _),
     "llm_centroid"    -> (llmCentroid _),

@@ -30,9 +30,16 @@ object Sessionize {
 
   val gapSeconds = 1800L
 
-  /** Fold a user's time-ordered events into gap-separated sessions. */
+  /** Fold a user's time-ordered events into gap-separated sessions.
+    * Sort key is the SAME µs-grain (timestamp, event_id) comparator as
+    * sessionsIncremental (ADVICE r12: getTime alone is ms, so events
+    * distinct at µs but tied at ms fell back to event_id order here
+    * while the incremental path honored the µs order — s_start/s_end
+    * could diverge between the two forms on such ties; the same fix
+    * as EventPattern.matchCountsIncremental's r11 comparator). */
   private[graft] def fold(user: Long, evs: Iterator[GEvent]): Iterator[GSession] = {
-    val sorted = evs.toIndexedSeq.sortBy(e => (e.ts.getTime, e.event_id))
+    val sorted = evs.toIndexedSeq.sortBy(e =>
+      (e.ts.getTime / 1000 * 1000000L + e.ts.getNanos / 1000, e.event_id))
     if (sorted.isEmpty) Iterator.empty
     else {
       val out = Seq.newBuilder[GSession]

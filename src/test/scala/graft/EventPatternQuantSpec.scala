@@ -132,6 +132,55 @@ class EventPatternQuantSpec extends AnyFunSuite {
     assert(a.sortBy(_.getLong(0)) == b)
   }
 
+  test("seq_nfa_pred: declared query == scalar replay with refined symbols at sf0.001") {
+    val nfa = quantified(Seq(
+      QStage("view", 1, QStage.Inf), QStage("click", 0, 1),
+      QStage("purchase", 1, QStage.Inf)))
+    val thr = Tables.events(spark, sf0001)
+      .filter(col("event_type") === "purchase")
+      .agg(expr("percentile_disc(0.9) WITHIN GROUP (ORDER BY value)"))
+      .head().getDouble(0)
+    val got = EventPattern.seqNfaPred(spark, sf0001).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val expect = Tables.events(spark, sf0001)
+      .select(col("user_id"),
+        array_sort(collect_list(struct(col("ts"), col("event_id"),
+          col("event_type"), col("value"))).over(
+          org.apache.spark.sql.expressions.Window.partitionBy("user_id")))
+          .as("evs"))
+      .dropDuplicates("user_id")
+      .collect()
+      .map { r =>
+        val syms = r.getSeq[org.apache.spark.sql.Row](1).map { e =>
+          val t = e.getString(2)
+          if (t == "purchase" && !(e.getDouble(3) > thr)) "purchase_lo" else t
+        }
+        r.getLong(0) -> EventPattern.matchCount(syms.iterator, nfa)
+      }.filter(_._2 > 0).toMap
+    assert(got == expect)
+    assert(got.nonEmpty, "fixture must exercise the guarded pattern")
+    // the guard must BITE: strictly fewer matching users than the
+    // unguarded quantified pattern (p90 filters ~90% of purchases)
+    val unguarded = EventPattern.seqNfaQuant(spark, sf0001).count()
+    assert(got.size < unguarded,
+      s"guard must reduce matches (guarded=${got.size} unguarded=$unguarded)")
+  }
+
+  test("seq_nfa_pred guard refinement: strict > excludes the threshold datum") {
+    import spark.implicits._
+    // mirrors the refinement expression in seqNfaPred verbatim: an event
+    // AT the percentile_disc datum must refine to the dead symbol in BOTH
+    // engines (the oracle uses the same strict >), so ties can never
+    // diverge
+    val df = Seq(("purchase", 10.0), ("purchase", 10.0000001),
+      ("purchase", 9.99), ("view", 999.0)).toDF("event_type", "value")
+    val got = df.withColumn("p90", lit(10.0))
+      .select(when(col("event_type") === "purchase" && !(col("value") > col("p90")),
+        lit("purchase_lo")).otherwise(col("event_type")).as("sym"))
+      .collect().map(_.getString(0)).toSeq
+    assert(got === Seq("purchase_lo", "purchase", "purchase_lo", "view"))
+  }
+
   test("compiler guards: duplicate symbols / optional final stage rejected") {
     intercept[IllegalArgumentException] {
       quantified(Seq(QStage("a", 1, 1), QStage("a", 1, 1)))

@@ -1,0 +1,120 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.functions._
+import graft.functions.{sim, DdSketchState}
+
+/** agg_quantile_union (round 13, VERDICT r12 task 4 / named gap 1):
+  * mergeable DDSketch quantile states and their cross-source
+  * column-algebra union — the quantile twin of ThetaUnionSpec.
+  *
+  * Load-bearing claims, in ThetaUnionSpec's order:
+  *  - STATE level: the algebraic union (map_zip_with integer addition
+  *    over collected per-source states) equals the state one direct
+  *    corpus-wide sketch builds — exact map equality, no tolerance,
+  *    because bucket counts add exactly;
+  *  - the declared query's estimates sit within the α = 1% relative
+  *    error bound of their exact percentile_disc audit columns;
+  *  - buffer-level merge commutativity;
+  *  - partition invariance (bit-equal canonical state);
+  *  - the eval-time collapse rule (maxBuckets) folds the LOWEST buckets
+  *    and preserves total count;
+  *  - SQL usability via the extension registration.
+  */
+class QuantileUnionSpec extends AnyFunSuite {
+  import TestSpark._
+  import spark.implicits._
+
+  private def mapOf(r: org.apache.spark.sql.Row, i: Int): Map[Int, Long] =
+    r.getMap[Int, Long](i).toMap
+
+  test("union state == direct corpus-wide sketch state (exact map equality)") {
+    val docs = Tables.documents(spark, sf001).select("source", "n_chars")
+    val emptyMap = map_from_arrays(array().cast("array<int>"), array().cast("array<bigint>"))
+    val unioned = docs.groupBy("source")
+      .agg(sim.ddsketchState(col("n_chars")).as("state"))
+      .agg(aggregate(collect_list(col("state")), emptyMap,
+        (acc, m) => map_zip_with(acc, m,
+          (_, v1, v2) => coalesce(v1, lit(0L)) + coalesce(v2, lit(0L)))).as("state"))
+      .head()
+    val direct = docs.agg(sim.ddsketchState(col("n_chars")).as("state")).head()
+    assert(mapOf(unioned, 0) === mapOf(direct, 0),
+      "DDSketch merge property: bucket counts add exactly, so union == direct")
+  }
+
+  test("declared query: every estimate within alpha=1% of its exact audit " +
+    "(2% asserted for midpoint slack)") {
+    val rows = operators.Aggregates.aggQuantileUnion(spark, sf001).collect()
+    assert(rows.nonEmpty)
+    assert(rows.count(_.getString(0) == "__union__") === 1)
+    rows.foreach { r =>
+      val estP50 = r.getDouble(1); val exactP50 = r.getDouble(2)
+      val estP95 = r.getDouble(3); val exactP95 = r.getDouble(4)
+      assert(math.abs(estP50 - exactP50) <= 0.02 * exactP50,
+        s"${r.getString(0)}: p50 est=$estP50 exact=$exactP50")
+      assert(math.abs(estP95 - exactP95) <= 0.02 * exactP95,
+        s"${r.getString(0)}: p95 est=$estP95 exact=$exactP95")
+    }
+  }
+
+  test("buffer-level merge is commutative and adds counts") {
+    val agg = DdSketchState(org.apache.spark.sql.catalyst.expressions.Literal(0.0))
+    def buf(entries: (Int, Long)*): java.util.TreeMap[Integer, java.lang.Long] = {
+      val b = agg.createAggregationBuffer()
+      entries.foreach { case (k, v) => b.put(k, v) }
+      b
+    }
+    val ab = agg.merge(buf(1 -> 3L, 5 -> 2L, 9 -> 1L), buf(1 -> 4L, 7 -> 6L))
+    val ba = agg.merge(buf(1 -> 4L, 7 -> 6L), buf(1 -> 3L, 5 -> 2L, 9 -> 1L))
+    import scala.jdk.CollectionConverters._
+    assert(ab.asScala.toMap === ba.asScala.toMap)
+    assert(ab.get(1) === 7L)
+    assert(ab.asScala.values.map(_.longValue()).sum === 16L)
+  }
+
+  test("partition invariance: repartition(1) vs 32 vs hash → identical state") {
+    val df = (0 until 30000).map(i => ((i * 2654435761L) % 9000 + 1).toDouble).toDF("v")
+    def state(d: org.apache.spark.sql.DataFrame): Map[Int, Long] =
+      mapOf(d.agg(sim.ddsketchState(col("v"))).head(), 0)
+    val a = state(df.repartition(1))
+    val b = state(df.repartition(32))
+    val c = state(df.repartition(7, col("v")))
+    assert(a === b)
+    assert(b === c)
+    assert(a.values.sum === 30000L, "total count preserved")
+  }
+
+  test("eval-time collapse: maxBuckets folds lowest buckets, preserves N, " +
+    "keeps high quantiles") {
+    // values spanning many buckets: 1..10000 → ~460 buckets at alpha=1%
+    val df = (1 to 10000).map(_.toDouble).toDF("v")
+    val full = mapOf(df.agg(sim.ddsketchState(col("v"), 0.01, 2048)).head(), 0)
+    val capped = mapOf(df.agg(sim.ddsketchState(col("v"), 0.01, 50)).head(), 0)
+    assert(full.size > 50 && capped.size === 50)
+    assert(capped.values.sum === full.values.sum, "collapse preserves total count")
+    // the kept buckets are the HIGHEST indices; the lowest kept bucket
+    // absorbed everything below it
+    val keptSorted = capped.keys.toSeq.sorted
+    val fullSorted = full.keys.toSeq.sorted
+    assert(keptSorted.tail === fullSorted.takeRight(50).tail,
+      "all but the fold bucket are the top full buckets unchanged")
+    assert(capped(keptSorted.head) >= full(keptSorted.head),
+      "fold bucket absorbed the low tail")
+  }
+
+  test("non-positive and null inputs: reserved bucket, nulls skipped") {
+    val df = Seq(Some(-3.0), Some(0.0), None, Some(2.0)).toDF("v")
+    val st = mapOf(df.agg(sim.ddsketchState(col("v"))).head(), 0)
+    assert(st(Int.MinValue) === 2L, "negative and zero land in the reserved bucket")
+    assert(st.values.sum === 3L, "null skipped")
+  }
+
+  test("usable from SQL via extension registration") {
+    Tables.registerAll(spark, sf0001)
+    val st = spark.sql("SELECT ddsketch_state(n_chars) FROM documents").head()
+      .getMap[Int, Long](0)
+    val n = spark.sql("SELECT count(n_chars) FROM documents").head().getLong(0)
+    assert(st.values.map(identity[Long]).sum === n,
+      "bucket counts sum to the non-null row count")
+  }
+}

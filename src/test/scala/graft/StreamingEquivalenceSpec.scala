@@ -385,4 +385,43 @@ class StreamingEquivalenceSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("seq_nfa_pred: incremental automaton over the REFINED alphabet == batch") {
+    implicit val ctx = spark.sqlContext
+    import graft.operators.EventPattern
+    import graft.operators.EventPattern.QStage
+    // the guard is symbol refinement, so the incremental form is the SAME
+    // mapGroupsWithState runner fed events whose symbol was rewritten
+    // upstream (in production: in the readStream projection). Threshold
+    // from the engine's own percentile_disc — the value the batch query
+    // broadcasts.
+    val thr = Tables.events(spark, sf0001)
+      .filter($"event_type" === "purchase")
+      .agg(expr("percentile_disc(0.9) WITHIN GROUP (ORDER BY value)"))
+      .head().getDouble(0)
+    val evs = fixtureEvents.sortBy(e => (e.ts.getTime, e.event_id))
+      .map { e =>
+        val sym = if (e.event_type == "purchase" && !(e.value > thr)) "purchase_lo"
+                  else e.event_type
+        graft.streaming.GEvent(e.event_id, e.ts, e.user_id, sym, e.value)
+      }
+    val ms = MemoryStream[graft.streaming.GEvent]
+    val nfa = EventPattern.quantified(Seq(
+      QStage("view", 1, QStage.Inf), QStage("click", 0, 1),
+      QStage("purchase", 1, QStage.Inf)))
+    val q = EventPattern.matchCountsIncremental(ms.toDS(), nfa)
+      .toDF("user_id", "n_matches")
+      .writeStream.format("memory").queryName("nfa_pred_inc").outputMode("update").start()
+    try {
+      evs.grouped(317).foreach { chunk => ms.addData(chunk); q.processAllAvailable() }
+      val streamed = spark.table("nfa_pred_inc")
+        .groupBy($"user_id").agg(max($"n_matches").as("n_matches"))
+        .filter($"n_matches" > 0)
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      val batch = EventPattern.seqNfaPred(spark, sf0001)
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      assert(streamed === batch)
+      assert(batch.nonEmpty, "fixture must exercise the guarded pattern")
+    } finally q.stop()
+  }
+
 }
