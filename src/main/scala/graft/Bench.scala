@@ -132,6 +132,44 @@ object Bench {
       } catch { case e: Throwable =>
         System.err.println(s"BENCH WARMUP (codegen) FAILED: ${e.getMessage}")
       }
+      // Text-codec JIT warm-up (round 13, VERDICT r12 task 5): the
+      // univocity CSV writer/parser and Jackson JSON generator/parser
+      // JIT-compile on first use — measured ~35 process-CPU-s at sf0.1
+      // rep-1 vs ~9 steady-state (ProbeCsv ladder, PLANS.md round 13) —
+      // and that cost landed entirely on ingest_csv, the r12 suite's
+      // slowest driver query (7.05 s wall, CPU-invariant ⇒ real work,
+      // and that work was compilation, not encode). Synthetic rows only,
+      // same contract as the codegen warm-up above: warms the PROCESS,
+      // precomputes nothing from any fixture.
+      try {
+        import org.apache.spark.sql.functions._
+        val codecDir = new java.io.File(
+          if (new java.io.File("/dev/shm").canWrite) "/dev/shm" else
+            sys.props.getOrElse("java.io.tmpdir", "/tmp"),
+          "graft_codec_warm").getAbsolutePath
+        val synth = spark.range(20000).select(col("id").as("okey"),
+          (col("id") % 7).cast("int").as("line"),
+          concat(lit("F"), col("id") % 3).as("flag"),
+          round(col("id") % 50 + 0.25, 2).as("qty"),
+          round(col("id") % 900 + 0.5, 2).as("price"),
+          date_format(timestamp_seconds(col("id") % 100000000),
+            "yyyy-MM-dd HH:mm:ss").as("ship"))
+        val sch = synth.schema
+        synth.repartition(8).write.mode("overwrite")
+          .option("header", "true").csv(s"$codecDir/csv")
+        spark.read.schema(sch).option("header", "true").csv(s"$codecDir/csv")
+          .groupBy("flag").agg(count(lit(1)), sum("qty"), min("ship")).collect()
+        synth.repartition(8).write.mode("overwrite").json(s"$codecDir/json")
+        spark.read.schema(sch).json(s"$codecDir/json")
+          .groupBy("flag").agg(count(lit(1)), sum("price")).collect()
+        synth.select(concat_ws(" ", col("okey"), col("line"), col("flag")).as("value"))
+          .write.mode("overwrite").text(s"$codecDir/txt")
+        spark.read.text(s"$codecDir/txt")
+          .select(regexp_extract(col("value"), "^(\\S+) (\\S+) (\\S+)$", 1)
+            .cast("long").as("k")).agg(sum("k")).collect()
+      } catch { case e: Throwable =>
+        System.err.println(s"BENCH WARMUP (text codecs) FAILED: ${e.getMessage}")
+      }
       val tables = Seq("region", "nation", "customer", "supplier", "part",
         "orders", "lineitem", "events", "documents", "embeddings")
       tables.foreach { t =>

@@ -205,7 +205,14 @@ class PlanSnapshotSpec extends AnyFunSuite {
       // round-12: agg_theta_union's union row carries the 1-row exact
       // countDistinct audit scalar into the 1-row union-state frame —
       // the crossJoin(broadcast(agg)) scalar idiom
-      "agg_theta_union")
+      "agg_theta_union",
+      // round-13: agg_quantile_union mirrors theta — the union row
+      // carries the 1-row global percentile_disc audit scalar
+      "agg_quantile_union",
+      // round-13: seq_nfa_pred broadcasts the 1-row p90 guard threshold
+      // into the event stream before the user-key exchange (the
+      // dq_freshness watermark pattern)
+      "seq_nfa_pred")
     val withNlj = plans.flatMap { case (name, plan) =>
       val n = plan.collect {
         case j: BroadcastNestedLoopJoinExec => j

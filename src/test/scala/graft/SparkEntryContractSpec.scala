@@ -14,14 +14,18 @@ class SparkEntryContractSpec extends AnyFunSuite {
     "agg_approx_hll", "agg_approx_pctl", "agg_countmin", "agg_hll_union",
     "agg_kmv_distinct", "graph_kcore", "llm_emb_pq", "llm_minhash",
     "llm_mm_features", "llm_pca", "llm_simhash", "llm_bpe_train",
-    "agg_theta_union")
+    "agg_theta_union",
+    // round 13: the DDSketch quantile union (bucket geometry is
+    // sketch-specific) and the declared df-capped LSH dedup path
+    // (band-hash space is engine-specific)
+    "agg_quantile_union", "llm_minhash_capped")
 
   test("every oracle entry names a declared query") {
     val orphans = SparkEntry.oracleSql.keySet -- SparkEntry.queries.keySet
     assert(orphans.isEmpty, s"oracle SQL without a query: $orphans")
   }
 
-  test("the no-oracle set is exactly the 13 documented sketch/trained/iterative ops") {
+  test("the no-oracle set is exactly the 15 documented sketch/trained/iterative ops") {
     val noOracle = SparkEntry.queries.keySet -- SparkEntry.oracleSql.keySet
     assert(noOracle == declaredNoOracle,
       s"no-oracle drift: +${(noOracle -- declaredNoOracle).toSeq.sorted} " +
@@ -30,10 +34,10 @@ class SparkEntryContractSpec extends AnyFunSuite {
   }
 
   test("inventory size matches the SURVEY census") {
-    assert(SparkEntry.queries.size == 308,
+    assert(SparkEntry.queries.size == 311,
       s"${SparkEntry.queries.size} declared queries — update SURVEY §2's " +
         "inventory census AND this pin together")
-    assert(SparkEntry.oracleSql.size == 295)
+    assert(SparkEntry.oracleSql.size == 296)
   }
 
   test("no duplicate keys are silently swallowed by the map unions") {
