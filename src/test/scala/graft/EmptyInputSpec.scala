@@ -14,7 +14,7 @@ class EmptyInputSpec extends AnyFunSuite {
 
   private lazy val emptyDir: String = {
     val d = java.nio.file.Files.createTempDirectory("graft_empty_").toString
-    Seq("lineitem", "documents").foreach { t =>
+    Seq("lineitem", "documents", "events").foreach { t =>
       Tables.byName(spark, TestSpark.sf0001, t).limit(0)
         .coalesce(1).write.parquet(s"$d/$t.parquet")
     }
@@ -30,6 +30,23 @@ class EmptyInputSpec extends AnyFunSuite {
   test("llm_bpe_train on an empty corpus ends training instead of throwing") {
     val out = operators.BpeTrain.llmBpeTrain(spark, emptyDir).collect()
     assert(out.isEmpty, s"no merges derivable from an empty dict, got ${out.length}")
+  }
+
+  test("agg_quantile_union of an empty corpus yields the union row with " +
+    "null estimates, not a crash") {
+    val out = operators.Aggregates.aggQuantileUnion(spark, emptyDir).collect()
+    // no sources → no per-source rows; the union row still assembles
+    // (empty-map state, null audit percentiles) — a null estimate is the
+    // honest answer to "p50 of nothing"
+    assert(out.length == 1 && out(0).getString(0) == "__union__")
+    assert(out(0).isNullAt(1) && out(0).isNullAt(2), "null est/exact p50")
+    assert(out(0).getInt(6) == 0, "zero sketch buckets")
+  }
+
+  test("seq_nfa_pred over an empty event stream matches nothing, not a crash") {
+    // the p90 guard aggregate over zero purchases is a null threshold;
+    // the refinement and the automaton must both tolerate it
+    assert(operators.EventPattern.seqNfaPred(spark, emptyDir).collect().isEmpty)
   }
 
   test("sink_zorder of an empty table writes an empty rewrite, not a crash") {
