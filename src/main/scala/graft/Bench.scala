@@ -239,6 +239,12 @@ object Bench {
       } catch { case _: Throwable => -1L }
     def cpuStallUs(): Long = pressureSomeUs("/proc/pressure/cpu")
     def ioStallUs(): Long = pressureSomeUs("/proc/pressure/io")
+    // memory-PSI rides along (round 13): the r12 defect hypothesis was
+    // "GC under host MEMORY pressure"; cpu_gc witnesses the GC side, and
+    // this delta witnesses the host-memory side directly — a query whose
+    // cpu_gc swelled while mem_stall climbed is convicted of
+    // reclaim-driven GC churn, not of allocating more.
+    def memStallUs(): Long = pressureSomeUs("/proc/pressure/memory")
     // Per-query PROCESS CPU seconds (VERDICT r11 task 1): the r11 artifact
     // proved the host was loaded (`load`) but not where a 29 s kcore's
     // time went — host-wide CPU-PSI recorded 0.31 s because the OTHER
@@ -271,11 +277,13 @@ object Bench {
     }
     val benchT0 = System.nanoTime()
     final case class QRes(name: String, r: Either[String, Double], t0: Double,
-        load: Double, stall: Double, cpu: Double, ioStall: Double, gc: Double)
+        load: Double, stall: Double, cpu: Double, ioStall: Double, gc: Double,
+        memStall: Double)
     val results: Seq[QRes] =
       SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
         spark.sparkContext.setJobGroup(s"q:$name", name, false)
         val la0 = loadavg1(); val st0 = cpuStallUs(); val io0 = ioStallUs()
+        val mm0 = memStallUs()
         val cpu0 = procCpuNs(); val gc0 = gcTimeMs()
         val t0 = System.nanoTime()
         val r = try {
@@ -287,11 +295,13 @@ object Bench {
             Left("err")
         } finally spark.sparkContext.clearJobGroup()
         val cpu1 = procCpuNs(); val gc1 = gcTimeMs()
-        val st1 = cpuStallUs(); val io1 = ioStallUs()
+        val st1 = cpuStallUs(); val io1 = ioStallUs(); val mm1 = memStallUs()
         val stall = if (st0 >= 0 && st1 >= 0) (st1 - st0) / 1e6 else -1.0
         val ioSt = if (io0 >= 0 && io1 >= 0) (io1 - io0) / 1e6 else -1.0
+        val mmSt = if (mm0 >= 0 && mm1 >= 0) (mm1 - mm0) / 1e6 else -1.0
         val cpu = if (cpu0 >= 0 && cpu1 >= 0) (cpu1 - cpu0) / 1e9 else -1.0
-        QRes(name, r, (t0 - benchT0) / 1e9, la0, stall, cpu, ioSt, (gc1 - gc0) / 1e3)
+        QRes(name, r, (t0 - benchT0) / 1e9, la0, stall, cpu, ioSt,
+          (gc1 - gc0) / 1e3, mmSt)
       }
     val resultMap = results.map(q => q.name -> q.r).toMap
     // 3-decimal seconds (1 ms resolution) keeps entries compact.
@@ -339,6 +349,7 @@ object Bench {
     val taskCpuQs = qmap(q => adderSecs(taskCpuByGroup, q, 1e9))
     val taskRunQs = qmap(q => adderSecs(taskRunByGroup, q, 1e3))
     val gcQs = qmap(q => fmt(q.gc))
+    val memStallQs = qmap(q => fmt(q.memStall))
     val warmJson = warmArtifacts match {
       case Some(secs) => secs.map { case (n, s) => "\"" + n + "\":" + fmt(s) }
         .mkString("""{"mode":"warm","secs":{""", ",", "}}")
@@ -346,7 +357,7 @@ object Bench {
     }
     val fullQs = results.map(q => entry(q.name)).mkString("{", ",", "}")
     val nerr = results.count(_.r.isLeft)
-    val total = results.collect { case QRes(_, Right(v), _, _, _, _, _, _) => v }.sum
+    val total = results.collect { case QRes(_, Right(v), _, _, _, _, _, _, _) => v }.sum
     val loads = results.map(_.load).filter(_ >= 0)
     val stalls = results.map(_.stall).filter(_ >= 0)
     val ioStalls = results.map(_.ioStall).filter(_ >= 0)
@@ -354,13 +365,15 @@ object Bench {
     val taskCpuTotal = results.map(q =>
       Option(taskCpuByGroup.get(s"q:${q.name}")).fold(0.0)(_.sum / 1e9)).sum
     val gcTotal = results.map(_.gc).sum
+    val memStalls = results.map(_.memStall).filter(_ >= 0)
     val loadSummary =
       s""""load_max":${fmt(if (loads.isEmpty) -1 else loads.max)},"load_mean":${fmt(
         if (loads.isEmpty) -1 else loads.sum / loads.size)},"stall_total":${fmt(stalls.sum)},"io_stall_total":${fmt(
-        ioStalls.sum)},"cpu_total":${fmt(cpuSecs.sum)},"task_cpu_total":${fmt(
+        ioStalls.sum)},"mem_stall_total":${fmt(memStalls.sum)},"cpu_total":${fmt(
+        cpuSecs.sum)},"task_cpu_total":${fmt(
         taskCpuTotal)},"gc_total":${fmt(gcTotal)}"""
     val fullLine =
-      s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":$fullQs,"jobs":$jobsQs,"t0":$t0Qs,"load":$loadQs,"cpu_stall":$stallQs,"io_stall":$ioStallQs,"cpu":$cpuQs,"wall_minus_cpu":$wmcQs,"task_cpu":$taskCpuQs,"task_run":$taskRunQs,"cpu_gc":$gcQs,$loadSummary,"warm_artifacts":$warmJson,"errors":$nerr,"n_queries":${results.size},"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":$fullQs,"jobs":$jobsQs,"t0":$t0Qs,"load":$loadQs,"cpu_stall":$stallQs,"io_stall":$ioStallQs,"mem_stall":$memStallQs,"cpu":$cpuQs,"wall_minus_cpu":$wmcQs,"task_cpu":$taskCpuQs,"task_run":$taskRunQs,"cpu_gc":$gcQs,$loadSummary,"warm_artifacts":$warmJson,"errors":$nerr,"n_queries":${results.size},"sf":"$sfDir"}"""
 
     // Complete map -> repo file (judge-readable even when stdout is clipped).
     // Delete the previous run's file FIRST: if this run's write fails, a
@@ -388,7 +401,7 @@ object Bench {
 
     // Compact final stdout line: headline + slowest-8, hard-capped so the
     // whole line plus sbt's epilogue fits the 2000-char tail window.
-    val slowest = results.collect { case QRes(k, Right(v), _, _, _, _, _, _) => k -> v }
+    val slowest = results.collect { case QRes(k, Right(v), _, _, _, _, _, _, _) => k -> v }
       .sortBy(-_._2).take(8).map(_._1)
     // no filter on results.contains: a renamed/removed headline query must
     // surface as "absent" in the compact line, not silently vanish
