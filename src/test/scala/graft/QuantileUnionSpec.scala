@@ -102,6 +102,57 @@ class QuantileUnionSpec extends AnyFunSuite {
       "fold bucket absorbed the low tail")
   }
 
+  test("500 seeded random datasets: alpha bound holds at every probed " +
+    "quantile vs the exact order statistic") {
+    // scalar replay of the estimator against exact rank statistics on
+    // small random multisets — the EventPatternQuantSpec "independent
+    // hand truth" style: bucketing and estimation re-derived here from
+    // the paper's formulas, NOT from the aggregate's code
+    val alpha = 0.01
+    val gamma = (1 + alpha) / (1 - alpha)
+    val rnd = new scala.util.Random(1913)
+    (1 to 500).foreach { _ =>
+      val n = 1 + rnd.nextInt(200)
+      // mixed magnitudes: uniform, heavy-tailed, and near-integer values
+      val xs = Vector.fill(n)(rnd.nextInt(3) match {
+        case 0 => rnd.nextDouble() * 1000 + 0.001
+        case 1 => math.exp(rnd.nextDouble() * 12) // 1..160k, log-spread
+        case _ => (rnd.nextInt(500) + 1).toDouble
+      })
+      val buckets = xs.groupBy(x => math.ceil(math.log(x) / math.log(gamma)).toInt)
+        .view.mapValues(_.size.toLong).toMap
+      val sortedXs = xs.sorted
+      Seq(0.1, 0.5, 0.9, 0.99).foreach { q =>
+        val rank = math.max(1, math.ceil(q * n).toInt)
+        val exact = sortedXs(rank - 1)
+        // walk the sorted buckets to the rank, take the geometric midpoint
+        val ordered = buckets.toSeq.sortBy(_._1)
+        var cum = 0L; var idx = Option.empty[Int]
+        ordered.foreach { case (i, c) =>
+          cum += c; if (idx.isEmpty && cum >= rank) idx = Some(i)
+        }
+        val est = 2.0 * math.pow(gamma, idx.get) / (gamma + 1)
+        assert(math.abs(est - exact) <= alpha * exact * 1.0000001,
+          s"n=$n q=$q est=$est exact=$exact")
+      }
+    }
+  }
+
+  test("sketch table round-trips through parquet: estimates unchanged") {
+    // the 100 TB contract is a sketch TABLE an engine writes once and
+    // any consumer re-aggregates later — state must survive the file
+    // boundary bit-exactly
+    val docs = Tables.documents(spark, sf0001).select("source", "n_chars")
+    val states = docs.groupBy("source")
+      .agg(sim.ddsketchState(col("n_chars")).as("state"))
+    val dir = java.nio.file.Files.createTempDirectory("graft_qsketch_rt_").toString
+    states.write.mode("overwrite").parquet(dir)
+    val back = spark.read.parquet(dir)
+    val a = states.collect().map(r => r.getString(0) -> mapOf(r, 1)).toMap
+    val b = back.collect().map(r => r.getString(0) -> mapOf(r, 1)).toMap
+    assert(a === b)
+  }
+
   test("non-positive and null inputs: reserved bucket, nulls skipped") {
     val df = Seq(Some(-3.0), Some(0.0), None, Some(2.0)).toDF("v")
     val st = mapOf(df.agg(sim.ddsketchState(col("v"))).head(), 0)
