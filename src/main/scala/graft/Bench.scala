@@ -143,10 +143,16 @@ object Bench {
       // precomputes nothing from any fixture.
       try {
         import org.apache.spark.sql.functions._
-        val codecDir = new java.io.File(
+        // per-JVM temp dir, deleted right after the warm-up: a FIXED
+        // shared path would let two live bench JVMs (a contended datum
+        // collected next to another run) overwrite each other's files
+        // mid-read, failing the warm-up and bleeding the JIT cost back
+        // into that run's first timed ingest query
+        val codecRoot = java.nio.file.Paths.get(
           if (new java.io.File("/dev/shm").canWrite) "/dev/shm" else
-            sys.props.getOrElse("java.io.tmpdir", "/tmp"),
-          "graft_codec_warm").getAbsolutePath
+            sys.props.getOrElse("java.io.tmpdir", "/tmp"))
+        val codecPath = java.nio.file.Files.createTempDirectory(codecRoot, "graft_codec_warm_")
+        val codecDir = codecPath.toString
         val synth = spark.range(20000).select(col("id").as("okey"),
           (col("id") % 7).cast("int").as("line"),
           concat(lit("F"), col("id") % 3).as("flag"),
@@ -167,6 +173,12 @@ object Bench {
         spark.read.text(s"$codecDir/txt")
           .select(regexp_extract(col("value"), "^(\\S+) (\\S+) (\\S+)$", 1)
             .cast("long").as("k")).agg(sum("k")).collect()
+        // the files served their purpose the moment the JIT ran —
+        // reclaim the tmpfs immediately instead of leaking per run
+        def rmAll(f: java.io.File): Unit = {
+          val kids = f.listFiles(); if (kids != null) kids.foreach(rmAll); f.delete(); ()
+        }
+        rmAll(codecPath.toFile)
       } catch { case e: Throwable =>
         System.err.println(s"BENCH WARMUP (text codecs) FAILED: ${e.getMessage}")
       }

@@ -32,7 +32,31 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     ext.injectFunction((
       new FunctionIdentifier("ddsketch_state"),
       new ExpressionInfo(classOf[DdSketchState].getName, "ddsketch_state"),
-      (children: Seq[Expression]) => DdSketchState(children.head).toAggregateExpression()))
+      // ddsketch_state(col [, alpha [, maxBuckets]]): extra args must be
+      // foldable literals and are HONORED — silently dropping them would
+      // hand a caller who asked for alpha=0.05 a 1% sketch whose states
+      // merge incompatibly with genuine 5% states (round-13 review)
+      (children: Seq[Expression]) => {
+        def lit[T](e: Expression, what: String, f: Any => T): T = e match {
+          case l: org.apache.spark.sql.catalyst.expressions.Literal => f(l.value)
+          case _ => throw new IllegalArgumentException(
+            s"ddsketch_state: $what must be a literal, got $e")
+        }
+        val alpha = if (children.size >= 2)
+          lit(children(1), "alpha", {
+            case d: java.lang.Number => d.doubleValue()
+            case d: org.apache.spark.sql.types.Decimal => d.toDouble
+            case v => throw new IllegalArgumentException(s"alpha: $v")
+          }) else 0.01
+        val maxB = if (children.size >= 3)
+          lit(children(2), "maxBuckets", {
+            case n: java.lang.Number => n.intValue()
+            case v => throw new IllegalArgumentException(s"maxBuckets: $v")
+          }) else 2048
+        require(children.nonEmpty && children.size <= 3,
+          s"ddsketch_state takes 1-3 args, got ${children.size}")
+        DdSketchState(children.head, alpha, maxB).toAggregateExpression()
+      }))
     ext.injectFunction((
       new FunctionIdentifier("jaccard_long_sim"),
       new ExpressionInfo(classOf[JaccardLongSim].getName, "jaccard_long_sim"),

@@ -54,6 +54,11 @@ case class DdSketchState(
     inputAggBufferOffset: Int = 0)
     extends TypedImperativeAggregate[java.util.TreeMap[Integer, java.lang.Long]] {
 
+  require(alpha > 0 && alpha < 1, s"alpha must be in (0,1), got $alpha")
+  // ≥ 2: the collapse must be able to hold the reserved bucket plus at
+  // least one positive-geometry bucket
+  require(maxBuckets >= 2, s"maxBuckets must be >= 2, got $maxBuckets")
+
   private val gamma = (1 + alpha) / (1 - alpha)
   private val invLogGamma = 1.0 / math.log(gamma)
 
@@ -96,33 +101,44 @@ case class DdSketchState(
   }
 
   /** Canonical state: entries ascending by bucket index, collapsed to at
-    * most `maxBuckets` by folding the lowest indices into the lowest kept
-    * bucket. Pure function of the merged buffer ⇒ partition invariant. */
+    * most `maxBuckets` by folding the lowest POSITIVE-GEOMETRY indices
+    * into the lowest kept bucket. The reserved Int.MinValue bucket
+    * (non-positive inputs) is NEVER folded — its representative is 0.0,
+    * and merging its count into a positive bucket would silently turn
+    * zeros/negatives into positive estimates (round-13 review); when
+    * present it occupies one of the maxBuckets slots. Pure function of
+    * the merged buffer ⇒ partition invariant. */
   override def eval(buf: java.util.TreeMap[Integer, java.lang.Long]): Any = {
-    val entries = new java.util.ArrayList[(Int, Long)](buf.size())
-    buf.forEach((i, n) => { entries.add((i.intValue(), n.longValue())); () })
-    val over = entries.size() - maxBuckets
-    val (keys, counts) =
-      if (over <= 0) {
-        (Array.tabulate(entries.size())(j => entries.get(j)._1),
-         Array.tabulate(entries.size())(j => entries.get(j)._2))
-      } else {
-        // collapse entries [0, over] into the single bucket entries(over)
-        var folded = 0L
-        var j = 0
-        while (j <= over) { folded += entries.get(j)._2; j += 1 }
-        val n = entries.size() - over
-        val ks = new Array[Int](n); val cs = new Array[Long](n)
-        ks(0) = entries.get(over)._1; cs(0) = folded
-        j = 1
-        while (j < n) {
-          ks(j) = entries.get(over + j)._1; cs(j) = entries.get(over + j)._2
-          j += 1
-        }
-        (ks, cs)
+    val reserved = buf.get(Int.box(Int.MinValue))
+    // positive-geometry entries only (ascending; TreeMap order), the
+    // reserved bucket handled separately so the fold can never touch it
+    val pos = new java.util.ArrayList[(Int, Long)](buf.size())
+    buf.forEach((i, n) =>
+      if (i.intValue() != Int.MinValue) { pos.add((i.intValue(), n.longValue())); () })
+    val keep = if (reserved != null) maxBuckets - 1 else maxBuckets
+    val over = pos.size() - keep
+    val head = if (reserved != null) 1 else 0
+    val outN = head + math.min(pos.size(), keep)
+    val ks = new Array[Int](outN); val cs = new Array[Long](outN)
+    if (reserved != null) { ks(0) = Int.MinValue; cs(0) = reserved.longValue() }
+    if (over <= 0) {
+      var j = 0
+      while (j < pos.size()) {
+        ks(head + j) = pos.get(j)._1; cs(head + j) = pos.get(j)._2; j += 1
       }
-    new ArrayBasedMapData(new GenericArrayData(keys),
-      new GenericArrayData(counts))
+    } else {
+      // collapse pos[0, over] into the single bucket pos(over)
+      var folded = 0L
+      var j = 0
+      while (j <= over) { folded += pos.get(j)._2; j += 1 }
+      ks(head) = pos.get(over)._1; cs(head) = folded
+      j = 1
+      while (over + j < pos.size()) {
+        ks(head + j) = pos.get(over + j)._1; cs(head + j) = pos.get(over + j)._2
+        j += 1
+      }
+    }
+    new ArrayBasedMapData(new GenericArrayData(ks), new GenericArrayData(cs))
   }
 
   override def serialize(buf: java.util.TreeMap[Integer, java.lang.Long]): Array[Byte] = {

@@ -257,7 +257,14 @@ object EventPattern {
     matchUsersOf(
       ev.crossJoin(broadcast(thr))
         .select(col("user_id"), unix_micros(col("ts")).as("tsus"), col("event_id"),
-          when(col("event_type") === "purchase" && !(col("value") > col("p90")),
+          // 3-valued logic pinned DOWN: a NULL value (or a NULL threshold
+          // from an all-null purchase column) FAILS the guard — SQL
+          // MATCH_RECOGNIZE DEFINE semantics, where a predicate that is
+          // not TRUE does not match. Without the coalesce, NULL > p90 is
+          // NULL, !(NULL) is NULL, and when() would fall through to the
+          // live 'purchase' symbol — silently PASSING the guard instead.
+          when(col("event_type") === "purchase" &&
+              !coalesce(col("value") > col("p90"), lit(false)),
             lit("purchase_lo"))
             .otherwise(col("event_type")).as("event_type")),
       quantified(Seq(
@@ -293,11 +300,10 @@ object EventPattern {
           // unix_micros(ts); getTime alone is millis, so events distinct
           // at µs grain could tie here and fall back to event_id order,
           // diverging from the batch automaton this method must replay.
-          // getTime/1000*1e6 keeps the whole-second part; getNanos/1000
-          // restores the full sub-second µs (getNanos includes the
-          // millis getTime also carries, hence the truncation first).
+          // Shared with Sessionize (round 13): floorDiv, not truncation,
+          // so pre-epoch timestamps keep their order too.
           val sorted = evs.toIndexedSeq.sortBy(e =>
-            (e.ts.getTime / 1000 * 1000000L + e.ts.getNanos / 1000, e.event_id))
+            (graft.streaming.Sessionize.microsOf(e.ts), e.event_id))
           val prev = gs.getOption.getOrElse(NfaProgress(0, 0L))
           var s = prev.state
           var m = prev.matches
@@ -397,9 +403,9 @@ object EventPattern {
     "seq_nfa_pred" ->
       """WITH RECURSIVE ev AS (
         |  SELECT user_id,
-        |    CASE WHEN event_type = 'purchase' AND NOT (value >
+        |    CASE WHEN event_type = 'purchase' AND NOT COALESCE(value >
         |        (SELECT quantile_disc(value, 0.9) FROM events
-        |         WHERE event_type = 'purchase'))
+        |         WHERE event_type = 'purchase'), FALSE)
         |      THEN 'purchase_lo' ELSE event_type END AS event_type,
         |    row_number() OVER (PARTITION BY user_id ORDER BY ts ASC, event_id ASC) AS rn
         |  FROM events),

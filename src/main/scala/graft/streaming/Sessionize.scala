@@ -30,6 +30,16 @@ object Sessionize {
 
   val gapSeconds = 1800L
 
+  /** The µs-grain sort key shared by the batch fold and the incremental
+    * form — MUST equal `unix_micros(ts)` for every timestamp. getTime is
+    * floor-milliseconds and getNanos the non-negative sub-second part,
+    * so the whole-second part needs FLOOR division (round 13: plain
+    * `/ 1000` truncates toward zero, which inverts the order of
+    * pre-epoch timestamps — no fixture has them, but a public API must
+    * not silently mis-sort year-1969 data). */
+  private[graft] def microsOf(ts: Timestamp): Long =
+    Math.floorDiv(ts.getTime, 1000L) * 1000000L + ts.getNanos / 1000
+
   /** Fold a user's time-ordered events into gap-separated sessions.
     * Sort key is the SAME µs-grain (timestamp, event_id) comparator as
     * sessionsIncremental (ADVICE r12: getTime alone is ms, so events
@@ -39,7 +49,7 @@ object Sessionize {
     * as EventPattern.matchCountsIncremental's r11 comparator). */
   private[graft] def fold(user: Long, evs: Iterator[GEvent]): Iterator[GSession] = {
     val sorted = evs.toIndexedSeq.sortBy(e =>
-      (e.ts.getTime / 1000 * 1000000L + e.ts.getNanos / 1000, e.event_id))
+      (Sessionize.microsOf(e.ts), e.event_id))
     if (sorted.isEmpty) Iterator.empty
     else {
       val out = Seq.newBuilder[GSession]
@@ -103,8 +113,7 @@ object Sessionize {
       .flatMapGroupsWithState[OpenSess, GSession](
         OutputMode.Update(), GroupStateTimeout.NoTimeout()) {
         (user: Long, evs: Iterator[GEvent], gs: GroupState[OpenSess]) =>
-          val sorted = evs.toIndexedSeq.sortBy(e =>
-            (e.ts.getTime / 1000 * 1000000L + e.ts.getNanos / 1000, e.event_id))
+          val sorted = evs.toIndexedSeq.sortBy(e => (microsOf(e.ts), e.event_id))
           var st = gs.getOption.orNull
           val out = Seq.newBuilder[GSession]
           sorted.foreach { e =>

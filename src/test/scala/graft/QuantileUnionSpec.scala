@@ -160,12 +160,31 @@ class QuantileUnionSpec extends AnyFunSuite {
     assert(st.values.sum === 3L, "null skipped")
   }
 
-  test("usable from SQL via extension registration") {
+  test("collapse never folds the reserved non-positive bucket into a " +
+    "positive one") {
+    // negatives plus enough positive spread to force a collapse: the
+    // reserved bucket must survive with its exact count, the fold
+    // happening among positive buckets only (round-13 review: folding
+    // it would read zeros/negatives back as positive estimates)
+    val df = ((1 to 10000).map(_.toDouble) ++ Seq.fill(7)(-1.0)).toDF("v")
+    val st = mapOf(df.agg(sim.ddsketchState(col("v"), 0.01, 50)).head(), 0)
+    assert(st.size === 50)
+    assert(st(Int.MinValue) === 7L, "reserved bucket intact through collapse")
+    assert(st.values.sum === 10007L)
+  }
+
+  test("usable from SQL via extension registration; literal args honored") {
     Tables.registerAll(spark, sf0001)
     val st = spark.sql("SELECT ddsketch_state(n_chars) FROM documents").head()
       .getMap[Int, Long](0)
     val n = spark.sql("SELECT count(n_chars) FROM documents").head().getLong(0)
     assert(st.values.map(identity[Long]).sum === n,
       "bucket counts sum to the non-null row count")
+    // a coarser alpha via SQL literal produces FEWER buckets — the arg
+    // is honored, not silently dropped (round-13 review)
+    val coarse = spark.sql("SELECT ddsketch_state(n_chars, 0.1) FROM documents")
+      .head().getMap[Int, Long](0)
+    assert(coarse.size < st.size,
+      s"alpha=0.1 (${coarse.size} buckets) must be coarser than 0.01 (${st.size})")
   }
 }
