@@ -190,7 +190,11 @@ object EventPattern {
     val spark = events.sparkSession
     import spark.implicits._
     val sorted = events
-      .repartition(32, col("user_id"))
+      // width-less keyed repartition: the exchange takes the session's
+      // spark.sql.shuffle.partitions (32 locally, cluster-sized on a real
+      // deployment) — a literal 32 here would cap a 1000-executor run at
+      // 32 tasks (round 13; results are partition-invariant, pinned)
+      .repartition(col("user_id"))
       .sortWithinPartitions(col("user_id"), col("tsus"), col("event_id"))
     sorted.as[Ev]
       .mapPartitions { rows =>

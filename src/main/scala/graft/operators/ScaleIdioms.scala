@@ -94,7 +94,9 @@ object ScaleIdioms {
     val sorted = Tables.events(spark, dir)
       .select(col("user_id"), unix_micros(col("ts")).as("tsus"),
         col("event_id"), col("event_type"))
-      .repartition(32, col("user_id"))
+      // width-less: session shuffle partitions, not a literal 32 — the
+      // same 1000-executor argument as EventPattern.matchUsersOf
+      .repartition(col("user_id"))
       .sortWithinPartitions(col("user_id"), col("tsus"), col("event_id"))
 
     sorted.as[UserEventRow]
