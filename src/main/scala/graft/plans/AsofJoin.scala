@@ -104,10 +104,25 @@ case class AsofJoinExec(
       val joined = new JoinedRow
       val project = UnsafeProjection.create(schema.map(_.dataType).toArray)
       new Iterator[InternalRow] {
-        // one-row lookahead on the right; rows are copied on read because
-        // the child sorter reuses row memory across next() calls
-        private var rHead: InternalRow =
-          if (rIter.hasNext) rIter.next().copy() else null
+        // One-row lookahead on the right. Rows are NOT copied on read
+        // (round 13: the old copy-on-read paid an allocation+memcpy for
+        // every discarded row — the skip branches below throw most rows
+        // away on a right-heavy input); the sorter's reused row memory is
+        // only invalidated by OUR next rIter.next(), so holding rHead
+        // uncopied across left steps is safe, and the one row we KEEP
+        // (lastMatch) is copied at the keep site. NULL key/ts rows are
+        // skipped on both sides — SQL join semantics (NULL matches
+        // nothing), identical to the equijoin/arg-max oracle which drops
+        // NULL keys; without the guard a NULL slot reads as getLong 0 and
+        // silently joins as "user 0" (round-13 review).
+        private def nextRight(): InternalRow = {
+          while (rIter.hasNext) {
+            val r = rIter.next()
+            if (!r.isNullAt(ruIdx) && !r.isNullAt(rtIdx)) return r
+          }
+          null
+        }
+        private var rHead: InternalRow = nextRight()
         private var lastMatch: InternalRow = null
         private var lastMatchUser: Long = 0L
         private var haveMatchUser: Boolean = false
@@ -116,29 +131,31 @@ case class AsofJoinExec(
         private def advance(): Boolean = {
           while (lIter.hasNext) {
             val l = lIter.next()
-            val lu = l.getLong(luIdx)
-            val lts = l.getLong(ltIdx)
-            // consume right rows at or before (lu, lts)
-            var continue = true
-            while (continue && rHead != null) {
-              val ru = rHead.getLong(ruIdx)
-              if (ru < lu) {
-                // left is sorted by user: no future left row wants ru
-                rHead = if (rIter.hasNext) rIter.next().copy() else null
-              } else if (ru == lu && rHead.getLong(rtIdx) <= lts) {
-                lastMatch = rHead // already a copy
-                lastMatchUser = ru
-                haveMatchUser = true
-                rHead = if (rIter.hasNext) rIter.next().copy() else null
-              } else {
-                continue = false
+            if (!l.isNullAt(luIdx) && !l.isNullAt(ltIdx)) {
+              val lu = l.getLong(luIdx)
+              val lts = l.getLong(ltIdx)
+              // consume right rows at or before (lu, lts)
+              var continue = true
+              while (continue && rHead != null) {
+                val ru = rHead.getLong(ruIdx)
+                if (ru < lu) {
+                  // left is sorted by user: no future left row wants ru
+                  rHead = nextRight()
+                } else if (ru == lu && rHead.getLong(rtIdx) <= lts) {
+                  lastMatch = rHead.copy() // copy-on-keep
+                  lastMatchUser = ru
+                  haveMatchUser = true
+                  rHead = nextRight()
+                } else {
+                  continue = false
+                }
+              }
+              if (haveMatchUser && lastMatchUser == lu) {
+                nextRow = project(joined(l, lastMatch))
+                return true
               }
             }
-            if (haveMatchUser && lastMatchUser == lu) {
-              nextRow = project(joined(l, lastMatch))
-              return true
-            }
-            // inner as-of: unmatched left rows are dropped
+            // inner as-of: unmatched left rows (and NULL-key rows) drop
           }
           false
         }
@@ -168,13 +185,15 @@ object AsofJoin {
       rightUser: String, rightTs: String, rightTie: String): DataFrame = {
     val lp = PlanBridge.logicalPlan(leftDf)
     val rp = PlanBridge.logicalPlan(rightDf)
-    def attr(p: LogicalPlan, name: String): Attribute =
-      p.output.find(_.name == name).getOrElse(
-        throw new IllegalArgumentException(
-          s"column $name not found in ${p.output.map(_.name).mkString(", ")}"))
+    import EntryChecks._
+    requireDisjointOutputs("asof", lp, rp)
+    val (lu, lt) = (attr(lp, leftUser), attr(lp, leftTs))
+    val (ru, rt) = (attr(rp, rightUser), attr(rp, rightTs))
+    // the raw-read slots; the tie column is only a SortOrder (any
+    // orderable type works there)
+    requireLongBacked(lu, "asof", "left key"); requireLongBacked(lt, "asof", "left ts")
+    requireLongBacked(ru, "asof", "right key"); requireLongBacked(rt, "asof", "right ts")
     PlanBridge.dataFrame(leftDf.sparkSession,
-      AsofJoinNode(lp, rp,
-        attr(lp, leftUser), attr(lp, leftTs),
-        attr(rp, rightUser), attr(rp, rightTs), attr(rp, rightTie)))
+      AsofJoinNode(lp, rp, lu, lt, ru, rt, attr(rp, rightTie)))
   }
 }

@@ -104,13 +104,25 @@ case class IntervalJoinExec(
       val project = UnsafeProjection.create(schema.map(_.dataType).toArray)
       new Iterator[InternalRow] {
         // Sliding buffer of right rows for the CURRENT left key, sorted by
-        // ts (right arrives sorted). Rows are copied on entry because the
-        // child sorter reuses row memory across next() calls.
+        // ts (right arrives sorted). Rows are copied ON KEEP (buffer
+        // entry), not on read (round 13: copy-on-read paid an
+        // allocation+memcpy for every skipped row); the sorter's reused
+        // row memory is only invalidated by our next rIter.next(), so the
+        // uncopied lookahead is safe. NULL key/ts rows are skipped on
+        // both sides — SQL join semantics; a NULL slot would otherwise
+        // read as getLong 0 and silently bucket as key 0 (round-13
+        // review).
         private val buf = new java.util.ArrayDeque[InternalRow]()
         private var bufKey: Long = 0L
         private var haveBufKey: Boolean = false
-        private var rHead: InternalRow =
-          if (rIter.hasNext) rIter.next().copy() else null
+        private def nextRight(): InternalRow = {
+          while (rIter.hasNext) {
+            val r = rIter.next()
+            if (!r.isNullAt(rkIdx) && !r.isNullAt(rtIdx)) return r
+          }
+          null
+        }
+        private var rHead: InternalRow = nextRight()
         private var curLeft: InternalRow = null
         private var emit: java.util.Iterator[InternalRow] = null
 
@@ -119,38 +131,40 @@ case class IntervalJoinExec(
         private def advanceLeft(): Boolean = {
           while (lIter.hasNext) {
             val l = lIter.next()
-            val lk = l.getLong(lkIdx)
-            val lts = l.getLong(ltIdx)
-            val hi = lts + w // exclusive upper bound
-            if (!haveBufKey || bufKey != lk) {
-              buf.clear(); bufKey = lk; haveBufKey = true
-            }
-            // evict rows below the (monotone) lower bound
-            while (!buf.isEmpty && buf.peekFirst().getLong(rtIdx) < lts)
-              buf.pollFirst()
-            // pull right rows: skip earlier keys / below-lower-bound rows
-            // (left is sorted, so no later left row can want them either),
-            // buffer rows inside [lts, hi), stop at the first row at/past
-            // hi or of a later key — it stays as the lookahead head
-            var continue = true
-            while (continue && rHead != null) {
-              val rk = rHead.getLong(rkIdx)
-              if (rk < lk) {
-                rHead = if (rIter.hasNext) rIter.next().copy() else null
-              } else if (rk == lk) {
-                val rts = rHead.getLong(rtIdx)
-                if (rts < lts) {
-                  rHead = if (rIter.hasNext) rIter.next().copy() else null
-                } else if (rts < hi) {
-                  buf.addLast(rHead)
-                  rHead = if (rIter.hasNext) rIter.next().copy() else null
+            if (!l.isNullAt(lkIdx) && !l.isNullAt(ltIdx)) {
+              val lk = l.getLong(lkIdx)
+              val lts = l.getLong(ltIdx)
+              val hi = lts + w // exclusive upper bound
+              if (!haveBufKey || bufKey != lk) {
+                buf.clear(); bufKey = lk; haveBufKey = true
+              }
+              // evict rows below the (monotone) lower bound
+              while (!buf.isEmpty && buf.peekFirst().getLong(rtIdx) < lts)
+                buf.pollFirst()
+              // pull right rows: skip earlier keys / below-lower-bound rows
+              // (left is sorted, so no later left row can want them either),
+              // buffer rows inside [lts, hi), stop at the first row at/past
+              // hi or of a later key — it stays as the lookahead head
+              var continue = true
+              while (continue && rHead != null) {
+                val rk = rHead.getLong(rkIdx)
+                if (rk < lk) {
+                  rHead = nextRight()
+                } else if (rk == lk) {
+                  val rts = rHead.getLong(rtIdx)
+                  if (rts < lts) {
+                    rHead = nextRight()
+                  } else if (rts < hi) {
+                    buf.addLast(rHead.copy()) // copy-on-keep
+                    rHead = nextRight()
+                  } else continue = false
                 } else continue = false
-              } else continue = false
-            }
-            if (!buf.isEmpty) {
-              curLeft = l.copy()
-              emit = buf.iterator()
-              return true
+              }
+              if (!buf.isEmpty) {
+                curLeft = l.copy()
+                emit = buf.iterator()
+                return true
+              }
             }
           }
           false
@@ -182,13 +196,16 @@ object IntervalJoin {
       windowMicros: Long): DataFrame = {
     val lp = PlanBridge.logicalPlan(leftDf)
     val rp = PlanBridge.logicalPlan(rightDf)
-    def attr(p: LogicalPlan, name: String): Attribute =
-      p.output.find(_.name == name).getOrElse(
-        throw new IllegalArgumentException(
-          s"column $name not found in ${p.output.map(_.name).mkString(", ")}"))
+    import EntryChecks._
+    requireDisjointOutputs("interval", lp, rp)
+    require(windowMicros > 0,
+      s"interval windowMicros must be positive, got $windowMicros " +
+        "(a non-positive window silently matches nothing)")
+    val (lk, lt) = (attr(lp, leftKey), attr(lp, leftTs))
+    val (rk, rt) = (attr(rp, rightKey), attr(rp, rightTs))
+    requireLongBacked(lk, "interval", "left key"); requireLongBacked(lt, "interval", "left ts")
+    requireLongBacked(rk, "interval", "right key"); requireLongBacked(rt, "interval", "right ts")
     PlanBridge.dataFrame(leftDf.sparkSession,
-      IntervalJoinNode(lp, rp,
-        attr(lp, leftKey), attr(lp, leftTs),
-        attr(rp, rightKey), attr(rp, rightTs), windowMicros))
+      IntervalJoinNode(lp, rp, lk, lt, rk, rt, windowMicros))
   }
 }

@@ -20,7 +20,17 @@ import graft.functions.JaccardSim
 object SortedJaccardRewrite extends Rule[LogicalPlan] {
   private def sortedDistinct(e: org.apache.spark.sql.catalyst.expressions.Expression) =
     e match {
-      case SortArray(ArrayDistinct(_), Literal(true, _)) => true
+      // containsNull guard (round 13): the merge kernel compares elements
+      // with getUTF8String(i).compareTo — a NULL element (which ascending
+      // sort_array places FIRST) would NPE at runtime, while the general
+      // hash-set kernel tolerates it. array_distinct/sort_array preserve
+      // the child's containsNull, so the static check is exact: arrays
+      // that can hold NULL elements keep the null-safe kernel.
+      case sa @ SortArray(ArrayDistinct(_), Literal(true, _)) =>
+        sa.dataType match {
+          case at: org.apache.spark.sql.types.ArrayType => !at.containsNull
+          case _ => false
+        }
       case _ => false
     }
 

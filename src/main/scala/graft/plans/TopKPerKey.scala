@@ -82,17 +82,27 @@ private[plans] object TopKHeaps {
           "topK: NULL in key/order/tie column — the bounded-heap reduce defines no NULL " +
             "ordering; filter or coalesce NULLs before calling topK")
       val key = r.getLong(kIdx)
-      val e = (r.getDouble(oIdx), r.getLong(tIdx), null: InternalRow)
+      val ord = r.getDouble(oIdx)
+      val tie = r.getLong(tIdx)
       var h = heaps.get(key)
       if (h == null) {
         h = scala.collection.mutable.PriorityQueue.empty[Entry](worstFirst)
         heaps.put(key, h)
       }
       if (h.size < k) {
-        h.enqueue((e._1, e._2, r.copy()))
-      } else if (worstFirst.compare(e, h.head) < 0) { // candidate beats the worst
-        h.dequeue()
-        h.enqueue((e._1, e._2, r.copy()))
+        h.enqueue((ord, tie, r.copy()))
+      } else {
+        // primitive compare BEFORE any allocation (round 13: the old code
+        // built a boxed (Double, Long, null) tuple per input row just to
+        // ask the heap; on the map-side phase that is one allocation per
+        // fact row, nearly all rejected). Same ordering as worstFirst,
+        // including its Double.compare NaN totality.
+        val head = h.head
+        val c = java.lang.Double.compare(head._1, ord)
+        if (c < 0 || (c == 0 && tie < head._2)) { // candidate beats the worst
+          h.dequeue()
+          h.enqueue((ord, tie, r.copy()))
+        }
       }
     }
     val it = heaps.values().iterator()
@@ -164,10 +174,7 @@ case class FinalTopKExec(
 object TopKPerKey {
   def topK(df: DataFrame, key: String, ord: String, tie: String, k: Int): DataFrame = {
     val lp = PlanBridge.logicalPlan(df)
-    def attr(name: String): Attribute =
-      lp.output.find(_.name == name).getOrElse(
-        throw new IllegalArgumentException(
-          s"column $name not found in ${lp.output.map(_.name).mkString(", ")}"))
+    def attr(name: String): Attribute = EntryChecks.attr(lp, name)
     // TopKHeaps.reduce reads raw getLong/getDouble slots — the long/double
     // contract lived only in the doc comment, so an IntegerType key or a
     // non-double order column silently yielded garbage rows instead of an

@@ -130,4 +130,79 @@ class AsofBoundarySpec extends AnyFunSuite {
         s"window=$w")
     }
   }
+
+  // ---- round-13 review guards: type contract, NULLs, self-join, window ----
+
+  test("as-of/interval: NULL key or ts rows are DROPPED, never matched as 0") {
+    // row with u=NULL, plus a REAL user 0 it must not collide with
+    val left = Seq((Some(0L), Some(100L), 1L), (None, Some(100L), 2L),
+      (Some(0L), None, 3L)).toDF("u", "ts", "lid")
+    val right = Seq((Some(0L), Some(90L), 5L), (None, Some(90L), 6L),
+      (Some(0L), None, 7L)).toDF("ru", "rts", "tie")
+    val asof = AsofJoin.asof(left, right, "u", "ts", "ru", "rts", "tie")
+      .select("lid", "tie").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    // only the fully-non-null pair joins; SQL semantics (the oracle's
+    // equijoin drops NULL keys) — before the round-13 guard a NULL slot
+    // read as getLong 0 and joined as "user 0"
+    assert(asof == Set((1L, 5L)))
+    // interval is forward-looking (rts in [lts, lts+w)): give the non-null
+    // right row a ts AFTER the left's
+    val rightIv = Seq((Some(0L), Some(110L)), (None, Some(110L)),
+      (Some(0L), None)).toDF("ru", "rts")
+    val iv = IntervalJoin.interval(left.select(col("u"), col("ts"), col("lid")),
+        rightIv, "u", "ts", "ru", "rts", 1000L)
+      .select("lid").collect().map(_.getLong(0)).toSet
+    assert(iv == Set(1L), "interval: only the non-null pair matches")
+  }
+
+  test("as-of/interval: non-long-backed key columns are rejected, not misread") {
+    val left = Seq((1, 100L, 1L)).toDF("u", "ts", "lid") // IntegerType u
+    val right = Seq((1L, 90L, 5L)).toDF("ru", "rts", "tie")
+    val e1 = intercept[IllegalArgumentException] {
+      AsofJoin.asof(left, right, "u", "ts", "ru", "rts", "tie")
+    }
+    assert(e1.getMessage.contains("long-backed"))
+    val e2 = intercept[IllegalArgumentException] {
+      IntervalJoin.interval(left, right, "u", "ts", "ru", "rts", 10L)
+    }
+    assert(e2.getMessage.contains("long-backed"))
+  }
+
+  test("as-of/interval: self-join on the same analyzed plan fails fast " +
+    "instead of emitting duplicate exprIds") {
+    val df = Seq((1L, 100L, 1L)).toDF("u", "ts", "lid")
+    val e = intercept[IllegalArgumentException] {
+      AsofJoin.asof(df, df, "u", "ts", "u", "ts", "lid")
+    }
+    assert(e.getMessage.contains("fresh attributes"))
+    val e2 = intercept[IllegalArgumentException] {
+      IntervalJoin.interval(df, df, "u", "ts", "u", "ts", 10L)
+    }
+    assert(e2.getMessage.contains("fresh attributes"))
+    // the documented workaround WORKS: re-select with new aliases
+    val r = df.select(df.columns.map(c => col(c).as(c + "_r")): _*)
+    val ok = IntervalJoin.interval(df, r, "u", "ts", "u_r", "ts_r", 10L)
+    assert(ok.count() == 1L)
+  }
+
+  test("interval: non-positive window is rejected, not silently empty") {
+    val df = Seq((1L, 100L, 1L)).toDF("u", "ts", "lid")
+    val r = df.select(col("u").as("ru"), col("ts").as("rts"))
+    val e = intercept[IllegalArgumentException] {
+      IntervalJoin.interval(df, r, "u", "ts", "ru", "rts", 0L)
+    }
+    assert(e.getMessage.contains("positive"))
+  }
+
+  test("timestamp-typed key/ts columns still pass the long-backed guard") {
+    // the declared queries feed TIMESTAMP columns straight in — the guard
+    // must accept all 8-byte long-backed types, not only BIGINT
+    val left = Seq((1L, java.sql.Timestamp.valueOf("2024-01-01 00:00:10"), 1L))
+      .toDF("u", "ts", "lid")
+    val right = Seq((1L, java.sql.Timestamp.valueOf("2024-01-01 00:00:05"), 5L))
+      .toDF("ru", "rts", "tie")
+    val got = AsofJoin.asof(left, right, "u", "ts", "ru", "rts", "tie")
+      .select("lid", "tie").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(got == Set((1L, 5L)))
+  }
 }
