@@ -88,6 +88,18 @@ case class CountMinFreq(
   override def children: Seq[Expression] = Seq(child)
   override def prettyName: String = "countmin_freq"
 
+  /** String child only (round-13 review): `eval` hashes the probe list as
+    * UTF8String with the CHILD's dataType, so a non-string child would
+    * silently probe the wrong slots (update hashes longs, eval hashes
+    * strings — estimates become noise, never an error). Post-resolution
+    * type check is the Catalyst seam for rejecting that at analysis time
+    * (a constructor require would fire on unresolved children). */
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    if (child.dataType == org.apache.spark.sql.types.StringType)
+      org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+    else org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+      s"$prettyName requires a string column, got ${child.dataType.catalogString}")
+
   override def withNewMutableAggBufferOffset(newOffset: Int): CountMinFreq =
     copy(mutableAggBufferOffset = newOffset)
   override def withNewInputAggBufferOffset(newOffset: Int): CountMinFreq =

@@ -65,8 +65,18 @@ case class DdSketchState(
   override def createAggregationBuffer(): java.util.TreeMap[Integer, java.lang.Long] =
     new java.util.TreeMap[Integer, java.lang.Long]()
 
+  /** Positive-geometry bucket index, floored at Int.MinValue+1: at a
+    * legal tiny alpha (invLogGamma huge) a subnormal x yields an index
+    * below Int range, and double→int SATURATES to Int.MinValue — which
+    * would collide with the reserved non-positive bucket and classify a
+    * positive value as "zero/negative" (round-13 review). The clamp only
+    * merges values already below γ^(MinValue+1) — indistinguishable from
+    * 0 at any representable γ — so the α guarantee is unaffected. */
   private def bucketOf(x: Double): Int =
-    if (x > 0) math.ceil(math.log(x) * invLogGamma).toInt else Int.MinValue
+    if (x > 0) {
+      val b = math.ceil(math.log(x) * invLogGamma)
+      if (b <= (Int.MinValue + 1).toDouble) Int.MinValue + 1 else b.toInt
+    } else Int.MinValue
 
   private def bump(buf: java.util.TreeMap[Integer, java.lang.Long], i: Int, n: Long): Unit = {
     val prev = buf.get(i)

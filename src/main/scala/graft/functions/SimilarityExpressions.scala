@@ -150,9 +150,18 @@ object SimilarityKernels {
 
   /** Cosine similarity over equal-length double arrays; accumulation order
     * (index 0..n-1, dot and norms in one pass) matches the
-    * zip_with+aggregate HOF pipeline bit-for-bit. */
+    * zip_with+aggregate HOF pipeline bit-for-bit.
+    *
+    * Length mismatch FAILS FAST (round-13 review): `cosine_sim` is
+    * SQL-registered, and UnsafeArrayData's getDouble has no bounds
+    * check — iterating a's length over a shorter b reads garbage off
+    * the end of the row buffer and returns a silently-wrong similarity.
+    * One integer compare per row buys away a silent-corruption class. */
   def cosine(a: ArrayData, b: ArrayData): Double = {
     val n = a.numElements()
+    if (n != b.numElements())
+      throw new IllegalArgumentException(
+        s"cosine_sim: input arrays must have equal length, got $n and ${b.numElements()}")
     var dot = 0.0
     var na = 0.0
     var nb = 0.0

@@ -130,6 +130,16 @@ case class TopKSketch(
   override def children: Seq[Expression] = Seq(child)
   override def prettyName: String = "topk_sketch"
 
+  /** String child only (round-13 review): `update` casts the evaluated
+    * value straight to UTF8String — a long column would CLASS-CAST at
+    * runtime mid-job rather than fail at analysis. Same post-resolution
+    * seam as CountMinFreq. */
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    if (child.dataType == StringType)
+      org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+    else org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+      s"$prettyName requires a string column, got ${child.dataType.catalogString}")
+
   override def withNewMutableAggBufferOffset(newOffset: Int): TopKSketch =
     copy(mutableAggBufferOffset = newOffset)
   override def withNewInputAggBufferOffset(newOffset: Int): TopKSketch =

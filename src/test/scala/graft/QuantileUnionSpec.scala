@@ -173,6 +173,19 @@ class QuantileUnionSpec extends AnyFunSuite {
     assert(st.values.sum === 10007L)
   }
 
+  test("bucket index saturation never collides with the reserved bucket") {
+    // At a legal tiny alpha, invLogGamma is huge and a subnormal positive
+    // value's bucket index falls below Int range; double→int SATURATES to
+    // Int.MinValue — the reserved non-positive bucket. Before the round-13
+    // clamp, that classified a positive value as "zero/negative": here the
+    // positive subnormal and the genuine negative must land in DIFFERENT
+    // buckets, with the positive one at the Int.MinValue+1 floor.
+    val df = Seq(java.lang.Double.MIN_VALUE, -1.0).toDF("v")
+    val st = mapOf(df.agg(sim.ddsketchState(col("v"), 1e-9, 2048)).head(), 0)
+    assert(st(Int.MinValue) === 1L, "only the negative in the reserved bucket")
+    assert(st(Int.MinValue + 1) === 1L, "positive subnormal clamped to the floor bucket")
+  }
+
   test("usable from SQL via extension registration; literal args honored") {
     Tables.registerAll(spark, sf0001)
     val st = spark.sql("SELECT ddsketch_state(n_chars) FROM documents").head()

@@ -58,4 +58,18 @@ class SimilarityExpressionsSpec extends AnyFunSuite {
     assert(r.getDouble(0) === 0.0) // empty-union convention
     assert(r.getDouble(1) === 1.0) // duplicates ignored (set semantics)
   }
+
+  test("cosine_sim fails fast on length mismatch instead of reading garbage") {
+    // UnsafeArrayData.getDouble has no bounds check: before the round-13
+    // guard, iterating a 3-element a over a 2-element b read whatever
+    // followed b in the row buffer and returned a silently-wrong number.
+    def msgs(t: Throwable): Seq[String] =
+      Iterator.iterate(t)(_.getCause).takeWhile(_ != null).take(10)
+        .map(c => Option(c.getMessage).getOrElse("")).toSeq
+    val ex = intercept[Throwable] {
+      spark.sql(
+        "SELECT cosine_sim(array(1.0d, 2.0d, 3.0d), array(1.0d, 2.0d))").head()
+    }
+    assert(msgs(ex).exists(_.contains("equal length")), msgs(ex).mkString(" | "))
+  }
 }

@@ -35,4 +35,18 @@ class TopKSketchSpec extends AnyFunSuite {
     assert((0 until 10).map(i => s"hot$i").toSet.subsetOf(top),
       s"all hot terms must be retained, got $top")
   }
+
+  test("non-string children are rejected at analysis, not mid-job " +
+    "(round-13 review: update casts to UTF8String; countmin_freq probes " +
+    "hash with the child's type)") {
+    val longs = Seq(1L, 2L, 3L).toDF("v")
+    val e1 = intercept[org.apache.spark.sql.AnalysisException] {
+      longs.agg(graft.functions.sim.topkSketch(col("v"))).head()
+    }
+    assert(e1.getMessage.contains("string"))
+    val e2 = intercept[org.apache.spark.sql.AnalysisException] {
+      longs.agg(graft.functions.sim.countMinFreq(col("v"), Seq("1"))).head()
+    }
+    assert(e2.getMessage.contains("string"))
+  }
 }
