@@ -14,6 +14,13 @@ is checked on the hazard class, not just the happy path:
             ties at identical timestamps resolved by event_id
             (verified 4/4 in round 12; outputs hand-derived in
             PLANS.md round-12 sweep tally)
+  preepoch: 1969/pre-epoch timestamps, an event AT epoch zero, a session
+            spanning the epoch, and same-millisecond µs-grain ties with
+            inverted event_id order, through the whole events family
+            (sessionization, NFA patterns, as-of/nearest/interval joins,
+            funnels, resample, batch streaming, secondary sort) — the
+            end-to-end certification of the round-13 floor-division and
+            µs-comparator sort-key fixes (verified 20/20 in round 13)
   coarse  : the WHOLE 295-query oracle surface over a time-coarsened
             copy of sf0.001 (events ts -> hour, all order/lineitem
             dates -> month), so every window gains peer groups and
@@ -21,7 +28,7 @@ is checked on the hazard class, not just the happy path:
             tie/determinism sweep (verified 295/295 in round 12: the
             §2.Z tie-break discipline holds surface-wide)
 
-Usage: python3 tools/crafted_sweeps.py [unicode|scd|coarse|all]
+Usage: python3 tools/crafted_sweeps.py [unicode|scd|preepoch|coarse|all]
 Exit 0 = every query matches its oracle on every crafted corpus.
 """
 import subprocess
@@ -54,6 +61,18 @@ def build_unicode(d):
             "llm_entropy", "llm_repetition"]
 
 
+# DuckDB VALUES literals type small ints as INT32, but the fixture schema
+# (and the native as-of/interval operators' long-backed key contract, round
+# 13) is BIGINT keys + DOUBLE values — cast every crafted table to the
+# fixture schema before writing.
+FIXTURE_EVENTS = ("SELECT CAST(event_id AS BIGINT) AS event_id, ts, "
+                  "CAST(user_id AS BIGINT) AS user_id, event_type, "
+                  "CAST(value AS DOUBLE) AS value FROM events")
+FIXTURE_ORDERS = ("SELECT CAST(o_orderkey AS BIGINT) AS o_orderkey, "
+                  "CAST(o_custkey AS BIGINT) AS o_custkey, o_orderdate, "
+                  "CAST(o_totalprice AS DOUBLE) AS o_totalprice FROM orders")
+
+
 def build_scd(d):
     con = duckdb.connect()
     con.execute("""CREATE TABLE orders AS SELECT * FROM (VALUES
@@ -62,7 +81,7 @@ def build_scd(d):
       (103, 1, TIMESTAMP '2026-02-01 00:00:00', 30.0),
       (201, 2, TIMESTAMP '2026-03-01 00:00:00', 40.0)
     ) t(o_orderkey, o_custkey, o_orderdate, o_totalprice)""")
-    con.execute(f"COPY orders TO '{d}/orders.parquet' (FORMAT PARQUET)")
+    con.execute(f"COPY ({FIXTURE_ORDERS}) TO '{d}/orders.parquet' (FORMAT PARQUET)")
     con.execute("""CREATE TABLE events AS SELECT * FROM (VALUES
       (1, TIMESTAMP '2026-01-01 00:00:00', 1, 'view', 1.0),
       (2, TIMESTAMP '2026-01-01 01:00:00', 1, 'click', 2.0),
@@ -73,8 +92,83 @@ def build_scd(d):
       (7, TIMESTAMP '2026-02-15 00:00:00', 2, 'error', 7.0),
       (8, TIMESTAMP '2026-02-15 00:00:00', 2, 'view', 8.0)
     ) t(event_id, ts, user_id, event_type, value)""")
-    con.execute(f"COPY events TO '{d}/events.parquet' (FORMAT PARQUET)")
+    con.execute(f"COPY ({FIXTURE_EVENTS}) TO '{d}/events.parquet' (FORMAT PARQUET)")
     return ["join_scd2", "cdc_apply", "join_asof", "join_asof_native"]
+
+
+def build_preepoch(d):
+    """Pre-epoch (1969) and epoch-boundary timestamps with µs-grain ties.
+
+    Hazard class (round 13): engine-side sort keys derived from epoch
+    arithmetic — Timestamp.getTime is floor-milliseconds only for
+    POST-epoch values (plain /1000 truncates toward zero before 1970,
+    inverting order), and ms-grain keys collapse events distinct at µs.
+    Both fixes (Sessionize.microsOf floor-division + the shared µs
+    comparator) were pinned in ScalaTest on crafted rows; this certifies
+    them END-TO-END against DuckDB (which orders TIMESTAMP at full µs
+    precision natively) across the whole events family: sessionization,
+    NFA patterns, as-of/nearest/interval joins, funnels, resample,
+    batch-mode streaming equivalents, secondary-sort paths.
+
+    Shapes the fixtures never produce: all-1969 sequences, a session
+    SPANNING epoch zero, an event AT exactly 1970-01-01 00:00:00, and
+    same-millisecond µs ties whose event_id order INVERTS the µs order
+    (user 4: the exact Sessionize divergence ADVICE r12 named)."""
+    con = duckdb.connect()
+    con.execute("""CREATE TABLE events AS SELECT * FROM (VALUES
+      -- user 1: plain 1969 funnel (view -> click -> purchase), all pre-epoch
+      (1,  TIMESTAMP '1969-03-01 10:00:00',        1, 'view',     1.0),
+      (2,  TIMESTAMP '1969-03-01 10:05:00',        1, 'click',    2.0),
+      (3,  TIMESTAMP '1969-03-01 10:10:00',        1, 'purchase', 50.0),
+      (4,  TIMESTAMP '1969-06-15 09:00:00',        1, 'view',     3.0),
+      (5,  TIMESTAMP '1969-06-15 09:20:00',        1, 'purchase', 80.0),
+      -- user 2: one session SPANNING epoch zero (gaps < 30 min), plus
+      -- an event AT exactly the epoch and the far side of it
+      (6,  TIMESTAMP '1969-12-31 23:45:00',        2, 'view',     4.0),
+      (7,  TIMESTAMP '1969-12-31 23:59:59',        2, 'click',    5.0),
+      (8,  TIMESTAMP '1970-01-01 00:00:00',        2, 'view',     6.0),
+      (9,  TIMESTAMP '1970-01-01 00:14:00',        2, 'purchase', 120.0),
+      (10, TIMESTAMP '1970-01-01 02:00:00',        2, 'view',     7.0),
+      -- user 3: 1969 pattern with repeats for the quantified NFAs
+      (11, TIMESTAMP '1969-07-20 20:00:00',        3, 'view',     8.0),
+      (12, TIMESTAMP '1969-07-20 20:01:00',        3, 'view',     9.0),
+      (13, TIMESTAMP '1969-07-20 20:02:00',        3, 'purchase', 10.0),
+      (14, TIMESTAMP '1969-07-20 20:03:00',        3, 'purchase', 200.0),
+      (15, TIMESTAMP '1969-07-20 22:40:00',        3, 'error',    0.0),
+      -- user 4: SAME pre-epoch millisecond, distinct µs, event_id order
+      -- INVERTED vs µs order (id 17 is EARLIER at µs grain): a ms-grain
+      -- or truncating sort key mis-orders this pair
+      (16, TIMESTAMP '1969-09-09 12:00:00.123900', 4, 'purchase', 33.0),
+      (17, TIMESTAMP '1969-09-09 12:00:00.123100', 4, 'view',     11.0),
+      (18, TIMESTAMP '1969-09-09 13:00:00.123100', 4, 'click',    12.0),
+      -- user 5: post-epoch control rows
+      (19, TIMESTAMP '1970-02-01 08:00:00',        5, 'view',     13.0),
+      (20, TIMESTAMP '1970-02-01 08:01:00',        5, 'purchase', 90.0),
+      -- user 6: pre-epoch view -> purchase ABOVE the global purchase p90
+      -- (the trailing small purchases keep p90_disc below 900), so the
+      -- predicate-guarded NFA certifies on a NON-empty match set
+      (21, TIMESTAMP '1969-04-04 04:00:00',        6, 'view',     14.0),
+      (22, TIMESTAMP '1969-04-04 04:01:00',        6, 'purchase', 900.0),
+      (23, TIMESTAMP '1969-04-04 05:00:00',        6, 'purchase', 5.0),
+      (24, TIMESTAMP '1969-04-04 05:01:00',        6, 'purchase', 15.0)
+    ) t(event_id, ts, user_id, event_type, value)""")
+    con.execute(f"COPY ({FIXTURE_EVENTS}) TO '{d}/events.parquet' (FORMAT PARQUET)")
+    con.execute("""CREATE TABLE orders AS SELECT * FROM (VALUES
+      (301, 1, TIMESTAMP '1969-02-01 00:00:00', 10.0),
+      (302, 1, TIMESTAMP '1969-05-01 00:00:00', 20.0),
+      (303, 2, TIMESTAMP '1969-12-31 00:00:00', 30.0),
+      (304, 2, TIMESTAMP '1970-01-01 00:00:00', 40.0),
+      (305, 3, TIMESTAMP '1969-07-01 00:00:00', 50.0),
+      (306, 4, TIMESTAMP '1969-09-01 00:00:00', 60.0),
+      (307, 5, TIMESTAMP '1970-01-15 00:00:00', 70.0)
+    ) t(o_orderkey, o_custkey, o_orderdate, o_totalprice)""")
+    con.execute(f"COPY ({FIXTURE_ORDERS}) TO '{d}/orders.parquet' (FORMAT PARQUET)")
+    return ["sess_batch", "seq_nfa", "seq_nfa_quant", "seq_nfa_pred",
+            "seq_markov", "seq_pattern", "join_asof", "join_asof_fwd",
+            "join_asof_tolerance", "join_asof_native", "join_nearest",
+            "join_interval", "join_interval_native", "funnel_steps",
+            "funnel_latency", "funnel_retention", "ts_resample",
+            "stream_tumbling", "stream_argmax", "sec_sort_path"]
 
 
 def build_coarse(d):
@@ -120,7 +214,7 @@ def run(name, build):
 if __name__ == "__main__":
     which = sys.argv[1] if len(sys.argv) > 1 else "all"
     builders = {"unicode": build_unicode, "scd": build_scd,
-                "coarse": build_coarse}
+                "preepoch": build_preepoch, "coarse": build_coarse}
     todo = builders if which == "all" else {which: builders[which]}
     ok = all([run(n, b) for n, b in todo.items()])
     sys.exit(0 if ok else 1)
