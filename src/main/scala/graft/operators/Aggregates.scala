@@ -336,6 +336,20 @@ object Aggregates {
       .orderBy(col("lang").asc, col("tok").asc)
   }
 
+  /** Pearson correlation with the ORACLE's zero-variance convention.
+    * Spark 4's native `corr` divides ck by √(m2x·m2y) through an
+    * ANSI-checked division, so a zero-variance (or single-row) group
+    * THROWS DIVIDE_BY_ZERO mid-job, where DuckDB's corr — and every
+    * division in the oracle dialect — yields NULL (round-13 tiny-corpus
+    * sweep). covar_samp/stddev_samp return NULL at n=1 themselves, and
+    * nullif turns the zero-variance denominator into NULL, so every
+    * degenerate shape degrades to NULL exactly like the oracle. The
+    * √x·√y vs √(x·y) ulp difference sits far below the 5-6dp rounds
+    * every consumer applies (the same absorption argument as the
+    * engines' differing corr internals, §2.Z.2). */
+  private[graft] def corrSafe(x: Column, y: Column): Column =
+    covar_samp(x, y) / nullif(stddev_samp(x) * stddev_samp(y), lit(0.0))
+
   /** Statistical aggregate family: sample stddev/variance, correlation,
     * covariance. Both engines use numerically-stable one-pass updates;
     * rounding absorbs the accumulation-order ulps (§2.Z.2). */
@@ -345,7 +359,7 @@ object Aggregates {
       .agg(
         round(stddev_samp(col("l_extendedprice")), 4).as("sd_price"),
         round(var_samp(col("l_extendedprice")), 2).as("var_price"),
-        round(corr(col("l_quantity"), col("l_extendedprice")), 6).as("corr_qty_price"),
+        round(corrSafe(col("l_quantity"), col("l_extendedprice")), 6).as("corr_qty_price"),
         round(covar_samp(col("l_quantity"), col("l_extendedprice")), 4).as("covar_qty_price"),
         count(lit(1)).as("n"))
       .orderBy(col("l_returnflag").asc)
@@ -590,8 +604,11 @@ object Aggregates {
         sum(col("d") * col("d") * col("d")).as("s3"),
         sum(col("d") * col("d") * col("d") * col("d")).as("s4"))
       .select(col("l_returnflag"), col("l_linestatus"), col("n"), col("mu"),
-        (round((col("s3") / col("n")) / pow(col("s2") / col("n"), 1.5), 4) + 0.0).as("skew"),
-        (round((col("s4") / col("n")) / pow(col("s2") / col("n"), 2.0) - 3.0, 4) + 0.0).as("ex_kurt"))
+        // nullif: an all-equal group has s2 = 0, and the moments are
+        // undefined — NULL like the oracle's /0, never an ANSI error
+        // (round-13 tiny-corpus sweep)
+        (round((col("s3") / col("n")) / nullif(pow(col("s2") / col("n"), 1.5), lit(0.0)), 4) + 0.0).as("skew"),
+        (round((col("s4") / col("n")) / nullif(pow(col("s2") / col("n"), 2.0), lit(0.0)) - 3.0, 4) + 0.0).as("ex_kurt"))
       .orderBy(col("l_returnflag").asc, col("l_linestatus").asc)
   }
 
@@ -652,7 +669,10 @@ object Aggregates {
       .agg(count(lit(1)).as("n"), max("mu").as("mu_g"),
         sum(col("d") * col("d")).as("ss"))
       .select(col("g"), col("n"), col("mu_g"),
-        (col("ss") / (col("n") - 1)).as("s2"))
+        // nullif: a single-row group has no sample variance — NULL like
+        // the oracle's /0 (round-13 tiny sweep, latent sibling of the
+        // flagged stats)
+        (col("ss") / nullif(col("n") - 1, lit(0L))).as("s2"))
     st.agg(
       max(when(col("g"), col("n"))).as("n1"),
       max(when(!col("g"), col("n"))).as("n2"),
@@ -662,11 +682,14 @@ object Aggregates {
       max(when(!col("g"), col("s2"))).as("s22"))
       .select(col("n1"), col("n2"),
         round(col("mu1") - col("mu2"), 2).as("mean_diff"),
+        // nullif: zero pooled variance (all-equal samples) makes t and
+        // the Welch dof undefined — NULL like the oracle (round-13 tiny
+        // sweep, latent sibling; n=1 groups already go NULL through s2)
         (round((col("mu1") - col("mu2"))
-          / sqrt(col("s21") / col("n1") + col("s22") / col("n2")), 4) + 0.0).as("t_stat"),
+          / nullif(sqrt(col("s21") / col("n1") + col("s22") / col("n2")), lit(0.0)), 4) + 0.0).as("t_stat"),
         round(pow(col("s21") / col("n1") + col("s22") / col("n2"), 2.0)
-          / (pow(col("s21") / col("n1"), 2.0) / (col("n1") - 1)
-            + pow(col("s22") / col("n2"), 2.0) / (col("n2") - 1)), 2).as("dof"))
+          / nullif(pow(col("s21") / col("n1"), 2.0) / (col("n1") - 1)
+            + pow(col("s22") / col("n2"), 2.0) / (col("n2") - 1), lit(0.0)), 2).as("dof"))
   }
 
   /** χ² test of independence (round-8 addendum) — is order priority
@@ -705,14 +728,19 @@ object Aggregates {
       .withColumn("ny", sum("nxy").over(wy))
       .withColumn("n", sum("nxy").over(wAll))
     val p = col("nxy") / col("n").cast("double")
+    // + 0.0 normalizes the zero sign (§2.Z.8b): a single-cell table has
+    // exactly-zero entropies whose sign bit differs between the engines'
+    // negate-of-sum orders (round-13 tiny sweep: oracle −0.0 vs 0.0)
     e.agg(
         max(col("n")).as("n_rows"),
         count(lit(1)).as("cells"),
-        round(sum(p * log((col("nxy") * col("n")) /
-          (col("nx") * col("ny")).cast("double"))), 6).as("mi"),
-        round(-sum(p * log(col("nx") / col("n").cast("double"))), 6).as("h_x"),
-        round(-sum(p * log(col("ny") / col("n").cast("double"))), 6).as("h_y"))
-      .withColumn("nmi", round(col("mi") / least(col("h_x"), col("h_y")), 6))
+        (round(sum(p * log((col("nxy") * col("n")) /
+          (col("nx") * col("ny")).cast("double"))), 6) + 0.0).as("mi"),
+        (round(-sum(p * log(col("nx") / col("n").cast("double"))), 6) + 0.0).as("h_x"),
+        (round(-sum(p * log(col("ny") / col("n").cast("double"))), 6) + 0.0).as("h_y"))
+      // nullif: a single-cell table has zero marginal entropy and NMI is
+      // undefined — NULL like the oracle's /0 (round-13 tiny sweep)
+      .withColumn("nmi", round(col("mi") / nullif(least(col("h_x"), col("h_y")), lit(0.0)), 6))
   }
 
   /** Cramér's V effect-size panel (round-9 wave 18) — the 1-row
@@ -747,8 +775,10 @@ object Aggregates {
         / col("exp")), 4).as("chi2"))
     base.select(col("n"), col("r"), col("c"), col("chi2"),
       round(col("chi2") / col("n"), 6).as("phi2"),
+      // nullif: a 1×k table has min(r−1, c−1) = 0 and V is undefined —
+      // NULL like the oracle (round-13 tiny sweep, latent sibling)
       round(sqrt(col("chi2")
-        / (col("n") * least(col("r") - 1, col("c") - 1)).cast("double")), 6)
+        / nullif((col("n") * least(col("r") - 1, col("c") - 1)).cast("double"), lit(0.0))), 6)
         .as("cramers_v"),
       round(sqrt(col("chi2") / (col("chi2") + col("n"))), 6).as("contingency_c"))
   }
@@ -815,12 +845,15 @@ object Aggregates {
       .select(col("n1"), col("n2"),
         round(col("r1"), 1).as("rank_sum_urgent"),
         round(col("r1") - col("n1") * (col("n1") + 1) / 2.0, 1).as("u1"),
+        // nullif both denominators: one-sided samples (n1·n2 = 0) or a
+        // single observation make z undefined — NULL like the oracle's
+        // /0, never an ANSI error (round-13 tiny sweep)
         (round((col("r1") - col("n1") * (col("n1") + 1) / 2.0
           - col("n1") * col("n2") / 2.0)
-          / sqrt(col("n1") * col("n2") / 12.0
+          / nullif(sqrt(col("n1") * col("n2") / 12.0
             * ((col("n1") + col("n2") + 1)
-              - col("tie") / ((col("n1") + col("n2"))
-                * (col("n1") + col("n2") - 1.0)))), 4) + 0.0).as("z"))
+              - col("tie") / nullif((col("n1") + col("n2"))
+                * (col("n1") + col("n2") - 1.0), lit(0.0)))), lit(0.0)), 4) + 0.0).as("z"))
   }
 
   /** Winsorized mean (round-9) — per nation over customer balances: the
@@ -976,9 +1009,12 @@ object Aggregates {
         sum((col("ry") * col("ry")).cast("decimal(38,0)")).as("syy"),
         sum((col("rx") * col("ry")).cast("decimal(38,0)")).as("sxy"))
       .select(col("segment"), col("n"),
+        // nullif: n=1 or an all-tied rank column zeroes the denominator
+        // and rho is undefined — NULL like the oracle (round-13 tiny
+        // sweep)
         round((col("n") * col("sxy") - col("sx") * col("sy")).cast("double")
-          / (sqrt((col("n") * col("sxx") - col("sx") * col("sx")).cast("double"))
-            * sqrt((col("n") * col("syy") - col("sy") * col("sy")).cast("double"))),
+          / nullif(sqrt((col("n") * col("sxx") - col("sx") * col("sx")).cast("double"))
+            * sqrt((col("n") * col("syy") - col("sy") * col("sy")).cast("double")), lit(0.0)),
           6).as("rho"))
       .orderBy(col("segment").asc)
   }
@@ -1268,18 +1304,18 @@ object Aggregates {
         |  FROM cells)
         |SELECT max(n) AS n_rows, count(*) AS cells,
         |  round(sum((nxy / CAST(n AS DOUBLE))
-        |    * ln((nxy * n) / CAST(nx * ny AS DOUBLE))), 6) AS mi,
+        |    * ln((nxy * n) / CAST(nx * ny AS DOUBLE))), 6) + 0.0 AS mi,
         |  round(-sum((nxy / CAST(n AS DOUBLE))
-        |    * ln(nx / CAST(n AS DOUBLE))), 6) AS h_x,
+        |    * ln(nx / CAST(n AS DOUBLE))), 6) + 0.0 AS h_x,
         |  round(-sum((nxy / CAST(n AS DOUBLE))
-        |    * ln(ny / CAST(n AS DOUBLE))), 6) AS h_y,
+        |    * ln(ny / CAST(n AS DOUBLE))), 6) + 0.0 AS h_y,
         |  round(round(sum((nxy / CAST(n AS DOUBLE))
         |      * ln((nxy * n) / CAST(nx * ny AS DOUBLE))), 6)
-        |    / least(
+        |    / nullif(least(
         |      round(-sum((nxy / CAST(n AS DOUBLE))
         |        * ln(nx / CAST(n AS DOUBLE))), 6),
         |      round(-sum((nxy / CAST(n AS DOUBLE))
-        |        * ln(ny / CAST(n AS DOUBLE))), 6)), 6) AS nmi
+        |        * ln(ny / CAST(n AS DOUBLE))), 6)), 0), 6) AS nmi
         |FROM e""".stripMargin,
     "agg_chisq" ->
       """WITH cells AS (

@@ -590,9 +590,11 @@ object Analytics2 {
     * status are independent by construction) — the operator is the
     * machinery. Every share divides exact int64 counts; WoE is ln of a
     * ratio of those bit-identical doubles; the IV running total sums
-    * ≤10 terms (6dp round). Empty classes can't occur on these bins
-    * (verified at every SF) and would be a data bug the NULL ln
-    * surfaces rather than hides.
+    * ≤10 terms (6dp round). Empty classes (a bin or a whole corpus with
+    * zero goods or zero bads) make WoE undefined: both engine and oracle
+    * spell the guards as nullif, so the degenerate bins go NULL — and
+    * are skipped by the IV sum — instead of ANSI-erroring engine-side or
+    * ln(0)-erroring oracle-side (round-13 tiny sweep).
     *
     * Scale: one corpus hash agg to the 10-bin frame; windows on 10
     * rows. */
@@ -606,9 +608,9 @@ object Analytics2 {
     val e = bins
       .withColumn("tg", sum("g").over(wAll))
       .withColumn("tb", sum("b").over(wAll))
-      .withColumn("pg", col("g") / col("tg").cast("double"))
-      .withColumn("pb", col("b") / col("tb").cast("double"))
-      .withColumn("woe", log(col("pg") / col("pb")))
+      .withColumn("pg", col("g") / nullif(col("tg").cast("double"), lit(0.0)))
+      .withColumn("pb", col("b") / nullif(col("tb").cast("double"), lit(0.0)))
+      .withColumn("woe", log(nullif(col("pg"), lit(0.0)) / nullif(col("pb"), lit(0.0))))
     e.select(col("bin"), col("g").as("n_good"), col("b").as("n_bad"),
         round(col("pg"), 6).as("pct_good"),
         round(col("pb"), 6).as("pct_bad"),
@@ -646,9 +648,10 @@ object Analytics2 {
         |  FROM bins),
         |f AS (
         |  SELECT bin, g, b,
-        |    g / CAST(tg AS DOUBLE) AS pg,
-        |    b / CAST(tb AS DOUBLE) AS pb,
-        |    ln((g / CAST(tg AS DOUBLE)) / (b / CAST(tb AS DOUBLE))) AS woe
+        |    g / CAST(nullif(tg, 0) AS DOUBLE) AS pg,
+        |    b / CAST(nullif(tb, 0) AS DOUBLE) AS pb,
+        |    ln(nullif(g / CAST(nullif(tg, 0) AS DOUBLE), 0)
+        |       / nullif(b / CAST(nullif(tb, 0) AS DOUBLE), 0)) AS woe
         |  FROM e)
         |SELECT bin, g AS n_good, b AS n_bad,
         |  round(pg, 6) AS pct_good, round(pb, 6) AS pct_bad,

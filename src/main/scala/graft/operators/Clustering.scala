@@ -376,7 +376,10 @@ object Clustering {
       .agg(count(lit(1)).as("n_edges"),
         round(avg("deg_p"), 6).as("avg_deg_p"),
         round(avg("deg_s"), 6).as("avg_deg_s"),
-        round(corr(col("deg_p"), col("deg_s")), 5).as("assortativity"))
+        // corrSafe: native corr ANSI-throws on a zero-variance degree
+        // column (every part/supplier degree equal — the tiny-corpus
+        // shape); the oracle's corr yields NULL there (round-13 sweep)
+        round(Aggregates.corrSafe(col("deg_p"), col("deg_s")), 5).as("assortativity"))
   }
 
   /** k-core of the part↔supplier graph by iterative peeling (round-8

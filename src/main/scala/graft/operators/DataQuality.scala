@@ -226,8 +226,13 @@ object DataQuality {
       .withColumn("c1", sum("n1").over(w))
       .withColumn("c2", sum("n2").over(w))
       .crossJoin(broadcast(tot))
+      // nullif: a one-sided corpus (no URGENT rows, or nothing else) has
+      // only one ECDF and D is undefined — every gap goes NULL like the
+      // oracle's /0, and the row_number tie-break (all-equal keys) picks
+      // the same lowest bin in both engines (round-13 tiny sweep)
       .withColumn("gap",
-        round(abs(col("c1").cast("double") / col("t1") - col("c2").cast("double") / col("t2")), 6))
+        round(abs(col("c1").cast("double") / nullif(col("t1"), lit(0L))
+          - col("c2").cast("double") / nullif(col("t2"), lit(0L))), 6))
     val wPick = Window.orderBy(col("gap").desc, col("bin").asc)
     gaps.withColumn("rn", row_number().over(wPick))
       .filter(col("rn") === 1)
@@ -329,10 +334,12 @@ object DataQuality {
     val pairs = for {
       i <- cols.indices; j <- cols.indices if i < j
     } yield (cols(i), cols(j))
+    // corrSafe: native corr ANSI-throws when a column is constant or the
+    // table has one row; the oracle's corr yields NULL (round-13 sweep)
     val wide = Tables.lineitem(spark, dir).agg(
-      round(corr(col(pairs.head._1), col(pairs.head._2)), 5).as("c0"),
+      round(Aggregates.corrSafe(col(pairs.head._1), col(pairs.head._2)), 5).as("c0"),
       pairs.tail.zipWithIndex.map { case ((x, y), k) =>
-        round(corr(col(x), col(y)), 5).as(s"c${k + 1}") }: _*)
+        round(Aggregates.corrSafe(col(x), col(y)), 5).as(s"c${k + 1}") }: _*)
     val stackArgs = pairs.zipWithIndex
       .map { case ((x, y), k) => s"'$x', '$y', c$k" }.mkString(", ")
     wide.selectExpr(s"stack(${pairs.size}, $stackArgs) AS (col_a, col_b, r)")

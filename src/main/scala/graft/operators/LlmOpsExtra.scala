@@ -1273,7 +1273,10 @@ object LlmOpsExtra {
       ((col("n01") + col("n00")) / nd) * ((col("n10") + col("n00")) / nd)
     m.select(col("n"), col("n11"), col("n10"), col("n01"), col("n00"),
       round(po, 6).as("p_o"), round(pe, 6).as("p_e"),
-      round((po - pe) / (lit(1.0) - pe), 6).as("kappa"))
+      // nullif: when chance agreement is total (every doc in one cell,
+      // p_e = 1) kappa is undefined — NULL like the oracle's /0, never
+      // an ANSI error (round-13 tiny sweep)
+      round((po - pe) / nullif(lit(1.0) - pe, lit(0.0)), 6).as("kappa"))
   }
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(

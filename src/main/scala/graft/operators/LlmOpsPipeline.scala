@@ -1031,17 +1031,22 @@ object LlmOpsPipeline {
         lit(1L).as("in_fp"))
     val jacPairs = LlmOps.nearDupPairs(spark, dir)
       .select(col("a_id"), col("b_id"), lit(1L).as("in_jac"))
+    // outer coalesce: with ZERO candidate pairs on both sides the join is
+    // empty and bare sums return NULL — the census counts must read 0
+    // like the oracle's counts; precision/recall over an empty census are
+    // undefined → nullif matches the oracle's /0 NULL (round-13 tiny
+    // sweep)
     fpPairs.join(jacPairs, Seq("a_id", "b_id"), "full_outer")
       .agg(
-        sum(coalesce(col("in_fp"), lit(0L))).as("fp_pairs"),
-        sum(coalesce(col("in_jac"), lit(0L))).as("jac_pairs"),
-        sum(when(col("in_fp") === 1 && col("in_jac") === 1, 1L)
-          .otherwise(0L)).as("n_both"))
+        coalesce(sum(coalesce(col("in_fp"), lit(0L))), lit(0L)).as("fp_pairs"),
+        coalesce(sum(coalesce(col("in_jac"), lit(0L))), lit(0L)).as("jac_pairs"),
+        coalesce(sum(when(col("in_fp") === 1 && col("in_jac") === 1, 1L)
+          .otherwise(0L)), lit(0L)).as("n_both"))
       .select(col("fp_pairs"), col("jac_pairs"), col("n_both"),
         (col("fp_pairs") - col("n_both")).as("fp_only"),
         (col("jac_pairs") - col("n_both")).as("jac_only"),
-        round(col("n_both") / col("fp_pairs").cast("double"), 6).as("precision"),
-        round(col("n_both") / col("jac_pairs").cast("double"), 6).as("recall"))
+        round(col("n_both") / nullif(col("fp_pairs").cast("double"), lit(0.0)), 6).as("precision"),
+        round(col("n_both") / nullif(col("jac_pairs").cast("double"), lit(0.0)), 6).as("recall"))
   }
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -1125,8 +1130,8 @@ object LlmOpsPipeline {
         |  max(tot_types) AS total_types,
         |  count(*) FILTER (WHERE c >= threshold) AS kept_types,
         |  max(tot_mass) AS total_mass,
-        |  CAST(sum(c) FILTER (WHERE c >= threshold) AS BIGINT) AS kept_mass,
-        |  round(CAST(sum(c) FILTER (WHERE c >= threshold) AS BIGINT)
+        |  CAST(coalesce(sum(c) FILTER (WHERE c >= threshold), 0) AS BIGINT) AS kept_mass,
+        |  round(CAST(coalesce(sum(c) FILTER (WHERE c >= threshold), 0) AS BIGINT)
         |    / CAST(max(tot_mass) AS DOUBLE), 6) AS mass_retained
         |FROM s GROUP BY threshold ORDER BY threshold ASC""".stripMargin,
     "llm_mix_temperature" ->

@@ -34,9 +34,23 @@ object RuntimeFilter {
     // capacity is a fixed constant (not a count() of the input) so the
     // filter's bit layout is deterministic at every scale factor; 2^17
     // keys at 1% fpp is ~157 KB — broadcast-scale
-    val bf = cust.stat.bloomFilter("c_custkey", 1 << 17, 0.01)
+    // stat.bloomFilter over an EMPTY build side NPEs inside Spark itself
+    // (BloomFilter.readFrom(null) — the aggregate returns null bytes when
+    // no row ever updated it; round-13 tiny-corpus sweep). The catch is
+    // scoped to exactly that empty-build signature and costs nothing on
+    // the happy path — an isEmpty pre-check would bill one extra
+    // scheduled job per invocation. An empty dim admits no joins, so the
+    // scan-stage filter becomes constant-false and the exact join
+    // produces the same (empty) result the oracle computes.
+    val bfOpt =
+      try Some(cust.stat.bloomFilter("c_custkey", 1 << 17, 0.01))
+      catch { case _: NullPointerException => None }
     val pruned = Tables.orders(spark, dir)
-      .filter(graft.functions.bloom.mightContainLong(col("o_custkey").cast("long"), bf))
+      .filter(bfOpt match {
+        case Some(bf) =>
+          graft.functions.bloom.mightContainLong(col("o_custkey").cast("long"), bf)
+        case None => lit(false)
+      })
     pruned
       .join(cust, col("o_custkey") === col("c_custkey")) // exact: drops Bloom false positives
       .groupBy("o_orderpriority")

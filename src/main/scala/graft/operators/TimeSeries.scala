@@ -199,7 +199,10 @@ object TimeSeries {
       .where(datediff(col("day"), col("prev_day")) === 1)
       .groupBy("event_type")
       .agg(count(lit(1)).as("pairs"),
-        round(corr(col("rev"), col("prev_rev")), 6).as("rho1"))
+        // corrSafe: a single consecutive pair (or a constant series)
+        // zeroes the variance and native corr ANSI-throws; the oracle's
+        // corr yields NULL (round-13 tiny sweep)
+        round(Aggregates.corrSafe(col("rev"), col("prev_rev")), 6).as("rho1"))
       .orderBy(col("event_type").asc)
   }
 

@@ -21,6 +21,14 @@ is checked on the hazard class, not just the happy path:
             funnels, resample, batch streaming, secondary sort) — the
             end-to-end certification of the round-13 floor-division and
             µs-comparator sort-key fixes (verified 20/20 in round 13)
+  tiny    : a coherent single-entity slice of sf0.001 (one customer's
+            orders/lineitems + referenced parts/suppliers, one user's
+            events, three documents with their embeddings) over the FULL
+            oracle surface — single-row/single-group shapes where sample
+            statistics hit n−1 = 0 denominators, windows get one-row
+            frames, and self-joins find no partner (round 13: found 9
+            ANSI divide-by-zero crashes, a hollow-Bloom NPE, and 2
+            empty-census NULL/0 divergences; all fixed)
   coarse  : the WHOLE 295-query oracle surface over a time-coarsened
             copy of sf0.001 (events ts -> hour, all order/lineitem
             dates -> month), so every window gains peer groups and
@@ -28,7 +36,7 @@ is checked on the hazard class, not just the happy path:
             tie/determinism sweep (verified 295/295 in round 12: the
             §2.Z tie-break discipline holds surface-wide)
 
-Usage: python3 tools/crafted_sweeps.py [unicode|scd|preepoch|coarse|all]
+Usage: python3 tools/crafted_sweeps.py [unicode|scd|preepoch|tiny|coarse|all]
 Exit 0 = every query matches its oracle on every crafted corpus.
 """
 import subprocess
@@ -171,6 +179,52 @@ def build_preepoch(d):
             "stream_tumbling", "stream_argmax", "sec_sort_path"]
 
 
+def build_tiny(d):
+    """Coherent single-entity slice of sf0.001 over the FULL oracle surface.
+
+    Hazard class: single-row and single-group shapes. EmptyInputSpec pins
+    zero-row inputs (no groups at all) and the fixtures provide thousands
+    of rows per group; NEITHER produces n=1 groups, where sample statistics
+    hit their n-1=0 denominators (var_samp/stddev/kurtosis/corr NULL
+    conventions), rank/ntile windows get one-row frames, lag/lead are
+    all-NULL, self-joins find no partner, and percentile thresholds equal
+    the extremes. Engine and DuckDB must agree on every degenerate
+    convention, query by query, over the whole declared surface.
+
+    The slice keeps referential integrity (one customer's orders, their
+    lineitems, the parts/suppliers those reference, one user's events,
+    three documents and their embeddings) so join results are small but
+    non-degenerate by construction."""
+    con = duckdb.connect()
+    src = "/root/testdata/sf0.001"
+    for t in ["region", "nation"]:
+        con.execute(f"COPY (SELECT * FROM '{src}/{t}.parquet') TO "
+                    f"'{d}/{t}.parquet' (FORMAT PARQUET)")
+    con.execute(f"""COPY (SELECT * FROM '{src}/customer.parquet'
+      WHERE c_custkey = 103) TO '{d}/customer.parquet' (FORMAT PARQUET)""")
+    con.execute(f"""CREATE TABLE o AS SELECT * FROM '{src}/orders.parquet'
+      WHERE o_custkey = 103""")
+    con.execute(f"COPY o TO '{d}/orders.parquet' (FORMAT PARQUET)")
+    con.execute(f"""CREATE TABLE l AS SELECT * FROM '{src}/lineitem.parquet'
+      WHERE l_orderkey IN (SELECT o_orderkey FROM o)""")
+    con.execute(f"COPY l TO '{d}/lineitem.parquet' (FORMAT PARQUET)")
+    con.execute(f"""COPY (SELECT * FROM '{src}/part.parquet'
+      WHERE p_partkey IN (SELECT l_partkey FROM l))
+      TO '{d}/part.parquet' (FORMAT PARQUET)""")
+    con.execute(f"""COPY (SELECT * FROM '{src}/supplier.parquet'
+      WHERE s_suppkey IN (SELECT l_suppkey FROM l))
+      TO '{d}/supplier.parquet' (FORMAT PARQUET)""")
+    con.execute(f"""COPY (SELECT * FROM '{src}/events.parquet'
+      WHERE user_id = 1) TO '{d}/events.parquet' (FORMAT PARQUET)""")
+    con.execute(f"""CREATE TABLE docs AS SELECT * FROM
+      '{src}/documents.parquet' ORDER BY doc_id LIMIT 3""")
+    con.execute(f"COPY docs TO '{d}/documents.parquet' (FORMAT PARQUET)")
+    con.execute(f"""COPY (SELECT * FROM '{src}/embeddings.parquet'
+      WHERE vec_id IN (SELECT doc_id FROM docs))
+      TO '{d}/embeddings.parquet' (FORMAT PARQUET)""")
+    return []  # empty = run the FULL declared oracle surface
+
+
 def build_coarse(d):
     con = duckdb.connect()
     src = "/root/testdata/sf0.001"
@@ -178,13 +232,21 @@ def build_coarse(d):
               "documents", "embeddings"]:
         con.execute(f"COPY (SELECT * FROM '{src}/{t}.parquet') TO "
                     f"'{d}/{t}.parquet' (FORMAT PARQUET)")
+    # CAST each truncated column back to its ORIGINAL type: DuckDB's
+    # date_trunc('month', TIMESTAMP) returns DATE, silently drifting the
+    # corpus schema from the fixture contract — which the round-13
+    # long-backed-key guard on the native as-of operator correctly
+    # rejects (the same corpus-schema bug class as the INT32 keys)
+    otypes = {r[0]: r[1] for r in con.execute(
+        f"describe select * from '{src}/orders.parquet'").fetchall()}
     con.execute(
-        f"COPY (SELECT * REPLACE (date_trunc('month', o_orderdate) AS o_orderdate)"
+        f"COPY (SELECT * REPLACE (CAST(date_trunc('month', o_orderdate) AS "
+        f"{otypes['o_orderdate']}) AS o_orderdate)"
         f" FROM '{src}/orders.parquet') TO '{d}/orders.parquet' (FORMAT PARQUET)")
-    cols = [r[0] for r in con.execute(
+    ltypes = [(r[0], r[1]) for r in con.execute(
         f"describe select * from '{src}/lineitem.parquet'").fetchall()]
-    rep = ", ".join(f"date_trunc('month', {c}) AS {c}"
-                    for c in cols if "date" in c)
+    rep = ", ".join(f"CAST(date_trunc('month', {c}) AS {t}) AS {c}"
+                    for (c, t) in ltypes if "date" in c)
     con.execute(f"COPY (SELECT * REPLACE ({rep}) FROM '{src}/lineitem.parquet')"
                 f" TO '{d}/lineitem.parquet' (FORMAT PARQUET)")
     con.execute(f"COPY (SELECT * REPLACE (date_trunc('hour', ts) AS ts)"
@@ -192,7 +254,23 @@ def build_coarse(d):
     return []  # empty = run the FULL declared oracle surface
 
 
+# Per-sweep oracle exclusions, each with its reason on the record. These
+# queries still RUN in the Verify pass (a crash would fail the sbt step);
+# only the oracle compare is skipped, because the compared quantity is not
+# derivable in SQL on the sweep's corpus shape.
+EXCLUDE = {
+    # files_before/files_after are FILESYSTEM facts: on a sub-64-row corpus
+    # the staged round-robin write and the coalesce(4) compaction produce
+    # row-distribution-dependent file counts no SQL oracle can recompute;
+    # the row-content columns (n, val_sum) stay covered at fixture SFs,
+    # where both widths saturate and the hardcoded 64/4 are exact.
+    "tiny": {"sink_compact": "file counts not SQL-derivable below 64 rows"},
+}
+
+
 def run(name, build):
+    import json
+    import os
     import tempfile
     src = tempfile.mkdtemp(prefix=f"graft_sweep_{name}_")
     out = tempfile.mkdtemp(prefix=f"graft_sweep_{name}_out_")
@@ -200,13 +278,22 @@ def run(name, build):
     subprocess.run(
         ["sbt", "-batch", f"runMain graft.Verify {src} {out} " + " ".join(queries)],
         check=True, cwd="/root/repo")
+    excl = EXCLUDE.get(name, {})
+    check = queries
+    if not check and excl:
+        # full-surface sweep minus exclusions: enumerate from the oracle
+        # dump Verify just wrote, so the list tracks the declared surface
+        with open(os.path.join(out, "oracle_sql.json")) as f:
+            check = sorted(set(json.load(f)) - set(excl))
+        for q, why in sorted(excl.items()):
+            print(f"SKIP {q}: {why}")
     r = subprocess.run(
-        ["python3", "tools/oracle_check.py", src, out] + queries,
+        ["python3", "tools/oracle_check.py", src, out] + check,
         cwd="/root/repo")
     if r.returncode != 0:
         print(f"SWEEP {name}: MISMATCH")
         return False
-    scope = f"{len(queries)}/{len(queries)}" if queries else "full surface"
+    scope = f"{len(check)}/{len(check)}" if check else "full surface"
     print(f"SWEEP {name}: {scope} match")
     return True
 
@@ -214,7 +301,8 @@ def run(name, build):
 if __name__ == "__main__":
     which = sys.argv[1] if len(sys.argv) > 1 else "all"
     builders = {"unicode": build_unicode, "scd": build_scd,
-                "preepoch": build_preepoch, "coarse": build_coarse}
+                "preepoch": build_preepoch, "tiny": build_tiny,
+                "coarse": build_coarse}
     todo = builders if which == "all" else {which: builders[which]}
     ok = all([run(n, b) for n, b in todo.items()])
     sys.exit(0 if ok else 1)
