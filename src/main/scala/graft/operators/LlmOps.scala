@@ -548,15 +548,21 @@ object LlmOps {
       sum(col("y") * col("y")).as("syy"),
       sum(col("x") * col("y")).as("sxy"))
       .select(col("k").as("n_terms"),
+        // nullif: a single-term (or otherwise x-degenerate) vocabulary
+        // zeroes the OLS denominators and the fit is undefined — NULL
+        // like the oracle's /0; + 0.0 normalizes r2's zero sign: a
+        // CONSTANT count column gives num = +0.0 over a −0.0-signed
+        // denominator product, and the engines disagree on the sign bit
+        // (round-13 mono-corpus sweep)
         round((col("k") * col("sxy") - col("sx") * col("sy"))
-          / (col("k") * col("sxx") - col("sx") * col("sx")), 6).as("zipf_slope"),
+          / nullif(col("k") * col("sxx") - col("sx") * col("sx"), lit(0.0)), 6).as("zipf_slope"),
         round((col("sy") - (col("k") * col("sxy") - col("sx") * col("sy"))
-          / (col("k") * col("sxx") - col("sx") * col("sx")) * col("sx")) / col("k"), 6)
+          / nullif(col("k") * col("sxx") - col("sx") * col("sx"), lit(0.0)) * col("sx")) / col("k"), 6)
           .as("intercept"),
-        round((col("k") * col("sxy") - col("sx") * col("sy"))
+        (round((col("k") * col("sxy") - col("sx") * col("sy"))
           * (col("k") * col("sxy") - col("sx") * col("sy"))
-          / ((col("k") * col("sxx") - col("sx") * col("sx"))
-            * (col("k") * col("syy") - col("sy") * col("sy"))), 6).as("r2"))
+          / nullif((col("k") * col("sxx") - col("sx") * col("sx"))
+            * (col("k") * col("syy") - col("sy") * col("sy")), lit(0.0)), 6) + 0.0).as("r2"))
   }
 
   /** kNN label-vote classification eval (round-9) — the embedding-quality
@@ -813,10 +819,10 @@ object LlmOps {
         |    sum(x * x) AS sxx, sum(y * y) AS syy, sum(x * y) AS sxy
         |  FROM xy)
         |SELECT k AS n_terms,
-        |  round((k * sxy - sx * sy) / (k * sxx - sx * sx), 6) AS zipf_slope,
-        |  round((sy - (k * sxy - sx * sy) / (k * sxx - sx * sx) * sx) / k, 6) AS intercept,
+        |  round((k * sxy - sx * sy) / nullif(k * sxx - sx * sx, 0), 6) AS zipf_slope,
+        |  round((sy - (k * sxy - sx * sy) / nullif(k * sxx - sx * sx, 0) * sx) / k, 6) AS intercept,
         |  round((k * sxy - sx * sy) * (k * sxy - sx * sy)
-        |    / ((k * sxx - sx * sx) * (k * syy - sy * sy)), 6) AS r2
+        |    / nullif((k * sxx - sx * sx) * (k * syy - sy * sy), 0), 6) + 0.0 AS r2
         |FROM s""".stripMargin,
     "llm_dedup_exact" ->
       """WITH surv AS (

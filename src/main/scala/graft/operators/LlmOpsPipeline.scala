@@ -459,7 +459,11 @@ object LlmOpsPipeline {
     * Purely map-side after a source-grain count at any scale. */
   def llmDpCounts(spark: SparkSession, dir: String): DataFrame = {
     val p = 1000003L
-    val k = expr("cast(substring(source, 4) as bigint)")
+    // try_cast: the seed derives from the fixture's numeric source
+    // suffix; a source name WITHOUT one must release NULL (no
+    // deterministic seed) rather than ANSI-crash the whole job — DuckDB's
+    // TRY_CAST mirrors it (round-13 mono-corpus sweep)
+    val k = expr("try_cast(substring(source, 4) as bigint)")
     val u = ((k % p) * 2654435761L % p + 1).cast("double") / 1000004.0
     // Laplace(b=1/ε=1): x = −sgn(u−½)·ln(1−2·|u−½|)
     val noise = round(lit(-1.0) * signum(u - 0.5) *
@@ -605,7 +609,11 @@ object LlmOpsPipeline {
     * Pieces are rebuilt with the seq_pattern trick (collect struct(pos,
     * piece), array_sort, join — collect_list order is never trusted);
     * array_join and string_agg both drop NULL pieces, which is what
-    * removes non-start masked tokens from the input text on each engine. */
+    * removes non-start masked tokens from the input text on each engine.
+    * A doc with ZERO masked tokens has an EMPTY target: array_join over
+    * all-NULL pieces yields '' while string_agg yields NULL, so the
+    * oracle coalesces to '' — the engine's convention (round-13
+    * mono-corpus sweep; the fixtures always mask ≥1 token per doc). */
   def llmSpanMask(spark: SparkSession, dir: String): DataFrame = {
     val w = Window.partitionBy("doc_id").orderBy(col("pos").asc)
     val wRun = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
@@ -1343,12 +1351,12 @@ object LlmOpsPipeline {
         |  count(*) AS n_toks,
         |  CAST(sum(CASE WHEN m THEN 1 ELSE 0 END) AS BIGINT) AS n_masked,
         |  CAST(max(k) AS BIGINT) AS n_spans,
-        |  string_agg(CASE WHEN NOT m THEN tok
+        |  coalesce(string_agg(CASE WHEN NOT m THEN tok
         |    WHEN strt THEN '<extra_id_' || (k - 1) || '>' END,
-        |    ' ' ORDER BY pos ASC) AS masked_text,
-        |  string_agg(CASE WHEN m THEN
+        |    ' ' ORDER BY pos ASC), '') AS masked_text,
+        |  coalesce(string_agg(CASE WHEN m THEN
         |      CASE WHEN strt THEN '<extra_id_' || (k - 1) || '> ' || tok ELSE tok END
-        |    END, ' ' ORDER BY pos ASC) AS target_text
+        |    END, ' ' ORDER BY pos ASC), '') AS target_text
         |FROM k GROUP BY doc_id ORDER BY doc_id ASC""".stripMargin,
     "llm_source_cap" ->
       """WITH r AS (
@@ -1435,7 +1443,7 @@ object LlmOpsPipeline {
     "llm_dp_counts" ->
       """WITH c AS (
         |  SELECT source, count(*) AS n_true,
-        |    CAST(substring(source, 4) AS BIGINT) AS k
+        |    TRY_CAST(substring(source, 4) AS BIGINT) AS k
         |  FROM documents GROUP BY source),
         |uu AS (
         |  SELECT source, n_true,

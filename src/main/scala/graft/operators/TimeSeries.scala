@@ -78,8 +78,12 @@ object TimeSeries {
       .withColumn("mu", avg("rev").over(w))
       .withColumn("sd", stddev_samp(col("rev")).over(w))
       .select(col("day"), col("rev"),
-        round((col("rev") - col("mu")) / col("sd"), 4).as("z"),
-        (abs((col("rev") - col("mu")) / col("sd")) > 2).as("anomaly"))
+        // nullif: a CONSTANT trailing window has sd = 0 and the z-score
+        // is undefined — NULL like the oracle's /0, never an ANSI error
+        // (round-13 mono-corpus sweep; sd is already NULL for the first
+        // row's empty window)
+        round((col("rev") - col("mu")) / nullif(col("sd"), lit(0.0)), 4).as("z"),
+        (abs((col("rev") - col("mu")) / nullif(col("sd"), lit(0.0))) > 2).as("anomaly"))
       .orderBy(col("day").asc)
   }
 

@@ -29,6 +29,10 @@ is checked on the hazard class, not just the happy path:
             frames, and self-joins find no partner (round 13: found 9
             ANSI divide-by-zero crashes, a hollow-Bloom NPE, and 2
             empty-census NULL/0 divergences; all fixed)
+  mono    : constant-column copy of sf0.001 over the FULL surface —
+            zero-variance windows/co-moments, one-sided two-sample
+            splits, all-tied ranks, non-numeric seed suffixes (round 13:
+            found 2 more crashes + 2 convention divergences; fixed)
   coarse  : the WHOLE 295-query oracle surface over a time-coarsened
             copy of sf0.001 (events ts -> hour, all order/lineitem
             dates -> month), so every window gains peer groups and
@@ -36,7 +40,7 @@ is checked on the hazard class, not just the happy path:
             tie/determinism sweep (verified 295/295 in round 12: the
             §2.Z tie-break discipline holds surface-wide)
 
-Usage: python3 tools/crafted_sweeps.py [unicode|scd|preepoch|tiny|coarse|all]
+Usage: python3 tools/crafted_sweeps.py [unicode|scd|preepoch|tiny|mono|coarse|all]
 Exit 0 = every query matches its oracle on every crafted corpus.
 """
 import subprocess
@@ -225,6 +229,46 @@ def build_tiny(d):
     return []  # empty = run the FULL declared oracle surface
 
 
+def build_mono(d):
+    """Constant-column copy of sf0.001 over the FULL oracle surface.
+
+    Hazard class: zero variance and vanished groups. Every order is
+    1-URGENT/F at one price, every lineitem one (quantity, price,
+    discount, tax), every event one type at one value, every document
+    one text/lang/source — so trailing stddev windows are 0 (z-scores),
+    co-moments are 0 (correlations), two-sample splits are one-sided
+    (t-test, Mann-Whitney, KS), OLS x/y columns are constant (zipf r2's
+    zero-sign), rank columns are all-tied, and name-derived seeds hit
+    non-numeric suffixes (dp_counts try_cast). Complements `tiny`
+    (n=1 shapes) and `coarse` (duplicate order keys): round 13 it found
+    the ts_anomaly zero-sd crash, the dp_counts CAST_INVALID_INPUT, the
+    span-mask empty-target NULL/'' convention, and zipf r2's −0.0 sign
+    (fix tally in PLANS.md)."""
+    con = duckdb.connect()
+    src = "/root/testdata/sf0.001"
+    for t in ["region", "nation", "customer", "supplier", "part",
+              "embeddings"]:
+        con.execute(f"COPY (SELECT * FROM '{src}/{t}.parquet') TO "
+                    f"'{d}/{t}.parquet' (FORMAT PARQUET)")
+    con.execute(f"""COPY (SELECT * REPLACE (
+        '1-URGENT' AS o_orderpriority, 'F' AS o_orderstatus,
+        CAST(1000.0 AS DOUBLE) AS o_totalprice)
+      FROM '{src}/orders.parquet') TO '{d}/orders.parquet' (FORMAT PARQUET)""")
+    con.execute(f"""COPY (SELECT * REPLACE (
+        CAST(10.0 AS DOUBLE) AS l_quantity,
+        CAST(1000.0 AS DOUBLE) AS l_extendedprice,
+        CAST(0.05 AS DOUBLE) AS l_discount, CAST(0.02 AS DOUBLE) AS l_tax)
+      FROM '{src}/lineitem.parquet') TO '{d}/lineitem.parquet' (FORMAT PARQUET)""")
+    con.execute(f"""COPY (SELECT * REPLACE (
+        'view' AS event_type, CAST(5.0 AS DOUBLE) AS value)
+      FROM '{src}/events.parquet') TO '{d}/events.parquet' (FORMAT PARQUET)""")
+    con.execute(f"""COPY (SELECT * REPLACE (
+        'the same text repeated here' AS text, CAST(27 AS BIGINT) AS n_chars,
+        'en' AS lang, 'web' AS source)
+      FROM '{src}/documents.parquet') TO '{d}/documents.parquet' (FORMAT PARQUET)""")
+    return []  # empty = run the FULL declared oracle surface
+
+
 def build_coarse(d):
     con = duckdb.connect()
     src = "/root/testdata/sf0.001"
@@ -302,6 +346,7 @@ if __name__ == "__main__":
     which = sys.argv[1] if len(sys.argv) > 1 else "all"
     builders = {"unicode": build_unicode, "scd": build_scd,
                 "preepoch": build_preepoch, "tiny": build_tiny,
+                "mono": build_mono,
                 "coarse": build_coarse}
     todo = builders if which == "all" else {which: builders[which]}
     ok = all([run(n, b) for n, b in todo.items()])
