@@ -9,11 +9,18 @@ import org.apache.spark.sql.expressions.Aggregator
   * serialization, registered with `functions.udaf`. Computed in the log
   * domain — the product of 10⁹ prices overflows a double immediately,
   * Σln(x)/n never does — and the (Σln, n) buffer merges associatively,
-  * so partial aggregation composes map-side like any built-in. */
+  * so partial aggregation composes map-side like any built-in.
+  *
+  * Non-positive inputs are EXCLUDED (round-13 negatives sweep): their
+  * logarithm is undefined, and math.log would silently poison the whole
+  * group's sum with NaN/−∞ — the same skip convention as the oracle's
+  * `ln(CASE WHEN x > 0 THEN x END)` (SQL aggregates ignore NULL). A
+  * group with NO positive values finishes NaN; the declared query maps
+  * that to NULL. */
 object GeoMean extends Aggregator[Double, (Double, Long), Double] {
   override def zero: (Double, Long) = (0.0, 0L)
   override def reduce(b: (Double, Long), a: Double): (Double, Long) =
-    (b._1 + math.log(a), b._2 + 1L)
+    if (a > 0) (b._1 + math.log(a), b._2 + 1L) else b
   override def merge(x: (Double, Long), y: (Double, Long)): (Double, Long) =
     (x._1 + y._1, x._2 + y._2)
   override def finish(b: (Double, Long)): Double =

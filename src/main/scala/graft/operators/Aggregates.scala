@@ -376,9 +376,16 @@ object Aggregates {
     Tables.lineitem(spark, dir)
       .groupBy("l_returnflag")
       .agg(
-        round(gm(col("l_extendedprice")), 4).as("geo_price"),
+        // NaN→NULL: the aggregator finishes NaN for a group with no
+        // POSITIVE values (log-domain undefined — see GeoMean's skip
+        // convention); the oracle's avg-over-none is NULL (round-13
+        // negatives sweep)
+        round(gm(col("l_extendedprice")), 4).as("gp"),
         round(avg("l_extendedprice"), 4).as("arith_price"),
         count(lit(1)).as("n"))
+      .select(col("l_returnflag"),
+        when(!isnan(col("gp")), col("gp")).as("geo_price"),
+        col("arith_price"), col("n"))
       .orderBy(col("l_returnflag").asc)
   }
 
@@ -950,6 +957,12 @@ object Aggregates {
         col("o_custkey") === col("c_custkey"))
       .groupBy("nationkey", "o_custkey")
       .agg(round(round(sum("o_totalprice"), 2) * 100, 0).cast("long").as("cents"))
+      // Theil is an entropy of income SHARES — undefined for customers
+      // with non-positive revenue (ln of a non-positive ratio; Spark's
+      // log would NULL-skip where DuckDB's ln ERRORS — round-13
+      // negatives sweep). The standard convention excludes them, in
+      // both engines, from the moments AND the terms.
+      .filter(col("cents") > 0)
     val m = cust.groupBy("nationkey")
       .agg(count(lit(1)).as("n"), sum("cents").as("tot"))
     val mu = col("tot") / col("n").cast("double")
@@ -1188,7 +1201,8 @@ object Aggregates {
         |  SELECT c_nationkey AS nationkey,
         |    CAST(round(round(sum(o_totalprice), 2) * 100, 0) AS BIGINT) AS cents
         |  FROM orders JOIN customer ON o_custkey = c_custkey
-        |  GROUP BY c_nationkey, o_custkey),
+        |  GROUP BY c_nationkey, o_custkey
+        |  HAVING CAST(round(round(sum(o_totalprice), 2) * 100, 0) AS BIGINT) > 0),
         |m AS (
         |  SELECT nationkey, count(*) AS n, CAST(sum(cents) AS BIGINT) AS tot
         |  FROM cust GROUP BY nationkey)
@@ -1418,7 +1432,7 @@ object Aggregates {
         |ORDER BY o_orderpriority ASC""".stripMargin,
     "agg_typed_geomean" ->
       """SELECT l_returnflag,
-        | round(exp(avg(ln(l_extendedprice))), 4) AS geo_price,
+        | round(exp(avg(ln(CASE WHEN l_extendedprice > 0 THEN l_extendedprice END))), 4) AS geo_price,
         | round(avg(l_extendedprice), 4) AS arith_price,
         | count(*) AS n
         |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag ASC""".stripMargin,

@@ -181,9 +181,15 @@ object DataQuality {
     * log-uniform, so the fixture FAILS Benford loudly — large χ² — which
     * is exactly what the audit should report for generated data.) */
   def dqBenford(spark: SparkSession, dir: String): DataFrame = {
+    // Benford's law applies to the leading digit of the MAGNITUDE:
+    // abs() first (a negative total's leading "digit" is '-', which the
+    // ANSI cast rejects mid-job — round-13 negatives sweep), and values
+    // in [0, 1) have no leading digit in 1-9, so they are excluded from
+    // the census in both engines (digit 0 would also hit exp_p's 1/0)
     val digits = Tables.orders(spark, dir)
-      .select(substring(floor(col("o_totalprice")).cast("bigint").cast("string"), 1, 1)
+      .select(substring(floor(abs(col("o_totalprice"))).cast("bigint").cast("string"), 1, 1)
         .cast("int").as("digit"))
+      .filter(col("digit").between(1, 9))
     val tot = digits.agg(count(lit(1)).as("tot"))
     digits.groupBy("digit").agg(count(lit(1)).as("n"))
       .crossJoin(broadcast(tot))
@@ -679,8 +685,10 @@ object DataQuality {
         |ORDER BY r.n_name ASC""".stripMargin,
     "dq_benford" ->
       """WITH d AS (
-        |  SELECT CAST(substr(CAST(CAST(floor(o_totalprice) AS BIGINT) AS VARCHAR), 1, 1) AS INT) AS digit
-        |  FROM orders),
+        |  SELECT digit FROM (
+        |    SELECT CAST(substr(CAST(CAST(floor(abs(o_totalprice)) AS BIGINT) AS VARCHAR), 1, 1) AS INT) AS digit
+        |    FROM orders)
+        |  WHERE digit BETWEEN 1 AND 9),
         |t AS (SELECT count(*) AS tot FROM d),
         |c AS (SELECT digit, count(*) AS n FROM d GROUP BY digit),
         |p AS (

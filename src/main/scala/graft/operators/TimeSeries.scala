@@ -164,24 +164,40 @@ object TimeSeries {
     * DAY-GRAIN frame (O(days·types) rows regardless of event volume);
     * medians over raw 100 TB data would use the approx_percentile sketch
     * instead. Two tiny broadcast joins carry the per-type statistics
-    * back. */
+    * back.
+    *
+    * Medians run in integer CENTS (round-13 negatives sweep): the
+    * interpolated median of 2dp doubles is a .005-grain value whose
+    * nearest-double depends on the engine's interpolation EXPRESSION
+    * (a+(b−a)/2 vs a·(1−f)+b·f differ in the last ulp), and a .xx5
+    * boundary then rounds apart (measured: mad 87.78 vs 87.77). Cents
+    * are exact int64s, their midpoints are exact .5-grain doubles, so
+    * both engines interpolate to the IDENTICAL double before the one
+    * shared /100 — and the OUTPUT rounds at 3dp, where the half-cent
+    * grid is exactly representable: rounding the same .xx5 double at
+    * 2dp STILL diverges (Spark HALF_UPs the exact binary expansion,
+    * DuckDB multiply-nearbyints — measured 128.11 vs 128.1 on the
+    * identical input), while every 3dp target sits ≥.0045 from a
+    * rounding boundary, far above the /100 ulp. */
   def tsMad(spark: SparkSession, dir: String): DataFrame = {
     val daily = dailyRev(spark, dir)
+      .withColumn("cents", round(col("rev") * 100, 0))
     val med = daily.groupBy("event_type")
-      .agg(expr("percentile(rev, 0.5)").as("med"))
+      .agg(expr("percentile(cents, 0.5)").as("med_c"))
     val withDev = daily.join(broadcast(med), "event_type")
-      .withColumn("adev", abs(col("rev") - col("med")))
+      .withColumn("adev_c", abs(col("cents") - col("med_c")))
     val mad = withDev.groupBy("event_type")
-      .agg(expr("percentile(adev, 0.5)").as("mad"))
+      .agg(expr("percentile(adev_c, 0.5)").as("mad_c"))
     withDev.join(broadcast(mad), "event_type")
       .groupBy("event_type")
       .agg(
         count(lit(1)).as("days"),
-        round(first("med"), 2).as("med"),
-        round(first("mad"), 2).as("mad_"),
+        round(first("med_c") / 100, 3).as("med"),
+        round(first("mad_c") / 100, 3).as("mad_"),
         // 4.4478 as ONE literal: both engines parse the same nearest double
-        // (3 * 1.4826 computed in-engine could differ in the last ulp)
-        count(when(col("adev") > lit(4.4478) * col("mad"), lit(1))).as("outliers"))
+        // (3 * 1.4826 computed in-engine could differ in the last ulp);
+        // the threshold compare runs in cents — scale-invariant
+        count(when(col("adev_c") > lit(4.4478) * col("mad_c"), lit(1))).as("outliers"))
       .orderBy(col("event_type").asc)
   }
 
@@ -1484,16 +1500,17 @@ object TimeSeries {
         |  SELECT event_type, date_trunc('day', ts) AS day,
         |    round(sum(value), 2) AS rev
         |  FROM events GROUP BY event_type, day),
-        |m AS (SELECT event_type, quantile_cont(rev, 0.5) AS med
+        |m AS (SELECT event_type, quantile_cont(round(rev * 100, 0), 0.5) AS med_c
         |      FROM daily GROUP BY event_type),
-        |d AS (SELECT daily.event_type, rev, med, abs(rev - med) AS adev
+        |d AS (SELECT daily.event_type, rev, med_c,
+        |        abs(round(rev * 100, 0) - med_c) AS adev_c
         |      FROM daily JOIN m ON daily.event_type = m.event_type),
-        |md AS (SELECT event_type, quantile_cont(adev, 0.5) AS mad
+        |md AS (SELECT event_type, quantile_cont(adev_c, 0.5) AS mad_c
         |       FROM d GROUP BY event_type)
         |SELECT d.event_type, count(*) AS days,
-        |  round(any_value(d.med), 2) AS med,
-        |  round(any_value(md.mad), 2) AS mad_,
-        |  count(*) FILTER (WHERE adev > 4.4478e0 * mad) AS outliers
+        |  round(any_value(d.med_c) / 100, 3) AS med,
+        |  round(any_value(md.mad_c) / 100, 3) AS mad_,
+        |  count(*) FILTER (WHERE adev_c > 4.4478e0 * mad_c) AS outliers
         |FROM d JOIN md ON d.event_type = md.event_type
         |GROUP BY d.event_type ORDER BY d.event_type ASC""".stripMargin,
     "ts_ewma" ->

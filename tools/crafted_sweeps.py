@@ -33,6 +33,10 @@ is checked on the hazard class, not just the happy path:
             zero-variance windows/co-moments, one-sided two-sample
             splits, all-tied ranks, non-numeric seed suffixes (round 13:
             found 2 more crashes + 2 convention divergences; fixed)
+  negative: sf0.001 with ~20% negated (and some zero) monetary values
+            over the FULL surface — sign assumptions in leading-digit,
+            log-domain, and rounding-boundary code (round 13: found 1
+            crash + 3 convention/boundary divergences; fixed)
   coarse  : the WHOLE 295-query oracle surface over a time-coarsened
             copy of sf0.001 (events ts -> hour, all order/lineitem
             dates -> month), so every window gains peer groups and
@@ -40,7 +44,7 @@ is checked on the hazard class, not just the happy path:
             tie/determinism sweep (verified 295/295 in round 12: the
             §2.Z tie-break discipline holds surface-wide)
 
-Usage: python3 tools/crafted_sweeps.py [unicode|scd|preepoch|tiny|mono|coarse|all]
+Usage: python3 tools/crafted_sweeps.py [unicode|scd|preepoch|tiny|mono|negative|coarse|all]
 Exit 0 = every query matches its oracle on every crafted corpus.
 """
 import subprocess
@@ -269,6 +273,44 @@ def build_mono(d):
     return []  # empty = run the FULL declared oracle surface
 
 
+def build_negative(d):
+    """Copy of sf0.001 with negative and zero monetary values over the
+    FULL oracle surface.
+
+    Hazard class: sign assumptions. Real billing data carries credits
+    and refunds; the fixtures are all-positive, so leading-digit
+    extraction, log-domain statistics, and .xx5 rounding boundaries had
+    never seen a sign. ~20% of order totals are negated (plus some
+    exact zeros), ~20% of lineitem prices and ~14% of quantities, 25%
+    of event values. Round 13 it found: dq_benford's ANSI crash on the
+    '-' leading digit (abs + 1-9 filter both sides), the geomean/Theil
+    log-domain convention gap (Spark's log NULL-skips non-positives
+    where DuckDB's ln ERRORS — both now exclude them explicitly), and
+    ts_mad's interpolated-median .xx5 boundary divergence (medians now
+    run in exact integer cents; fix tally in PLANS.md)."""
+    con = duckdb.connect()
+    src = "/root/testdata/sf0.001"
+    for t in ["region", "nation", "customer", "supplier", "part",
+              "documents", "embeddings"]:
+        con.execute(f"COPY (SELECT * FROM '{src}/{t}.parquet') TO "
+                    f"'{d}/{t}.parquet' (FORMAT PARQUET)")
+    con.execute(f"""COPY (SELECT * REPLACE (
+        CAST(CASE WHEN o_orderkey % 5 = 0 THEN -o_totalprice
+                  WHEN o_orderkey % 17 = 0 THEN 0.0
+                  ELSE o_totalprice END AS DOUBLE) AS o_totalprice)
+      FROM '{src}/orders.parquet') TO '{d}/orders.parquet' (FORMAT PARQUET)""")
+    con.execute(f"""COPY (SELECT * REPLACE (
+        CAST(CASE WHEN l_orderkey % 5 = 0 THEN -l_extendedprice
+                  ELSE l_extendedprice END AS DOUBLE) AS l_extendedprice,
+        CAST(CASE WHEN l_orderkey % 7 = 0 THEN -l_quantity
+                  ELSE l_quantity END AS DOUBLE) AS l_quantity)
+      FROM '{src}/lineitem.parquet') TO '{d}/lineitem.parquet' (FORMAT PARQUET)""")
+    con.execute(f"""COPY (SELECT * REPLACE (
+        CAST(CASE WHEN event_id % 4 = 0 THEN -value ELSE value END AS DOUBLE) AS value)
+      FROM '{src}/events.parquet') TO '{d}/events.parquet' (FORMAT PARQUET)""")
+    return []  # empty = run the FULL declared oracle surface
+
+
 def build_coarse(d):
     con = duckdb.connect()
     src = "/root/testdata/sf0.001"
@@ -346,7 +388,7 @@ if __name__ == "__main__":
     which = sys.argv[1] if len(sys.argv) > 1 else "all"
     builders = {"unicode": build_unicode, "scd": build_scd,
                 "preepoch": build_preepoch, "tiny": build_tiny,
-                "mono": build_mono,
+                "mono": build_mono, "negative": build_negative,
                 "coarse": build_coarse}
     todo = builders if which == "all" else {which: builders[which]}
     ok = all([run(n, b) for n, b in todo.items()])
