@@ -257,6 +257,19 @@ object Bench {
     // cpu_gc swelled while mem_stall climbed is convicted of
     // reclaim-driven GC churn, not of allocating more.
     def memStallUs(): Long = pressureSomeUs("/proc/pressure/memory")
+    // Hypervisor CPU-steal ticks (round 13): PSI is blind to steal — the
+    // session's 610 s stress datum ran at ~4 effective cores with
+    // cpu_stall ≈ 0 because the HOST, not the scheduler, withheld the
+    // CPU. /proc/stat field 8 (steal, USER_HZ ticks) is the kernel's own
+    // count of time the hypervisor ran someone else; its per-query delta
+    // separates "neighbor stole the cores" from every in-host signal.
+    def stealTicks(): Long =
+      try {
+        new String(java.nio.file.Files.readAllBytes(
+          java.nio.file.Paths.get("/proc/stat")))
+          .linesIterator.find(_.startsWith("cpu "))
+          .map(_.trim.split("\\s+")(8).toLong).getOrElse(-1L)
+      } catch { case _: Throwable => -1L }
     // Per-query PROCESS CPU seconds (VERDICT r11 task 1): the r11 artifact
     // proved the host was loaded (`load`) but not where a 29 s kcore's
     // time went — host-wide CPU-PSI recorded 0.31 s because the OTHER
@@ -290,12 +303,12 @@ object Bench {
     val benchT0 = System.nanoTime()
     final case class QRes(name: String, r: Either[String, Double], t0: Double,
         load: Double, stall: Double, cpu: Double, ioStall: Double, gc: Double,
-        memStall: Double)
+        memStall: Double, steal: Double)
     val results: Seq[QRes] =
       SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
         spark.sparkContext.setJobGroup(s"q:$name", name, false)
         val la0 = loadavg1(); val st0 = cpuStallUs(); val io0 = ioStallUs()
-        val mm0 = memStallUs()
+        val mm0 = memStallUs(); val sl0 = stealTicks()
         val cpu0 = procCpuNs(); val gc0 = gcTimeMs()
         val t0 = System.nanoTime()
         val r = try {
@@ -308,12 +321,15 @@ object Bench {
         } finally spark.sparkContext.clearJobGroup()
         val cpu1 = procCpuNs(); val gc1 = gcTimeMs()
         val st1 = cpuStallUs(); val io1 = ioStallUs(); val mm1 = memStallUs()
+        val sl1 = stealTicks()
         val stall = if (st0 >= 0 && st1 >= 0) (st1 - st0) / 1e6 else -1.0
+        // USER_HZ = 100 on linux; delta ticks / 100 = host-wide steal secs
+        val steal = if (sl0 >= 0 && sl1 >= 0) (sl1 - sl0) / 100.0 else -1.0
         val ioSt = if (io0 >= 0 && io1 >= 0) (io1 - io0) / 1e6 else -1.0
         val mmSt = if (mm0 >= 0 && mm1 >= 0) (mm1 - mm0) / 1e6 else -1.0
         val cpu = if (cpu0 >= 0 && cpu1 >= 0) (cpu1 - cpu0) / 1e9 else -1.0
         QRes(name, r, (t0 - benchT0) / 1e9, la0, stall, cpu, ioSt,
-          (gc1 - gc0) / 1e3, mmSt)
+          (gc1 - gc0) / 1e3, mmSt, steal)
       }
     val resultMap = results.map(q => q.name -> q.r).toMap
     // 3-decimal seconds (1 ms resolution) keeps entries compact.
@@ -362,6 +378,7 @@ object Bench {
     val taskRunQs = qmap(q => adderSecs(taskRunByGroup, q, 1e3))
     val gcQs = qmap(q => fmt(q.gc))
     val memStallQs = qmap(q => fmt(q.memStall))
+    val stealQs = qmap(q => fmt(q.steal))
     val warmJson = warmArtifacts match {
       case Some(secs) => secs.map { case (n, s) => "\"" + n + "\":" + fmt(s) }
         .mkString("""{"mode":"warm","secs":{""", ",", "}}")
@@ -369,7 +386,7 @@ object Bench {
     }
     val fullQs = results.map(q => entry(q.name)).mkString("{", ",", "}")
     val nerr = results.count(_.r.isLeft)
-    val total = results.collect { case QRes(_, Right(v), _, _, _, _, _, _, _) => v }.sum
+    val total = results.collect { case QRes(_, Right(v), _, _, _, _, _, _, _, _) => v }.sum
     val loads = results.map(_.load).filter(_ >= 0)
     val stalls = results.map(_.stall).filter(_ >= 0)
     val ioStalls = results.map(_.ioStall).filter(_ >= 0)
@@ -378,14 +395,15 @@ object Bench {
       Option(taskCpuByGroup.get(s"q:${q.name}")).fold(0.0)(_.sum / 1e9)).sum
     val gcTotal = results.map(_.gc).sum
     val memStalls = results.map(_.memStall).filter(_ >= 0)
+    val steals = results.map(_.steal).filter(_ >= 0)
     val loadSummary =
       s""""load_max":${fmt(if (loads.isEmpty) -1 else loads.max)},"load_mean":${fmt(
         if (loads.isEmpty) -1 else loads.sum / loads.size)},"stall_total":${fmt(stalls.sum)},"io_stall_total":${fmt(
-        ioStalls.sum)},"mem_stall_total":${fmt(memStalls.sum)},"cpu_total":${fmt(
+        ioStalls.sum)},"mem_stall_total":${fmt(memStalls.sum)},"steal_total":${fmt(steals.sum)},"cpu_total":${fmt(
         cpuSecs.sum)},"task_cpu_total":${fmt(
         taskCpuTotal)},"gc_total":${fmt(gcTotal)}"""
     val fullLine =
-      s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":$fullQs,"jobs":$jobsQs,"t0":$t0Qs,"load":$loadQs,"cpu_stall":$stallQs,"io_stall":$ioStallQs,"mem_stall":$memStallQs,"cpu":$cpuQs,"wall_minus_cpu":$wmcQs,"task_cpu":$taskCpuQs,"task_run":$taskRunQs,"cpu_gc":$gcQs,$loadSummary,"warm_artifacts":$warmJson,"errors":$nerr,"n_queries":${results.size},"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":$fullQs,"jobs":$jobsQs,"t0":$t0Qs,"load":$loadQs,"cpu_stall":$stallQs,"io_stall":$ioStallQs,"mem_stall":$memStallQs,"cpu_steal":$stealQs,"cpu":$cpuQs,"wall_minus_cpu":$wmcQs,"task_cpu":$taskCpuQs,"task_run":$taskRunQs,"cpu_gc":$gcQs,$loadSummary,"warm_artifacts":$warmJson,"errors":$nerr,"n_queries":${results.size},"sf":"$sfDir"}"""
 
     // Complete map -> repo file (judge-readable even when stdout is clipped).
     // Delete the previous run's file FIRST: if this run's write fails, a
@@ -413,7 +431,7 @@ object Bench {
 
     // Compact final stdout line: headline + slowest-8, hard-capped so the
     // whole line plus sbt's epilogue fits the 2000-char tail window.
-    val slowest = results.collect { case QRes(k, Right(v), _, _, _, _, _, _, _) => k -> v }
+    val slowest = results.collect { case QRes(k, Right(v), _, _, _, _, _, _, _, _) => k -> v }
       .sortBy(-_._2).take(8).map(_._1)
     // no filter on results.contains: a renamed/removed headline query must
     // surface as "absent" in the compact line, not silently vanish
