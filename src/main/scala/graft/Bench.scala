@@ -161,18 +161,76 @@ object Bench {
           date_format(timestamp_seconds(col("id") % 100000000),
             "yyyy-MM-dd HH:mm:ss").as("ship"))
         val sch = synth.schema
-        synth.repartition(8).write.mode("overwrite")
-          .option("header", "true").csv(s"$codecDir/csv")
-        spark.read.schema(sch).option("header", "true").csv(s"$codecDir/csv")
-          .groupBy("flag").agg(count(lit(1)), sum("qty"), min("ship")).collect()
-        synth.repartition(8).write.mode("overwrite").json(s"$codecDir/json")
-        spark.read.schema(sch).json(s"$codecDir/json")
-          .groupBy("flag").agg(count(lit(1)), sum("price")).collect()
+        // LOOPED to steady state (round 14, VERDICT r13 task 1): one 20k
+        // pass triggers classloading + C1 but leaves the univocity
+        // write/parse loops below C2's invocation thresholds — the r13
+        // driver still charged ingest_csv ~4 task-CPU-s of tiered
+        // compilation (task_cpu 8.1→12.0 with gc/io/steal flat and
+        // identical jobs). Six reps push ~120k rows through the same
+        // shared codec paths, crossing the C2 ladder; per-rep wall plus
+        // the JVM's cumulative JIT-ms delta go to stderr so the artifact
+        // SHOWS compilation converging in the untimed region. Synthetic
+        // rows only, same contract as the codegen warm-up above.
+        val jitBean = java.lang.management.ManagementFactory.getCompilationMXBean
+        def jitNowMs(): Long =
+          if (jitBean != null && jitBean.isCompilationTimeMonitoringSupported)
+            jitBean.getTotalCompilationTime else -1L
+        for (rep <- 1 to 6) {
+          val r0 = System.nanoTime(); val j0 = jitNowMs()
+          synth.repartition(8).write.mode("overwrite")
+            .option("header", "true").csv(s"$codecDir/csv")
+          spark.read.schema(sch).option("header", "true").csv(s"$codecDir/csv")
+            .groupBy("flag").agg(count(lit(1)), sum("qty"), min("ship")).collect()
+          System.err.println(
+            f"BENCH WARMUP csv rep$rep ${(System.nanoTime() - r0) / 1e9}%.3f s" +
+              f" (jit +${jitNowMs() - j0} ms)")
+        }
+        for (rep <- 1 to 3) {
+          synth.repartition(8).write.mode("overwrite").json(s"$codecDir/json")
+          spark.read.schema(sch).json(s"$codecDir/json")
+            .groupBy("flag").agg(count(lit(1)), sum("price")).collect()
+        }
         synth.select(concat_ws(" ", col("okey"), col("line"), col("flag")).as("value"))
           .write.mode("overwrite").text(s"$codecDir/txt")
         spark.read.text(s"$codecDir/txt")
           .select(regexp_extract(col("value"), "^(\\S+) (\\S+) (\\S+)$", 1)
             .cast("long").as("k")).agg(sum("k")).collect()
+        // Window-machinery warm-up (round 14, the hist_eqdepth half of
+        // VERDICT r13 task 1): WindowExec's frame processors, the
+        // in-partition sorter, and the chained conditional-min
+        // evaluation JIT on first touch exactly like the codecs —
+        // hist_eqdepth's driver task_cpu doubled (13.6→27.5) with
+        // identical jobs and zero gc. Drive the SAME runtime shapes
+        // (partitioned running window, unpartitioned domain-bounded
+        // window, 9-arm min(when) tree, broadcast-scalar bucket
+        // reduce) on synthetic values, twice for the C1→C2 ladder.
+        for (rep <- 1 to 2) {
+          val r0 = System.nanoTime(); val j0 = jitNowMs()
+          val vals = spark.range(200000)
+            .select((col("id") % 9973 * 37 % 4999).cast("double").as("v"))
+          val vc = vals.groupBy("v").agg(count(lit(1)).as("cnt"))
+            .withColumn("bin", floor(col("v") / 500.0).cast("long"))
+          val wBin = org.apache.spark.sql.expressions.Window
+            .partitionBy("bin").orderBy(col("v").asc)
+            .rowsBetween(Long.MinValue, 0)
+          val wOff = org.apache.spark.sql.expressions.Window
+            .orderBy(col("bin").asc).rowsBetween(Long.MinValue, -1)
+          val offs = vc.groupBy("bin").agg(sum("cnt").as("btot"))
+            .withColumn("off", coalesce(sum("btot").over(wOff), lit(0L)))
+          val cum = vc.withColumn("wb", sum("cnt").over(wBin))
+            .join(offs.hint("merge"), "bin")
+            .withColumn("cum", col("off") + col("wb"))
+          val cutCols = (1 to 9).map(k =>
+            min(when(col("cum") / 200000.0 >= k / 10.0, col("v"))).as(s"c$k"))
+          val cuts = cum.agg(cutCols.head, cutCols.tail: _*)
+          val bucket = (1 to 9).map(k => (col("v") > col(s"c$k")).cast("int"))
+            .reduce(_ + _)
+          vals.crossJoin(broadcast(cuts)).withColumn("bucket", bucket)
+            .groupBy("bucket").agg(count(lit(1)), min("v"), max("v")).collect()
+          System.err.println(
+            f"BENCH WARMUP window rep$rep ${(System.nanoTime() - r0) / 1e9}%.3f s" +
+              f" (jit +${jitNowMs() - j0} ms)")
+        }
         // the files served their purpose the moment the JIT ran —
         // reclaim the tmpfs immediately instead of leaking per run
         def rmAll(f: java.io.File): Unit = {
@@ -300,16 +358,57 @@ object Bench {
       java.lang.management.ManagementFactory.getGarbageCollectorMXBeans.asScala
         .map(_.getCollectionTime).filter(_ >= 0).sum
     }
+    // Per-query JIT attribution (round 14, VERDICT r13 task 1): task_cpu
+    // counts interpreted/C1 execution on task threads as "app work", so
+    // first-touch tiered compilation is attributable-but-unattributed —
+    // the hole that left ingest_csv/hist_eqdepth convicted by the
+    // task_cpu rule with nothing on the record to acquit them. Two
+    // witnesses, both O(µs) synchronous reads at the query boundaries:
+    //   - jit: delta of the JVM's cumulative compiler-thread time
+    //     (CompilationMXBean, ms→s) — compilation IN FLIGHT during the
+    //     query, the direct "code was still being tiered" signal (the
+    //     compiler threads run concurrently, so this does not subtract
+    //     from task_cpu — it marks queries whose task threads ran
+    //     not-yet-optimized code);
+    //   - codegen_n: delta of Spark's whole-stage-codegen compilation
+    //     COUNT (CodegenMetrics histogram, via reflection — the object
+    //     is spark-private) — how many NEW generated classes janino
+    //     compiled for this query (first-touch vs cache-hit).
+    val compBean = java.lang.management.ManagementFactory.getCompilationMXBean
+    def jitMs(): Long =
+      if (compBean != null && compBean.isCompilationTimeMonitoringSupported)
+        compBean.getTotalCompilationTime else -1L
+    val codegenHisto: Option[com.codahale.metrics.Histogram] =
+      try {
+        val m = Class.forName("org.apache.spark.metrics.source.CodegenMetrics$")
+        val inst = m.getField("MODULE$").get(null)
+        Some(m.getMethod("METRIC_COMPILATION_TIME").invoke(inst)
+          .asInstanceOf[com.codahale.metrics.Histogram])
+      } catch { case _: Throwable => None }
+    def codegenCount(): Long = codegenHisto.fold(-1L)(_.getCount)
+    // USER_HZ for the /proc/stat steal conversion: derived once from
+    // getconf CLK_TCK instead of the hardcoded 100 (ADVICE r13) — same
+    // value on every stock kernel, but a kernel built with a different
+    // tick rate now converts correctly; fallback stays 100.
+    val userHz: Double =
+      try {
+        val p = new ProcessBuilder("getconf", "CLK_TCK").start()
+        val out = new String(p.getInputStream.readAllBytes, "UTF-8").trim
+        p.waitFor()
+        val v = out.toDouble
+        if (v > 0) v else 100.0
+      } catch { case _: Throwable => 100.0 }
     val benchT0 = System.nanoTime()
     final case class QRes(name: String, r: Either[String, Double], t0: Double,
         load: Double, stall: Double, cpu: Double, ioStall: Double, gc: Double,
-        memStall: Double, steal: Double)
+        memStall: Double, steal: Double, jit: Double, codegenN: Long)
     val results: Seq[QRes] =
       SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
         spark.sparkContext.setJobGroup(s"q:$name", name, false)
         val la0 = loadavg1(); val st0 = cpuStallUs(); val io0 = ioStallUs()
         val mm0 = memStallUs(); val sl0 = stealTicks()
         val cpu0 = procCpuNs(); val gc0 = gcTimeMs()
+        val jit0 = jitMs(); val cg0 = codegenCount()
         val t0 = System.nanoTime()
         val r = try {
           fn(spark, sfDir).count()
@@ -322,14 +421,16 @@ object Bench {
         val cpu1 = procCpuNs(); val gc1 = gcTimeMs()
         val st1 = cpuStallUs(); val io1 = ioStallUs(); val mm1 = memStallUs()
         val sl1 = stealTicks()
+        val jit1 = jitMs(); val cg1 = codegenCount()
         val stall = if (st0 >= 0 && st1 >= 0) (st1 - st0) / 1e6 else -1.0
-        // USER_HZ = 100 on linux; delta ticks / 100 = host-wide steal secs
-        val steal = if (sl0 >= 0 && sl1 >= 0) (sl1 - sl0) / 100.0 else -1.0
+        val steal = if (sl0 >= 0 && sl1 >= 0) (sl1 - sl0) / userHz else -1.0
         val ioSt = if (io0 >= 0 && io1 >= 0) (io1 - io0) / 1e6 else -1.0
         val mmSt = if (mm0 >= 0 && mm1 >= 0) (mm1 - mm0) / 1e6 else -1.0
         val cpu = if (cpu0 >= 0 && cpu1 >= 0) (cpu1 - cpu0) / 1e9 else -1.0
+        val jit = if (jit0 >= 0 && jit1 >= 0) (jit1 - jit0) / 1e3 else -1.0
+        val cgN = if (cg0 >= 0 && cg1 >= 0) cg1 - cg0 else -1L
         QRes(name, r, (t0 - benchT0) / 1e9, la0, stall, cpu, ioSt,
-          (gc1 - gc0) / 1e3, mmSt, steal)
+          (gc1 - gc0) / 1e3, mmSt, steal, jit, cgN)
       }
     val resultMap = results.map(q => q.name -> q.r).toMap
     // 3-decimal seconds (1 ms resolution) keeps entries compact.
@@ -379,6 +480,13 @@ object Bench {
     val gcQs = qmap(q => fmt(q.gc))
     val memStallQs = qmap(q => fmt(q.memStall))
     val stealQs = qmap(q => fmt(q.steal))
+    // jit seconds + new-codegen-class count per query (round 14): a row
+    // whose task_cpu exceeds its clean-run value WITH jit ≫ clean jit is
+    // JIT-attributed (tiered compilation in flight while its tasks ran);
+    // flat jit convicts the code. codegen_n separates "new generated
+    // classes" (first plan of this shape) from pure method re-tiering.
+    val jitQs = qmap(q => fmt(q.jit))
+    val codegenQs = qmap(q => q.codegenN.toString)
     val warmJson = warmArtifacts match {
       case Some(secs) => secs.map { case (n, s) => "\"" + n + "\":" + fmt(s) }
         .mkString("""{"mode":"warm","secs":{""", ",", "}}")
@@ -386,7 +494,7 @@ object Bench {
     }
     val fullQs = results.map(q => entry(q.name)).mkString("{", ",", "}")
     val nerr = results.count(_.r.isLeft)
-    val total = results.collect { case QRes(_, Right(v), _, _, _, _, _, _, _, _) => v }.sum
+    val total = results.flatMap(_.r.toOption).sum
     val loads = results.map(_.load).filter(_ >= 0)
     val stalls = results.map(_.stall).filter(_ >= 0)
     val ioStalls = results.map(_.ioStall).filter(_ >= 0)
@@ -396,14 +504,25 @@ object Bench {
     val gcTotal = results.map(_.gc).sum
     val memStalls = results.map(_.memStall).filter(_ >= 0)
     val steals = results.map(_.steal).filter(_ >= 0)
+    val jitTotal = results.map(_.jit).filter(_ >= 0).sum
+    // Warm-artifact ledger invariant (VERDICT r13 task 5): the untimed
+    // ledger's cost stays VISIBLE next to the timed total, with a loud
+    // stderr flag if it drifts past 20% of it — the design is honest
+    // only while a reader can see what the warm-up excluded.
+    val ledgerTotal = warmArtifacts.fold(0.0)(_.map(_._2).filter(_ >= 0).sum)
+    val ledgerRatio = if (total > 0) ledgerTotal / total else -1.0
+    if (ledgerRatio > 0.20)
+      System.err.println(f"BENCH WARN warm-artifact ledger $ledgerTotal%.1f s is " +
+        f"${ledgerRatio * 100}%.1f%% of the timed total — rebalance or re-justify")
     val loadSummary =
       s""""load_max":${fmt(if (loads.isEmpty) -1 else loads.max)},"load_mean":${fmt(
         if (loads.isEmpty) -1 else loads.sum / loads.size)},"stall_total":${fmt(stalls.sum)},"io_stall_total":${fmt(
         ioStalls.sum)},"mem_stall_total":${fmt(memStalls.sum)},"steal_total":${fmt(steals.sum)},"cpu_total":${fmt(
         cpuSecs.sum)},"task_cpu_total":${fmt(
-        taskCpuTotal)},"gc_total":${fmt(gcTotal)}"""
+        taskCpuTotal)},"gc_total":${fmt(gcTotal)},"jit_total":${fmt(
+        jitTotal)},"warm_ledger_total":${fmt(ledgerTotal)},"warm_ledger_ratio":${fmt(ledgerRatio)}"""
     val fullLine =
-      s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":$fullQs,"jobs":$jobsQs,"t0":$t0Qs,"load":$loadQs,"cpu_stall":$stallQs,"io_stall":$ioStallQs,"mem_stall":$memStallQs,"cpu_steal":$stealQs,"cpu":$cpuQs,"wall_minus_cpu":$wmcQs,"task_cpu":$taskCpuQs,"task_run":$taskRunQs,"cpu_gc":$gcQs,$loadSummary,"warm_artifacts":$warmJson,"errors":$nerr,"n_queries":${results.size},"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":$fullQs,"jobs":$jobsQs,"t0":$t0Qs,"load":$loadQs,"cpu_stall":$stallQs,"io_stall":$ioStallQs,"mem_stall":$memStallQs,"cpu_steal":$stealQs,"cpu":$cpuQs,"wall_minus_cpu":$wmcQs,"task_cpu":$taskCpuQs,"task_run":$taskRunQs,"cpu_gc":$gcQs,"jit":$jitQs,"codegen_n":$codegenQs,$loadSummary,"warm_artifacts":$warmJson,"errors":$nerr,"n_queries":${results.size},"sf":"$sfDir"}"""
 
     // Complete map -> repo file (judge-readable even when stdout is clipped).
     // Delete the previous run's file FIRST: if this run's write fails, a
@@ -431,7 +550,7 @@ object Bench {
 
     // Compact final stdout line: headline + slowest-8, hard-capped so the
     // whole line plus sbt's epilogue fits the 2000-char tail window.
-    val slowest = results.collect { case QRes(k, Right(v), _, _, _, _, _, _, _, _) => k -> v }
+    val slowest = results.flatMap(q => q.r.toOption.map(q.name -> _))
       .sortBy(-_._2).take(8).map(_._1)
     // no filter on results.contains: a renamed/removed headline query must
     // surface as "absent" in the compact line, not silently vanish
