@@ -513,7 +513,38 @@ object DataQuality {
       .orderBy(col("bucket").asc)
   }
 
+  /** k-anonymity census (round 14, VERDICT r13 task 6) — the privacy
+    * gate next to llm_pii_mask/llm_dp_counts that a released corpus
+    * needs: group the population by its quasi-identifier tuple
+    * (nation, market segment, account-balance band — the classic
+    * generalization of a continuous attribute into 1000-unit bands)
+    * and report, for k ∈ {2, 5, 10}, how many rows and groups fall in
+    * QI classes smaller than k — the re-identifiable share a k-anonymity
+    * release policy would have to suppress or generalize further.
+    *
+    * Scale shape: ONE hash aggregate over the population at QI grain
+    * (map-side partials; cardinality bounded by the QI domain, not row
+    * count), then a ×3 literal-spine explode and a 3-row final agg —
+    * nothing after the first agg is corpus-scale. */
+  def dqKAnon(spark: SparkSession, dir: String): DataFrame = {
+    val g = Tables.customer(spark, dir)
+      .groupBy(col("c_nationkey"), col("c_mktsegment"),
+        floor(col("c_acctbal") / 1000).cast("long").as("bal_band"))
+      .agg(count(lit(1)).as("gsz"))
+    g.select(explode(array(lit(2L), lit(5L), lit(10L))).as("k"), col("gsz"))
+      .groupBy("k")
+      .agg(
+        sum("gsz").as("n_rows"),
+        count(lit(1)).as("n_groups"),
+        sum(when(col("gsz") < col("k"), col("gsz")).otherwise(0L)).as("rows_at_risk"),
+        sum(when(col("gsz") < col("k"), 1L).otherwise(0L)).as("groups_at_risk"),
+        round(sum(when(col("gsz") < col("k"), col("gsz")).otherwise(0L)).cast("double")
+          / sum("gsz"), 6).as("risk_share"))
+      .orderBy(col("k").asc)
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "dq_k_anon"      -> (dqKAnon _),
     "dq_recon"       -> (dqRecon _),
     "dq_dup_keys" -> (dqDupKeys _),
     "dq_orphans" -> (dqOrphans _),
@@ -530,6 +561,21 @@ object DataQuality {
     "join_scd2" -> (joinScd2 _))
 
   val oracleSql: Map[String, String] = Map(
+    "dq_k_anon" ->
+      """WITH g AS (
+        |  SELECT c_nationkey, c_mktsegment,
+        |    CAST(floor(c_acctbal / 1000) AS BIGINT) AS bal_band,
+        |    count(*) AS gsz
+        |  FROM customer GROUP BY 1, 2, 3),
+        |ks AS (SELECT CAST(unnest([2, 5, 10]) AS BIGINT) AS k)
+        |SELECT ks.k, CAST(sum(gsz) AS BIGINT) AS n_rows,
+        |  count(*) AS n_groups,
+        |  CAST(sum(CASE WHEN gsz < ks.k THEN gsz ELSE 0 END) AS BIGINT) AS rows_at_risk,
+        |  CAST(sum(CASE WHEN gsz < ks.k THEN 1 ELSE 0 END) AS BIGINT) AS groups_at_risk,
+        |  round(CAST(sum(CASE WHEN gsz < ks.k THEN gsz ELSE 0 END) AS DOUBLE)
+        |    / sum(gsz), 6) AS risk_share
+        |FROM g CROSS JOIN ks
+        |GROUP BY ks.k ORDER BY ks.k ASC""".stripMargin,
     "dq_recon" ->
       """WITH l AS (
         |  SELECT l_orderkey,

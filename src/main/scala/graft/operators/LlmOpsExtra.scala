@@ -1005,6 +1005,84 @@ object LlmOpsExtra {
       .orderBy(col("q_id").asc, col("rnk").asc)
   }
 
+  /** Hybrid retrieval fusion (round 14, VERDICT r13 task 3) — reciprocal-
+    * rank fusion (Cormack/Clarke/Buettcher SIGIR'09: score(d) =
+    * Σ_lists 1/(k + rank_list(d)), k = 60) of the engine's two existing
+    * retrieval paths over the SAME 8-query batch and the same id space
+    * (vec_id ≡ doc_id by fixture construction): llm_bm25_retrieve's
+    * lexical ranking and llm_cosine_knn's dense ranking. This is the
+    * standard RAG-corpus hybrid shape — sparse catches exact-term
+    * matches dense misses, dense catches paraphrase lexical misses, and
+    * RRF needs no score calibration because it consumes only RANKS.
+    *
+    * Shape: the lexical leg re-runs the BM25 scorer off the MEMOIZED
+    * posting artifact (term equi-join, pair-grain partial agg — work ∝
+    * postings sharing a query term); the dense leg is one corpus pass
+    * against the 8 broadcast query vectors through the codegen'd cosine
+    * kernel. Each leg ranks per query (window over its own bounded
+    * candidate set), truncates to its top-10 list, and the fusion is a
+    * full-outer join of two ≤ 80-row frames — no new corpus-scale
+    * shuffle beyond the two ranking passes. At 100 TB the dense leg
+    * swaps to the IVF/LSH-bucketed candidate join (llm_ann_ivf) with
+    * this exact fusion frame on top.
+    *
+    * Determinism discipline: both legs round their scores at 6dp BEFORE
+    * ranking with doc-id ascending tie-breaks (the proven bm25/knn
+    * convention), ranks are exact integers, and the fused score is a
+    * sum of two rank-derived doubles rounded at 6dp — so the oracle
+    * reproduces every rank and therefore every fused value bit-for-bit.
+    * NaN cosines (zero-norm vectors) are excluded on both sides before
+    * ranking, the llm_cosine_knn convention. */
+  def llmHybridRrf(spark: SparkSession, dir: String): DataFrame = {
+    val post = bm25Post(spark, dir)
+    val scalars = broadcast(post.agg(
+      countDistinct(col("doc_id")).as("n_docs"),
+      (sum("tf").cast("double") / countDistinct(col("doc_id"))).as("avglen")))
+    val qterms = post.filter(col("doc_id") < 8)
+      .select(col("doc_id").as("q_id"), col("tok"))
+    val lexScored = post
+      .join(broadcast(qterms), "tok")
+      .filter(col("doc_id") =!= col("q_id"))
+      .crossJoin(scalars)
+      .withColumn("idf",
+        log(lit(1.0) + (col("n_docs") - col("df") + 0.5) / (col("df") + 0.5)))
+      .select(col("q_id"), col("doc_id"),
+        (col("idf") * col("tf") * lit(2.2) /
+          (col("tf") + lit(1.2) * (lit(0.25) + lit(0.75) * col("len") / col("avglen"))))
+          .as("c"))
+      .groupBy("q_id", "doc_id").agg(round(sum("c"), 6).as("score"))
+    val wLex = Window.partitionBy("q_id")
+      .orderBy(col("score").desc, col("doc_id").asc)
+    val lex = lexScored
+      .withColumn("lex_rnk", row_number().over(wLex))
+      .filter(col("lex_rnk") <= 10)
+      .select(col("q_id"), col("doc_id"), col("lex_rnk").cast("long").as("lex_rnk"))
+    val emb = embDouble(spark, dir)
+    val qv = emb.filter(col("vec_id") < 8)
+      .select(col("vec_id").as("q_id"), col("e").as("qe"))
+    val wDen = Window.partitionBy("q_id")
+      .orderBy(col("sim").desc, col("doc_id").asc)
+    val den = emb.crossJoin(broadcast(qv))
+      .filter(col("vec_id") =!= col("q_id"))
+      .select(col("q_id"), col("vec_id").as("doc_id"),
+        round(graft.functions.sim.cosineSim(col("e"), col("qe")), 6).as("sim"))
+      .filter(!isnan(col("sim")))
+      .withColumn("den_rnk", row_number().over(wDen))
+      .filter(col("den_rnk") <= 10)
+      .select(col("q_id"), col("doc_id"), col("den_rnk").cast("long").as("den_rnk"))
+    val wFuse = Window.partitionBy("q_id")
+      .orderBy(col("fused").desc, col("doc_id").asc)
+    lex.join(den, Seq("q_id", "doc_id"), "full_outer")
+      .withColumn("fused", round(
+        coalesce(lit(1.0) / (lit(60) + col("lex_rnk")), lit(0.0)) +
+          coalesce(lit(1.0) / (lit(60) + col("den_rnk")), lit(0.0)), 6))
+      .withColumn("rnk", row_number().over(wFuse))
+      .filter(col("rnk") <= 3)
+      .select(col("q_id"), col("rnk").cast("long").as("rnk"),
+        col("doc_id").as("hit_id"), col("fused"), col("lex_rnk"), col("den_rnk"))
+      .orderBy(col("q_id").asc, col("rnk").asc)
+  }
+
   /** PCA / whitening over the embedding table (round-8 addendum) — the
     * dimensionality-reduction step SemDeDup-class pipelines run before
     * clustering, and the engine's demonstration of the numeric-linear-
@@ -1286,6 +1364,7 @@ object LlmOpsExtra {
     "llm_emb_stats"     -> (llmEmbStats _),
     "llm_pca"           -> (llmPca _),
     "llm_bm25_retrieve" -> (llmBm25Retrieve _),
+    "llm_hybrid_rrf" -> (llmHybridRrf _),
     "llm_bloom_dedup"   -> (llmBloomDedup _),
     "llm_substring_dedup" -> (llmSubstringDedup _),
     "llm_pii_mask"      -> (llmPiiMask _),
@@ -1471,6 +1550,57 @@ object LlmOpsExtra {
         |      ORDER BY score DESC, doc_id ASC) AS rnk
         |  FROM scored)
         |SELECT q_id, rnk, doc_id AS hit_id, score
+        |FROM r WHERE rnk <= 3 ORDER BY q_id ASC, rnk ASC""".stripMargin,
+    "llm_hybrid_rrf" ->
+      """WITH post AS (
+        |  SELECT doc_id, tok, count(*) AS tf FROM (
+        |    SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents)
+        |  GROUP BY doc_id, tok),
+        |lens AS (SELECT doc_id, CAST(sum(tf) AS BIGINT) AS len FROM post GROUP BY doc_id),
+        |stats AS (SELECT count(*) AS n_docs, avg(len) AS avglen FROM lens),
+        |dfi AS (
+        |  SELECT tok, ln(1.0 + (n_docs - count(*) + 0.5) / (count(*) + 0.5)) AS idf,
+        |    avglen
+        |  FROM post, stats GROUP BY tok, n_docs, avglen),
+        |q AS (SELECT doc_id AS q_id, tok FROM post WHERE doc_id < 8),
+        |scored AS (
+        |  SELECT q.q_id, p.doc_id,
+        |    round(sum(dfi.idf * p.tf * 2.2 /
+        |      (p.tf + 1.2 * (0.25 + 0.75 * lens.len / stats.avglen))), 6) AS score
+        |  FROM post p
+        |  JOIN q ON p.tok = q.tok AND p.doc_id <> q.q_id
+        |  JOIN dfi ON p.tok = dfi.tok
+        |  JOIN lens ON p.doc_id = lens.doc_id
+        |  CROSS JOIN stats
+        |  GROUP BY q.q_id, p.doc_id),
+        |lex AS (
+        |  SELECT q_id, doc_id, lex_rnk FROM (
+        |    SELECT q_id, doc_id, row_number() OVER (PARTITION BY q_id
+        |      ORDER BY score DESC, doc_id ASC) AS lex_rnk
+        |    FROM scored) WHERE lex_rnk <= 10),
+        |e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS ve FROM embeddings),
+        |densim AS (
+        |  SELECT qe.vec_id AS q_id, n.vec_id AS doc_id,
+        |    round(list_cosine_similarity(qe.ve, n.ve), 6) AS sim
+        |  FROM e qe JOIN e n ON qe.vec_id < 8 AND n.vec_id <> qe.vec_id),
+        |den AS (
+        |  SELECT q_id, doc_id, den_rnk FROM (
+        |    SELECT q_id, doc_id, row_number() OVER (PARTITION BY q_id
+        |      ORDER BY sim DESC, doc_id ASC) AS den_rnk
+        |    FROM densim WHERE NOT isnan(sim)) WHERE den_rnk <= 10),
+        |fused AS (
+        |  SELECT coalesce(l.q_id, d.q_id) AS q_id,
+        |    coalesce(l.doc_id, d.doc_id) AS doc_id,
+        |    l.lex_rnk, d.den_rnk,
+        |    round(coalesce(CAST(1 AS DOUBLE) / (60 + l.lex_rnk), 0) +
+        |          coalesce(CAST(1 AS DOUBLE) / (60 + d.den_rnk), 0), 6) AS fused
+        |  FROM lex l FULL OUTER JOIN den d
+        |    ON l.q_id = d.q_id AND l.doc_id = d.doc_id),
+        |r AS (
+        |  SELECT *, row_number() OVER (PARTITION BY q_id
+        |    ORDER BY fused DESC, doc_id ASC) AS rnk
+        |  FROM fused)
+        |SELECT q_id, rnk, doc_id AS hit_id, fused, lex_rnk, den_rnk
         |FROM r WHERE rnk <= 3 ORDER BY q_id ASC, rnk ASC""".stripMargin,
     "llm_bloom_dedup" ->
       """WITH f AS (

@@ -49,6 +49,9 @@ object SharedArtifacts {
                                 spark.read.schema(s).parquet(p) }),
     "stream_ddw"    -> (() => { val (p, s) = Streaming.ddwStage(spark, dir)
                                 spark.read.schema(s).parquet(p) }),
+    // round 14: the trained BPE merge table — the artifact a tokenizer
+    // training run ships; llm_bpe_encode (and future consumers) read it
+    "bpe_merges"    -> (() => BpeTrain.mergeTable(spark, dir)),
     // round 13 (VERDICT r12 task 2): the DPP fact/dim staging — a
     // declared pipeline input (the partitioned table pre-exists in
     // production; scan_dpp grades the DPP read) whose in-query write was

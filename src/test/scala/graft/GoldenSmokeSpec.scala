@@ -60,6 +60,6 @@ class GoldenSmokeSpec extends AnyFunSuite {
       Set("agg_approx_hll", "agg_hll_union", "agg_approx_pctl", "agg_kmv_distinct",
         "agg_countmin", "llm_minhash", "llm_simhash", "llm_mm_features", "llm_pca",
         "graph_kcore", "llm_emb_pq", "llm_bpe_train", "agg_theta_union",
-        "agg_quantile_union", "llm_minhash_capped"))
+        "agg_quantile_union", "llm_minhash_capped", "llm_bpe_encode"))
   }
 }

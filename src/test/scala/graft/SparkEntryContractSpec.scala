@@ -18,14 +18,17 @@ class SparkEntryContractSpec extends AnyFunSuite {
     // round 13: the DDSketch quantile union (bucket geometry is
     // sketch-specific) and the declared df-capped LSH dedup path
     // (band-hash space is engine-specific)
-    "agg_quantile_union", "llm_minhash_capped")
+    "agg_quantile_union", "llm_minhash_capped",
+    // round 14: BPE encode applies the data-dependent trained merge
+    // table (the llm_bpe_train allowance); BpeEncodeSpec pins it
+    "llm_bpe_encode")
 
   test("every oracle entry names a declared query") {
     val orphans = SparkEntry.oracleSql.keySet -- SparkEntry.queries.keySet
     assert(orphans.isEmpty, s"oracle SQL without a query: $orphans")
   }
 
-  test("the no-oracle set is exactly the 15 documented sketch/trained/iterative ops") {
+  test("the no-oracle set is exactly the 16 documented sketch/trained/iterative ops") {
     val noOracle = SparkEntry.queries.keySet -- SparkEntry.oracleSql.keySet
     assert(noOracle == declaredNoOracle,
       s"no-oracle drift: +${(noOracle -- declaredNoOracle).toSeq.sorted} " +
@@ -34,10 +37,10 @@ class SparkEntryContractSpec extends AnyFunSuite {
   }
 
   test("inventory size matches the SURVEY census") {
-    assert(SparkEntry.queries.size == 311,
+    assert(SparkEntry.queries.size == 314,
       s"${SparkEntry.queries.size} declared queries — update SURVEY §2's " +
         "inventory census AND this pin together")
-    assert(SparkEntry.oracleSql.size == 296)
+    assert(SparkEntry.oracleSql.size == 298)
   }
 
   test("no duplicate keys are silently swallowed by the map unions") {
