@@ -13,10 +13,13 @@ import org.apache.spark.sql.expressions.Aggregator
   *
   * Non-positive inputs are EXCLUDED (round-13 negatives sweep): their
   * logarithm is undefined, and math.log would silently poison the whole
-  * group's sum with NaN/−∞ — the same skip convention as the oracle's
-  * `ln(CASE WHEN x > 0 THEN x END)` (SQL aggregates ignore NULL). A
-  * group with NO positive values finishes NaN; the declared query maps
-  * that to NULL. */
+  * group's sum with NaN/−∞. The `a > 0` guard also skips NaN inputs
+  * (every Scala NaN comparison is false) — and the oracle must spell
+  * that out as `x > 0 AND NOT isnan(x)`, because DuckDB's comparison
+  * semantics order NaN ABOVE every number, so a bare `x > 0` would
+  * include NaN there and silently diverge (ADVICE r13). SQL aggregates
+  * ignore the CASE's NULLs, matching the skip. A group with NO positive
+  * values finishes NaN; the declared query maps that to NULL. */
 object GeoMean extends Aggregator[Double, (Double, Long), Double] {
   override def zero: (Double, Long) = (0.0, 0L)
   override def reduce(b: (Double, Long), a: Double): (Double, Long) =

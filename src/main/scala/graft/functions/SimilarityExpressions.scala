@@ -160,7 +160,13 @@ object SimilarityKernels {
   def cosine(a: ArrayData, b: ArrayData): Double = {
     val n = a.numElements()
     if (n != b.numElements())
-      throw new IllegalArgumentException(
+      // SparkRuntimeException with the USER_RAISED_EXCEPTION condition
+      // (the raise_error() channel) instead of a bare
+      // IllegalArgumentException (ADVICE r13): cosine_sim is
+      // SQL-registered, and a plain RuntimeException from inside a task
+      // surfaces as an opaque wrapped task failure — the SparkThrowable
+      // path keeps the message intact through driver-side error wrapping.
+      throw org.apache.spark.sql.graftshim.ErrorBridge.userRaised(
         s"cosine_sim: input arrays must have equal length, got $n and ${b.numElements()}")
     var dot = 0.0
     var na = 0.0

@@ -1432,7 +1432,8 @@ object Aggregates {
         |ORDER BY o_orderpriority ASC""".stripMargin,
     "agg_typed_geomean" ->
       """SELECT l_returnflag,
-        | round(exp(avg(ln(CASE WHEN l_extendedprice > 0 THEN l_extendedprice END))), 4) AS geo_price,
+        | round(exp(avg(ln(CASE WHEN l_extendedprice > 0 AND NOT isnan(l_extendedprice)
+        |   THEN l_extendedprice END))), 4) AS geo_price,
         | round(avg(l_extendedprice), 4) AS arith_price,
         | count(*) AS n
         |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag ASC""".stripMargin,

@@ -37,14 +37,24 @@ object RuntimeFilter {
     // stat.bloomFilter over an EMPTY build side NPEs inside Spark itself
     // (BloomFilter.readFrom(null) — the aggregate returns null bytes when
     // no row ever updated it; round-13 tiny-corpus sweep). The catch is
-    // scoped to exactly that empty-build signature and costs nothing on
-    // the happy path — an isEmpty pre-check would bill one extra
-    // scheduled job per invocation. An empty dim admits no joins, so the
-    // scan-stage filter becomes constant-false and the exact join
-    // produces the same (empty) result the oracle computes.
+    // scoped to exactly that empty-build signature — an NPE raised FROM
+    // BloomFilter.readFrom's deserialization of the null aggregate bytes
+    // (stack verified: ByteArrayInputStream.<init> ← BloomFilter.readFrom
+    // ← DataFrameStatFunctions) — and costs nothing on the happy path; an
+    // isEmpty pre-check would bill one extra scheduled job per
+    // invocation. Any OTHER NullPointerException (a Spark regression, an
+    // executor fault surfacing driver-side) propagates instead of being
+    // masked as "empty dimension" (ADVICE r13). An empty dim admits no
+    // joins, so the scan-stage filter becomes constant-false and the
+    // exact join produces the same (empty) result the oracle computes.
     val bfOpt =
       try Some(cust.stat.bloomFilter("c_custkey", 1 << 17, 0.01))
-      catch { case _: NullPointerException => None }
+      catch {
+        case e: NullPointerException
+            if e.getStackTrace.take(4).exists(f =>
+              f.getClassName == "org.apache.spark.util.sketch.BloomFilter" &&
+                f.getMethodName == "readFrom") => None
+      }
     val pruned = Tables.orders(spark, dir)
       .filter(bfOpt match {
         case Some(bf) =>
