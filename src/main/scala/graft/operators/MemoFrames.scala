@@ -104,6 +104,17 @@ object MemoFrames {
   private val schemaCache =
     new java.util.concurrent.ConcurrentHashMap[String, org.apache.spark.sql.types.StructType]()
 
+  /** The SHARED memo keys (frame/stagedPath — not per-call materialize
+    * tags) this session has built so far. Read-only: an absent session
+    * reports empty without creating its entry map. Exists for the
+    * warm-ledger invariant (WarmLedgerInvariantSpec): every shared
+    * artifact a declared query consumes must be enumerable by
+    * SharedArtifacts, or its build cost lands untracked inside some
+    * timed bench query. */
+  private[graft] def knownKeys(spark: SparkSession): Set[String] = synchronized {
+    Option(cache.get(spark)).fold(Set.empty[String])(_.keySet.toSet - "")
+  }
+
   /** Memoize `build`'s result for (spark, key): first call writes it to
     * parquet (one job), every call returns a fresh scan of the file. */
   def frame(spark: SparkSession, key: String)(build: => DataFrame): DataFrame =
