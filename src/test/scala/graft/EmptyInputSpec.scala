@@ -14,11 +14,23 @@ class EmptyInputSpec extends AnyFunSuite {
 
   private lazy val emptyDir: String = {
     val d = java.nio.file.Files.createTempDirectory("graft_empty_").toString
-    Seq("lineitem", "documents", "events").foreach { t =>
+    Seq("lineitem", "documents", "events", "customer").foreach { t =>
       Tables.byName(spark, TestSpark.sf0001, t).limit(0)
         .coalesce(1).write.parquet(s"$d/$t.parquet")
     }
     d
+  }
+
+  test("llm_bpe_encode on an empty corpus is empty, not a crash") {
+    // empty dict → no trainable merges → nothing to encode; the lang
+    // aggregate over zero joined rows is the empty frame
+    assert(operators.BpeTrain.llmBpeEncode(spark, emptyDir).collect().isEmpty)
+  }
+
+  test("dq_k_anon over an empty population is empty, not a crash") {
+    // zero QI groups → the literal spine has nothing to explode against;
+    // same answer as the oracle's CROSS JOIN with an empty group table
+    assert(operators.DataQuality.dqKAnon(spark, emptyDir).collect().isEmpty)
   }
 
   test("graph_kcore of an empty graph is the zero row, not a crash") {
