@@ -212,7 +212,13 @@ class PlanSnapshotSpec extends AnyFunSuite {
       // round-13: seq_nfa_pred broadcasts the 1-row p90 guard threshold
       // into the event stream before the user-key exchange (the
       // dq_freshness watermark pattern)
-      "seq_nfa_pred")
+      "seq_nfa_pred",
+      // round-14: llm_hybrid_rrf's two legs reuse two allowlisted
+      // patterns — the BM25 leg carries the 1-row n_docs/avglen scalar
+      // (llm_bm25_retrieve's cross) and the dense leg crosses the corpus
+      // with the BOUNDED 8-query broadcast batch (the llm_knn_join
+      // contract; IVF/LSH candidate join at 100 TB per scaladoc)
+      "llm_hybrid_rrf")
     val withNlj = plans.flatMap { case (name, plan) =>
       val n = plan.collect {
         case j: BroadcastNestedLoopJoinExec => j
