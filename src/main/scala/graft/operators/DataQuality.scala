@@ -543,8 +543,40 @@ object DataQuality {
       .orderBy(col("k").asc)
   }
 
+  /** l-diversity census (round 14) — k-anonymity's companion gate: a QI
+    * class can be large (k-anonymous) yet expose its members anyway if
+    * every row shares one SENSITIVE value (the homogeneity attack,
+    * Machanavajjhala et al. ICDE'06). Group by the coarser QI pair
+    * (nation, 1000-unit balance band), count DISTINCT sensitive values
+    * (market segment) per class, and report for l ∈ {2, 3} the classes
+    * and rows whose diversity falls below l — the share a release would
+    * have to generalize further even after passing the k-gate.
+    *
+    * Scale shape: ONE hash aggregate at (QI, sensitive) grain, a second
+    * QI-grain rollup (both domain-bounded, map-side partials), then the
+    * ×2 literal-spine census — dq_k_anon's plan with one extra bounded
+    * rollup. */
+  def dqLDiversity(spark: SparkSession, dir: String): DataFrame = {
+    val g = Tables.customer(spark, dir)
+      .groupBy(col("c_nationkey"),
+        floor(col("c_acctbal") / 1000).cast("long").as("bal_band"))
+      .agg(count(lit(1)).as("gsz"),
+        countDistinct(col("c_mktsegment")).as("l_div"))
+    g.select(explode(array(lit(2L), lit(3L))).as("l"), col("gsz"), col("l_div"))
+      .groupBy("l")
+      .agg(
+        sum("gsz").as("n_rows"),
+        count(lit(1)).as("n_groups"),
+        sum(when(col("l_div") < col("l"), col("gsz")).otherwise(0L)).as("rows_at_risk"),
+        sum(when(col("l_div") < col("l"), 1L).otherwise(0L)).as("groups_at_risk"),
+        round(sum(when(col("l_div") < col("l"), col("gsz")).otherwise(0L)).cast("double")
+          / sum("gsz"), 6).as("risk_share"))
+      .orderBy(col("l").asc)
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "dq_k_anon"      -> (dqKAnon _),
+    "dq_l_diversity" -> (dqLDiversity _),
     "dq_recon"       -> (dqRecon _),
     "dq_dup_keys" -> (dqDupKeys _),
     "dq_orphans" -> (dqOrphans _),
@@ -561,6 +593,22 @@ object DataQuality {
     "join_scd2" -> (joinScd2 _))
 
   val oracleSql: Map[String, String] = Map(
+    "dq_l_diversity" ->
+      """WITH g AS (
+        |  SELECT c_nationkey,
+        |    CAST(floor(c_acctbal / 1000) AS BIGINT) AS bal_band,
+        |    count(*) AS gsz,
+        |    count(DISTINCT c_mktsegment) AS l_div
+        |  FROM customer GROUP BY 1, 2),
+        |ls AS (SELECT CAST(unnest([2, 3]) AS BIGINT) AS l)
+        |SELECT ls.l, CAST(sum(gsz) AS BIGINT) AS n_rows,
+        |  count(*) AS n_groups,
+        |  CAST(sum(CASE WHEN l_div < ls.l THEN gsz ELSE 0 END) AS BIGINT) AS rows_at_risk,
+        |  CAST(sum(CASE WHEN l_div < ls.l THEN 1 ELSE 0 END) AS BIGINT) AS groups_at_risk,
+        |  round(CAST(sum(CASE WHEN l_div < ls.l THEN gsz ELSE 0 END) AS DOUBLE)
+        |    / sum(gsz), 6) AS risk_share
+        |FROM g CROSS JOIN ls
+        |GROUP BY ls.l ORDER BY ls.l ASC""".stripMargin,
     "dq_k_anon" ->
       """WITH g AS (
         |  SELECT c_nationkey, c_mktsegment,

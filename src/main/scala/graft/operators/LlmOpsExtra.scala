@@ -1033,7 +1033,11 @@ object LlmOpsExtra {
     * reproduces every rank and therefore every fused value bit-for-bit.
     * NaN cosines (zero-norm vectors) are excluded on both sides before
     * ranking, the llm_cosine_knn convention. */
-  def llmHybridRrf(spark: SparkSession, dir: String): DataFrame = {
+  /** The BM25 leg's top-10 ranking for the shared 8-query batch —
+    * (q_id, doc_id, lex_rnk ≤ 10). Factored for llm_hybrid_rrf and
+    * llm_retrieval_eval; see llmHybridRrf for the determinism
+    * discipline (6dp-rounded scores, doc-id tie-breaks). */
+  private def lexRanks(spark: SparkSession, dir: String): DataFrame = {
     val post = bm25Post(spark, dir)
     val scalars = broadcast(post.agg(
       countDistinct(col("doc_id")).as("n_docs"),
@@ -1053,16 +1057,21 @@ object LlmOpsExtra {
       .groupBy("q_id", "doc_id").agg(round(sum("c"), 6).as("score"))
     val wLex = Window.partitionBy("q_id")
       .orderBy(col("score").desc, col("doc_id").asc)
-    val lex = lexScored
+    lexScored
       .withColumn("lex_rnk", row_number().over(wLex))
       .filter(col("lex_rnk") <= 10)
       .select(col("q_id"), col("doc_id"), col("lex_rnk").cast("long").as("lex_rnk"))
+  }
+
+  /** The dense leg's top-10 cosine ranking for the same batch —
+    * (q_id, doc_id, den_rnk ≤ 10); NaN sims excluded before ranking. */
+  private def denRanks(spark: SparkSession, dir: String): DataFrame = {
     val emb = embDouble(spark, dir)
     val qv = emb.filter(col("vec_id") < 8)
       .select(col("vec_id").as("q_id"), col("e").as("qe"))
     val wDen = Window.partitionBy("q_id")
       .orderBy(col("sim").desc, col("doc_id").asc)
-    val den = emb.crossJoin(broadcast(qv))
+    emb.crossJoin(broadcast(qv))
       .filter(col("vec_id") =!= col("q_id"))
       .select(col("q_id"), col("vec_id").as("doc_id"),
         round(graft.functions.sim.cosineSim(col("e"), col("qe")), 6).as("sim"))
@@ -1070,17 +1079,74 @@ object LlmOpsExtra {
       .withColumn("den_rnk", row_number().over(wDen))
       .filter(col("den_rnk") <= 10)
       .select(col("q_id"), col("doc_id"), col("den_rnk").cast("long").as("den_rnk"))
+  }
+
+  /** RRF fusion (k = 60) of the two legs, re-ranked —
+    * (q_id, doc_id, fused, lex_rnk, den_rnk, rnk). */
+  private def rrfFused(lex: DataFrame, den: DataFrame): DataFrame = {
     val wFuse = Window.partitionBy("q_id")
       .orderBy(col("fused").desc, col("doc_id").asc)
     lex.join(den, Seq("q_id", "doc_id"), "full_outer")
       .withColumn("fused", round(
         coalesce(lit(1.0) / (lit(60) + col("lex_rnk")), lit(0.0)) +
           coalesce(lit(1.0) / (lit(60) + col("den_rnk")), lit(0.0)), 6))
-      .withColumn("rnk", row_number().over(wFuse))
+      .withColumn("rnk", row_number().over(wFuse).cast("long"))
+  }
+
+  def llmHybridRrf(spark: SparkSession, dir: String): DataFrame =
+    rrfFused(lexRanks(spark, dir), denRanks(spark, dir))
       .filter(col("rnk") <= 3)
-      .select(col("q_id"), col("rnk").cast("long").as("rnk"),
+      .select(col("q_id"), col("rnk"),
         col("doc_id").as("hit_id"), col("fused"), col("lex_rnk"), col("den_rnk"))
       .orderBy(col("q_id").asc, col("rnk").asc)
+
+  /** Retrieval-quality eval harness (round 14) — the IR-eval step a RAG
+    * corpus build runs before trusting its index: score the lexical,
+    * dense, and fused rankings against a deterministic relevance oracle
+    * (relevant(q, d) ⇔ label(d) = label(q) — the embedding fixture's
+    * cluster labels, doc_id ≡ vec_id by construction) and report, per
+    * leg, macro-averaged MRR@10 and precision@10 over the 8-query
+    * batch. Near-chance numbers on the synthetic Gaussian fixture are
+    * the honest readout (llm_knn_classify's discipline) — the harness
+    * measures, it does not flatter.
+    *
+    * Shape: the three rank frames are the ≤80-row leg outputs (see
+    * llmHybridRrf — no corpus work beyond the two ranking passes);
+    * labels join from one column-pruned embeddings scan; metrics are
+    * exact integer-rank arithmetic (1/rank, hit counts) aggregated per
+    * query then macro-averaged, rounded 6dp — rank-identical engines
+    * produce identical doubles, so the oracle reproduces every value. */
+  def llmRetrievalEval(spark: SparkSession, dir: String): DataFrame = {
+    val labels = Tables.embeddings(spark, dir)
+      .select(col("vec_id"), col("label"))
+    val qLabels = labels.filter(col("vec_id") < 8)
+      .select(col("vec_id").as("q_id"), col("label").as("q_label"))
+    val lex = lexRanks(spark, dir)
+      .select(col("q_id"), col("doc_id"), col("lex_rnk").as("rnk"))
+      .withColumn("leg", lit("lex"))
+    val den = denRanks(spark, dir)
+      .select(col("q_id"), col("doc_id"), col("den_rnk").as("rnk"))
+      .withColumn("leg", lit("dense"))
+    val rrf = rrfFused(lexRanks(spark, dir), denRanks(spark, dir))
+      .filter(col("rnk") <= 10)
+      .select(col("q_id"), col("doc_id"), col("rnk"))
+      .withColumn("leg", lit("rrf"))
+    val perQuery = lex.unionByName(den).unionByName(rrf)
+      .join(broadcast(qLabels), "q_id")
+      .join(broadcast(labels.withColumnRenamed("vec_id", "doc_id")), "doc_id")
+      .withColumn("rel", (col("label") === col("q_label")).cast("int"))
+      .groupBy("leg", "q_id")
+      .agg(
+        // first relevant rank → reciprocal; no relevant in top-10 → 0
+        coalesce(lit(1.0) / min(when(col("rel") === 1, col("rnk"))), lit(0.0))
+          .as("rr"),
+        (sum("rel") / 10.0).as("p10"))
+    perQuery.groupBy("leg")
+      .agg(
+        count(lit(1)).as("n_queries"),
+        round(avg("rr"), 6).as("mrr_at_10"),
+        round(avg("p10"), 6).as("precision_at_10"))
+      .orderBy(col("leg").asc)
   }
 
   /** PCA / whitening over the embedding table (round-8 addendum) — the
@@ -1365,6 +1431,7 @@ object LlmOpsExtra {
     "llm_pca"           -> (llmPca _),
     "llm_bm25_retrieve" -> (llmBm25Retrieve _),
     "llm_hybrid_rrf" -> (llmHybridRrf _),
+    "llm_retrieval_eval" -> (llmRetrievalEval _),
     "llm_bloom_dedup"   -> (llmBloomDedup _),
     "llm_substring_dedup" -> (llmSubstringDedup _),
     "llm_pii_mask"      -> (llmPiiMask _),
@@ -1602,6 +1669,75 @@ object LlmOpsExtra {
         |  FROM fused)
         |SELECT q_id, rnk, doc_id AS hit_id, fused, lex_rnk, den_rnk
         |FROM r WHERE rnk <= 3 ORDER BY q_id ASC, rnk ASC""".stripMargin,
+    "llm_retrieval_eval" ->
+      """WITH post AS (
+        |  SELECT doc_id, tok, count(*) AS tf FROM (
+        |    SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents)
+        |  GROUP BY doc_id, tok),
+        |lens AS (SELECT doc_id, CAST(sum(tf) AS BIGINT) AS len FROM post GROUP BY doc_id),
+        |stats AS (SELECT count(*) AS n_docs, avg(len) AS avglen FROM lens),
+        |dfi AS (
+        |  SELECT tok, ln(1.0 + (n_docs - count(*) + 0.5) / (count(*) + 0.5)) AS idf,
+        |    avglen
+        |  FROM post, stats GROUP BY tok, n_docs, avglen),
+        |q AS (SELECT doc_id AS q_id, tok FROM post WHERE doc_id < 8),
+        |scored AS (
+        |  SELECT q.q_id, p.doc_id,
+        |    round(sum(dfi.idf * p.tf * 2.2 /
+        |      (p.tf + 1.2 * (0.25 + 0.75 * lens.len / stats.avglen))), 6) AS score
+        |  FROM post p
+        |  JOIN q ON p.tok = q.tok AND p.doc_id <> q.q_id
+        |  JOIN dfi ON p.tok = dfi.tok
+        |  JOIN lens ON p.doc_id = lens.doc_id
+        |  CROSS JOIN stats
+        |  GROUP BY q.q_id, p.doc_id),
+        |lex AS (
+        |  SELECT q_id, doc_id, lex_rnk FROM (
+        |    SELECT q_id, doc_id, row_number() OVER (PARTITION BY q_id
+        |      ORDER BY score DESC, doc_id ASC) AS lex_rnk
+        |    FROM scored) WHERE lex_rnk <= 10),
+        |e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS ve FROM embeddings),
+        |densim AS (
+        |  SELECT qe.vec_id AS q_id, n.vec_id AS doc_id,
+        |    round(list_cosine_similarity(qe.ve, n.ve), 6) AS sim
+        |  FROM e qe JOIN e n ON qe.vec_id < 8 AND n.vec_id <> qe.vec_id),
+        |den AS (
+        |  SELECT q_id, doc_id, den_rnk FROM (
+        |    SELECT q_id, doc_id, row_number() OVER (PARTITION BY q_id
+        |      ORDER BY sim DESC, doc_id ASC) AS den_rnk
+        |    FROM densim WHERE NOT isnan(sim)) WHERE den_rnk <= 10),
+        |fused AS (
+        |  SELECT coalesce(l.q_id, d.q_id) AS q_id,
+        |    coalesce(l.doc_id, d.doc_id) AS doc_id,
+        |    round(coalesce(CAST(1 AS DOUBLE) / (60 + l.lex_rnk), 0) +
+        |          coalesce(CAST(1 AS DOUBLE) / (60 + d.den_rnk), 0), 6) AS fused
+        |  FROM lex l FULL OUTER JOIN den d
+        |    ON l.q_id = d.q_id AND l.doc_id = d.doc_id),
+        |rrf AS (
+        |  SELECT q_id, doc_id, row_number() OVER (PARTITION BY q_id
+        |    ORDER BY fused DESC, doc_id ASC) AS rnk
+        |  FROM fused),
+        |legs AS (
+        |  SELECT 'lex' AS leg, q_id, doc_id, lex_rnk AS rnk FROM lex
+        |  UNION ALL
+        |  SELECT 'dense', q_id, doc_id, den_rnk FROM den
+        |  UNION ALL
+        |  SELECT 'rrf', q_id, doc_id, rnk FROM rrf WHERE rnk <= 10),
+        |lab AS (SELECT vec_id, label FROM embeddings),
+        |ql AS (SELECT vec_id AS q_id, label AS q_label FROM lab WHERE vec_id < 8),
+        |rel AS (
+        |  SELECT lg.leg, lg.q_id, lg.rnk,
+        |    CASE WHEN d.label = ql.q_label THEN 1 ELSE 0 END AS rel
+        |  FROM legs lg JOIN ql ON lg.q_id = ql.q_id
+        |  JOIN lab d ON lg.doc_id = d.vec_id),
+        |pq AS (
+        |  SELECT leg, q_id,
+        |    coalesce(CAST(1 AS DOUBLE) / min(CASE WHEN rel = 1 THEN rnk END), 0) AS rr,
+        |    CAST(sum(rel) AS DOUBLE) / 10 AS p10
+        |  FROM rel GROUP BY leg, q_id)
+        |SELECT leg, count(*) AS n_queries, round(avg(rr), 6) AS mrr_at_10,
+        |  round(avg(p10), 6) AS precision_at_10
+        |FROM pq GROUP BY leg ORDER BY leg ASC""".stripMargin,
     "llm_bloom_dedup" ->
       """WITH f AS (
         |  SELECT doc_id, lang,

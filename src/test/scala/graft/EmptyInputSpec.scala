@@ -33,6 +33,10 @@ class EmptyInputSpec extends AnyFunSuite {
     assert(operators.DataQuality.dqKAnon(spark, emptyDir).collect().isEmpty)
   }
 
+  test("dq_l_diversity over an empty population is empty, not a crash") {
+    assert(operators.DataQuality.dqLDiversity(spark, emptyDir).collect().isEmpty)
+  }
+
   test("graph_kcore of an empty graph is the zero row, not a crash") {
     val r = operators.Clustering.graphKcore(spark, emptyDir).collect()
     assert(r.length == 1)

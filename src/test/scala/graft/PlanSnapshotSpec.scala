@@ -217,8 +217,9 @@ class PlanSnapshotSpec extends AnyFunSuite {
       // patterns — the BM25 leg carries the 1-row n_docs/avglen scalar
       // (llm_bm25_retrieve's cross) and the dense leg crosses the corpus
       // with the BOUNDED 8-query broadcast batch (the llm_knn_join
-      // contract; IVF/LSH candidate join at 100 TB per scaladoc)
-      "llm_hybrid_rrf")
+      // contract; IVF/LSH candidate join at 100 TB per scaladoc).
+      // llm_retrieval_eval re-plans the same legs for its metric frames.
+      "llm_hybrid_rrf", "llm_retrieval_eval")
     val withNlj = plans.flatMap { case (name, plan) =>
       val n = plan.collect {
         case j: BroadcastNestedLoopJoinExec => j
