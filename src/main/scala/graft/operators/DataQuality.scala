@@ -574,9 +574,59 @@ object DataQuality {
       .orderBy(col("l").asc)
   }
 
+  /** t-closeness census (round 14) — the third gate of the privacy trio
+    * (Li/Li/Venkatasubramanian ICDE'07): an l-diverse class still leaks
+    * if its sensitive-value DISTRIBUTION diverges from the corpus-wide
+    * one (skewness attack). Per coarse QI class, measure the total
+    * variation distance ½·Σ|p_class(s) − p_global(s)| between the
+    * class's market-segment distribution and the global one (the
+    * categorical specialization of the paper's EMD), and report the
+    * census a release policy reads: classes and rows whose distance
+    * exceeds t ∈ {0.2, 0.35, 0.5}.
+    *
+    * Exactness discipline: the per-class and global proportions are
+    * ratios of exact counts; the distance is a ≤5-term sum of |a/b −
+    * c/d| doubles rounded at 6dp BEFORE the threshold compare, computed
+    * in the same order both engines aggregate (sum over the dense
+    * class×segment spine) — so the oracle matches hash-for-hash.
+    *
+    * Scale shape: one (QI, sensitive) hash agg, one QI rollup, one
+    * 5-row global frame BROADCAST into the dense spine (QI classes ×
+    * segments — domain-bounded), then the ×3 literal-spine census. */
+  def dqTCloseness(spark: SparkSession, dir: String): DataFrame = {
+    val cs = Tables.customer(spark, dir)
+      .groupBy(col("c_nationkey"),
+        floor(col("c_acctbal") / 1000).cast("long").as("bal_band"),
+        col("c_mktsegment"))
+      .agg(count(lit(1)).as("n"))
+    val cls = cs.groupBy("c_nationkey", "bal_band").agg(sum("n").as("gsz"))
+    val glob = broadcast(Tables.customer(spark, dir)
+      .groupBy(col("c_mktsegment")).agg(count(lit(1)).as("gn"))
+      .crossJoin(broadcast(Tables.customer(spark, dir).agg(count(lit(1)).as("gt")))))
+    // dense spine: every (class, segment) pair, zero-count cells included
+    // — |0 − p_global| must contribute to the distance
+    val spine = cls.crossJoin(glob.select(col("c_mktsegment"), col("gn"), col("gt")))
+      .join(cs, Seq("c_nationkey", "bal_band", "c_mktsegment"), "left")
+      .withColumn("p_cls", coalesce(col("n"), lit(0L)).cast("double") / col("gsz"))
+      .withColumn("p_glob", col("gn").cast("double") / col("gt"))
+    val dist = spine.groupBy("c_nationkey", "bal_band", "gsz")
+      .agg(round(sum(abs(col("p_cls") - col("p_glob"))) / 2.0, 6).as("tvd"))
+    dist.select(explode(array(lit(0.2), lit(0.35), lit(0.5))).as("t"),
+        col("gsz"), col("tvd"))
+      .groupBy("t")
+      .agg(
+        sum("gsz").as("n_rows"),
+        count(lit(1)).as("n_groups"),
+        sum(when(col("tvd") > col("t"), col("gsz")).otherwise(0L)).as("rows_at_risk"),
+        sum(when(col("tvd") > col("t"), 1L).otherwise(0L)).as("groups_at_risk"),
+        round(max("tvd"), 6).as("max_tvd"))
+      .orderBy(col("t").asc)
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "dq_k_anon"      -> (dqKAnon _),
     "dq_l_diversity" -> (dqLDiversity _),
+    "dq_t_closeness" -> (dqTCloseness _),
     "dq_recon"       -> (dqRecon _),
     "dq_dup_keys" -> (dqDupKeys _),
     "dq_orphans" -> (dqOrphans _),
@@ -593,6 +643,36 @@ object DataQuality {
     "join_scd2" -> (joinScd2 _))
 
   val oracleSql: Map[String, String] = Map(
+    "dq_t_closeness" ->
+      """WITH cs AS (
+        |  SELECT c_nationkey,
+        |    CAST(floor(c_acctbal / 1000) AS BIGINT) AS bal_band,
+        |    c_mktsegment, count(*) AS n
+        |  FROM customer GROUP BY 1, 2, 3),
+        |cls AS (SELECT c_nationkey, bal_band, CAST(sum(n) AS BIGINT) AS gsz
+        |        FROM cs GROUP BY 1, 2),
+        |seg AS (SELECT c_mktsegment, count(*) AS gn FROM customer GROUP BY 1),
+        |tot AS (SELECT count(*) AS gt FROM customer),
+        |spine AS (
+        |  SELECT cls.c_nationkey, cls.bal_band, cls.gsz,
+        |    CAST(coalesce(cs.n, 0) AS DOUBLE) / cls.gsz AS p_cls,
+        |    CAST(seg.gn AS DOUBLE) / tot.gt AS p_glob
+        |  FROM cls CROSS JOIN seg CROSS JOIN tot
+        |  LEFT JOIN cs ON cs.c_nationkey = cls.c_nationkey
+        |    AND cs.bal_band = cls.bal_band
+        |    AND cs.c_mktsegment = seg.c_mktsegment),
+        |dist AS (
+        |  SELECT c_nationkey, bal_band, gsz,
+        |    round(sum(abs(p_cls - p_glob)) / 2, 6) AS tvd
+        |  FROM spine GROUP BY 1, 2, 3),
+        |ts AS (SELECT CAST(unnest([0.2, 0.35, 0.5]) AS DOUBLE) AS t)
+        |SELECT ts.t, CAST(sum(gsz) AS BIGINT) AS n_rows,
+        |  count(*) AS n_groups,
+        |  CAST(sum(CASE WHEN tvd > ts.t THEN gsz ELSE 0 END) AS BIGINT) AS rows_at_risk,
+        |  CAST(sum(CASE WHEN tvd > ts.t THEN 1 ELSE 0 END) AS BIGINT) AS groups_at_risk,
+        |  round(max(tvd), 6) AS max_tvd
+        |FROM dist CROSS JOIN ts
+        |GROUP BY ts.t ORDER BY ts.t ASC""".stripMargin,
     "dq_l_diversity" ->
       """WITH g AS (
         |  SELECT c_nationkey,

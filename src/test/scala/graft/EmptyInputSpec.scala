@@ -37,6 +37,10 @@ class EmptyInputSpec extends AnyFunSuite {
     assert(operators.DataQuality.dqLDiversity(spark, emptyDir).collect().isEmpty)
   }
 
+  test("dq_t_closeness over an empty population is empty, not a crash") {
+    assert(operators.DataQuality.dqTCloseness(spark, emptyDir).collect().isEmpty)
+  }
+
   test("graph_kcore of an empty graph is the zero row, not a crash") {
     val r = operators.Clustering.graphKcore(spark, emptyDir).collect()
     assert(r.length == 1)

@@ -219,7 +219,11 @@ class PlanSnapshotSpec extends AnyFunSuite {
       // with the BOUNDED 8-query broadcast batch (the llm_knn_join
       // contract; IVF/LSH candidate join at 100 TB per scaladoc).
       // llm_retrieval_eval re-plans the same legs for its metric frames.
-      "llm_hybrid_rrf", "llm_retrieval_eval")
+      "llm_hybrid_rrf", "llm_retrieval_eval",
+      // round-14: dq_t_closeness crosses the QI-class frame with the
+      // 5-row global segment distribution and its 1-row total — the
+      // domain-bounded dense-spine pattern (llm_source_psi's class)
+      "dq_t_closeness")
     val withNlj = plans.flatMap { case (name, plan) =>
       val n = plan.collect {
         case j: BroadcastNestedLoopJoinExec => j
