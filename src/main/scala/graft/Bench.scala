@@ -161,29 +161,38 @@ object Bench {
           date_format(timestamp_seconds(col("id") % 100000000),
             "yyyy-MM-dd HH:mm:ss").as("ship"))
         val sch = synth.schema
-        // LOOPED to steady state (round 14, VERDICT r13 task 1): one 20k
+        // LOOPED TO CONVERGENCE (round 14, VERDICT r13 task 1): one 20k
         // pass triggers classloading + C1 but leaves the univocity
         // write/parse loops below C2's invocation thresholds — the r13
         // driver still charged ingest_csv ~4 task-CPU-s of tiered
         // compilation (task_cpu 8.1→12.0 with gc/io/steal flat and
-        // identical jobs). Six reps push ~120k rows through the same
-        // shared codec paths, crossing the C2 ladder; per-rep wall plus
-        // the JVM's cumulative JIT-ms delta go to stderr so the artifact
-        // SHOWS compilation converging in the untimed region. Synthetic
-        // rows only, same contract as the codegen warm-up above.
+        // identical jobs). Reps push ~20k rows each through the same
+        // shared codec paths UNTIL the per-rep compiler-time delta
+        // drops under 800 ms (a quiet host converges by rep ~6; a
+        // throttled host compiles ~2× slower and the fixed-rep form
+        // left a C2 backlog that bled ~170 task-CPU-s into the first
+        // timed 10× ingest run — measured round 14, r14b/c stress
+        // datums), capped at 14 reps so a pathological host can't
+        // stall the bench. Per-rep wall + the JVM's cumulative JIT-ms
+        // delta go to stderr so the artifact SHOWS compilation
+        // converging in the untimed region. Synthetic rows only, same
+        // contract as the codegen warm-up above.
         val jitBean = java.lang.management.ManagementFactory.getCompilationMXBean
         def jitNowMs(): Long =
           if (jitBean != null && jitBean.isCompilationTimeMonitoringSupported)
             jitBean.getTotalCompilationTime else -1L
-        for (rep <- 1 to 6) {
+        var rep = 0; var delta = Long.MaxValue
+        while (rep < 14 && (rep < 4 || delta > 800)) {
+          rep += 1
           val r0 = System.nanoTime(); val j0 = jitNowMs()
           synth.repartition(8).write.mode("overwrite")
             .option("header", "true").csv(s"$codecDir/csv")
           spark.read.schema(sch).option("header", "true").csv(s"$codecDir/csv")
             .groupBy("flag").agg(count(lit(1)), sum("qty"), min("ship")).collect()
+          delta = jitNowMs() - j0
           System.err.println(
             f"BENCH WARMUP csv rep$rep ${(System.nanoTime() - r0) / 1e9}%.3f s" +
-              f" (jit +${jitNowMs() - j0} ms)")
+              f" (jit +$delta ms)")
         }
         for (rep <- 1 to 3) {
           synth.repartition(8).write.mode("overwrite").json(s"$codecDir/json")
@@ -203,8 +212,11 @@ object Bench {
         // identical jobs and zero gc. Drive the SAME runtime shapes
         // (partitioned running window, unpartitioned domain-bounded
         // window, 9-arm min(when) tree, broadcast-scalar bucket
-        // reduce) on synthetic values, twice for the C1→C2 ladder.
-        for (rep <- 1 to 2) {
+        // reduce) on synthetic values — to the same convergence gate
+        // as the codec loop (delta < 1500 ms, ≥2 reps, cap 6).
+        var wrep = 0; var wdelta = Long.MaxValue
+        while (wrep < 6 && (wrep < 2 || wdelta > 1500)) {
+          wrep += 1
           val r0 = System.nanoTime(); val j0 = jitNowMs()
           val vals = spark.range(200000)
             .select((col("id") % 9973 * 37 % 4999).cast("double").as("v"))
@@ -227,9 +239,10 @@ object Bench {
             .reduce(_ + _)
           vals.crossJoin(broadcast(cuts)).withColumn("bucket", bucket)
             .groupBy("bucket").agg(count(lit(1)), min("v"), max("v")).collect()
+          wdelta = jitNowMs() - j0
           System.err.println(
-            f"BENCH WARMUP window rep$rep ${(System.nanoTime() - r0) / 1e9}%.3f s" +
-              f" (jit +${jitNowMs() - j0} ms)")
+            f"BENCH WARMUP window rep$wrep ${(System.nanoTime() - r0) / 1e9}%.3f s" +
+              f" (jit +$wdelta ms)")
         }
         // the files served their purpose the moment the JIT ran —
         // reclaim the tmpfs immediately instead of leaking per run
