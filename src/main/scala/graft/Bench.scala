@@ -107,6 +107,13 @@ object Bench {
     // records whether pages were actually faulted here — and a FAILED
     // warm-up is loud: silently skipping a table would revert it to
     // cold-cache timing that masquerades as a query regression (ADVICE r7).
+    // Cumulative JVM compiler-thread time (ms) — read by the warm-up
+    // convergence gates below AND the per-query jit column (one
+    // definition; round-14 review deduped the two copies).
+    val compBean = java.lang.management.ManagementFactory.getCompilationMXBean
+    def jitMs(): Long =
+      if (compBean != null && compBean.isCompilationTimeMonitoringSupported)
+        compBean.getTotalCompilationTime else -1L
     spark.sparkContext.setJobGroup("warmup", "bench warm-up", false)
     try {
       spark.range(1000000).selectExpr("sum(id)").collect()
@@ -143,7 +150,7 @@ object Bench {
       // precomputes nothing from any fixture.
       try {
         import org.apache.spark.sql.functions._
-        // per-JVM temp dir, deleted right after the warm-up: a FIXED
+        // per-JVM temp dir, deleted in the finally below: a FIXED
         // shared path would let two live bench JVMs (a contended datum
         // collected next to another run) overwrite each other's files
         // mid-read, failing the warm-up and bleeding the JIT cost back
@@ -153,6 +160,7 @@ object Bench {
             sys.props.getOrElse("java.io.tmpdir", "/tmp"))
         val codecPath = java.nio.file.Files.createTempDirectory(codecRoot, "graft_codec_warm_")
         val codecDir = codecPath.toString
+        try {
         val synth = spark.range(20000).select(col("id").as("okey"),
           (col("id") % 7).cast("int").as("line"),
           concat(lit("F"), col("id") % 3).as("flag"),
@@ -177,19 +185,15 @@ object Bench {
         // delta go to stderr so the artifact SHOWS compilation
         // converging in the untimed region. Synthetic rows only, same
         // contract as the codegen warm-up above.
-        val jitBean = java.lang.management.ManagementFactory.getCompilationMXBean
-        def jitNowMs(): Long =
-          if (jitBean != null && jitBean.isCompilationTimeMonitoringSupported)
-            jitBean.getTotalCompilationTime else -1L
         var rep = 0; var delta = Long.MaxValue
         while (rep < 14 && (rep < 4 || delta > 800)) {
           rep += 1
-          val r0 = System.nanoTime(); val j0 = jitNowMs()
+          val r0 = System.nanoTime(); val j0 = jitMs()
           synth.repartition(8).write.mode("overwrite")
             .option("header", "true").csv(s"$codecDir/csv")
           spark.read.schema(sch).option("header", "true").csv(s"$codecDir/csv")
             .groupBy("flag").agg(count(lit(1)), sum("qty"), min("ship")).collect()
-          delta = jitNowMs() - j0
+          delta = jitMs() - j0
           System.err.println(
             f"BENCH WARMUP csv rep$rep ${(System.nanoTime() - r0) / 1e9}%.3f s" +
               f" (jit +$delta ms)")
@@ -217,7 +221,7 @@ object Bench {
         var wrep = 0; var wdelta = Long.MaxValue
         while (wrep < 6 && (wrep < 2 || wdelta > 1500)) {
           wrep += 1
-          val r0 = System.nanoTime(); val j0 = jitNowMs()
+          val r0 = System.nanoTime(); val j0 = jitMs()
           val vals = spark.range(200000)
             .select((col("id") % 9973 * 37 % 4999).cast("double").as("v"))
           val vc = vals.groupBy("v").agg(count(lit(1)).as("cnt"))
@@ -239,17 +243,22 @@ object Bench {
             .reduce(_ + _)
           vals.crossJoin(broadcast(cuts)).withColumn("bucket", bucket)
             .groupBy("bucket").agg(count(lit(1)), min("v"), max("v")).collect()
-          wdelta = jitNowMs() - j0
+          wdelta = jitMs() - j0
           System.err.println(
             f"BENCH WARMUP window rep$wrep ${(System.nanoTime() - r0) / 1e9}%.3f s" +
               f" (jit +$wdelta ms)")
         }
-        // the files served their purpose the moment the JIT ran —
-        // reclaim the tmpfs immediately instead of leaking per run
-        def rmAll(f: java.io.File): Unit = {
-          val kids = f.listFiles(); if (kids != null) kids.foreach(rmAll); f.delete(); ()
+        } finally {
+          // the files served their purpose the moment the JIT ran —
+          // reclaim the tmpfs EVEN when a rep throws (round-14 review:
+          // nothing else sweeps graft_codec_warm_* dirs, so a failing
+          // warm-up on a contended host would otherwise accumulate
+          // tmpfs usage that perturbs later bench datums)
+          def rmAll(f: java.io.File): Unit = {
+            val kids = f.listFiles(); if (kids != null) kids.foreach(rmAll); f.delete(); ()
+          }
+          rmAll(codecPath.toFile)
         }
-        rmAll(codecPath.toFile)
       } catch { case e: Throwable =>
         System.err.println(s"BENCH WARMUP (text codecs) FAILED: ${e.getMessage}")
       }
@@ -387,10 +396,8 @@ object Bench {
     //     COUNT (CodegenMetrics histogram, via reflection — the object
     //     is spark-private) — how many NEW generated classes janino
     //     compiled for this query (first-touch vs cache-hit).
-    val compBean = java.lang.management.ManagementFactory.getCompilationMXBean
-    def jitMs(): Long =
-      if (compBean != null && compBean.isCompilationTimeMonitoringSupported)
-        compBean.getTotalCompilationTime else -1L
+    // (jitMs is the single definition above the warm-up block — the
+    // convergence gates and this column read the same bean.)
     val codegenHisto: Option[com.codahale.metrics.Histogram] =
       try {
         val m = Class.forName("org.apache.spark.metrics.source.CodegenMetrics$")

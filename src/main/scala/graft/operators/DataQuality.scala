@@ -594,15 +594,21 @@ object DataQuality {
     * 5-row global frame BROADCAST into the dense spine (QI classes ×
     * segments — domain-bounded), then the ×3 literal-spine census. */
   def dqTCloseness(spark: SparkSession, dir: String): DataFrame = {
-    val cs = Tables.customer(spark, dir)
-      .groupBy(col("c_nationkey"),
-        floor(col("c_acctbal") / 1000).cast("long").as("bal_band"),
-        col("c_mktsegment"))
-      .agg(count(lit(1)).as("n"))
+    // the (QI, sensitive) counts are materialized ONCE (domain-bounded —
+    // a few hundred rows): every downstream frame (class sizes, global
+    // segment distribution, global total, the dense-spine left join) is
+    // a rollup of this one aggregate, so the population is scanned
+    // exactly once per invocation (round-14 review: the previous form
+    // recomputed the global distribution from raw customer twice)
+    val cs = MemoFrames.materialize(spark, "tclose_cs",
+      Tables.customer(spark, dir)
+        .groupBy(col("c_nationkey"),
+          floor(col("c_acctbal") / 1000).cast("long").as("bal_band"),
+          col("c_mktsegment"))
+        .agg(count(lit(1)).as("n")))
     val cls = cs.groupBy("c_nationkey", "bal_band").agg(sum("n").as("gsz"))
-    val glob = broadcast(Tables.customer(spark, dir)
-      .groupBy(col("c_mktsegment")).agg(count(lit(1)).as("gn"))
-      .crossJoin(broadcast(Tables.customer(spark, dir).agg(count(lit(1)).as("gt")))))
+    val glob = broadcast(cs.groupBy(col("c_mktsegment")).agg(sum("n").as("gn"))
+      .crossJoin(broadcast(cs.agg(sum("n").as("gt")))))
     // dense spine: every (class, segment) pair, zero-count cells included
     // — |0 − p_global| must contribute to the distance
     val spine = cls.crossJoin(glob.select(col("c_mktsegment"), col("gn"), col("gt")))

@@ -963,18 +963,35 @@ object LlmOpsExtra {
     * doubles; accumulation-order noise ≪ 0.5e-6) and ties break on the
     * lower candidate id, mirroring the oracle. */
   def llmBm25Retrieve(spark: SparkSession, dir: String): DataFrame = {
-    // The posting list is MEMOIZED (MemoFrames): its consumers below
-    // (scalars, query terms, the candidate join) would otherwise each
-    // re-run the corpus explode+aggregate — 16 scheduled jobs for
-    // one query. An inverted index is a persisted artifact in any real
-    // retrieval system; the memo parquet is the single-node stand-in.
-    // The index persists tf PLUS each row's doc length and term df
-    // (round-8b: previously derived per query) — exactly what a
-    // Lucene-class index stores. The two window passes cost two extra
-    // exchanges in the ONE-TIME build; in exchange the per-query plan
-    // below loses the lens aggregate, the df/idf aggregate, AND the
-    // candidate-stream join on doc_id — on the contended driver that is
-    // half the query's scheduled jobs (12 → ~6 measured warm).
+    val w = Window.partitionBy("q_id")
+      .orderBy(col("score").desc, col("doc_id").asc)
+    bm25Scored(spark, dir)
+      .withColumn("rnk", row_number().over(w))
+      .filter(col("rnk") <= 3)
+      .select(col("q_id"), col("rnk").cast("long").as("rnk"),
+        col("doc_id").as("hit_id"), col("score"))
+      .orderBy(col("q_id").asc, col("rnk").asc)
+  }
+
+  /** BM25-scored (q_id, doc_id, score) candidates for the shared 8-doc
+    * query batch — the ONE scorer llm_bm25_retrieve, llm_hybrid_rrf,
+    * and llm_retrieval_eval all consume (round-14 review deduped the
+    * copy in lexRanks: the k1/b constants, idf formula, and 6dp
+    * rounding must live in exactly one place).
+    *
+    * The posting list is MEMOIZED (MemoFrames): its consumers below
+    * (scalars, query terms, the candidate join) would otherwise each
+    * re-run the corpus explode+aggregate — 16 scheduled jobs for
+    * one query. An inverted index is a persisted artifact in any real
+    * retrieval system; the memo parquet is the single-node stand-in.
+    * The index persists tf PLUS each row's doc length and term df
+    * (round-8b: previously derived per query) — exactly what a
+    * Lucene-class index stores. The two window passes cost two extra
+    * exchanges in the ONE-TIME build; in exchange the per-query plan
+    * below loses the lens aggregate, the df/idf aggregate, AND the
+    * candidate-stream join on doc_id — on the contended driver that is
+    * half the query's scheduled jobs (12 → ~6 measured warm). */
+  private def bm25Scored(spark: SparkSession, dir: String): DataFrame = {
     val post = bm25Post(spark, dir)
     // n_docs/avglen: one broadcast-sized agg over the index. avglen as
     // Σtf / n_docs divides the same exact integers the old avg-over-lens
@@ -984,7 +1001,7 @@ object LlmOpsExtra {
       (sum("tf").cast("double") / countDistinct(col("doc_id"))).as("avglen")))
     val qterms = post.filter(col("doc_id") < 8)
       .select(col("doc_id").as("q_id"), col("tok"))
-    val scored = post
+    post
       .join(broadcast(qterms), "tok")
       .filter(col("doc_id") =!= col("q_id"))
       .crossJoin(scalars)
@@ -995,14 +1012,6 @@ object LlmOpsExtra {
           (col("tf") + lit(1.2) * (lit(0.25) + lit(0.75) * col("len") / col("avglen"))))
           .as("c"))
       .groupBy("q_id", "doc_id").agg(round(sum("c"), 6).as("score"))
-    val w = Window.partitionBy("q_id")
-      .orderBy(col("score").desc, col("doc_id").asc)
-    scored
-      .withColumn("rnk", row_number().over(w))
-      .filter(col("rnk") <= 3)
-      .select(col("q_id"), col("rnk").cast("long").as("rnk"),
-        col("doc_id").as("hit_id"), col("score"))
-      .orderBy(col("q_id").asc, col("rnk").asc)
   }
 
   /** Hybrid retrieval fusion (round 14, VERDICT r13 task 3) — reciprocal-
@@ -1038,26 +1047,9 @@ object LlmOpsExtra {
     * llm_retrieval_eval; see llmHybridRrf for the determinism
     * discipline (6dp-rounded scores, doc-id tie-breaks). */
   private def lexRanks(spark: SparkSession, dir: String): DataFrame = {
-    val post = bm25Post(spark, dir)
-    val scalars = broadcast(post.agg(
-      countDistinct(col("doc_id")).as("n_docs"),
-      (sum("tf").cast("double") / countDistinct(col("doc_id"))).as("avglen")))
-    val qterms = post.filter(col("doc_id") < 8)
-      .select(col("doc_id").as("q_id"), col("tok"))
-    val lexScored = post
-      .join(broadcast(qterms), "tok")
-      .filter(col("doc_id") =!= col("q_id"))
-      .crossJoin(scalars)
-      .withColumn("idf",
-        log(lit(1.0) + (col("n_docs") - col("df") + 0.5) / (col("df") + 0.5)))
-      .select(col("q_id"), col("doc_id"),
-        (col("idf") * col("tf") * lit(2.2) /
-          (col("tf") + lit(1.2) * (lit(0.25) + lit(0.75) * col("len") / col("avglen"))))
-          .as("c"))
-      .groupBy("q_id", "doc_id").agg(round(sum("c"), 6).as("score"))
     val wLex = Window.partitionBy("q_id")
       .orderBy(col("score").desc, col("doc_id").asc)
-    lexScored
+    bm25Scored(spark, dir)
       .withColumn("lex_rnk", row_number().over(wLex))
       .filter(col("lex_rnk") <= 10)
       .select(col("q_id"), col("doc_id"), col("lex_rnk").cast("long").as("lex_rnk"))
@@ -1121,13 +1113,18 @@ object LlmOpsExtra {
       .select(col("vec_id"), col("label"))
     val qLabels = labels.filter(col("vec_id") < 8)
       .select(col("vec_id").as("q_id"), col("label").as("q_label"))
-    val lex = lexRanks(spark, dir)
+    // build each leg ONCE and fuse from the same frames (round-14
+    // review: re-calling the factories here re-executed the BM25
+    // scoring pass and the dense corpus join a second time each)
+    val lexR = lexRanks(spark, dir)
+    val denR = denRanks(spark, dir)
+    val lex = lexR
       .select(col("q_id"), col("doc_id"), col("lex_rnk").as("rnk"))
       .withColumn("leg", lit("lex"))
-    val den = denRanks(spark, dir)
+    val den = denR
       .select(col("q_id"), col("doc_id"), col("den_rnk").as("rnk"))
       .withColumn("leg", lit("dense"))
-    val rrf = rrfFused(lexRanks(spark, dir), denRanks(spark, dir))
+    val rrf = rrfFused(lexR, denR)
       .filter(col("rnk") <= 10)
       .select(col("q_id"), col("doc_id"), col("rnk"))
       .withColumn("leg", lit("rrf"))
@@ -1141,7 +1138,18 @@ object LlmOpsExtra {
         coalesce(lit(1.0) / min(when(col("rel") === 1, col("rnk"))), lit(0.0))
           .as("rr"),
         (sum("rel") / 10.0).as("p10"))
-    perQuery.groupBy("leg")
+    // (leg × query) spine: a query that produced NO rows in a leg's
+    // top-10 (no shared term; all-NaN sims) must score rr = p10 = 0,
+    // not silently shrink that leg's denominator (round-14 review —
+    // the standard macro-metric convention)
+    val legNames = spark.range(1)
+      .select(explode(array(lit("lex"), lit("dense"), lit("rrf"))).as("leg"))
+    val spine = qLabels.select(col("q_id")).crossJoin(broadcast(legNames))
+    spine.join(perQuery, Seq("leg", "q_id"), "left")
+      .select(col("leg"),
+        coalesce(col("rr"), lit(0.0)).as("rr"),
+        coalesce(col("p10"), lit(0.0)).as("p10"))
+      .groupBy("leg")
       .agg(
         count(lit(1)).as("n_queries"),
         round(avg("rr"), 6).as("mrr_at_10"),
@@ -1734,10 +1742,15 @@ object LlmOpsExtra {
         |  SELECT leg, q_id,
         |    coalesce(CAST(1 AS DOUBLE) / min(CASE WHEN rel = 1 THEN rnk END), 0) AS rr,
         |    CAST(sum(rel) AS DOUBLE) / 10 AS p10
-        |  FROM rel GROUP BY leg, q_id)
+        |  FROM rel GROUP BY leg, q_id),
+        |legnames AS (SELECT unnest(['lex', 'dense', 'rrf']) AS leg),
+        |spine AS (SELECT ln.leg, ql.q_id FROM legnames ln CROSS JOIN ql),
+        |filled AS (
+        |  SELECT s.leg, coalesce(pq.rr, 0) AS rr, coalesce(pq.p10, 0) AS p10
+        |  FROM spine s LEFT JOIN pq ON s.leg = pq.leg AND s.q_id = pq.q_id)
         |SELECT leg, count(*) AS n_queries, round(avg(rr), 6) AS mrr_at_10,
         |  round(avg(p10), 6) AS precision_at_10
-        |FROM pq GROUP BY leg ORDER BY leg ASC""".stripMargin,
+        |FROM filled GROUP BY leg ORDER BY leg ASC""".stripMargin,
     "llm_bloom_dedup" ->
       """WITH f AS (
         |  SELECT doc_id, lang,

