@@ -31,15 +31,53 @@ import graft.Tables
 object SourcesSinks {
 
   /** Scratch area outside the repo; keyed by scale factor so sf0.01
-    * verify and sf0.1 bench don't collide. Prefers tmpfs (/dev/shm) when
-    * present: the ingest/sink round-trips measure the ENGINE's encode/
-    * decode/plan work, and RAM-backed staging keeps host-disk contention
-    * (±2–4 s observed on /tmp) out of that measurement. Falls back to
-    * /tmp where no tmpfs exists. */
-  private val scratchRoot: String =
-    if (new java.io.File("/dev/shm").isDirectory) "/dev/shm/graft_io" else "/tmp/graft_io"
-  private def scratch(dir: String, op: String): String =
+    * verify and sf0.1 bench don't collide, AND by JVM so two live graft
+    * processes never share a staging dir (round 14: a Verify run and a
+    * concurrent test-suite JVM raced on the same evolve_* path — one
+    * overwrite-write deleted the other's _temporary dir mid-commit).
+    * Prefers tmpfs (/dev/shm) when present: the ingest/sink round-trips
+    * measure the ENGINE's encode/decode/plan work, and RAM-backed
+    * staging keeps host-disk contention (±2–4 s observed on /tmp) out
+    * of that measurement. Falls back to /tmp where no tmpfs exists.
+    * Lifecycle mirrors MemoFrames.jvmBase: delete on normal exit, and a
+    * once-per-JVM age-gated sweep (2 h mtime) reaps dirs crashed JVMs
+    * left behind — the per-JVM suffix would otherwise turn the old
+    * fixed path's bounded reuse into unbounded tmpfs growth. */
+  private lazy val scratchRoot: String = {
+    val base = new java.io.File(
+      if (new java.io.File("/dev/shm").isDirectory) "/dev/shm/graft_io"
+      else "/tmp/graft_io")
+    base.mkdirs()
+    try {
+      val cutoff = System.currentTimeMillis() - 2L * 3600 * 1000
+      val kids = base.listFiles()
+      if (kids != null) kids.foreach { f =>
+        // reap ANY stale dir here — our own crashed jvm_* dirs, the
+        // pre-round-14 fixed-path staging dirs, and abandoned streaming
+        // checkpoint tempdirs all become garbage within 2 h of last
+        // write. Derby dirs are EXCLUDED: JdbcSink owns their lifecycle
+        // (its own sweep holds a boot-lock probe so a live-but-idle
+        // database is never reaped on age alone).
+        if (f.isDirectory && !f.getName.startsWith("derby") &&
+            f.lastModified() < cutoff)
+          deleteRec(f)
+      }
+    } catch { case _: Throwable => () }
+    val mine = new java.io.File(base, s"jvm_${ProcessHandle.current().pid()}")
+    mine.mkdirs()
+    sys.addShutdownHook(deleteRec(mine))
+    mine.getAbsolutePath
+  }
+  private def deleteRec(f: java.io.File): Unit =
+    try {
+      val kids = f.listFiles(); if (kids != null) kids.foreach(deleteRec); f.delete(); ()
+    } catch { case _: Throwable => () }
+  private def scratch(dir: String, op: String): String = {
+    // liveness beacon (MemoFrames' fix): refresh our dir's mtime on
+    // every use so a >2 h session can't be reaped by a sibling's sweep
+    new java.io.File(scratchRoot).setLastModified(System.currentTimeMillis())
     s"$scratchRoot/${op}_${dir.replaceAll("[^A-Za-z0-9]", "_")}"
+  }
 
   /** Read back a path just written from `written`, reusing its schema: a
     * schema-less `spark.read.parquet` schedules a footer-inference job
