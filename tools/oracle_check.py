@@ -55,7 +55,10 @@ def main():
     con = duckdb.connect()
     for t in TABLES:
         p = Path(sf_dir, f"{t}.parquet")
-        if p.exists():
+        if p.is_dir():
+            # Spark directory layout (StressGen frames): glob the parts
+            con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{p}/*.parquet'")
+        elif p.exists():
             con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{p}'")
 
     failures = []
