@@ -51,19 +51,40 @@ object MemoFrames {
       "graft-memo").toPath
     java.nio.file.Files.createDirectories(root)
     sweepStale(root)
-    val mine = java.nio.file.Files.createTempDirectory(root, "jvm_")
+    // pid in the dir name so the sweep below can check owner LIVENESS,
+    // not just mtime (same fix as SourcesSinks.scratchRoot, ADVICE r14);
+    // createTempDirectory still appends a random suffix so two sessions
+    // of one pid across a fast restart can never collide
+    val mine = java.nio.file.Files.createTempDirectory(
+      root, s"jvm_${ProcessHandle.current().pid()}_")
     sys.addShutdownHook(deleteRecursively(mine.toString))
     mine
   }
 
-  /** Reap sibling JVM dirs whose mtime is > 2 h old: live JVMs are created
-    * at boot and outlived by nothing here but a crash. Best-effort. */
+  /** This JVM's memo base — the one sanctioned way for a TEST to locate
+    * memoized artifacts on disk (never rebuild `/dev/shm/graft-memo/...`
+    * by hand: ScratchPathHygieneSpec enforces this, VERDICT r14 task 2). */
+  private[graft] def jvmBaseDir: java.io.File = jvmBase.toFile
+
+  /** Reap sibling JVM dirs whose mtime is > 2 h old AND whose owning pid
+    * (when the name encodes one) is no longer alive: live JVMs refresh
+    * their own dir's mtime only on memo calls, so a >2 h computation gap
+    * must not cost a LIVE sibling its artifacts (ADVICE r14 — the
+    * SourcesSinks sweep had the same hazard). Pre-r15 `jvm_<random>`
+    * names fail the pid parse and fall back to the pure age gate.
+    * Best-effort. */
   private def sweepStale(root: java.nio.file.Path): Unit =
     try {
       val cutoff = System.currentTimeMillis() - 2L * 3600 * 1000
       val kids = root.toFile.listFiles()
       if (kids != null) kids.foreach { f =>
-        if (f.isDirectory && f.lastModified() < cutoff)
+        val ownerAlive = f.getName.split("_") match {
+          case Array("jvm", pid, _*) if pid.forall(_.isDigit) && pid.nonEmpty =>
+            try ProcessHandle.of(pid.toLong).map[Boolean](_.isAlive).orElse(false)
+            catch { case _: NumberFormatException => false }
+          case _ => false
+        }
+        if (f.isDirectory && !ownerAlive && f.lastModified() < cutoff)
           deleteRecursively(f.getAbsolutePath)
       }
     } catch { case _: Throwable => () }

@@ -57,8 +57,23 @@ object SourcesSinks {
         // checkpoint tempdirs all become garbage within 2 h of last
         // write. Derby dirs are EXCLUDED: JdbcSink owns their lifecycle
         // (its own sweep holds a boot-lock probe so a live-but-idle
-        // database is never reaped on age alone).
-        if (f.isDirectory && !f.getName.startsWith("derby") &&
+        // database is never reaped on age alone). jvm_<pid> dirs whose
+        // owner is STILL ALIVE are also excluded regardless of age
+        // (ADVICE r14): the liveness beacon refreshes mtime only when
+        // scratch() is called, so a session that staged files and then
+        // spent >2 h in non-IO queries would otherwise lose its staging
+        // to a freshly started sibling's sweep mid-read. The age gate
+        // still reaps a dead pid's leftovers (and any unparseable name).
+        val ownerAlive = f.getName match {
+          case s if s.startsWith("jvm_") =>
+            try {
+              val pid = s.stripPrefix("jvm_").toLong
+              pid == ProcessHandle.current().pid() ||
+                ProcessHandle.of(pid).map[Boolean](_.isAlive).orElse(false)
+            } catch { case _: NumberFormatException => false }
+          case _ => false
+        }
+        if (f.isDirectory && !f.getName.startsWith("derby") && !ownerAlive &&
             f.lastModified() < cutoff)
           deleteRec(f)
       }
@@ -78,6 +93,16 @@ object SourcesSinks {
     new java.io.File(scratchRoot).setLastModified(System.currentTimeMillis())
     s"$scratchRoot/${op}_${dir.replaceAll("[^A-Za-z0-9]", "_")}"
   }
+
+  /** The REAL output path an operator's `scratch(dir, op)` resolved to in
+    * this JVM — the one sanctioned way for a TEST to locate a sink's
+    * files. Round 14's scratch-isolation commit moved staging under a
+    * per-JVM `jvm_<pid>/` dir and the `sink_zorder` quality gate, which
+    * hand-reconstructed the old fixed path, kept passing only against a
+    * STALE pre-fix artifact on tmpfs (VERDICT r14 defect #1). Tests must
+    * never rebuild staging paths by string concatenation —
+    * ScratchPathHygieneSpec enforces that at the source level. */
+  private[graft] def scratchFor(dir: String, op: String): String = scratch(dir, op)
 
   /** Read back a path just written from `written`, reusing its schema: a
     * schema-less `spark.read.parquet` schedules a footer-inference job

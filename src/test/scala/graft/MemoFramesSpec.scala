@@ -58,14 +58,11 @@ class MemoFramesSpec extends AnyFunSuite {
   test("memo files live under the JVM base dir and belong to the session") {
     val s = spark.newSession()
     MemoFrames.frame(s, "memospec_files") { s.range(3).toDF() }.count()
-    val base = new java.io.File(
-      if (new java.io.File("/dev/shm").isDirectory) "/dev/shm/graft-memo"
-      else new java.io.File(sys.props("java.io.tmpdir"), "graft-memo").getPath)
-    assert(base.isDirectory, s"memo base $base missing")
-    val jvmDirs = base.listFiles().filter(_.getName.startsWith("jvm_"))
-    assert(jvmDirs.nonEmpty)
+    // THIS JVM's real memo base (never hand-rebuilt — ScratchPathHygieneSpec)
+    val jvmDir = MemoFrames.jvmBaseDir
+    assert(jvmDir.isDirectory, s"memo base $jvmDir missing")
     // this JVM's dir contains at least one session dir with our memo file
-    val memoFiles = jvmDirs.flatMap(_.listFiles()).filter(_.getName.startsWith("session_"))
+    val memoFiles = jvmDir.listFiles().filter(_.getName.startsWith("session_"))
       .flatMap(_.listFiles()).filter(_.getName.contains("memospec_files"))
     assert(memoFiles.nonEmpty, "memoized parquet not found under the session dir")
   }

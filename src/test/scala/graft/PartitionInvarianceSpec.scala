@@ -84,14 +84,12 @@ class PartitionInvarianceSpec extends AnyFunSuite {
     // dirs), and NOTHING from this query lingers in block-manager
     // storage (the localCheckpoint failure mode round 2 hit).
     Clustering.llmDedupClusters(spark, sf0001).count()
-    val base = new java.io.File(
-      if (new java.io.File("/dev/shm").isDirectory) "/dev/shm/graft-memo"
-      else new java.io.File(sys.props("java.io.tmpdir"), "graft-memo").getPath)
-    val matDirs = Option(base.listFiles()).getOrElse(Array.empty)
-      .filter(_.getName.startsWith("jvm_")).flatMap(d => Option(d.listFiles()).getOrElse(Array.empty))
+    // THIS JVM's real memo base (never hand-rebuilt — ScratchPathHygieneSpec)
+    val jvmDir = MemoFrames.jvmBaseDir
+    val matDirs = Option(jvmDir.listFiles()).getOrElse(Array.empty)
       .filter(_.getName.startsWith("session_")).flatMap(d => Option(d.listFiles()).getOrElse(Array.empty))
       .filter(_.getName.startsWith("mat_cc_"))
-    assert(matDirs.nonEmpty, s"expected mat_cc_* materializations under $base")
+    assert(matDirs.nonEmpty, s"expected mat_cc_* materializations under $jvmDir")
     assert(spark.sparkContext.getPersistentRDDs.isEmpty,
       "CC loop must not leave cached RDDs in block-manager storage")
   }

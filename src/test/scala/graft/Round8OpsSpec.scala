@@ -410,10 +410,10 @@ class Round8OpsSpec extends AnyFunSuite {
     // run the operator (writes the clustered files as a side effect)
     val res = operators.SourcesSinks.sinkZorder(spark, sf0001).collect()
     assert(res.nonEmpty)
-    // same scratch-path construction as SourcesSinks.scratch
-    val root =
-      if (new java.io.File("/dev/shm").isDirectory) "/dev/shm/graft_io" else "/tmp/graft_io"
-    val out = s"$root/zorder_${sf0001.replaceAll("[^A-Za-z0-9]", "_")}"
+    // the operator's REAL per-JVM output path — never hand-reconstructed
+    // (VERDICT r14 defect #1: the old fixed-path rebuild here silently
+    // read a STALE pre-scratch-isolation artifact from tmpfs)
+    val out = operators.SourcesSinks.scratchFor(sf0001, "zorder")
     val spans = spark.read.parquet(out)
       .select(input_file_name().as("f"), col("l_partkey"), col("l_suppkey"))
       .groupBy("f")
