@@ -61,7 +61,15 @@ object RuntimeFilter {
             if e.getStackTrace.isEmpty ||
               e.getStackTrace.take(4).exists(f =>
                 f.getClassName == "org.apache.spark.util.sketch.BloomFilter" &&
-                  f.getMethodName == "readFrom") => None
+                  f.getMethodName == "readFrom") =>
+          // Signature matched — but OmitStackTraceInFastThrow elides traces
+          // per THROW SITE, so an unrelated hot NPE could also arrive
+          // empty-traced (ADVICE r14). Before classifying as "empty
+          // dimension" (which turns the probe into a constant-false scan —
+          // a SILENT empty result if wrong), confirm the build side really
+          // is empty. One limit(1) job, and only on this already-
+          // exceptional path — the happy path still pays nothing.
+          if (cust.limit(1).count() == 0) None else throw e
       }
     val pruned = Tables.orders(spark, dir)
       .filter(bfOpt match {

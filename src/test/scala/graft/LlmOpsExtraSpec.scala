@@ -11,6 +11,23 @@ class LlmOpsExtraSpec extends AnyFunSuite {
   import TestSpark._
   import spark.implicits._
 
+  test("retrieval-eval fixture contract: every documents.doc_id has an embeddings label") {
+    // llmRetrievalEval inner-joins retrieved doc_ids against the
+    // embeddings label table (and the oracle does the same, so parity
+    // holds either way) — but a BM25 hit with no label row would be
+    // SILENTLY dropped from the rr / p10 numerators, understating the
+    // lexical leg (ADVICE r14). Pin the id-coverage invariant the metric
+    // relies on at the fixture grain so a fixture regeneration that
+    // breaks doc_id ⊆ vec_id fails HERE, not as a quietly-deflated metric.
+    val docs = Tables.documents(spark, sf0001).select(col("doc_id"))
+    val labeled = Tables.embeddings(spark, sf0001)
+      .select(col("vec_id").as("doc_id"))
+    val orphans = docs.join(labeled, Seq("doc_id"), "left_anti").count()
+    assert(orphans === 0L,
+      s"$orphans documents.doc_id values have no embeddings.vec_id label row — " +
+        "llm_retrieval_eval's inner label join would silently drop their hits")
+  }
+
   test("identical texts share a fingerprint; n_sharing counts them") {
     val out = LlmOpsExtra.llmFingerprint(spark, sf0001)
     assert(out.count() === 500)

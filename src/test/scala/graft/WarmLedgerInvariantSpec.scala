@@ -19,28 +19,35 @@ import graft.operators.{MemoFrames, SharedArtifacts}
   * appeared. Per-call `materialize` tags are per-invocation by contract
   * and intentionally out of scope (they are timed work).
   *
-  * Scope note: the shared TestSpark session may already hold keys built
-  * by earlier suites — those are inside the post-warm snapshot either
-  * way, so the assertion only weakens if ANOTHER suite consumed the
-  * missing artifact first in the same JVM; the driver's fresh bench JVM
-  * has no such shadow. */
+  * Determinism (ADVICE r14): the check runs on a DEDICATED
+  * `newSession()` — MemoFrames keys its cache by SparkSession instance
+  * (WeakHashMap), so a fresh session starts with ZERO shared memo keys
+  * regardless of which suites ran earlier in this JVM, and the
+  * invariant's strength no longer varies with suite ordering. The
+  * pre-warm emptiness is asserted, so if the memo keying ever changed
+  * to share across sessions this spec fails loudly instead of silently
+  * weakening. */
 class WarmLedgerInvariantSpec extends AnyFunSuite {
   import TestSpark._
 
   test("every shared memo key a declared query builds is in the warm ledger") {
-    val warmed = SharedArtifacts.warm(spark, sf0001)
+    val fresh = spark.newSession()
+    assert(MemoFrames.knownKeys(fresh).isEmpty,
+      "dedicated session must start with an empty shared memo map — " +
+        "MemoFrames keying changed? the snapshot below is no longer deterministic")
+    val warmed = SharedArtifacts.warm(fresh, sf0001)
     assert(warmed.nonEmpty)
     val failed = warmed.filter(_._2 < 0).map(_._1)
     assert(failed.isEmpty, s"artifacts failed to warm: ${failed.mkString(", ")}")
-    val ledgerKeys = MemoFrames.knownKeys(spark)
+    val ledgerKeys = MemoFrames.knownKeys(fresh)
     SparkEntry.queries.toSeq.sortBy(_._1).foreach { case (name, fn) =>
-      try { fn(spark, sf0001); () }
+      try { fn(fresh, sf0001); () }
       catch { case e: Throwable =>
         fail(s"query $name failed to construct at sf0.001: " +
           s"${e.getClass.getSimpleName}: ${e.getMessage}")
       }
     }
-    val unwarmed = MemoFrames.knownKeys(spark) -- ledgerKeys
+    val unwarmed = MemoFrames.knownKeys(fresh) -- ledgerKeys
     assert(unwarmed.isEmpty,
       s"shared memo keys built OUTSIDE the warm ledger: " +
         s"${unwarmed.toSeq.sorted.mkString(", ")} — register them in " +
