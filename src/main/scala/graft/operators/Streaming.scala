@@ -187,6 +187,79 @@ object Streaming {
       .orderBy(col("day").asc, col("event_type").asc)
   }
 
+  /** CHECKPOINT RECOVERY as a DECLARED query (VERDICT r14 task 6 —
+    * previously proven only inside StreamingRecoverySpec): the
+    * incremental loader's real failure mode is a restart mid-backlog, and
+    * the recovery contract is that the SECOND life of the query resumes
+    * from the checkpoint — replaying NO already-committed file and
+    * restoring the aggregation state — so its census still equals the
+    * batch answer over everything. This call stages the same
+    * day-partitioned drop as `stream_incremental` (shared memo artifact),
+    * exposes only the FIRST HALF of the days to a file-source stream
+    * (hardlinks into a per-call source dir — link, not copy: the staged
+    * files are immutable and tmpfs-local), runs it to completion under
+    * `Trigger.AvailableNow`, STOPS it, links in the remaining days, and
+    * starts a brand-new query instance on the SAME checkpoint. Life 2
+    * discovers only the new files (the source log has committed the
+    * rest) and emits the complete census from restored state + new data —
+    * the DuckDB oracle checks it equals the batch aggregate over ALL
+    * events, which is exactly the recovery guarantee. Complete-mode
+    * memory sink is the one sink Spark sanctions for checkpoint restart
+    * (recoverFromCheckpointLocation is special-cased for it), and the
+    * stateful agg in the checkpoint is the state being proven.
+    * At 100 TB the same topology is the production loader: executors die,
+    * the driver restarts, and the checkpoint — not a re-read of the
+    * corpus — carries the query forward. */
+  def streamRecovery(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.streaming.Trigger
+    val (stagedSrc, schema) = incrStage(spark, dir)
+    val base = java.nio.file.Paths.get(
+      if (new java.io.File("/dev/shm").isDirectory) "/dev/shm/graft_io" else "/tmp/graft_io")
+    java.nio.file.Files.createDirectories(base)
+    val tmp = java.nio.file.Files.createTempDirectory(base, "graft_recov_").toString
+    val src = s"$tmp/src"
+    java.nio.file.Files.createDirectories(java.nio.file.Paths.get(src))
+    val qname = "rec_" + new java.io.File(tmp).getName.replaceAll("[^A-Za-z0-9_]", "")
+    val dayDirs = Option(new java.io.File(stagedSrc).listFiles())
+      .getOrElse(Array.empty)
+      .filter(f => f.isDirectory && f.getName.startsWith("day="))
+      .sortBy(_.getName)
+    // first half of the days = life 1's visible backlog; a degenerate
+    // 1-day corpus collapses to a single life (split = 1), still correct
+    val split = math.max(1, dayDirs.length / 2)
+    def linkIn(days: Array[java.io.File]): Unit = days.foreach { d =>
+      val destDay = new java.io.File(src, d.getName)
+      destDay.mkdirs()
+      Option(d.listFiles()).getOrElse(Array.empty)
+        .filter(f => f.isFile && !f.getName.startsWith("_") && !f.getName.startsWith("."))
+        .foreach { f =>
+          val dest = new java.io.File(destDay, f.getName).toPath
+          try { java.nio.file.Files.createLink(dest, f.toPath); () }
+          catch { case _: Throwable =>
+            java.nio.file.Files.copy(f.toPath, dest); () }
+        }
+    }
+    def runLife(): Unit = {
+      val q = spark.readStream.schema(schema).parquet(src)
+        .groupBy(col("day").cast("string").as("day"), col("event_type"))
+        .agg(count(lit(1)).as("n"), round(sum(col("value")), 2).as("val"))
+        .writeStream.format("memory").queryName(qname)
+        .option("checkpointLocation", s"$tmp/ckpt")
+        .outputMode("complete").trigger(Trigger.AvailableNow()).start()
+      try { q.awaitTermination(300000); () } finally q.stop()
+    }
+    try {
+      linkIn(dayDirs.take(split))
+      runLife() // life 1: commits the first half into the checkpoint
+      linkIn(dayDirs.drop(split))
+      runLife() // life 2: NEW query instance, SAME checkpoint — restored
+                // state + only-the-new-files must reproduce the full census
+    } finally deleteStaging(tmp) // memory sink rows live on the driver —
+                                 // the staging/checkpoint is already history
+    spark.table(qname)
+      .orderBy(col("day").asc, col("event_type").asc)
+  }
+
   /** Best-effort recursive delete of a per-invocation staging dir. */
   private def deleteStaging(path: String): Unit =
     try {
@@ -360,6 +433,7 @@ object Streaming {
     "stream_dedup_watermark" -> (streamDedupWatermark _),
     "stream_late_data" -> (streamLateData _),
     "stream_incremental" -> (streamIncremental _),
+    "stream_recovery" -> (streamRecovery _),
     "stream_stateful" -> (streamStateful _))
 
   /** Typed custom-state sessionization (`KeyValueGroupedDataset.
@@ -456,6 +530,13 @@ object Streaming {
         | min(ts) AS s_start, max(ts) AS s_end
         |FROM s GROUP BY user_id, session_id ORDER BY user_id ASC, session_id ASC""".stripMargin,
     "stream_incremental" ->
+      """SELECT strftime(ts, '%Y-%m-%d') AS day, event_type,
+        | count(*) AS n, round(sum(value), 2) AS val
+        |FROM events GROUP BY day, event_type
+        |ORDER BY day ASC, event_type ASC""".stripMargin,
+    // recovery contract: the post-restart census equals the batch answer
+    // over ALL events — identical oracle to stream_incremental by design
+    "stream_recovery" ->
       """SELECT strftime(ts, '%Y-%m-%d') AS day, event_type,
         | count(*) AS n, round(sum(value), 2) AS val
         |FROM events GROUP BY day, event_type

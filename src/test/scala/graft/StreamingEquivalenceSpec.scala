@@ -218,6 +218,28 @@ class StreamingEquivalenceSpec extends AnyFunSuite {
     assert(ddw === batch)
   }
 
+  test("declared stream_recovery: two lives on one checkpoint equal the batch census") {
+    // life 1 sees only the first half of the day drops; life 2 is a NEW
+    // query instance on the SAME checkpoint that must restore the agg
+    // state and process only the new files — the declared result is the
+    // post-recovery complete census, which must equal the plain batch
+    // aggregate over ALL events (the same equality the DuckDB oracle
+    // checks at sf0.01)
+    val recovered = operators.Streaming.queries("stream_recovery")(spark, sf0001)
+      .collect().map(_.toSeq).toSeq
+    val batch = Tables.events(spark, sf0001)
+      .groupBy(date_format(col("ts"), "yyyy-MM-dd").as("day"), col("event_type"))
+      .agg(count(lit(1)).as("n"), round(sum(col("value")), 2).as("val"))
+      .orderBy(col("day").asc, col("event_type").asc)
+      .collect().map(_.toSeq).toSeq
+    assert(recovered === batch)
+    // the split really was mid-backlog: the fixture spans many days, so
+    // life 1 cannot have seen everything
+    val nDays = Tables.events(spark, sf0001)
+      .select(date_format(col("ts"), "yyyy-MM-dd")).distinct().count()
+    assert(nDays >= 2, s"fixture has $nDays day(s) — recovery split degenerate")
+  }
+
   test("session_window batch agrees with the gaps-and-islands formulation") {
     val gi = operators.Streaming.streamSession(spark, sf0001)
       .groupBy("user_id").agg(count(lit(1)).as("sessions"), sum("n").as("events"))
