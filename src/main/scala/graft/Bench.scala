@@ -1,5 +1,5 @@
 package graft
-import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.{DataFrame, SparkSession}
 
 /** Benchmark main. Contract: print ONE JSON line with the timing map.
   *
@@ -78,6 +78,17 @@ object Bench {
       new java.util.concurrent.ConcurrentHashMap[String, java.util.concurrent.atomic.LongAdder]()
     val taskRunByGroup =
       new java.util.concurrent.ConcurrentHashMap[String, java.util.concurrent.atomic.LongAdder]()
+    // Per-query spill attribution (round 15, VERDICT r14 task 4): the
+    // bounded-heap certification needs to SHOW which operators spilled
+    // rather than OOM'd — memoryBytesSpilled (bytes that left execution
+    // memory) and diskBytesSpilled (bytes that actually hit disk after
+    // compression) per job group, same accumulation discipline as
+    // task_cpu. On a roomy heap both columns read ~0; the lowmem
+    // artifact is where they carry the evidence.
+    val spillMemByGroup =
+      new java.util.concurrent.ConcurrentHashMap[String, java.util.concurrent.atomic.LongAdder]()
+    val spillDiskByGroup =
+      new java.util.concurrent.ConcurrentHashMap[String, java.util.concurrent.atomic.LongAdder]()
     spark.sparkContext.addSparkListener(new org.apache.spark.scheduler.SparkListener {
       override def onJobStart(js: org.apache.spark.scheduler.SparkListenerJobStart): Unit = {
         val g = Option(js.properties)
@@ -93,6 +104,10 @@ object Bench {
             .add(m.executorCpuTime)  // ns
           taskRunByGroup.computeIfAbsent(g, _ => new java.util.concurrent.atomic.LongAdder)
             .add(m.executorRunTime)  // ms
+          spillMemByGroup.computeIfAbsent(g, _ => new java.util.concurrent.atomic.LongAdder)
+            .add(m.memoryBytesSpilled)
+          spillDiskByGroup.computeIfAbsent(g, _ => new java.util.concurrent.atomic.LongAdder)
+            .add(m.diskBytesSpilled)
         }
       }
     })
@@ -421,36 +436,61 @@ object Bench {
     val benchT0 = System.nanoTime()
     final case class QRes(name: String, r: Either[String, Double], t0: Double,
         load: Double, stall: Double, cpu: Double, ioStall: Double, gc: Double,
-        memStall: Double, steal: Double, jit: Double, codegenN: Long)
+        memStall: Double, steal: Double, jit: Double, codegenN: Long,
+        group: String, reps: Int)
+    def runOnce(name: String, fn: (SparkSession, String) => DataFrame,
+        group: String, rep: Int): QRes = {
+      spark.sparkContext.setJobGroup(group, name, false)
+      val la0 = loadavg1(); val st0 = cpuStallUs(); val io0 = ioStallUs()
+      val mm0 = memStallUs(); val sl0 = stealTicks()
+      val cpu0 = procCpuNs(); val gc0 = gcTimeMs()
+      val jit0 = jitMs(); val cg0 = codegenCount()
+      val t0 = System.nanoTime()
+      val r = try {
+        fn(spark, sfDir).count()
+        Right((System.nanoTime() - t0) / 1e9)
+      } catch {
+        case e: Throwable =>
+          System.err.println(s"BENCH FAIL $name: ${e.getClass.getSimpleName}: ${e.getMessage}")
+          Left("err")
+      } finally spark.sparkContext.clearJobGroup()
+      val cpu1 = procCpuNs(); val gc1 = gcTimeMs()
+      val st1 = cpuStallUs(); val io1 = ioStallUs(); val mm1 = memStallUs()
+      val sl1 = stealTicks()
+      val jit1 = jitMs(); val cg1 = codegenCount()
+      val stall = if (st0 >= 0 && st1 >= 0) (st1 - st0) / 1e6 else -1.0
+      val steal = if (sl0 >= 0 && sl1 >= 0) (sl1 - sl0) / userHz else -1.0
+      val ioSt = if (io0 >= 0 && io1 >= 0) (io1 - io0) / 1e6 else -1.0
+      val mmSt = if (mm0 >= 0 && mm1 >= 0) (mm1 - mm0) / 1e6 else -1.0
+      val cpu = if (cpu0 >= 0 && cpu1 >= 0) (cpu1 - cpu0) / 1e9 else -1.0
+      val jit = if (jit0 >= 0 && jit1 >= 0) (jit1 - jit0) / 1e3 else -1.0
+      val cgN = if (cg0 >= 0 && cg1 >= 0) cg1 - cg0 else -1L
+      QRes(name, r, (t0 - benchT0) / 1e9, la0, stall, cpu, ioSt,
+        (gc1 - gc0) / 1e3, mmSt, steal, jit, cgN, group, rep)
+    }
+    // Per-query first-touch JIT gate (round 15, VERDICT r14 task 3): the
+    // warm-up above converges the SHARED trees (codecs, window machinery,
+    // codegen'd HOFs), but a newly declared query's own generated classes
+    // still tier-compile inside its first timed run — dq_t_closeness's
+    // 2.41×-vs-clean driver row was exactly that (jit 3.10 s vs 1.17
+    // clean, same plan, same jobs). Gate: if a query's timed run carried
+    // > 1.5 s of in-flight compiler time, run it ONCE more and report the
+    // second run — the rep lands in its own job group so the per-group
+    // columns (jobs/task_cpu/spill) describe the reported rep only, and
+    // the `reps` column plus a stderr line keep the re-run visible rather
+    // than silently absorbed. One retry max: a query still jit-heavy on
+    // rep 2 is genuinely compiling per-invocation code (generated plans
+    // over per-call literals) and that cost is honestly its own.
+    val jitGateMs = 1500.0
     val results: Seq[QRes] =
       SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
-        spark.sparkContext.setJobGroup(s"q:$name", name, false)
-        val la0 = loadavg1(); val st0 = cpuStallUs(); val io0 = ioStallUs()
-        val mm0 = memStallUs(); val sl0 = stealTicks()
-        val cpu0 = procCpuNs(); val gc0 = gcTimeMs()
-        val jit0 = jitMs(); val cg0 = codegenCount()
-        val t0 = System.nanoTime()
-        val r = try {
-          fn(spark, sfDir).count()
-          Right((System.nanoTime() - t0) / 1e9)
-        } catch {
-          case e: Throwable =>
-            System.err.println(s"BENCH FAIL $name: ${e.getClass.getSimpleName}: ${e.getMessage}")
-            Left("err")
-        } finally spark.sparkContext.clearJobGroup()
-        val cpu1 = procCpuNs(); val gc1 = gcTimeMs()
-        val st1 = cpuStallUs(); val io1 = ioStallUs(); val mm1 = memStallUs()
-        val sl1 = stealTicks()
-        val jit1 = jitMs(); val cg1 = codegenCount()
-        val stall = if (st0 >= 0 && st1 >= 0) (st1 - st0) / 1e6 else -1.0
-        val steal = if (sl0 >= 0 && sl1 >= 0) (sl1 - sl0) / userHz else -1.0
-        val ioSt = if (io0 >= 0 && io1 >= 0) (io1 - io0) / 1e6 else -1.0
-        val mmSt = if (mm0 >= 0 && mm1 >= 0) (mm1 - mm0) / 1e6 else -1.0
-        val cpu = if (cpu0 >= 0 && cpu1 >= 0) (cpu1 - cpu0) / 1e9 else -1.0
-        val jit = if (jit0 >= 0 && jit1 >= 0) (jit1 - jit0) / 1e3 else -1.0
-        val cgN = if (cg0 >= 0 && cg1 >= 0) cg1 - cg0 else -1L
-        QRes(name, r, (t0 - benchT0) / 1e9, la0, stall, cpu, ioSt,
-          (gc1 - gc0) / 1e3, mmSt, steal, jit, cgN)
+        val r1 = runOnce(name, fn, s"q:$name", 1)
+        if (r1.r.isRight && r1.jit * 1e3 > jitGateMs) {
+          System.err.println(f"BENCH JITGATE $name rep1 ${r1.r.toOption.get}%.3f s " +
+            f"carried ${r1.jit}%.2f s compiler time — re-running warm")
+          val r2 = runOnce(name, fn, s"q:$name!2", 2)
+          if (r2.r.isRight) r2 else r1
+        } else r1
       }
     val resultMap = results.map(q => q.name -> q.r).toMap
     // 3-decimal seconds (1 ms resolution) keeps entries compact.
@@ -467,7 +507,7 @@ object Bench {
     def qmap(f: QRes => String): String =
       results.map(q => "\"" + q.name + "\":" + f(q)).mkString("{", ",", "}")
     val jobsQs = qmap(q =>
-      Option(jobsByGroup.get(s"q:${q.name}")).fold(0)(_.intValue).toString)
+      Option(jobsByGroup.get(q.group)).fold(0)(_.intValue).toString)
     // per-query start offsets (seconds since the first query began)
     val t0Qs = qmap(q => fmt(q.t0))
     // per-query ambient evidence: 1-min loadavg at query start, CPU-PSI /
@@ -494,9 +534,16 @@ object Bench {
     // descheduled), cpu_gc = stop-the-world GC wall during the query.
     def adderSecs(m: java.util.concurrent.ConcurrentHashMap[String, java.util.concurrent.atomic.LongAdder],
         q: QRes, divisor: Double): String =
-      fmt(Option(m.get(s"q:${q.name}")).fold(0.0)(_.sum / divisor))
+      fmt(Option(m.get(q.group)).fold(0.0)(_.sum / divisor))
     val taskCpuQs = qmap(q => adderSecs(taskCpuByGroup, q, 1e9))
     val taskRunQs = qmap(q => adderSecs(taskRunByGroup, q, 1e3))
+    // spill bytes for the REPORTED rep (VERDICT r14 task 4)
+    def adderBytes(m: java.util.concurrent.ConcurrentHashMap[String, java.util.concurrent.atomic.LongAdder],
+        q: QRes): String =
+      Option(m.get(q.group)).fold(0L)(_.sum).toString
+    val spillMemQs = qmap(q => adderBytes(spillMemByGroup, q))
+    val spillDiskQs = qmap(q => adderBytes(spillDiskByGroup, q))
+    val repsQs = qmap(q => q.reps.toString)
     val gcQs = qmap(q => fmt(q.gc))
     val memStallQs = qmap(q => fmt(q.memStall))
     val stealQs = qmap(q => fmt(q.steal))
@@ -520,7 +567,12 @@ object Bench {
     val ioStalls = results.map(_.ioStall).filter(_ >= 0)
     val cpuSecs = results.map(_.cpu).filter(_ >= 0)
     val taskCpuTotal = results.map(q =>
-      Option(taskCpuByGroup.get(s"q:${q.name}")).fold(0.0)(_.sum / 1e9)).sum
+      Option(taskCpuByGroup.get(q.group)).fold(0.0)(_.sum / 1e9)).sum
+    val spillMemTotal = results.map(q =>
+      Option(spillMemByGroup.get(q.group)).fold(0L)(_.sum)).sum
+    val spillDiskTotal = results.map(q =>
+      Option(spillDiskByGroup.get(q.group)).fold(0L)(_.sum)).sum
+    val rerunCount = results.count(_.reps > 1)
     val gcTotal = results.map(_.gc).sum
     val memStalls = results.map(_.memStall).filter(_ >= 0)
     val steals = results.map(_.steal).filter(_ >= 0)
@@ -540,9 +592,9 @@ object Bench {
         ioStalls.sum)},"mem_stall_total":${fmt(memStalls.sum)},"steal_total":${fmt(steals.sum)},"cpu_total":${fmt(
         cpuSecs.sum)},"task_cpu_total":${fmt(
         taskCpuTotal)},"gc_total":${fmt(gcTotal)},"jit_total":${fmt(
-        jitTotal)},"warm_ledger_total":${fmt(ledgerTotal)},"warm_ledger_ratio":${fmt(ledgerRatio)}"""
+        jitTotal)},"spill_mem_total":$spillMemTotal,"spill_disk_total":$spillDiskTotal,"jit_reruns":$rerunCount,"warm_ledger_total":${fmt(ledgerTotal)},"warm_ledger_ratio":${fmt(ledgerRatio)}"""
     val fullLine =
-      s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":$fullQs,"jobs":$jobsQs,"t0":$t0Qs,"load":$loadQs,"cpu_stall":$stallQs,"io_stall":$ioStallQs,"mem_stall":$memStallQs,"cpu_steal":$stealQs,"cpu":$cpuQs,"wall_minus_cpu":$wmcQs,"task_cpu":$taskCpuQs,"task_run":$taskRunQs,"cpu_gc":$gcQs,"jit":$jitQs,"codegen_n":$codegenQs,$loadSummary,"warm_artifacts":$warmJson,"errors":$nerr,"n_queries":${results.size},"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":$fullQs,"jobs":$jobsQs,"t0":$t0Qs,"load":$loadQs,"cpu_stall":$stallQs,"io_stall":$ioStallQs,"mem_stall":$memStallQs,"cpu_steal":$stealQs,"cpu":$cpuQs,"wall_minus_cpu":$wmcQs,"task_cpu":$taskCpuQs,"task_run":$taskRunQs,"cpu_gc":$gcQs,"jit":$jitQs,"codegen_n":$codegenQs,"spill_mem":$spillMemQs,"spill_disk":$spillDiskQs,"reps":$repsQs,$loadSummary,"warm_artifacts":$warmJson,"errors":$nerr,"n_queries":${results.size},"sf":"$sfDir"}"""
 
     // Complete map -> repo file (judge-readable even when stdout is clipped).
     // Delete the previous run's file FIRST: if this run's write fails, a
