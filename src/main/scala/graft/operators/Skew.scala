@@ -10,7 +10,13 @@ import graft.Tables
   * Two complementary mechanisms, both exercised here:
   *  - **AQE skew-join** (on by default, `spark.sql.adaptive.skewJoin.*`)
   *    splits oversized shuffle partitions at runtime — the first line of
-  *    defense for skewed JOINs; nothing to code.
+  *    defense for skewed JOINs; nothing to code. Measured A/B (STRESS.md
+  *    round-15, ProbeSkewAb, 60 M rows): at hot-key share ≤ a few % do
+  *    nothing (both mitigations are overhead); at ~10–20% AQE alone
+  *    suffices and beats the salt (the replicated-dim shuffle costs more
+  *    than the skew); at ≥ ~50%-on-one-key AQE stops helping and the
+  *    salt halves the join — only re-KEYING spreads a single key across
+  *    reducers, re-partitioning cannot.
   *  - **Salting** — for aggregations whose single hot key would bottleneck
   *    one reducer even after AQE: spray the hot key across N salt buckets,
   *    aggregate partially per (key, salt), then merge the N partials. The
