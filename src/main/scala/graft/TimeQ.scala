@@ -12,6 +12,12 @@ object TimeQ {
     spark.sparkContext.setLogLevel("WARN")
     val jobs = new java.util.concurrent.atomic.AtomicInteger()
     val traceJobs = sys.env.contains("SPARK_GRAFT_TRACE_JOBS")
+    // spill accumulation (round 15, bounded-heap certification): same
+    // TaskMetrics counters the bench's per-query columns use, read as
+    // deltas around each rep so a constrained-heap TimeQ run shows
+    // which rep spilled how much instead of only "survived"
+    val spillMem = new java.util.concurrent.atomic.LongAdder()
+    val spillDisk = new java.util.concurrent.atomic.LongAdder()
     spark.sparkContext.addSparkListener(new org.apache.spark.scheduler.SparkListener {
       override def onJobStart(js: org.apache.spark.scheduler.SparkListenerJobStart): Unit = {
         jobs.incrementAndGet()
@@ -21,17 +27,23 @@ object TimeQ {
           println(s"JOB ${js.jobId} stages=${js.stageInfos.size} [$s]")
         }
       }
+      override def onTaskEnd(te: org.apache.spark.scheduler.SparkListenerTaskEnd): Unit = {
+        val m = te.taskMetrics
+        if (m != null) { spillMem.add(m.memoryBytesSpilled); spillDisk.add(m.diskBytesSpilled) }
+      }
     })
     spark.range(1000000).selectExpr("sum(id)").collect()
     spark.read.parquet(s"$sfDir/lineitem.parquet").limit(1000).count()
     names.foreach { n =>
       (1 to reps).foreach { r =>
         Thread.sleep(300); val j0 = jobs.get()
+        val sm0 = spillMem.sum(); val sd0 = spillDisk.sum()
         val t0 = System.nanoTime()
         val c = SparkEntry.queries(n)(spark, sfDir).count()
         val dt = (System.nanoTime() - t0) / 1e9
         Thread.sleep(300)
-        println(f"TIME $n rep=$r $dt%.2f s rows=$c jobs=${jobs.get() - j0}")
+        println(f"TIME $n rep=$r $dt%.2f s rows=$c jobs=${jobs.get() - j0} " +
+          f"spill_mem=${(spillMem.sum() - sm0) / 1e6}%.0fMB spill_disk=${(spillDisk.sum() - sd0) / 1e6}%.0fMB")
       }
     }
     spark.stop()
