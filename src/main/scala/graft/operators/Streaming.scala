@@ -251,9 +251,17 @@ object Streaming {
     try {
       linkIn(dayDirs.take(split))
       runLife() // life 1: commits the first half into the checkpoint
-      linkIn(dayDirs.drop(split))
-      runLife() // life 2: NEW query instance, SAME checkpoint — restored
-                // state + only-the-new-files must reproduce the full census
+      val rest = dayDirs.drop(split)
+      // round-15 self-review guard: restarting with ZERO new files would
+      // register a fresh EMPTY memory sink under the view name and may
+      // never commit a batch to refill it — on a 1-day corpus the single
+      // completed life already holds the full census, so only restart
+      // when the second half actually exists
+      if (rest.nonEmpty) {
+        linkIn(rest)
+        runLife() // life 2: NEW query instance, SAME checkpoint — restored
+                  // state + only-the-new-files must reproduce the full census
+      }
     } finally deleteStaging(tmp) // memory sink rows live on the driver —
                                  // the staging/checkpoint is already history
     spark.table(qname)
