@@ -268,6 +268,71 @@ object Streaming {
       .orderBy(col("day").asc, col("event_type").asc)
   }
 
+  /** EXACTLY-ONCE FILE SINK as a DECLARED query (round 15): the one
+    * production sink mechanism the streaming family did not yet
+    * exercise. Every other streaming query here emits through a memory
+    * sink or a foreachBatch census; a real 100 TB loader lands parquet
+    * FILES, and its exactly-once story is the FileStreamSink manifest —
+    * committed batches are recorded in `_spark_metadata`, and a manifest-
+    * aware `spark.read.parquet` of the output dir sees each committed
+    * batch exactly once (a naive directory listing would also count
+    * uncommitted task output from failed/killed batches; the manifest
+    * read does not — StreamFileSinkSpec kills a query mid-sequence and
+    * proves the replayed batch is not double-counted).
+    *
+    * Shape: the shared day-partitioned drop streams back under
+    * `maxFilesPerTrigger` (so one AvailableNow life commits MANY
+    * micro-batches — each its own manifest entry + epoch of files, the
+    * multi-commit shape the manifest exists for), rows land in a parquet
+    * file sink, and the declared result is the (day, type) census over
+    * the manifest read-back — the DuckDB oracle checks it equals the
+    * batch aggregate over events, i.e. every input row surfaced in the
+    * sink exactly once. */
+  def streamFileSink(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.streaming.Trigger
+    val (src, schema) = incrStage(spark, dir)
+    val base = java.nio.file.Paths.get(
+      if (new java.io.File("/dev/shm").isDirectory) "/dev/shm/graft_io" else "/tmp/graft_io")
+    java.nio.file.Files.createDirectories(base)
+    val tmp = java.nio.file.Files.createTempDirectory(base, "graft_fsink_").toString
+    val out = s"$tmp/out"
+    val q = spark.readStream.schema(schema)
+      // ~5 micro-batches over the ~80 day files: exercises repeated
+      // manifest commits, not one monolithic batch
+      .option("maxFilesPerTrigger", "16")
+      .parquet(src)
+      .select(col("day").cast("string").as("day"), col("event_type"), col("value"))
+      .writeStream.format("parquet")
+      .option("path", out)
+      .option("checkpointLocation", s"$tmp/ckpt")
+      .outputMode("append")
+      .trigger(Trigger.AvailableNow()).start()
+    try { q.awaitTermination(300000); () } finally q.stop()
+    // manifest-aware read-back (the _spark_metadata dir gates the files —
+    // uncommitted task output is invisible to this read), aggregated AND
+    // COLLECTED before the staging is deleted: unlike the memory-sink
+    // queries, this result reads from the sink's FILES, so the returned
+    // frame must not stay lazy over a dir this call removes. Domain-
+    // bounded census (days × types), so the collect is driver-scale.
+    val census = spark.read.parquet(out)
+      .groupBy(col("day"), col("event_type"))
+      .agg(count(lit(1)).as("n"), round(sum(col("value")), 2).as("val"))
+      .collect().toIndexedSeq
+    deleteStaging(tmp)
+    import scala.jdk.CollectionConverters._
+    spark.createDataFrame(census.asJava,
+      org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("day",
+          org.apache.spark.sql.types.StringType, true),
+        org.apache.spark.sql.types.StructField("event_type",
+          org.apache.spark.sql.types.StringType, true),
+        org.apache.spark.sql.types.StructField("n",
+          org.apache.spark.sql.types.LongType, false),
+        org.apache.spark.sql.types.StructField("val",
+          org.apache.spark.sql.types.DoubleType, true))))
+      .orderBy(col("day").asc, col("event_type").asc)
+  }
+
   /** Best-effort recursive delete of a per-invocation staging dir. */
   private def deleteStaging(path: String): Unit =
     try {
@@ -442,6 +507,7 @@ object Streaming {
     "stream_late_data" -> (streamLateData _),
     "stream_incremental" -> (streamIncremental _),
     "stream_recovery" -> (streamRecovery _),
+    "stream_file_sink" -> (streamFileSink _),
     "stream_stateful" -> (streamStateful _))
 
   /** Typed custom-state sessionization (`KeyValueGroupedDataset.
@@ -538,6 +604,13 @@ object Streaming {
         | min(ts) AS s_start, max(ts) AS s_end
         |FROM s GROUP BY user_id, session_id ORDER BY user_id ASC, session_id ASC""".stripMargin,
     "stream_incremental" ->
+      """SELECT strftime(ts, '%Y-%m-%d') AS day, event_type,
+        | count(*) AS n, round(sum(value), 2) AS val
+        |FROM events GROUP BY day, event_type
+        |ORDER BY day ASC, event_type ASC""".stripMargin,
+    // exactly-once file-sink contract: the manifest read-back census
+    // equals the batch answer — every input row landed in the sink once
+    "stream_file_sink" ->
       """SELECT strftime(ts, '%Y-%m-%d') AS day, event_type,
         | count(*) AS n, round(sum(value), 2) AS val
         |FROM events GROUP BY day, event_type
