@@ -468,28 +468,54 @@ object Bench {
       QRes(name, r, (t0 - benchT0) / 1e9, la0, stall, cpu, ioSt,
         (gc1 - gc0) / 1e3, mmSt, steal, jit, cgN, group, rep)
     }
-    // Per-query first-touch JIT gate (round 15, VERDICT r14 task 3): the
-    // warm-up above converges the SHARED trees (codecs, window machinery,
-    // codegen'd HOFs), but a newly declared query's own generated classes
-    // still tier-compile inside its first timed run — dq_t_closeness's
+    // Per-query first-touch JIT gate (round 15, VERDICT r14 task 3; made
+    // STRUCTURAL in round 16, VERDICT r15 task 1): the warm-up above
+    // converges the SHARED trees (codecs, window machinery, codegen'd
+    // HOFs), but a newly declared query's own generated classes still
+    // tier-compile inside its first timed run — dq_t_closeness's
     // 2.41×-vs-clean driver row was exactly that (jit 3.10 s vs 1.17
-    // clean, same plan, same jobs). Gate: if a query's timed run carried
-    // > 1.5 s of in-flight compiler time, run it ONCE more and report the
-    // second run — the rep lands in its own job group so the per-group
-    // columns (jobs/task_cpu/spill) describe the reported rep only, and
-    // the `reps` column plus a stderr line keep the re-run visible rather
-    // than silently absorbed. One retry max: a query still jit-heavy on
-    // rep 2 is genuinely compiling per-invocation code (generated plans
-    // over per-call literals) and that cost is honestly its own.
-    val jitGateMs = 1500.0
+    // clean), and hist_eqdepth's r15 2.09× row scraped 21 ms UNDER the
+    // old 1.5 s threshold (jit 1.479 s, codegen_n 46 vs 0 clean). Two
+    // triggers now, both evaluated on the timed rep:
+    //   - absolute: > 1.0 s of in-flight compiler time (the lowered
+    //     threshold the verdict sanctioned — catches the r15 miss);
+    //   - structural: new generated classes were compiled DURING the rep
+    //     (codegen_n > 0 — janino first-touch, not a warm cache hit) AND
+    //     compiler time was BOTH non-trivial (> 0.5 s) and a material
+    //     share of the rep's wall (> 30%) — the profile of a rep whose
+    //     task threads ran not-yet-optimized code, however it lands
+    //     relative to any absolute cutoff.
+    // A triggered query runs ONCE more and the second run is reported —
+    // the rep lands in its own job group so the per-group columns
+    // (jobs/task_cpu/spill) describe the reported rep only, and the
+    // `reps` column plus a stderr line keep the re-run visible rather
+    // than silently absorbed. A FAILED re-run also stays visible
+    // (ADVICE r15): rep 1 is reported but with reps=2, so the JSON
+    // records the attempt instead of reverting to an unmarked rep 1.
+    // One retry max: a query still jit-heavy on rep 2 is genuinely
+    // compiling per-invocation code (generated plans over per-call
+    // literals) and that cost is honestly its own.
+    val jitGateMs = 1000.0
+    def jitSuspect(q: QRes): Boolean = q.r match {
+      case Right(wall) =>
+        val jitMs = q.jit * 1e3
+        jitMs > jitGateMs ||
+          (q.codegenN > 0 && jitMs > 500.0 && q.jit > 0.30 * wall)
+      case Left(_) => false
+    }
     val results: Seq[QRes] =
       SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
         val r1 = runOnce(name, fn, s"q:$name", 1)
-        if (r1.r.isRight && r1.jit * 1e3 > jitGateMs) {
+        if (jitSuspect(r1)) {
           System.err.println(f"BENCH JITGATE $name rep1 ${r1.r.toOption.get}%.3f s " +
-            f"carried ${r1.jit}%.2f s compiler time — re-running warm")
+            f"carried ${r1.jit}%.2f s compiler time (codegen_n ${r1.codegenN}) " +
+            "— re-running warm")
           val r2 = runOnce(name, fn, s"q:$name!2", 2)
-          if (r2.r.isRight) r2 else r1
+          if (r2.r.isRight) r2
+          else {
+            System.err.println(s"BENCH JITGATE $name rep2 FAILED — reporting rep1, reps=2")
+            r1.copy(reps = 2)
+          }
         } else r1
       }
     val resultMap = results.map(q => q.name -> q.r).toMap
@@ -579,20 +605,41 @@ object Bench {
     val jitTotal = results.map(_.jit).filter(_ >= 0).sum
     // Warm-artifact ledger invariant (VERDICT r13 task 5): the untimed
     // ledger's cost stays VISIBLE next to the timed total, with a loud
-    // stderr flag if it drifts past 20% of it — the design is honest
-    // only while a reader can see what the warm-up excluded.
+    // stderr flag if it drifts past the expected share — the design is
+    // honest only while a reader can see what the warm-up excluded.
     val ledgerTotal = warmArtifacts.fold(0.0)(_.map(_._2).filter(_ >= 0).sum)
     val ledgerRatio = if (total > 0) ledgerTotal / total else -1.0
-    if (ledgerRatio > 0.20)
+    // SF-AWARE threshold (round 16, VERDICT r15 task 6): the flat 20%
+    // gate fired on every 10× stress run (0.25-0.26) for the DESIGNED
+    // reason — artifact builds scale near-linearly with rows while the
+    // timed suite is dominated by sub-linear fixed costs — and each
+    // firing needed a manual re-justification paragraph. The committed
+    // r15 datum pair pins the ratio's own growth: 0.165 at sf0.1 →
+    // 0.248 at 10× ⇒ ratio ∝ rows^0.18 (log10(0.248/0.165) = 0.177).
+    // The 0.20 base threshold therefore scales by (rows/600k)^0.18,
+    // where 600k is sf0.1's lineitem cardinality — a row count read
+    // from the fixture itself (untimed region), so stress dirs with
+    // opaque names scale correctly too. The flag stays loud on genuine
+    // ledger bloat at ANY scale: a new unpriced artifact moves the
+    // ratio off its committed growth curve, not along it.
+    val scaleRows: Double =
+      try Tables.byName(spark, sfDir, "lineitem").count().toDouble
+      catch { case _: Throwable => -1.0 }
+    val ledgerGate =
+      if (scaleRows > 0) 0.20 * math.pow(math.max(1.0, scaleRows / 600000.0), 0.18)
+      else 0.20
+    if (ledgerRatio > ledgerGate)
       System.err.println(f"BENCH WARN warm-artifact ledger $ledgerTotal%.1f s is " +
-        f"${ledgerRatio * 100}%.1f%% of the timed total — rebalance or re-justify")
+        f"${ledgerRatio * 100}%.1f%% of the timed total (SF-adjusted gate " +
+        f"${ledgerGate * 100}%.1f%% at ${scaleRows / 1e6}%.1f M lineitem rows) " +
+        "— rebalance or re-justify")
     val loadSummary =
       s""""load_max":${fmt(if (loads.isEmpty) -1 else loads.max)},"load_mean":${fmt(
         if (loads.isEmpty) -1 else loads.sum / loads.size)},"stall_total":${fmt(stalls.sum)},"io_stall_total":${fmt(
         ioStalls.sum)},"mem_stall_total":${fmt(memStalls.sum)},"steal_total":${fmt(steals.sum)},"cpu_total":${fmt(
         cpuSecs.sum)},"task_cpu_total":${fmt(
         taskCpuTotal)},"gc_total":${fmt(gcTotal)},"jit_total":${fmt(
-        jitTotal)},"spill_mem_total":$spillMemTotal,"spill_disk_total":$spillDiskTotal,"jit_reruns":$rerunCount,"warm_ledger_total":${fmt(ledgerTotal)},"warm_ledger_ratio":${fmt(ledgerRatio)}"""
+        jitTotal)},"spill_mem_total":$spillMemTotal,"spill_disk_total":$spillDiskTotal,"jit_reruns":$rerunCount,"warm_ledger_total":${fmt(ledgerTotal)},"warm_ledger_ratio":${fmt(ledgerRatio)},"warm_ledger_gate":${fmt(ledgerGate)}"""
     val fullLine =
       s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":$fullQs,"jobs":$jobsQs,"t0":$t0Qs,"load":$loadQs,"cpu_stall":$stallQs,"io_stall":$ioStallQs,"mem_stall":$memStallQs,"cpu_steal":$stealQs,"cpu":$cpuQs,"wall_minus_cpu":$wmcQs,"task_cpu":$taskCpuQs,"task_run":$taskRunQs,"cpu_gc":$gcQs,"jit":$jitQs,"codegen_n":$codegenQs,"spill_mem":$spillMemQs,"spill_disk":$spillDiskQs,"reps":$repsQs,$loadSummary,"warm_artifacts":$warmJson,"errors":$nerr,"n_queries":${results.size},"sf":"$sfDir"}"""
 

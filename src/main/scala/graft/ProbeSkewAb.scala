@@ -50,7 +50,11 @@ object ProbeSkewAb {
     val dim = spark.read.parquet(dimPath)
 
     def fact(share: Double): DataFrame = {
-      val path = f"$base/fact_${(share * 100).toInt}%d.parquet"
+      // cache key carries BOTH the row count and the share at 4 decimal
+      // places (ADVICE r15): the old int(share*100) key ignored
+      // rowsMillions and truncated 0.015 onto 0.01, so a later probe run
+      // could silently reuse the wrong corpus behind the _SUCCESS marker
+      val path = f"$base/fact_${rowsM}%dm_${(share * 10000).toInt}%d.parquet"
       if (!new java.io.File(path, "_SUCCESS").exists()) {
         // deterministic: row i is hot iff i mod 1000 < share*1000
         spark.range(n)

@@ -70,16 +70,20 @@ object MemoFrames {
     * (when the name encodes one) is no longer alive: live JVMs refresh
     * their own dir's mtime only on memo calls, so a >2 h computation gap
     * must not cost a LIVE sibling its artifacts (ADVICE r14 — the
-    * SourcesSinks sweep had the same hazard). Pre-r15 `jvm_<random>`
-    * names fail the pid parse and fall back to the pure age gate.
-    * Best-effort. */
+    * SourcesSinks sweep had the same hazard). The pid parse requires the
+    * r15 three-segment shape `jvm_<pid>_<suffix>` (ADVICE r15): a pre-r15
+    * `jvm_<randomLong>` dir (createTempDirectory's all-digit suffix) would
+    * otherwise parse its RANDOM segment as a pid, and ProcessHandle.of
+    * could coincidentally match a live unrelated process, retaining a
+    * genuinely stale dir indefinitely — two-segment names now fall to the
+    * pure age gate. Best-effort. */
   private def sweepStale(root: java.nio.file.Path): Unit =
     try {
       val cutoff = System.currentTimeMillis() - 2L * 3600 * 1000
       val kids = root.toFile.listFiles()
       if (kids != null) kids.foreach { f =>
         val ownerAlive = f.getName.split("_") match {
-          case Array("jvm", pid, _*) if pid.forall(_.isDigit) && pid.nonEmpty =>
+          case Array("jvm", pid, _, _*) if pid.forall(_.isDigit) && pid.nonEmpty =>
             try ProcessHandle.of(pid.toLong).map[Boolean](_.isAlive).orElse(false)
             catch { case _: NumberFormatException => false }
           case _ => false
