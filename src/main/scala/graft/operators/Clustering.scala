@@ -667,6 +667,55 @@ object Clustering {
       .limit(100)
   }
 
+  /** DF-CAPPED neighborhood Jaccard (round 16, VERDICT r15 task 3) — the
+    * production path graph_jaccard's own scaladoc has documented since
+    * round 8, now DECLARED beside the exact form (the llm_minhash_capped
+    * pattern): parts whose supplier fan-out exceeds the cap leave the
+    * feature space BEFORE the self-join, bounding the quadratic term at
+    * Σ_p min(deg(p), cap)² — the r15 spill certification convicted the
+    * exact form as the suite's only real 100× memory footprint (72.9 GB
+    * spill_mem at a 16 g heap, co-join work ∝ Σ deg(p)²; STRESS.md
+    * round-15 table), and a hub shared by everyone carries no similarity
+    * signal anyway (the ngram-jaccard df-cap rationale). Semantics are
+    * the EXACT algorithm on the hub-pruned graph: intersection counts
+    * AND degrees both come from the pruned pair set, so the score stays
+    * a true Jaccard over the surviving feature space — self-consistent,
+    * deterministic, and therefore fully ORACLE-ABLE (unlike the banded
+    * minhash cap, no engine-specific hashing is involved). On a corpus
+    * whose max fan-out is ≤ cap the filter is the identity and the
+    * output is bit-identical to graph_jaccard (sf0.001: max deg 10 —
+    * pinned in spec); candidate pairs are always a subset of the exact
+    * form's (capped sp ⊆ sp). cap=24 sits under the fixtures' hub tail
+    * (max 41/52 at sf0.01/0.1) so the tested path IS the capped path.
+    *
+    * Scale shape: the fan-out census and the hub filter ride the SAME
+    * hash(pk) partitioning the self-join needs (one shuffle, reused);
+    * degrees re-join via BROADCAST exactly like the exact form. At
+    * 100 TB this is the variant a pipeline runs by default, falling
+    * back to graph_jaccard only on pre-deduped, hub-free graphs. */
+  def graphJaccardCapped(spark: SparkSession, dir: String): DataFrame = {
+    val cap = 24
+    val sp = graphPairs(spark, dir)
+      .select(expr("p DIV 2").as("pk"), expr("(s - 1) DIV 2").as("sk"))
+    // hub prune at the PART grain: one hash agg on pk, then the pair set
+    // keeps only sub-cap parts (the join keys on pk — co-partitioned with
+    // the self-join's own exchange; at fixture scale AQE broadcasts it)
+    val keep = sp.groupBy("pk").agg(count(lit(1)).as("dp"))
+      .filter(col("dp") <= cap).select("pk")
+    val spc = sp.join(keep, "pk")
+    val deg = spc.groupBy("sk").agg(count(lit(1)).as("d"))
+    val co = spc.select(col("pk"), col("sk").as("s1"))
+      .join(spc.select(col("pk"), col("sk").as("s2")), "pk")
+      .filter(col("s1") < col("s2"))
+      .groupBy("s1", "s2").agg(count(lit(1)).as("inter"))
+    co.join(broadcast(deg.select(col("sk").as("s1"), col("d").as("d1"))), "s1")
+      .join(broadcast(deg.select(col("sk").as("s2"), col("d").as("d2"))), "s2")
+      .select(col("s1"), col("s2"), col("inter"), col("d1"), col("d2"),
+        round(col("inter").cast("double") / (col("d1") + col("d2") - col("inter")), 6).as("jacc"))
+      .orderBy(col("jacc").desc, col("s1").asc, col("s2").asc)
+      .limit(100)
+  }
+
   /** HITS hubs & authorities (round-9 wave 12) — Kleinberg's mutual-
     * reinforcement ranking on the part↔supplier bipartite graph, the
     * member of the eigenvector-ranking family pagerank's random surfer
@@ -707,6 +756,7 @@ object Clustering {
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "graph_hits"         -> (graphHits _),
     "graph_jaccard"      -> (graphJaccard _),
+    "graph_jaccard_capped" -> (graphJaccardCapped _),
     "graph_pagerank"     -> (graphPagerank _),
     "graph_label_prop"   -> (graphLabelProp _),
     "llm_dedup_clusters" -> (llmDedupClusters _),
@@ -753,6 +803,20 @@ object Clustering {
         |  round(avg(deg_s), 6) AS avg_deg_s,
         |  round(corr(deg_p, deg_s), 5) AS assortativity
         |FROM sp JOIN dp ON sp.p = dp.p JOIN ds ON sp.s = ds.s""".stripMargin,
+    "graph_jaccard_capped" ->
+      """WITH sp AS (
+        |  SELECT DISTINCT l_partkey AS pk, l_suppkey AS sk FROM lineitem),
+        |keep AS (SELECT pk FROM sp GROUP BY pk HAVING count(*) <= 24),
+        |spc AS (SELECT sp.pk, sp.sk FROM sp JOIN keep USING (pk)),
+        |deg AS (SELECT sk, count(*) AS d FROM spc GROUP BY sk),
+        |co AS (
+        |  SELECT a.sk AS s1, b.sk AS s2, count(*) AS inter
+        |  FROM spc a JOIN spc b ON a.pk = b.pk AND a.sk < b.sk
+        |  GROUP BY a.sk, b.sk)
+        |SELECT s1, s2, inter, d1.d AS d1, d2.d AS d2,
+        |  round(CAST(inter AS DOUBLE) / (d1.d + d2.d - inter), 6) AS jacc
+        |FROM co JOIN deg d1 ON co.s1 = d1.sk JOIN deg d2 ON co.s2 = d2.sk
+        |ORDER BY jacc DESC, s1 ASC, s2 ASC LIMIT 100""".stripMargin,
     "graph_jaccard" ->
       """WITH sp AS (
         |  SELECT DISTINCT l_partkey AS pk, l_suppkey AS sk FROM lineitem),

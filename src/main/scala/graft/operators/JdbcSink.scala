@@ -103,12 +103,19 @@ object JdbcSink {
     p
   }
 
-  def jdbcSink(spark: SparkSession, dir: String): DataFrame = {
-    val url = s"jdbc:derby:$dbPath;create=true"
-    // refresh this database dir's mtime on every use so the age gate
-    // alone protects a long-lived JVM even where FileLock is a no-op
-    // (sweepStale's caveat); no-op before Derby first creates the dir
+  /** This JVM's embedded-Derby connection URL, shared with the streaming
+    * warehouse sink (`stream_jdbc_sink` — round 16): one database per
+    * JVM, separate tables per operator. Refreshes the database dir's
+    * mtime on every use so the age gate alone protects a long-lived JVM
+    * even where FileLock is a no-op (sweepStale's caveat); no-op before
+    * Derby first creates the dir. */
+  private[graft] def jdbcUrl: String = {
     new java.io.File(dbPath).setLastModified(System.currentTimeMillis()): Unit
+    s"jdbc:derby:$dbPath;create=true"
+  }
+
+  def jdbcSink(spark: SparkSession, dir: String): DataFrame = {
+    val url = jdbcUrl
     val agg = Tables.orders(spark, dir)
       .groupBy(col("o_orderpriority"))
       .agg(count(lit(1)).as("n"),

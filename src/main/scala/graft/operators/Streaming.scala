@@ -169,10 +169,7 @@ object Streaming {
     // call, RAM-backed where available (same rationale as
     // SourcesSinks.scratch) — measure the streaming machinery, not /tmp
     val (src, schema) = incrStage(spark, dir)
-    val base = java.nio.file.Paths.get(
-      if (new java.io.File("/dev/shm").isDirectory) "/dev/shm/graft_io" else "/tmp/graft_io")
-    java.nio.file.Files.createDirectories(base)
-    val tmp = java.nio.file.Files.createTempDirectory(base, "graft_incr_").toString
+    val tmp = ioTempDir("graft_incr_")
     val qname = "inc_" + new java.io.File(tmp).getName.replaceAll("[^A-Za-z0-9_]", "")
     val q = spark.readStream.schema(schema).parquet(src)
       .groupBy(col("day").cast("string").as("day"), col("event_type"))
@@ -182,7 +179,7 @@ object Streaming {
       .outputMode("complete").trigger(Trigger.AvailableNow()).start()
     // only the per-call checkpoint is deleted here — the staged drop is
     // session-shared and rides the memo dir's cleanup
-    try q.awaitTermination(300000) finally { q.stop(); deleteStaging(tmp) }
+    try awaitOrThrow(q, "stream_incremental") finally { q.stop(); deleteStaging(tmp) }
     spark.table(qname)
       .orderBy(col("day").asc, col("event_type").asc)
   }
@@ -213,10 +210,7 @@ object Streaming {
   def streamRecovery(spark: SparkSession, dir: String): DataFrame = {
     import org.apache.spark.sql.streaming.Trigger
     val (stagedSrc, schema) = incrStage(spark, dir)
-    val base = java.nio.file.Paths.get(
-      if (new java.io.File("/dev/shm").isDirectory) "/dev/shm/graft_io" else "/tmp/graft_io")
-    java.nio.file.Files.createDirectories(base)
-    val tmp = java.nio.file.Files.createTempDirectory(base, "graft_recov_").toString
+    val tmp = ioTempDir("graft_recov_")
     val src = s"$tmp/src"
     java.nio.file.Files.createDirectories(java.nio.file.Paths.get(src))
     val qname = "rec_" + new java.io.File(tmp).getName.replaceAll("[^A-Za-z0-9_]", "")
@@ -246,7 +240,7 @@ object Streaming {
         .writeStream.format("memory").queryName(qname)
         .option("checkpointLocation", s"$tmp/ckpt")
         .outputMode("complete").trigger(Trigger.AvailableNow()).start()
-      try { q.awaitTermination(300000); () } finally q.stop()
+      try awaitOrThrow(q, "stream_recovery life") finally q.stop()
     }
     try {
       linkIn(dayDirs.take(split))
@@ -291,10 +285,7 @@ object Streaming {
   def streamFileSink(spark: SparkSession, dir: String): DataFrame = {
     import org.apache.spark.sql.streaming.Trigger
     val (src, schema) = incrStage(spark, dir)
-    val base = java.nio.file.Paths.get(
-      if (new java.io.File("/dev/shm").isDirectory) "/dev/shm/graft_io" else "/tmp/graft_io")
-    java.nio.file.Files.createDirectories(base)
-    val tmp = java.nio.file.Files.createTempDirectory(base, "graft_fsink_").toString
+    val tmp = ioTempDir("graft_fsink_")
     val out = s"$tmp/out"
     val q = spark.readStream.schema(schema)
       // ~5 micro-batches over the ~80 day files: exercises repeated
@@ -307,7 +298,7 @@ object Streaming {
       .option("checkpointLocation", s"$tmp/ckpt")
       .outputMode("append")
       .trigger(Trigger.AvailableNow()).start()
-    try { q.awaitTermination(300000); () } finally q.stop()
+    try awaitOrThrow(q, "stream_file_sink") finally q.stop()
     // manifest-aware read-back (the _spark_metadata dir gates the files —
     // uncommitted task output is invisible to this read), aggregated AND
     // COLLECTED before the staging is deleted: unlike the memory-sink
@@ -332,6 +323,153 @@ object Streaming {
           org.apache.spark.sql.types.DoubleType, true))))
       .orderBy(col("day").asc, col("event_type").asc)
   }
+
+  /** STREAMING → WAREHOUSE EXACTLY-ONCE as a DECLARED query (round 16,
+    * VERDICT r15 task 4): the production loader's actual sink combo.
+    * `stream_file_sink` proves the file-landing half (FileStreamSink
+    * manifest) and `jdbc_sink` the warehouse half (batch JDBC write);
+    * the reference's serverless loop combines them — every micro-batch
+    * lands in the external SQL store, and the exactly-once story is NOT
+    * a manifest (JDBC stores have none) but BATCH-ID IDEMPOTENCE:
+    * foreachBatch is at-least-once (after a crash the same batchId is
+    * re-offered from the checkpoint), so each batch's landing is a
+    * DELETE-AND-INSERT KEYED ON THE BATCH ID inside one transaction — a
+    * replayed batch first deletes its own previous (possibly partial)
+    * rows, making the sink idempotent per batch and therefore
+    * exactly-once end-to-end. StreamJdbcSinkSpec kills a query
+    * mid-backlog and proves no double-insert on resume.
+    *
+    * Shape: the shared day-partitioned drop streams back under
+    * `maxFilesPerTrigger` (several micro-batches ⇒ several transactions,
+    * the multi-commit shape the idempotence exists for); each batch
+    * aggregates to the (day, type) grain INSIDE foreachBatch (the
+    * stream_dedup_watermark discipline — the only corpus-scale work is a
+    * plain batch agg per micro-batch, and only the domain-bounded census
+    * crosses to the driver) and lands via one driver-side transaction
+    * into embedded Derby. The declared result re-reads the table through
+    * the JDBC source and merges the per-batch partials; the DuckDB
+    * oracle checks it equals the batch aggregate over ALL events — every
+    * input row surfaced in the warehouse exactly once. Production
+    * (ClickHouse) notes ride on JdbcSink's scaladoc; with a
+    * transactionless target the same pattern keys the DELETE on
+    * (batch_id) against a ReplacingMergeTree or lands each batch in a
+    * staging table swapped in atomically. */
+  def streamJdbcSink(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.streaming.Trigger
+    val (src, schema) = incrStage(spark, dir)
+    val tmp = ioTempDir("graft_jsink_")
+    val url = JdbcSink.jdbcUrl
+    val table = "stream_load"
+    ensureLoadTable(url, table)
+    resetLoadTable(url, table) // each invocation is its own load
+    val q = spark.readStream.schema(schema)
+      .option("maxFilesPerTrigger", "16") // ~5 micro-batches = ~5 transactions
+      .parquet(src)
+      .select(col("day").cast("string").as("day"), col("event_type"), col("value"))
+      .writeStream
+      .option("checkpointLocation", s"$tmp/ckpt")
+      .trigger(Trigger.AvailableNow())
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        landBatch(url, table, batchId,
+          batch.groupBy("day", "event_type")
+            .agg(count(lit(1)).as("n"), sum(col("value")).as("s"))
+            .collect()) // days×types grain — driver-bounded by the domain
+      }
+      .start()
+    try awaitOrThrow(q, "stream_jdbc_sink") finally { q.stop(); deleteStaging(tmp) }
+    // read back THROUGH the warehouse: per-batch partials merge at the
+    // (day, type) grain, the 2dp round happens once here, never per batch
+    spark.read.format("jdbc")
+      .option("url", url)
+      .option("driver", "org.apache.derby.jdbc.EmbeddedDriver")
+      .option("dbtable", table)
+      .load()
+      .groupBy(col("day"), col("event_type"))
+      .agg(sum("n").as("n"), round(sum("s"), 2).as("val"))
+      .orderBy(col("day").asc, col("event_type").asc)
+  }
+
+  /** CREATE the warehouse load table if absent (Derby has no IF NOT
+    * EXISTS; SQLState X0Y32 = already there). Quoted lower-case column
+    * names so the Spark JDBC read-back reports the schema the census
+    * expects. */
+  private[graft] def ensureLoadTable(url: String, table: String): Unit = {
+    val conn = java.sql.DriverManager.getConnection(url)
+    try {
+      val st = conn.createStatement()
+      try st.executeUpdate(
+        s"""CREATE TABLE $table ("batch_id" BIGINT, "day" VARCHAR(10),
+           | "event_type" VARCHAR(32), "n" BIGINT, "s" DOUBLE)""".stripMargin)
+      catch {
+        case e: java.sql.SQLException if e.getSQLState == "X0Y32" => () // exists
+      } finally st.close()
+    } finally conn.close()
+  }
+
+  private[graft] def resetLoadTable(url: String, table: String): Unit = {
+    val conn = java.sql.DriverManager.getConnection(url)
+    try {
+      val st = conn.createStatement()
+      try { st.executeUpdate(s"DELETE FROM $table"); () } finally st.close()
+    } finally conn.close()
+  }
+
+  /** Idempotent per-batch landing: DELETE this batch id's rows, INSERT
+    * the fresh census, commit — ONE transaction, so a replayed batch
+    * (foreachBatch's at-least-once re-offer after recovery) replaces its
+    * own previous rows instead of double-counting, and a crash between
+    * the delete and the commit rolls back to the pre-landing state. */
+  private[graft] def landBatch(url: String, table: String, batchId: Long,
+      rows: Array[org.apache.spark.sql.Row]): Unit = {
+    val conn = java.sql.DriverManager.getConnection(url)
+    try {
+      conn.setAutoCommit(false)
+      val del = conn.prepareStatement(s"""DELETE FROM $table WHERE "batch_id" = ?""")
+      try { del.setLong(1, batchId); del.executeUpdate(); () } finally del.close()
+      val ins = conn.prepareStatement(s"INSERT INTO $table VALUES (?, ?, ?, ?, ?)")
+      try {
+        rows.foreach { r =>
+          ins.setLong(1, batchId)
+          ins.setString(2, r.getString(0))
+          ins.setString(3, r.getString(1))
+          ins.setLong(4, r.getLong(2))
+          ins.setDouble(5, r.getDouble(3))
+          ins.addBatch()
+        }
+        ins.executeBatch(); ()
+      } finally ins.close()
+      conn.commit()
+    } catch {
+      case t: Throwable => try conn.rollback() catch { case _: Throwable => () }; throw t
+    } finally conn.close()
+  }
+
+  /** A fresh per-call staging/checkpoint dir under the SWEPT io base
+    * (tmpfs where available — same rationale as SourcesSinks.scratch):
+    * the one sanctioned way for streaming calls AND their tests to stage
+    * transient dirs (round 16, ADVICE r15: a spec that rebuilt this path
+    * by hand either leaked outside every sweep or tripped
+    * ScratchPathHygieneSpec's literal ban). Callers still delete it when
+    * done; a crashed JVM's leftovers age into a sibling's 2 h sweep. */
+  private[graft] def ioTempDir(prefix: String): String = {
+    val base = java.nio.file.Paths.get(
+      if (new java.io.File("/dev/shm").isDirectory) "/dev/shm/graft_io" else "/tmp/graft_io")
+    java.nio.file.Files.createDirectories(base)
+    java.nio.file.Files.createTempDirectory(base, prefix).toString
+  }
+
+  /** `awaitTermination(timeout)` that TURNS A TIMEOUT INTO AN ERROR
+    * (ADVICE r15): the boolean-returning overload reports "still running"
+    * by returning false, and every call here used to ignore it — a hung
+    * stream would be stopped by the finally and the code would proceed,
+    * surfacing only as a confusing downstream oracle mismatch (partial
+    * census) instead of a loud timeout at the source. */
+  private def awaitOrThrow(q: org.apache.spark.sql.streaming.StreamingQuery,
+      what: String, timeoutMs: Long = 300000): Unit =
+    if (!q.awaitTermination(timeoutMs))
+      throw new IllegalStateException(
+        s"$what did not terminate within ${timeoutMs / 1000} s — " +
+          "hung stream, refusing to emit a partial census")
 
   /** Best-effort recursive delete of a per-invocation staging dir. */
   private def deleteStaging(path: String): Unit =
@@ -378,10 +516,7 @@ object Streaming {
   def streamDedupWatermark(spark: SparkSession, dir: String): DataFrame = {
     import org.apache.spark.sql.streaming.Trigger
     val (src, schema) = ddwStage(spark, dir)
-    val base = java.nio.file.Paths.get(
-      if (new java.io.File("/dev/shm").isDirectory) "/dev/shm/graft_io" else "/tmp/graft_io")
-    java.nio.file.Files.createDirectories(base)
-    val tmp = java.nio.file.Files.createTempDirectory(base, "graft_ddw_").toString
+    val tmp = ioTempDir("graft_ddw_")
     val qname = "ddw_" + new java.io.File(tmp).getName.replaceAll("[^A-Za-z0-9_]", "")
     // foreachBatch census sink, not the complete-mode memory sink
     // (round-10 A/B, VERDICT r9 task 4): with a streaming AGGREGATE the
@@ -435,7 +570,7 @@ object Streaming {
     // Only the per-call checkpoint is deleted in the finally — the
     // staged drop is session-shared and rides the memo dir's cleanup.
     var q: org.apache.spark.sql.streaming.StreamingQuery = null
-    try { q = qw.start(); q.awaitTermination(300000) } finally {
+    try { q = qw.start(); awaitOrThrow(q, "stream_dedup_watermark") } finally {
       if (q != null) q.stop()
       deleteStaging(tmp)
       ndPrev match { case Some(v) => spark.conf.set(ndKey, v)
@@ -508,6 +643,7 @@ object Streaming {
     "stream_incremental" -> (streamIncremental _),
     "stream_recovery" -> (streamRecovery _),
     "stream_file_sink" -> (streamFileSink _),
+    "stream_jdbc_sink" -> (streamJdbcSink _),
     "stream_stateful" -> (streamStateful _))
 
   /** Typed custom-state sessionization (`KeyValueGroupedDataset.
@@ -611,6 +747,15 @@ object Streaming {
     // exactly-once file-sink contract: the manifest read-back census
     // equals the batch answer — every input row landed in the sink once
     "stream_file_sink" ->
+      """SELECT strftime(ts, '%Y-%m-%d') AS day, event_type,
+        | count(*) AS n, round(sum(value), 2) AS val
+        |FROM events GROUP BY day, event_type
+        |ORDER BY day ASC, event_type ASC""".stripMargin,
+    // streaming→warehouse exactly-once contract: the JDBC read-back of
+    // the per-batch-landed table equals the batch answer — every input
+    // row reached the warehouse exactly once through foreachBatch's
+    // batch-id-idempotent transactions
+    "stream_jdbc_sink" ->
       """SELECT strftime(ts, '%Y-%m-%d') AS day, event_type,
         | count(*) AS n, round(sum(value), 2) AS val
         |FROM events GROUP BY day, event_type

@@ -37,10 +37,10 @@ class SparkEntryContractSpec extends AnyFunSuite {
   }
 
   test("inventory size matches the SURVEY census") {
-    assert(SparkEntry.queries.size == 319,
+    assert(SparkEntry.queries.size == 322,
       s"${SparkEntry.queries.size} declared queries — update SURVEY §2's " +
         "inventory census AND this pin together")
-    assert(SparkEntry.oracleSql.size == 303)
+    assert(SparkEntry.oracleSql.size == 306)
   }
 
   test("no duplicate keys are silently swallowed by the map unions") {

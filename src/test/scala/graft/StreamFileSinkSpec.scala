@@ -29,7 +29,12 @@ class StreamFileSinkSpec extends AnyFunSuite {
 
   test("kill mid-backlog + resume on one checkpoint: manifest read-back is exactly-once") {
     val (src, schema) = operators.Streaming.incrStage(spark, sf0001)
-    val tmp = java.nio.file.Files.createTempDirectory("graft_fsink_kill_").toString
+    // stage under the swept io base via the sanctioned helper (ADVICE
+    // r15): the default java.io.tmpdir location sits outside every 2 h
+    // stale sweep, so an assertion failure before the best-effort rm
+    // leaked the full parquet copy + checkpoint permanently; here a
+    // crashed run's dir is reaped
+    val tmp = operators.Streaming.ioTempDir("graft_fsink_kill_")
     val out = s"$tmp/out"
     def start() = spark.readStream.schema(schema)
       .option("maxFilesPerTrigger", "1") // one day per micro-batch → a long backlog
@@ -40,31 +45,35 @@ class StreamFileSinkSpec extends AnyFunSuite {
       .option("checkpointLocation", s"$tmp/ckpt")
       .outputMode("append")
       .trigger(Trigger.AvailableNow()).start()
-    val q1 = start()
-    // kill as soon as at least one batch committed (and, on the fixture's
-    // ~90-day backlog, long before all of them have)
-    val deadline = System.nanoTime() + 60L * 1000000000
-    while (q1.isActive && System.nanoTime() < deadline &&
-        !q1.recentProgress.exists(_.numInputRows > 0)) Thread.sleep(50)
-    val life1Batches = q1.recentProgress.count(_.numInputRows > 0)
-    q1.stop()
-    val q2 = start() // second life, same checkpoint: must resume, not replay
-    try { q2.awaitTermination(120000); () } finally q2.stop()
-    val manifest = new java.io.File(out, "_spark_metadata")
-    assert(manifest.isDirectory, "file sink must write a _spark_metadata manifest")
-    val got = spark.read.parquet(out)
-      .groupBy(col("day"), col("event_type"))
-      .agg(count(lit(1)).as("n"), round(sum(col("value")), 2).as("val"))
-      .orderBy(col("day").asc, col("event_type").asc)
-      .collect().map(_.toSeq).toSeq
-    // exactly-once across the kill: no missing rows, no duplicated rows
-    assert(got === batchCensus(),
-      s"manifest read-back diverges from batch after a mid-backlog kill " +
-        s"(life 1 committed $life1Batches batch(es) before the stop)")
-    // best-effort cleanup; the tmpdir is outside the swept scratch bases
-    def rm(f: java.io.File): Unit = {
-      val kids = f.listFiles(); if (kids != null) kids.foreach(rm); f.delete(); ()
+    // cleanup runs in the finally (ADVICE r15): the rm used to follow the
+    // assertions, so any failure leaked the dir for the sweep to reap
+    try {
+      val q1 = start()
+      // kill as soon as at least one batch committed (and, on the fixture's
+      // ~90-day backlog, long before all of them have)
+      val deadline = System.nanoTime() + 60L * 1000000000
+      while (q1.isActive && System.nanoTime() < deadline &&
+          !q1.recentProgress.exists(_.numInputRows > 0)) Thread.sleep(50)
+      val life1Batches = q1.recentProgress.count(_.numInputRows > 0)
+      q1.stop()
+      val q2 = start() // second life, same checkpoint: must resume, not replay
+      try { q2.awaitTermination(120000); () } finally q2.stop()
+      val manifest = new java.io.File(out, "_spark_metadata")
+      assert(manifest.isDirectory, "file sink must write a _spark_metadata manifest")
+      val got = spark.read.parquet(out)
+        .groupBy(col("day"), col("event_type"))
+        .agg(count(lit(1)).as("n"), round(sum(col("value")), 2).as("val"))
+        .orderBy(col("day").asc, col("event_type").asc)
+        .collect().map(_.toSeq).toSeq
+      // exactly-once across the kill: no missing rows, no duplicated rows
+      assert(got === batchCensus(),
+        s"manifest read-back diverges from batch after a mid-backlog kill " +
+          s"(life 1 committed $life1Batches batch(es) before the stop)")
+    } finally {
+      def rm(f: java.io.File): Unit = {
+        val kids = f.listFiles(); if (kids != null) kids.foreach(rm); f.delete(); ()
+      }
+      rm(new java.io.File(tmp))
     }
-    rm(new java.io.File(tmp))
   }
 }
