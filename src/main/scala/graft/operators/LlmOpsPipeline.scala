@@ -201,6 +201,114 @@ object LlmOpsPipeline {
       .orderBy(col("lang").asc)
   }
 
+  /** The TRAINING-CORPUS BUILD as ONE composed declared query (round 16 —
+    * the `bill_pipeline_e2e` treatment applied to the LLM-pipeline side):
+    * every stage has passed individually since round 2 (`ingest_json`,
+    * `llm_heuristic_filter`, `llm_dedup_exact`, `sink_partitioned`,
+    * `llm_pack`), but a bug that only manifests ACROSS the seams — a
+    * tokenization that doesn't survive the text round-trip, a filter
+    * predicate drifting between the staged and landed schema, a dedup key
+    * that misses re-deliveries, a partition column interacting with the
+    * pack order — had no oracle row. This query runs the corpus build
+    * end-to-end:
+    *
+    *  1. INGEST — the upstream drop staged as JSONL (THE training-corpus
+    *     interchange format — text survives arbitrary unicode/newlines
+    *     via JSON escaping, where CSV would mangle it) **with a 10%
+    *     duplicate re-delivery** (every doc_id % 10 == 0 doc arrives
+    *     twice — at-least-once delivery), re-read with an EXPLICIT
+    *     schema (never inferSchema at scale);
+    *  2. FILTER — the C4/Gopher heuristic quality gate
+    *     (`llm_heuristic_filter`'s pass predicate: ≥30 tokens, mean
+    *     token length in [3, 8], has stopwords) BEFORE the dedup
+    *     shuffle, so only survivors pay it;
+    *  3. DEDUPE — exact content dedup on the full delivered record (a
+    *     re-delivered doc is byte-identical; doc_id disambiguates
+    *     legitimate same-text docs, so the survivor pick is
+    *     deterministic);
+    *  4. LAND — lang-partitioned parquet, then ONE lang re-delivered
+    *     under dynamic partition overwrite (the idempotent re-load
+    *     contract, against the same sink the first write produced);
+    *  5. PACK + CENSUS — the GPT-style 2048-token packing (llm_pack's
+    *     sharded-cumsum shape) over the sink READ-BACK, reported as the
+    *     per-lang dataset card: docs, distinct sources, contexts, total
+    *     tokens, average fill.
+    *
+    * The DuckDB oracle computes the same card DIRECTLY over the source
+    * parquet with only the filter applied: equality proves the JSONL
+    * round-trip was lossless, the dedup removed exactly the injected
+    * re-deliveries, the re-loaded lang didn't double, and the pack saw
+    * the same doc_id order through the partitioned sink.
+    * LlmPipelineE2eSpec pins run-twice idempotency and the dedup count.
+    *
+    * Scale shape: each stage keeps its declared stage's plan — parallel
+    * JSONL encode/parse, map-side filter, ONE hash-shuffle dedup on the
+    * record key, a partition-colocated write (repartition(lang) ⇒ one
+    * file per partition), and the sharded pack cumsum (per-(lang, shard)
+    * windows + a one-row-per-shard offset table — no per-lang global
+    * window). The empty-corpus edge (a crafted sweep where every doc
+    * fails the filter) lands an empty sink whose read-back carries the
+    * explicit schema, so the census is an empty frame, not an error. */
+  def llmPipelineE2e(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.types._
+    val out = SourcesSinks.scratchFor(dir, "llm_e2e")
+    val proj = Tables.documents(spark, dir)
+      .select(col("doc_id"), col("lang"), col("source"), col("text"), col("n_chars"))
+    proj.unionAll(proj.filter(col("doc_id") % 10 === 0)) // re-deliver 10%
+      .repartition(spark.sparkContext.defaultParallelism)
+      .write.mode("overwrite").json(s"$out/jsonl")
+    val schema = StructType(Seq(
+      StructField("doc_id", LongType), StructField("lang", StringType),
+      StructField("source", StringType), StructField("text", StringType),
+      StructField("n_chars", LongType)))
+    val raw = spark.read.schema(schema).json(s"$out/jsonl")
+    val ntokD = size(toksRaw).cast("double")
+    val avgLen = (col("n_chars").cast("double") - (ntokD - 1)) / ntokD
+    val nstop = size(filter(toksRaw, t => t === "the" || t === "a"))
+    val clean = raw
+      .filter(!(ntokD < 30) && !(avgLen < 3.0 || avgLen > 8.0) && !(nstop === 0))
+      .dropDuplicates("doc_id", "lang", "source", "text", "n_chars")
+    clean.repartition(col("lang"))
+      .write.mode("overwrite").partitionBy("lang").parquet(s"$out/sink")
+    val prev = spark.conf.getOption("spark.sql.sources.partitionOverwriteMode")
+    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+    try
+      clean.filter(col("lang") === "en") // re-deliver one lang
+        .repartition(col("lang"))
+        .write.mode("overwrite").partitionBy("lang").parquet(s"$out/sink")
+    finally prev match {
+      case Some(v) => spark.conf.set("spark.sql.sources.partitionOverwriteMode", v)
+      case None    => spark.conf.unset("spark.sql.sources.partitionOverwriteMode")
+    }
+    val base = spark.read.schema(clean.schema).parquet(s"$out/sink")
+      .select(col("doc_id"), col("lang"), col("source"),
+        size(toksRaw).cast("bigint").as("ntok"),
+        expr("doc_id DIV 256").as("shard"))
+    val wOff = Window.partitionBy("lang").orderBy(col("shard").asc)
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val offsets = base.groupBy("lang", "shard").agg(sum("ntok").as("stot"))
+      .withColumn("off", coalesce(sum("stot").over(wOff), lit(0L)))
+      .select("lang", "shard", "off")
+    val wShard = Window.partitionBy("lang", "shard").orderBy(col("doc_id").asc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val ctxStats = base
+      .join(offsets, Seq("lang", "shard"))
+      .withColumn("cum", sum("ntok").over(wShard) + col("off"))
+      .withColumn("ctx", expr("(cum - ntok) DIV 2048"))
+      .groupBy("lang", "ctx").agg(sum("ntok").as("toks"))
+      .groupBy("lang")
+      .agg(count(lit(1)).as("n_contexts"),
+        round(avg(col("toks").cast("double") / 2048.0), 6).as("avg_fill"))
+    base.groupBy("lang")
+      .agg(count(lit(1)).as("docs"),
+        countDistinct(col("source")).as("n_sources"),
+        sum("ntok").as("total_toks"))
+      .join(ctxStats, Seq("lang")) // per-lang grain — a handful of rows
+      .select(col("lang"), col("docs"), col("n_sources"), col("n_contexts"),
+        col("total_toks"), col("avg_fill"))
+      .orderBy(col("lang").asc)
+  }
+
   /** Bigram language-model scoring (the KenLM-style perplexity filter of
     * corpus builds): a bigram LM with add-one smoothing is fit on the
     * corpus itself, every document scored by its mean log-probability,
@@ -1085,7 +1193,8 @@ object LlmOpsPipeline {
     "llm_mix_weights"       -> (llmMixWeights _),
     "llm_repetition"        -> (llmRepetition _),
     "llm_contamination"     -> (llmContamination _),
-    "llm_heuristic_filter"  -> (llmHeuristicFilter _))
+    "llm_heuristic_filter"  -> (llmHeuristicFilter _),
+    "llm_pipeline_e2e"      -> (llmPipelineE2e _))
 
   val oracleSql: Map[String, String] = Map(
     "llm_dedup_agreement" ->
@@ -1604,6 +1713,43 @@ object LlmOpsPipeline {
         |FROM documents LEFT JOIN cont ON documents.doc_id = cont.doc_id
         |WHERE documents.doc_id % 100 <> 0
         |GROUP BY source ORDER BY source ASC""".stripMargin,
+    // the composed corpus-build contract: the per-lang dataset card over
+    // the landed sink equals the same card computed directly over the
+    // filtered source — the JSONL round-trip lost nothing, the dedup
+    // removed exactly the injected re-deliveries, the re-loaded lang
+    // didn't double, and the pack saw the same doc_id order
+    "llm_pipeline_e2e" ->
+      """WITH f AS (
+        |  SELECT doc_id, lang, source,
+        |    CAST(len(string_split(text, ' ')) AS BIGINT) AS ntok
+        |  FROM documents
+        |  WHERE NOT (len(string_split(text, ' ')) < 30)
+        |    AND NOT ((CAST(n_chars AS DOUBLE) - (len(string_split(text, ' ')) - 1))
+        |        / len(string_split(text, ' ')) < 3.0
+        |      OR (CAST(n_chars AS DOUBLE) - (len(string_split(text, ' ')) - 1))
+        |        / len(string_split(text, ' ')) > 8.0)
+        |    AND NOT (len(list_filter(string_split(text, ' '),
+        |        t -> t = 'the' OR t = 'a')) = 0)),
+        |c AS (
+        |  SELECT lang, ntok,
+        |    CAST(sum(ntok) OVER (PARTITION BY lang ORDER BY doc_id ASC
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum
+        |  FROM f),
+        |p AS (
+        |  SELECT lang, (cum - ntok) // 2048 AS ctx,
+        |    CAST(sum(ntok) AS BIGINT) AS toks
+        |  FROM c GROUP BY lang, ctx),
+        |l AS (
+        |  SELECT lang, count(*) AS docs, count(DISTINCT source) AS n_sources,
+        |    CAST(sum(ntok) AS BIGINT) AS total_toks
+        |  FROM f GROUP BY lang),
+        |x AS (
+        |  SELECT lang, count(*) AS n_contexts,
+        |    round(avg(CAST(toks AS DOUBLE) / 2048.0), 6) AS avg_fill
+        |  FROM p GROUP BY lang)
+        |SELECT l.lang, l.docs, l.n_sources, x.n_contexts, l.total_toks,
+        |  x.avg_fill
+        |FROM l JOIN x ON l.lang = x.lang ORDER BY l.lang ASC""".stripMargin,
     "llm_heuristic_filter" ->
       """WITH f AS (
         |  SELECT lang,

@@ -37,10 +37,10 @@ class SparkEntryContractSpec extends AnyFunSuite {
   }
 
   test("inventory size matches the SURVEY census") {
-    assert(SparkEntry.queries.size == 322,
+    assert(SparkEntry.queries.size == 323,
       s"${SparkEntry.queries.size} declared queries — update SURVEY §2's " +
         "inventory census AND this pin together")
-    assert(SparkEntry.oracleSql.size == 306)
+    assert(SparkEntry.oracleSql.size == 307)
   }
 
   test("no duplicate keys are silently swallowed by the map unions") {

@@ -74,7 +74,7 @@ def build_unicode(d):
     con.execute(f"COPY d TO '{d}/documents.parquet' (FORMAT PARQUET)")
     return ["llm_text_stats", "llm_tokenize", "llm_char_ngrams", "llm_ttr",
             "llm_zipf_fit", "llm_lang_id", "llm_quality", "llm_pii_mask",
-            "llm_entropy", "llm_repetition"]
+            "llm_entropy", "llm_repetition", "llm_pipeline_e2e"]
 
 
 # DuckDB VALUES literals type small ints as INT32, but the fixture schema
