@@ -622,17 +622,25 @@ object Bench {
     // opaque names scale correctly too. The flag stays loud on genuine
     // ledger bloat at ANY scale: a new unpriced artifact moves the
     // ratio off its committed growth curve, not along it.
+    // The row count is only read when a ledger exists to gate (round-16
+    // self-review): with warmArtifacts empty the ratio is 0 and the flag
+    // can never fire, so a ledger-off run must not pay a post-suite
+    // lineitem scan just to print a gate that gates nothing.
     val scaleRows: Double =
-      try Tables.byName(spark, sfDir, "lineitem").count().toDouble
+      if (ledgerTotal <= 0) -1.0
+      else try Tables.byName(spark, sfDir, "lineitem").count().toDouble
       catch { case _: Throwable => -1.0 }
     val ledgerGate =
       if (scaleRows > 0) 0.20 * math.pow(math.max(1.0, scaleRows / 600000.0), 0.18)
       else 0.20
-    if (ledgerRatio > ledgerGate)
+    if (ledgerRatio > ledgerGate) {
+      val gateOrigin =
+        if (scaleRows > 0) f"SF-adjusted gate ${ledgerGate * 100}%.1f%% at ${scaleRows / 1e6}%.1f M lineitem rows"
+        else f"unadjusted base gate ${ledgerGate * 100}%.1f%% — fixture row count unavailable"
       System.err.println(f"BENCH WARN warm-artifact ledger $ledgerTotal%.1f s is " +
-        f"${ledgerRatio * 100}%.1f%% of the timed total (SF-adjusted gate " +
-        f"${ledgerGate * 100}%.1f%% at ${scaleRows / 1e6}%.1f M lineitem rows) " +
+        f"${ledgerRatio * 100}%.1f%% of the timed total ($gateOrigin) " +
         "— rebalance or re-justify")
+    }
     val loadSummary =
       s""""load_max":${fmt(if (loads.isEmpty) -1 else loads.max)},"load_mean":${fmt(
         if (loads.isEmpty) -1 else loads.sum / loads.size)},"stall_total":${fmt(stalls.sum)},"io_stall_total":${fmt(

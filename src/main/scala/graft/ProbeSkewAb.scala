@@ -50,11 +50,15 @@ object ProbeSkewAb {
     val dim = spark.read.parquet(dimPath)
 
     def fact(share: Double): DataFrame = {
-      // cache key carries BOTH the row count and the share at 4 decimal
-      // places (ADVICE r15): the old int(share*100) key ignored
-      // rowsMillions and truncated 0.015 onto 0.01, so a later probe run
-      // could silently reuse the wrong corpus behind the _SUCCESS marker
-      val path = f"$base/fact_${rowsM}%dm_${(share * 10000).toInt}%d.parquet"
+      // cache key carries BOTH the row count and the share, the latter
+      // via Double.toString (ADVICE r15, tightened in the round-16
+      // self-review): the old int(share*100) key ignored rowsMillions
+      // and truncated 0.015 onto 0.01 — and a scaled-int key of ANY
+      // precision keeps a residual truncation class one decimal further
+      // down. Double.toString is canonical per distinct value, so the
+      // key is collision-free; sanitize it to a filesystem-safe token.
+      val shareKey = share.toString.map(c => if (c.isLetterOrDigit) c else '_')
+      val path = f"$base/fact_${rowsM}%dm_$shareKey%s.parquet"
       if (!new java.io.File(path, "_SUCCESS").exists()) {
         // deterministic: row i is hot iff i mod 1000 < share*1000
         spark.range(n)

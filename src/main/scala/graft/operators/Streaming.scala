@@ -472,7 +472,10 @@ object Streaming {
           "hung stream, refusing to emit a partial census")
 
   /** Best-effort recursive delete of a per-invocation staging dir. */
-  private def deleteStaging(path: String): Unit =
+  // private[graft]: the kill-test specs stage via ioTempDir and must
+  // clean up through the same helper instead of growing their own
+  // recursive-delete copies (round-16 self-review)
+  private[graft] def deleteStaging(path: String): Unit =
     try {
       def rec(f: java.io.File): Unit = {
         val kids = f.listFiles(); if (kids != null) kids.foreach(rec)

@@ -57,7 +57,8 @@ class StreamFileSinkSpec extends AnyFunSuite {
       val life1Batches = q1.recentProgress.count(_.numInputRows > 0)
       q1.stop()
       val q2 = start() // second life, same checkpoint: must resume, not replay
-      try { q2.awaitTermination(120000); () } finally q2.stop()
+      try assert(q2.awaitTermination(120000), "life 2 timed out mid-backlog")
+      finally q2.stop()
       val manifest = new java.io.File(out, "_spark_metadata")
       assert(manifest.isDirectory, "file sink must write a _spark_metadata manifest")
       val got = spark.read.parquet(out)
@@ -69,11 +70,6 @@ class StreamFileSinkSpec extends AnyFunSuite {
       assert(got === batchCensus(),
         s"manifest read-back diverges from batch after a mid-backlog kill " +
           s"(life 1 committed $life1Batches batch(es) before the stop)")
-    } finally {
-      def rm(f: java.io.File): Unit = {
-        val kids = f.listFiles(); if (kids != null) kids.foreach(rm); f.delete(); ()
-      }
-      rm(new java.io.File(tmp))
-    }
+    } finally operators.Streaming.deleteStaging(tmp)
   }
 }

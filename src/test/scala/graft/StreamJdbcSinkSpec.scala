@@ -88,11 +88,6 @@ class StreamJdbcSinkSpec extends AnyFunSuite {
       assert(got === batchCensus(),
         s"warehouse diverges from batch after a mid-backlog kill " +
           s"(life 1 landed $life1Batches batch(es) before the stop)")
-    } finally {
-      def rm(f: java.io.File): Unit = {
-        val kids = f.listFiles(); if (kids != null) kids.foreach(rm); f.delete(); ()
-      }
-      rm(new java.io.File(tmp))
-    }
+    } finally operators.Streaming.deleteStaging(tmp)
   }
 }

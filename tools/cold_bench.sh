@@ -32,9 +32,11 @@ for d in /dev/shm/graft_io /dev/shm/graft-memo /tmp/graft_io /tmp/graft-memo; do
 done
 
 echo "COLDBENCH bench (cold JVM, cold scratch, warm-artifact ledger ON)"
+# absolute out paths pass through; relative ones anchor at the repo root
+case "$OUT" in /*) OUT_ABS="$OUT";; *) OUT_ABS="$(pwd)/$OUT";; esac
 SPARK_GRAFT_SF_DIR="${SPARK_GRAFT_SF_DIR:-/root/testdata/sf0.1}" \
 SPARK_GRAFT_CPUS="${SPARK_GRAFT_CPUS:-32}" \
-SPARK_GRAFT_BENCH_OUT="$(pwd)/$OUT" \
+SPARK_GRAFT_BENCH_OUT="$OUT_ABS" \
 sbt -batch "runMain graft.Bench"
 rc=$?
 echo "COLDBENCH exit=$rc out=$OUT"
