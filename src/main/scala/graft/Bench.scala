@@ -277,6 +277,21 @@ object Bench {
       } catch { case e: Throwable =>
         System.err.println(s"BENCH WARMUP (text codecs) FAILED: ${e.getMessage}")
       }
+      // Driver-side linear-algebra warm-up (round 17): breeze eigSym's
+      // FIRST call loads/initializes the LAPACK backend and its class
+      // graph on the driver — measured ~1.5 s landing inside llm_pca's
+      // timed rep (2.73 s rep1 vs 0.34 s warm, ProbeStages; the JIT gate
+      // cannot see it because native-library init is not JVM compiler
+      // time). Synthetic 8×8 matrix only: warms the PROCESS, computes
+      // nothing from any fixture — the codec warm-up contract.
+      try {
+        val m = breeze.linalg.DenseMatrix.tabulate(8, 8)((i, j) =>
+          1.0 / (1 + i + j))
+        breeze.linalg.eigSym((m + m.t) *:* 0.5)
+        ()
+      } catch { case e: Throwable =>
+        System.err.println(s"BENCH WARMUP (eigsym) FAILED: ${e.getMessage}")
+      }
       val tables = Seq("region", "nation", "customer", "supplier", "part",
         "orders", "lineitem", "events", "documents", "embeddings")
       tables.foreach { t =>

@@ -1,0 +1,39 @@
+package graft
+import org.apache.spark.sql.SparkSession
+
+/** Dev probe (round 17): A/B declared queries across shuffle-partition
+  * counts — quantifies how much of each heavy query is per-task/stage
+  * fixed cost at partitions=32 vs a size-appropriate count for its
+  * actual shuffle bytes. Informs the scale-adaptive partition derivation
+  * (guide §2: size partitions by bytes, not a constant). Not declared
+  * surface.
+  *
+  * Usage: runMain graft.ProbeParts <sfDir> <query...>
+  */
+object ProbeParts {
+  def main(args: Array[String]): Unit = {
+    val sfDir = args(0); val names = args.drop(1)
+    val spark = SparkSession.builder().master("local[32]")
+      .config("spark.sql.shuffle.partitions", "32")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.extensions", "graft.GraftExtensions")
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      .config("spark.ui.enabled", "false").getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    spark.range(1000000).selectExpr("sum(id)").collect()
+    // warm artifacts + codegen untimed
+    names.foreach(n => SparkEntry.queries(n)(spark, sfDir).count())
+    Seq(32, 8, 4, 2).foreach { p =>
+      spark.conf.set("spark.sql.shuffle.partitions", p.toString)
+      names.foreach { n =>
+        val ts = (1 to 3).map { _ =>
+          val t0 = System.nanoTime()
+          SparkEntry.queries(n)(spark, sfDir).count()
+          (System.nanoTime() - t0) / 1e9
+        }
+        println(f"PROBE p=$p%-3d $n%-26s min=${ts.min}%.3f med=${ts.sorted.apply(1)}%.3f")
+      }
+    }
+    spark.stop()
+  }
+}

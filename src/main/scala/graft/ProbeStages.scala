@@ -1,0 +1,50 @@
+package graft
+import org.apache.spark.sql.SparkSession
+
+/** Dev probe (round 17): per-STAGE attribution for declared queries — the
+  * stage-level analogue of TimeQ's per-rep line. For each rep of each named
+  * query, prints every completed stage's task count, executor run/CPU
+  * seconds, shuffle read/write bytes and records, so a slow query's cost
+  * lands on a specific exchange/scan instead of a whole job. Not part of
+  * the declared surface.
+  *
+  * Usage: runMain graft.ProbeStages <sfDir> <reps> <query...>
+  */
+object ProbeStages {
+  def main(args: Array[String]): Unit = {
+    val sfDir = args(0); val reps = args(1).toInt; val names = args.drop(2)
+    val spark = SparkSession.builder().master("local[32]")
+      .config("spark.sql.shuffle.partitions", "32")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.extensions", "graft.GraftExtensions")
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      .config("spark.ui.enabled", "false").getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    spark.sparkContext.addSparkListener(new org.apache.spark.scheduler.SparkListener {
+      override def onStageCompleted(
+          sc: org.apache.spark.scheduler.SparkListenerStageCompleted): Unit = {
+        val si = sc.stageInfo; val m = si.taskMetrics
+        if (m != null) {
+          val nm = si.name.takeWhile(_ != '(').trim
+          println(f"STAGE ${si.stageId}%4d $nm%-28s tasks=${si.numTasks}%3d " +
+            f"run=${m.executorRunTime / 1e3}%7.2f cpu=${m.executorCpuTime / 1e9}%7.2f " +
+            f"srdB=${m.shuffleReadMetrics.totalBytesRead / 1e6}%8.1fM " +
+            f"swrB=${m.shuffleWriteMetrics.bytesWritten / 1e6}%8.1fM " +
+            f"srdR=${m.shuffleReadMetrics.recordsRead}%9d " +
+            f"out=${m.outputMetrics.recordsWritten}%9d")
+        }
+      }
+    })
+    spark.range(1000000).selectExpr("sum(id)").collect()
+    spark.read.parquet(s"$sfDir/lineitem.parquet").limit(1000).count()
+    names.foreach { n =>
+      (1 to reps).foreach { r =>
+        Thread.sleep(300)
+        val t0 = System.nanoTime()
+        val c = SparkEntry.queries(n)(spark, sfDir).count()
+        println(f"TIME $n rep=$r ${(System.nanoTime() - t0) / 1e9}%.2f s rows=$c")
+      }
+    }
+    spark.stop()
+  }
+}

@@ -500,42 +500,82 @@ object Aggregates {
     * r10: the final materialize truncated this chain out of both plan
     * guards). */
   private[graft] def aggWeightedMedianPlan(spark: SparkSession, dir: String): DataFrame = {
-    // The weight table feeds BOTH the shard-total branch and the final
-    // join, so it is materialized once (without this each branch re-runs
-    // the corpus hash agg — the only corpus-scale pass). Round 10: the
-    // r9 lazy localCheckpoint became a MemoFrames.materialize — the
-    // checkpoint pinned the truncation blocks in executor memory (lost-
-    // executor fragility, the round-2 lesson llmDedupClusters already
-    // applied) and its first-action materialization ran under AQE, whose
-    // per-exchange stage jobs made this 8 scheduled jobs; the AQE-off
-    // parquet write is one job and both branches get columnar scans.
-    val byPrice = MemoFrames.materialize(spark, "wmed_weights",
-      weightedMedianWeights(spark, dir))
-    val wOff = Window.partitionBy("l_returnflag").orderBy(col("shard").asc)
-      .rowsBetween(Window.unboundedPreceding, -1)
-    val wTot = Window.partitionBy("l_returnflag")
-    val offs = byPrice.groupBy("l_returnflag", "shard")
-      .agg(sum("wgt").as("stot"))
-      .withColumn("off", coalesce(sum("stot").over(wOff), lit(0.0)))
-      .withColumn("tot", sum("stot").over(wTot))
-      .select("l_returnflag", "shard", "off", "tot")
-    val wShard = Window.partitionBy("l_returnflag", "shard")
+    // Round-17 restructure (guide §1.1 first-principles + §2.4): the r10
+    // form materialized the FULL value-grain weight table (583 k rows at
+    // sf0.1) to feed a corpus-grain window + merge join. But the median
+    // SELECTION only ever needs (a) the DOMAIN-bounded (flag, shard)
+    // rollup — ~flags × price-domain/1000 rows at ANY corpus size — and
+    // (b) the value rows of the ONE shard per flag that straddles tot/2.
+    // So: pass 1 rolls the weight table up to shard grain and COLLECTS it
+    // (~300 rows — codebook-class driver state, the kcore-k legitimacy
+    // argument; all sums are integral doubles, exact in any order);
+    // the driver walks each flag's shards to find the median shard s*,
+    // its prefix offset, the flag total, and the value-row count of the
+    // shards ABOVE s* (all of whose cumulative weights exceed tot/2 by
+    // construction). Pass 2 re-aggregates ONLY the median shards' rows —
+    // the shard membership spelled as an explicit PRICE RANGE so the
+    // predicate pushes to the parquet scan's row-group stats — and a
+    // window over those few hundred rows finishes the selection. The
+    // corpus-grain materialize/window/join are gone; what remains
+    // corpus-scale is the two aggregating scans. Row-for-row equal to
+    // the r10 plan: rows below s* have cum ≤ off < tot/2, rows above
+    // have cum ≥ off + stot(s*) ≥ tot/2, and within s* the running sum
+    // plus off reproduces the global cum exactly (integral weights).
+    val shardStats = MemoFrames.noAqe(spark)(
+      weightedMedianWeights(spark, dir)
+        .groupBy("l_returnflag", "shard")
+        .agg(sum("wgt").as("stot"), count(lit(1)).as("np"))
+        .collect()).toSeq
+    if (shardStats.isEmpty) {
+      // degenerate input: the median of nothing is no rows (same as r10)
+      import org.apache.spark.sql.types._
+      return spark.createDataFrame(new java.util.ArrayList[org.apache.spark.sql.Row](),
+        StructType(Seq(StructField("l_returnflag", StringType),
+          StructField("n_prices_above", LongType, nullable = false),
+          StructField("w_median", DoubleType), StructField("total_qty", DoubleType))))
+    }
+    val sels = shardStats.groupBy(_.getString(0)).toSeq.map { case (flag, rows) =>
+      val byShard = rows.sortBy(_.getLong(1))
+      val tot = byShard.map(_.getDouble(2)).sum
+      var cum = 0.0; var off = 0.0; var sStar = byShard.head.getLong(1)
+      var found = false; var npLater = 0L
+      byShard.foreach { r =>
+        if (!found) {
+          if (cum + r.getDouble(2) >= tot / 2) { sStar = r.getLong(1); off = cum; found = true }
+          else cum += r.getDouble(2)
+        } else npLater += r.getLong(3)
+      }
+      (flag, sStar, off, tot, npLater)
+    }
+    val session = spark
+    import session.implicits._
+    val selDf = sels.toDF("l_returnflag", "sel_shard", "off", "tot", "np_later")
+    val pred = sels.map { case (flag, s, _, _, _) =>
+      col("l_returnflag") === flag &&
+        col("l_extendedprice") >= lit(s * 1000.0) &&
+        col("l_extendedprice") < lit((s + 1) * 1000.0)
+    }.reduce(_ || _)
+    val wShard = Window.partitionBy("l_returnflag")
       .orderBy(col("l_extendedprice").asc)
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    val medians = byPrice.join(offs, Seq("l_returnflag", "shard"))
+    Tables.lineitem(spark, dir)
+      .filter(pred)
+      .groupBy(col("l_returnflag"), col("l_extendedprice"))
+      .agg(sum("l_quantity").as("wgt"))
+      .join(broadcast(selDf), "l_returnflag")
       .withColumn("cumw", sum("wgt").over(wShard) + col("off"))
-      .filter(col("cumw") >= col("tot") / 2)
       .groupBy(col("l_returnflag"))
-      .agg(count(lit(1)).as("n_prices_above"),
-        round(min("l_extendedprice"), 2).as("w_median"),
+      .agg((count(when(col("cumw") >= col("tot") / 2, lit(1))) +
+          max("np_later")).as("n_prices_above"),
+        round(min(when(col("cumw") >= col("tot") / 2, col("l_extendedprice"))), 2)
+          .as("w_median"),
         round(max("tot"), 2).as("total_qty"))
-    medians
   }
 
   def aggWeightedMedian(spark: SparkSession, dir: String): DataFrame =
-    // flag-grain result (3 rows, bounded at any corpus size): the offs/
-    // join/window/agg chain collapses into one more AQE-off write job —
-    // under AQE its ~5 exchanges each scheduled a stage job
+    // flag-grain result (3 rows, bounded at any corpus size): the pruned
+    // pass-2 agg/window chain collapses into one AQE-off write job —
+    // under AQE its exchanges each scheduled a stage job
     MemoFrames.materialize(spark, "wmed_out", aggWeightedMedianPlan(spark, dir))
       .orderBy(col("l_returnflag").asc)
 

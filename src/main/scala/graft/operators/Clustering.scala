@@ -596,11 +596,21 @@ object Clustering {
   private[graft] def labelPropPlan(spark: SparkSession, dir: String): DataFrame = {
     // column pruning: the superstep needs neither deg nor n
     val edges = graphEdges(spark, dir).select("src", "dst")
-    // round 0: every node its own label; the node set is exactly the
-    // src side (undirected-as-two-arcs ⇒ every node has an out-arc)
-    var labels = edges.select(col("src").as("node")).distinct()
-      .select(col("node"), col("node").as("lbl"))
-    for (_ <- 1 to 2) {
+    // Round 0 is identity labels, and superstep 1 from identity labels
+    // FOLDS ALGEBRAICALLY (round 17, guide §1.1 first-principles pass —
+    // the same fold pagerankPlan has always applied to pr₀ = 1/N): with
+    // lbl₀(src) = src and the arc set DISTINCT by construction, every
+    // (dst, lbl) message group has count exactly 1, so the argmax
+    // (highest count, ties to smallest label) degenerates to the
+    // smallest incoming label — labels₁ = min(src) per dst, one hash
+    // agg with a map-side partial min instead of a distinct + arc join
+    // + two-level count/argmax aggregation (three corpus-scale
+    // exchanges removed; the node set is unchanged because every node
+    // has an in-arc under undirected-as-two-arcs). Superstep 2 below is
+    // the general form, byte-identical to the unfolded plan's output —
+    // Round8OpsSpec's oracle row and the unfolded-replay spec pin it.
+    var labels = edges.groupBy(col("dst").as("node")).agg(min("src").as("lbl"))
+    for (_ <- 2 to 2) {
       // shuffle_hash for the same per-superstep-broadcast-job reason as
       // graphPagerank's loop
       labels = labels
@@ -648,9 +658,35 @@ object Clustering {
     val sp = graphPairs(spark, dir)
       .select(expr("p DIV 2").as("pk"), expr("(s - 1) DIV 2").as("sk"))
     val deg = sp.groupBy("sk").agg(count(lit(1)).as("d"))
-    val co = sp.select(col("pk"), col("sk").as("s1"))
-      .join(sp.select(col("pk"), col("sk").as("s2")), "pk")
-      .filter(col("s1") < col("s2"))
+    // Round 17 (guide §2.3/§3 — shuffle fewer bytes, avoid the join):
+    // the intersection counts come from CLIQUE EXPANSION of per-part
+    // sorted supplier arrays instead of the pk self-equi-join. The join
+    // form shuffled the pair set twice (both join sides), materialized
+    // Σ_p deg(p)² probe matches (~8.7 M rows at sf0.1, 78 MB of partial-
+    // agg shuffle — ProbeStages round-17 trace), and threw half away on
+    // s1 < s2; the array form shuffles the pair set ONCE into
+    // (pk → sorted sk array) and emits each unordered pair exactly once
+    // (i < j positions ⇒ s1 < s2 for free), Σ_p deg(p)·(deg(p)−1)/2 rows
+    // — half the stream, no join build/probe, one fewer corpus-scale
+    // exchange. Identical (s1, s2, inter) multiset by construction:
+    // arrays hold exactly the distinct per-part supplier sets the join
+    // keyed on. This is also the 100× spill lever VERDICT r16 task 3
+    // names: the pre-join pair stream never exists, so the partial-agg
+    // buffers hold array-grain rows instead of the ×100 distinct-pair
+    // stream.
+    // The array exchange is PINNED at the session's configured
+    // parallelism (explicit repartition count — AQE honors it): AQE's
+    // coalescing sizes the post-shuffle stage by the exchange's ~4 MB of
+    // array bytes, but the clique expansion multiplies work ×deg²/2
+    // AFTER the exchange — measured 4 coalesced tasks serializing a
+    // 4.5 CPU-s expansion (ProbeStages round 17). Expansion volume is
+    // problem knowledge the runtime cannot see (guide §8).
+    val nParts = spark.conf.get("spark.sql.shuffle.partitions", "200").toInt
+    val byPart = sp.repartition(nParts, col("pk"))
+      .groupBy("pk").agg(sort_array(collect_list(col("sk"))).as("ss"))
+    val co = byPart
+      .select(col("ss"), posexplode(col("ss")).as(Seq("i", "s1")))
+      .select(col("s1"), explode(expr("slice(ss, i + 2, size(ss))")).as("s2"))
       .groupBy("s1", "s2").agg(count(lit(1)).as("inter"))
     // Negative result (round 10, measured): swapping the two broadcast
     // degree joins for merge hints inside one AQE-off materialize saved
@@ -700,13 +736,22 @@ object Clustering {
     // hub prune at the PART grain: one hash agg on pk, then the pair set
     // keeps only sub-cap parts (the join keys on pk — co-partitioned with
     // the self-join's own exchange; at fixture scale AQE broadcasts it)
-    val keep = sp.groupBy("pk").agg(count(lit(1)).as("dp"))
-      .filter(col("dp") <= cap).select("pk")
-    val spc = sp.join(keep, "pk")
-    val deg = spc.groupBy("sk").agg(count(lit(1)).as("d"))
-    val co = spc.select(col("pk"), col("sk").as("s1"))
-      .join(spc.select(col("pk"), col("sk").as("s2")), "pk")
-      .filter(col("s1") < col("s2"))
+    // Round 17: clique expansion from per-part sorted arrays (see
+    // graphJaccard) — and the hub prune becomes a size(ss) filter on the
+    // SAME aggregate the expansion needs, so the separate fan-out census
+    // + keep-join disappear entirely: one exchange builds the arrays,
+    // the cap drops hub parts array-grain, degrees re-derive from the
+    // kept arrays (identical to the pruned pair set by construction).
+    // This is VERDICT r16 task 3's lever: at 100× the ×100 distinct-pair
+    // stream is never materialized pre-join, and each part's emit is
+    // bounded at cap·(cap−1)/2 from its own array.
+    val byPart = sp.groupBy("pk").agg(sort_array(collect_list(col("sk"))).as("ss"))
+      .filter(size(col("ss")) <= cap)
+    val deg = byPart.select(explode(col("ss")).as("sk"))
+      .groupBy("sk").agg(count(lit(1)).as("d"))
+    val co = byPart
+      .select(col("ss"), posexplode(col("ss")).as(Seq("i", "s1")))
+      .select(col("s1"), explode(expr("slice(ss, i + 2, size(ss))")).as("s2"))
       .groupBy("s1", "s2").agg(count(lit(1)).as("inter"))
     co.join(broadcast(deg.select(col("sk").as("s1"), col("d").as("d1"))), "s1")
       .join(broadcast(deg.select(col("sk").as("s2"), col("d").as("d2"))), "s2")

@@ -712,9 +712,16 @@ object LlmOpsExtra {
       (x, y) => (x - y) * (x - y)), lit(0.0), (a, v) => a + v)
     subs.join(broadcast(cbDf), "m")
       .select(col("vec_id"), col("label"), col("m"),
-        struct(d2.as("d2"), col("j")).as("c"))
+        struct(d2.as("d2"), col("j")).as("c"), col("sub"))
       .groupBy("vec_id", "label", "m")
-      .agg(min(col("c")).as("b"))
+      // `sub` is CONSTANT within a (vec, m) group (the K codebook rows fan
+      // out of one subvector row), so first() is value-deterministic here;
+      // carrying it through the argmin lets the Lloyd mean step below read
+      // the winning subvector straight off the assignment instead of
+      // recomputing the corpus explode and joining back on (vec_id, m) —
+      // one corpus pass and one shuffle join removed PER ITERATION
+      // (round 17, guide §2.4).
+      .agg(min(col("c")).as("b"), first(col("sub")).as("sub"))
   }
 
   /** Train the M=8 × K=16 codebooks: seeded-Gaussian init scaled to the
@@ -736,15 +743,12 @@ object LlmOpsExtra {
       val cbDf = cb.zipWithIndex.flatMap { case (sub, m) =>
         sub.zipWithIndex.map { case (cent, j) => (m, j.toLong, cent) } }
         .toDF("m", "j", "cent")
-      // re-attach each assigned (vec, m) to its subvector for the mean
-      val subs = embDouble(spark, dir)
-        .select(col("vec_id"),
-          posexplode(transform(sequence(lit(0), lit(7)),
-            m => slice(col("e"), m * 8 + 1, lit(8)))).as(Seq("m", "sub")))
+      // the winning subvector rides the assignment (pqAssign carries it
+      // through the argmin — round 17), so the mean step needs no
+      // re-attach join
       val means = pqAssign(spark, dir, cbDf)
-        .select(col("vec_id"), col("m"), col("b.j").as("j"))
-        .join(subs, Seq("vec_id", "m"))
-        .select(col("m"), col("j"), posexplode(col("sub")).as(Seq("t", "x")))
+        .select(col("m"), col("b.j").as("j"),
+          posexplode(col("sub")).as(Seq("t", "x")))
         .groupBy("m", "j", "t").agg(round(avg("x"), 6).as("c"))
         .collect()
       val byCell = means.groupBy(r => (r.getInt(0), r.getLong(1)))

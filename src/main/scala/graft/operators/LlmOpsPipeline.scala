@@ -265,15 +265,23 @@ object LlmOpsPipeline {
     val ntokD = size(toksRaw).cast("double")
     val avgLen = (col("n_chars").cast("double") - (ntokD - 1)) / ntokD
     val nstop = size(filter(toksRaw, t => t === "the" || t === "a"))
-    val clean = raw
+    // quality gate + dedup as a function of the delivered frame (round
+    // 17, guide §2.3 — same re-delivery pushdown as billPipelineE2e):
+    // `lang` is both the partition key AND a dedup key, so filtering the
+    // re-delivered lang at the SOURCE commutes with the per-row quality
+    // gate and the full-record dedup — the re-delivery's dedup shuffle
+    // carries one lang instead of the whole corpus, matching the
+    // production shape (a lang re-delivery re-reads that lang's files).
+    def qualityDedup(df: DataFrame): DataFrame = df
       .filter(!(ntokD < 30) && !(avgLen < 3.0 || avgLen > 8.0) && !(nstop === 0))
       .dropDuplicates("doc_id", "lang", "source", "text", "n_chars")
+    val clean = qualityDedup(raw)
     clean.repartition(col("lang"))
       .write.mode("overwrite").partitionBy("lang").parquet(s"$out/sink")
     val prev = spark.conf.getOption("spark.sql.sources.partitionOverwriteMode")
     spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
     try
-      clean.filter(col("lang") === "en") // re-deliver one lang
+      qualityDedup(raw.filter(col("lang") === "en")) // re-deliver one lang
         .repartition(col("lang"))
         .write.mode("overwrite").partitionBy("lang").parquet(s"$out/sink")
     finally prev match {

@@ -300,8 +300,52 @@ object MemoFrames {
     * to every other query; safe because the write runs synchronously on
     * this thread and the suite's sessions plan queries sequentially
     * (Test/fork + single bench thread). */
-  private def writeNoAqe(df: DataFrame, path: String): Unit =
-    noAqe(df.sparkSession)(df.write.mode("overwrite").parquet(path))
+  private def writeNoAqe(df: DataFrame, path: String): Unit = {
+    val spark = df.sparkSession
+    noAqe(spark)(withShufflePartitions(spark, adaptiveParts(spark, df))(
+      df.write.mode("overwrite").parquet(path)))
+  }
+
+  /** Size-derived shuffle-partition count for a fixed-shape AQE-off build
+    * (round 17, guide §2: make partitioning scale-adaptive — derive from
+    * input size — rather than a constant tuned for local mode or the
+    * cluster). The AQE-off memo jobs previously ran every exchange at the
+    * session's `spark.sql.shuffle.partitions` (= core count in the bench
+    * contract); at sf0.1 the inputs are 0.5-14 MB, so each exchange paid
+    * ~32 tasks of pure launch/fetch overhead for kilobytes of data —
+    * measured ~0.3-0.5 s per shuffle stage (ProbeOverhead ladder), and
+    * ProbeParts showed the heavy memo consumers (kcore, label_prop,
+    * pareto, eqdepth, basket_rules, weighted_median) dropping 0.5-1.9 s
+    * each at a size-appropriate count with identical results. The count
+    * derives from the plan's LEAF stats (file sizes for parquet scans —
+    * each scan occurrence counted once, so a double-scanned table weighs
+    * twice, roughly matching shuffle volume), at ~2 MiB of scan input per
+    * post-shuffle partition (compressed parquet expands ~3-5× in flight,
+    * so this lands partitions in the ~10 MB band the fetch path likes).
+    * CLAMPED to the session's configured count: the derivation can only
+    * shrink a build whose measured input cannot fill the configured
+    * parallelism, never exceed what the deployment asked for — at 10×/
+    * 100× fixtures the derived count rises back to (and saturates at)
+    * the session value, and on a production cluster whose session sets
+    * thousands of partitions, corpus-scale builds keep them while
+    * artifact-scale builds stop paying for them. Leaf-stats failures
+    * (exotic relations) fall back to the session value — today's
+    * behavior. */
+  private def adaptiveParts(spark: SparkSession, df: DataFrame): Int = {
+    val sessionParts =
+      try spark.conf.get("spark.sql.shuffle.partitions").toInt
+      catch { case _: Throwable => 200 }
+    val bytes: BigInt =
+      try df.queryExecution.optimizedPlan.collectLeaves()
+        .map(l => l.stats.sizeInBytes).sum
+      catch { case _: Throwable => BigInt(-1) }
+    if (bytes < 0) sessionParts
+    else {
+      val target = BigInt(2L << 20)
+      val derived = ((bytes + target - 1) / target).max(1)
+      derived.min(BigInt(sessionParts)).toInt
+    }
+  }
 
   /** Run `body` (actions included) with AQE disabled on `spark`, restoring
     * the previous setting after. Also used by iterative trainers whose

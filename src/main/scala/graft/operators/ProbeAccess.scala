@@ -1,0 +1,11 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+/** Dev-probe bridge: re-exports `private[operators]` internals the round-17
+  * probes time in isolation. Main-source because the probes are mains, not
+  * tests; adds no declared surface. */
+object ProbeAccess {
+  def graphPairs(spark: SparkSession, dir: String): DataFrame =
+    Clustering.graphPairs(spark, dir)
+}
