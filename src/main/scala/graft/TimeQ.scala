@@ -8,6 +8,14 @@ object TimeQ {
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.extensions", "graft.GraftExtensions")
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      // Generated-class names WITHOUT the codegen-stage id (round 17):
+      // with the default useIdInClassName=true the per-plan stage counter
+      // is baked into every generated class NAME, so the same subplan
+      // re-planned under a shifted numbering is a janino cache MISS —
+      // measured 117 recompiled classes PER INVOCATION on
+      // ts_changepoint_deep (0 with the id off; the id exists for
+      // debugging readability only). Scale-independent.
+      .config("spark.sql.codegen.useIdInClassName", "false")
       .config("spark.ui.enabled", "false").getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     val jobs = new java.util.concurrent.atomic.AtomicInteger()

@@ -17,6 +17,14 @@ object Verify {
       .config("spark.sql.extensions", "graft.GraftExtensions")
       // harmless on current µs fixtures; required for the pre-2026-08-13 ns generation
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      // Generated-class names WITHOUT the codegen-stage id (round 17):
+      // with the default useIdInClassName=true the per-plan stage counter
+      // is baked into every generated class NAME, so the same subplan
+      // re-planned under a shifted numbering is a janino cache MISS —
+      // measured 117 recompiled classes PER INVOCATION on
+      // ts_changepoint_deep (0 with the id off; the id exists for
+      // debugging readability only). Scale-independent.
+      .config("spark.sql.codegen.useIdInClassName", "false")
       // GC'd reliable checkpoints delete their tmpfs files (see Bench)
       .config("spark.cleaner.referenceTracking.cleanCheckpoints", "true")
       .config("spark.ui.enabled", "false")

@@ -521,11 +521,12 @@ object Aggregates {
     // the r10 plan: rows below s* have cum ≤ off < tot/2, rows above
     // have cum ≥ off + stot(s*) ≥ tot/2, and within s* the running sum
     // plus off reproduces the global cum exactly (integral weights).
+    val wmw = weightedMedianWeights(spark, dir)
+      .groupBy("l_returnflag", "shard")
+      .agg(sum("wgt").as("stot"), count(lit(1)).as("np"))
     val shardStats = MemoFrames.noAqe(spark)(
-      weightedMedianWeights(spark, dir)
-        .groupBy("l_returnflag", "shard")
-        .agg(sum("wgt").as("stot"), count(lit(1)).as("np"))
-        .collect()).toSeq
+      MemoFrames.withShufflePartitions(spark,
+        MemoFrames.scaleParts(spark, wmw, 1.0))(wmw.collect())).toSeq
     if (shardStats.isEmpty) {
       // degenerate input: the median of nothing is no rows (same as r10)
       import org.apache.spark.sql.types._

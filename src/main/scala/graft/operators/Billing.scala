@@ -273,17 +273,25 @@ object Billing {
     val delivered = spark.read.schema(schema)
       .option("header", "true").csv(s"$out/csv")
     val clean = normalize(delivered)
-    clean.repartition(col("month"))
-      .write.mode("overwrite").partitionBy("month").parquet(s"$out/sink")
-    val prev = spark.conf.getOption("spark.sql.sources.partitionOverwriteMode")
-    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
-    try
-      normalize(delivered.filter(substring(col("ship"), 1, 7) === "1996-03"))
-        .repartition(col("month")) // re-deliver one month
+    // SIZE-DERIVED partition count for the dedup shuffle + landing write
+    // (round 17, guide §2): the staged drop's measured bytes (CSV text
+    // ≈ its in-flight row width) decide how many tasks the dedup exchange
+    // and the month-colocating repartition get, clamped to the session
+    // conf — at 10×/100× the count rises back to the configured value.
+    val nParts = MemoFrames.scaleParts(spark, delivered, 1.0)
+    MemoFrames.withShufflePartitions(spark, nParts) {
+      clean.repartition(col("month"))
         .write.mode("overwrite").partitionBy("month").parquet(s"$out/sink")
-    finally prev match {
-      case Some(v) => spark.conf.set("spark.sql.sources.partitionOverwriteMode", v)
-      case None    => spark.conf.unset("spark.sql.sources.partitionOverwriteMode")
+      val prev = spark.conf.getOption("spark.sql.sources.partitionOverwriteMode")
+      spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+      try
+        normalize(delivered.filter(substring(col("ship"), 1, 7) === "1996-03"))
+          .repartition(col("month")) // re-deliver one month
+          .write.mode("overwrite").partitionBy("month").parquet(s"$out/sink")
+      finally prev match {
+        case Some(v) => spark.conf.set("spark.sql.sources.partitionOverwriteMode", v)
+        case None    => spark.conf.unset("spark.sql.sources.partitionOverwriteMode")
+      }
     }
     spark.read.schema(clean.schema).parquet(s"$out/sink")
       .groupBy("month")

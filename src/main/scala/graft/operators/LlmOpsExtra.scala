@@ -624,10 +624,15 @@ object LlmOpsExtra {
     // job per iteration (MemoFrames.noAqe scaladoc: job count IS the
     // contended-driver cost); results are identical either way.
     for (_ <- 1 to 3) {
-      val means = MemoFrames.noAqe(spark)(assignTo(pivots)
+      // size-derived exchange count for the fixed-shape training collect
+      // (round 17): the per-dim explode fans the scanned bytes out ×~8
+      // in flight — stated via expand, clamped to the session conf
+      val step = assignTo(pivots)
         .select(col("cell"), posexplode(col("ne")))
         .groupBy("cell", "pos").agg(round(avg("col"), 6).as("m"))
-        .collect())
+      val means = MemoFrames.noAqe(spark)(
+        MemoFrames.withShufflePartitions(spark,
+          MemoFrames.scaleParts(spark, step, expand = 8.0))(step.collect()))
       val byCell: Map[Long, Seq[Double]] = means
         .groupBy(_.getLong(0))
         .map { case (c, rs) => c -> rs.sortBy(_.getInt(1)).map(_.getDouble(2)).toSeq }
@@ -672,7 +677,11 @@ object LlmOpsExtra {
     * pruning). NO-ORACLE (trained k-means); the spec pins: error ≥ 0,
     * training strictly improves on the untrained codebook, codes lie in
     * range, and the assignment is partition-invariant. */
-  def llmEmbPq(spark: SparkSession, dir: String): DataFrame = {
+  /** The pre-materialization assignment/report chain (trains the codebook
+    * as a side effect) — exposed as "llm_emb_pq#inner" in PlanSnapshotSpec
+    * so the corpus-scale scan stays under the plan guards after the
+    * round-17 materialize truncated the declared plan. */
+  private[graft] def llmEmbPqPlan(spark: SparkSession, dir: String): DataFrame = {
     val spark2 = spark
     import spark2.implicits._
     val cb = MemoFrames.noAqe(spark)(pqCodebook(spark, dir, iters = 2))
@@ -689,8 +698,18 @@ object LlmOpsExtra {
         round(avg("err"), 6).as("avg_err"),
         round(max("err"), 6).as("max_err"),
         countDistinct(col("code")).as("distinct_codes"))
-      .orderBy(col("label").asc)
   }
+
+  def llmEmbPq(spark: SparkSession, dir: String): DataFrame =
+    // label-grain result (bounded at any corpus size) materialized so the
+    // assignment/report chain runs AQE-off at a SIZE-DERIVED partition
+    // count (round 17): the plan's scan is the small embedding file but
+    // the broadcast-join fans it out ×K=16 codebook rows per subspace —
+    // expand=16 states that, so the exchange count tracks the real
+    // in-flight volume at every scale instead of the session constant.
+    MemoFrames.materialize(spark, "emb_pq_out", llmEmbPqPlan(spark, dir),
+      expand = 16.0)
+      .orderBy(col("label").asc)
 
   /** Per-(vector, subspace) argmin against the codebook: subvectors
     * explode to (vec, m, sub) rows, the 128-row codebook broadcasts, the
@@ -745,12 +764,15 @@ object LlmOpsExtra {
         .toDF("m", "j", "cent")
       // the winning subvector rides the assignment (pqAssign carries it
       // through the argmin — round 17), so the mean step needs no
-      // re-attach join
-      val means = pqAssign(spark, dir, cbDf)
+      // re-attach join; the collect's exchanges run at the size-derived
+      // count (×16 codebook fan-out stated explicitly)
+      val assigned = pqAssign(spark, dir, cbDf)
         .select(col("m"), col("b.j").as("j"),
           posexplode(col("sub")).as(Seq("t", "x")))
         .groupBy("m", "j", "t").agg(round(avg("x"), 6).as("c"))
-        .collect()
+      val means = MemoFrames.withShufflePartitions(spark,
+        MemoFrames.scaleParts(spark, assigned, expand = 16.0))(
+        assigned.collect())
       val byCell = means.groupBy(r => (r.getInt(0), r.getLong(1)))
         .map { case (k, rs) =>
           k -> rs.sortBy(_.getInt(2)).map(_.getDouble(3)).toSeq }

@@ -276,17 +276,21 @@ object LlmOpsPipeline {
       .filter(!(ntokD < 30) && !(avgLen < 3.0 || avgLen > 8.0) && !(nstop === 0))
       .dropDuplicates("doc_id", "lang", "source", "text", "n_chars")
     val clean = qualityDedup(raw)
-    clean.repartition(col("lang"))
-      .write.mode("overwrite").partitionBy("lang").parquet(s"$out/sink")
-    val prev = spark.conf.getOption("spark.sql.sources.partitionOverwriteMode")
-    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
-    try
-      qualityDedup(raw.filter(col("lang") === "en")) // re-deliver one lang
-        .repartition(col("lang"))
+    // size-derived dedup/landing partition count — same rationale and
+    // clamp as billPipelineE2e (round 17, guide §2)
+    MemoFrames.withShufflePartitions(spark, MemoFrames.scaleParts(spark, raw, 1.0)) {
+      clean.repartition(col("lang"))
         .write.mode("overwrite").partitionBy("lang").parquet(s"$out/sink")
-    finally prev match {
-      case Some(v) => spark.conf.set("spark.sql.sources.partitionOverwriteMode", v)
-      case None    => spark.conf.unset("spark.sql.sources.partitionOverwriteMode")
+      val prev = spark.conf.getOption("spark.sql.sources.partitionOverwriteMode")
+      spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+      try
+        qualityDedup(raw.filter(col("lang") === "en")) // re-deliver one lang
+          .repartition(col("lang"))
+          .write.mode("overwrite").partitionBy("lang").parquet(s"$out/sink")
+      finally prev match {
+        case Some(v) => spark.conf.set("spark.sql.sources.partitionOverwriteMode", v)
+        case None    => spark.conf.unset("spark.sql.sources.partitionOverwriteMode")
+      }
     }
     val base = spark.read.schema(clean.schema).parquet(s"$out/sink")
       .select(col("doc_id"), col("lang"), col("source"),

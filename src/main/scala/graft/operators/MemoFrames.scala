@@ -212,11 +212,12 @@ object MemoFrames {
     * consumer (bench, Verify, the suites) runs queries to completion
     * before re-invoking, so the ban is structural there — but it is a
     * public-API contract, not an implementation footnote. */
-  def materialize(spark: SparkSession, tag: String, df: DataFrame): DataFrame =
+  def materialize(spark: SparkSession, tag: String, df: DataFrame,
+      expand: Double = 1.0): DataFrame =
     synchronized {
       val safe = tag.replaceAll("[^A-Za-z0-9._-]", "_").take(48)
       val p = s"${entriesFor(spark)("")}/mat_${safe}_${matCtr.incrementAndGet()}"
-      writeNoAqe(df, p)
+      writeNoAqe(df, p, expand)
       schemaCache.put(p, df.schema)
       supersedeMat(spark, safe, p)
       spark.read.schema(df.schema).parquet(p)
@@ -300,9 +301,9 @@ object MemoFrames {
     * to every other query; safe because the write runs synchronously on
     * this thread and the suite's sessions plan queries sequentially
     * (Test/fork + single bench thread). */
-  private def writeNoAqe(df: DataFrame, path: String): Unit = {
+  private def writeNoAqe(df: DataFrame, path: String, expand: Double = 1.0): Unit = {
     val spark = df.sparkSession
-    noAqe(spark)(withShufflePartitions(spark, adaptiveParts(spark, df))(
+    noAqe(spark)(withShufflePartitions(spark, scaleParts(spark, df, expand))(
       df.write.mode("overwrite").parquet(path)))
   }
 
@@ -330,8 +331,17 @@ object MemoFrames {
     * thousands of partitions, corpus-scale builds keep them while
     * artifact-scale builds stop paying for them. Leaf-stats failures
     * (exotic relations) fall back to the session value — today's
-    * behavior. */
-  private def adaptiveParts(spark: SparkSession, df: DataFrame): Int = {
+    * behavior.
+    *
+    * `expand` is a caller-supplied EXPANSION factor, for operators that
+    * run their own actions (training collects, streaming starts,
+    * pipeline writes) over plans whose shuffle volume is a known multiple
+    * of the scanned bytes (a ×K codebook fan-out, a re-delivery union):
+    * the caller states the multiple, the count still derives from the
+    * measured input and still clamps to the session's configured
+    * parallelism. */
+  private[graft] def scaleParts(spark: SparkSession, df: DataFrame,
+      expand: Double): Int = {
     val sessionParts =
       try spark.conf.get("spark.sql.shuffle.partitions").toInt
       catch { case _: Throwable => 200 }
@@ -342,7 +352,8 @@ object MemoFrames {
     if (bytes < 0) sessionParts
     else {
       val target = BigInt(2L << 20)
-      val derived = ((bytes + target - 1) / target).max(1)
+      val expanded = (BigDecimal(bytes) * expand).toBigInt.max(BigInt(1))
+      val derived = ((expanded + target - 1) / target).max(1)
       derived.min(BigInt(sessionParts)).toInt
     }
   }

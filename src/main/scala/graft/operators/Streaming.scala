@@ -171,15 +171,27 @@ object Streaming {
     val (src, schema) = incrStage(spark, dir)
     val tmp = ioTempDir("graft_incr_")
     val qname = "inc_" + new java.io.File(tmp).getName.replaceAll("[^A-Za-z0-9_]", "")
-    val q = spark.readStream.schema(schema).parquet(src)
-      .groupBy(col("day").cast("string").as("day"), col("event_type"))
-      .agg(count(lit(1)).as("n"), round(sum(col("value")), 2).as("val"))
-      .writeStream.format("memory").queryName(qname)
-      .option("checkpointLocation", s"$tmp/ckpt")
-      .outputMode("complete").trigger(Trigger.AvailableNow()).start()
-    // only the per-call checkpoint is deleted here — the staged drop is
-    // session-shared and rides the memo dir's cleanup
-    try awaitOrThrow(q, "stream_incremental") finally { q.stop(); deleteStaging(tmp) }
+    // SIZE-DERIVED state-partition count (round 17, guide §2): the number
+    // of shuffle partitions at stream start fixes the checkpoint's state-
+    // store count, and every micro-batch pays a per-store open/commit —
+    // at the session's core-count constant that is ~32 store commits per
+    // batch for a census whose state is day×type-bounded. Deriving the
+    // count from the staged drop's measured bytes (clamped to the session
+    // conf) keeps per-batch overhead proportional to data at every scale;
+    // the checkpoint is per-call, so no restart compatibility is at stake.
+    // only the per-call checkpoint is deleted in the finally — the staged
+    // drop is session-shared and rides the memo dir's cleanup
+    try MemoFrames.withShufflePartitions(spark,
+      MemoFrames.scaleParts(spark, spark.read.schema(schema).parquet(src), 1.0)) {
+      val q = spark.readStream.schema(schema).parquet(src)
+        .groupBy(col("day").cast("string").as("day"), col("event_type"))
+        .agg(count(lit(1)).as("n"), round(sum(col("value")), 2).as("val"))
+        .writeStream.format("memory").queryName(qname)
+        .option("checkpointLocation", s"$tmp/ckpt")
+        .outputMode("complete").trigger(Trigger.AvailableNow()).start()
+      // await INSIDE the scope: micro-batches plan while the query runs
+      try awaitOrThrow(q, "stream_incremental") finally q.stop()
+    } finally deleteStaging(tmp)
     spark.table(qname)
       .orderBy(col("day").asc, col("event_type").asc)
   }
@@ -233,15 +245,21 @@ object Streaming {
             java.nio.file.Files.copy(f.toPath, dest); () }
         }
     }
-    def runLife(): Unit = {
-      val q = spark.readStream.schema(schema).parquet(src)
-        .groupBy(col("day").cast("string").as("day"), col("event_type"))
-        .agg(count(lit(1)).as("n"), round(sum(col("value")), 2).as("val"))
-        .writeStream.format("memory").queryName(qname)
-        .option("checkpointLocation", s"$tmp/ckpt")
-        .outputMode("complete").trigger(Trigger.AvailableNow()).start()
-      try awaitOrThrow(q, "stream_recovery life") finally q.stop()
-    }
+    def runLife(): Unit =
+      // size-derived state-partition count (see streamIncremental): both
+      // lives derive the SAME count from the same staged drop, so life 2
+      // restarts against a checkpoint with a matching state layout
+      MemoFrames.withShufflePartitions(spark,
+        MemoFrames.scaleParts(spark,
+          spark.read.schema(schema).parquet(stagedSrc), 1.0)) {
+        val q = spark.readStream.schema(schema).parquet(src)
+          .groupBy(col("day").cast("string").as("day"), col("event_type"))
+          .agg(count(lit(1)).as("n"), round(sum(col("value")), 2).as("val"))
+          .writeStream.format("memory").queryName(qname)
+          .option("checkpointLocation", s"$tmp/ckpt")
+          .outputMode("complete").trigger(Trigger.AvailableNow()).start()
+        try awaitOrThrow(q, "stream_recovery life") finally q.stop()
+      }
     try {
       linkIn(dayDirs.take(split))
       runLife() // life 1: commits the first half into the checkpoint
@@ -573,7 +591,12 @@ object Streaming {
     // Only the per-call checkpoint is deleted in the finally — the
     // staged drop is session-shared and rides the memo dir's cleanup.
     var q: org.apache.spark.sql.streaming.StreamingQuery = null
-    try { q = qw.start(); awaitOrThrow(q, "stream_dedup_watermark") } finally {
+    try MemoFrames.withShufflePartitions(spark,
+      // size-derived state-partition count (see streamIncremental): the
+      // dedup state shards across this many stores per micro-batch
+      MemoFrames.scaleParts(spark, spark.read.schema(schema).parquet(src), 1.0)) {
+      q = qw.start(); awaitOrThrow(q, "stream_dedup_watermark")
+    } finally {
       if (q != null) q.stop()
       deleteStaging(tmp)
       ndPrev match { case Some(v) => spark.conf.set(ndKey, v)

@@ -51,7 +51,11 @@ class PlanSnapshotSpec extends AnyFunSuite {
     // joins and supersteps under both guards.
     "basket_rules#inner" -> operators.Analytics2.basketRulesPlan(session, sf0001),
     "graph_pagerank#inner" -> operators.Clustering.pagerankPlan(session, sf0001),
-    "graph_label_prop#inner" -> operators.Clustering.labelPropPlan(session, sf0001))
+    "graph_label_prop#inner" -> operators.Clustering.labelPropPlan(session, sf0001),
+    // round 17: the PQ report chain moved behind a size-derived
+    // materialize; the #inner entry keeps its corpus scan + broadcast
+    // assignment under both guards (trains the codebook as a side effect)
+    "llm_emb_pq#inner" -> operators.LlmOpsExtra.llmEmbPqPlan(session, sf0001))
 
   private lazy val plans: Seq[(String, org.apache.spark.sql.execution.SparkPlan)] =
     (SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
