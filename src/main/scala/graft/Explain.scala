@@ -13,6 +13,18 @@ import org.apache.spark.sql.SparkSession
 object Explain {
   def main(args: Array[String]): Unit = {
     val sfDir = args.headOption.getOrElse("/root/testdata/sf0.01")
+    // the pre-materialization chains PlanSnapshotSpec fingerprints — a
+    // declared frame that truncates behind a materialize shows only the
+    // bounded result scan, so plan audits name "<query>#inner" here
+    val inner: Map[String, (org.apache.spark.sql.SparkSession, String) =>
+        org.apache.spark.sql.DataFrame] = Map(
+      "agg_weighted_median#inner" -> (operators.Aggregates.aggWeightedMedianPlan _),
+      "agg_weighted_median#weights" -> (operators.Aggregates.weightedMedianWeights _),
+      "agg_pareto#inner" -> (operators.Aggregates.aggParetoPlan _),
+      "basket_rules#inner" -> (operators.Analytics2.basketRulesPlan _),
+      "graph_pagerank#inner" -> (operators.Clustering.pagerankPlan _),
+      "graph_label_prop#inner" -> (operators.Clustering.labelPropPlan _),
+      "llm_emb_pq#inner" -> (operators.LlmOpsExtra.llmEmbPqPlan _))
     val names = if (args.length > 1) args.drop(1).toSeq else SparkEntry.queries.keys.toSeq.sorted
     val spark = SparkSession.builder()
       .master("local[4]")
@@ -25,7 +37,8 @@ object Explain {
     spark.sparkContext.setLogLevel("ERROR")
     names.foreach { n =>
       println(s"\n========== $n ==========")
-      try SparkEntry.queries(n)(spark, sfDir).explain("formatted")
+      try SparkEntry.queries.get(n).orElse(inner.get(n)).get(spark, sfDir)
+        .explain("formatted")
       catch { case e: Throwable => println(s"explain failed: ${e.getMessage}") }
     }
     spark.stop()
