@@ -55,6 +55,29 @@ object Bench {
       // ts_changepoint_deep (0 with the id off; the id exists for
       // debugging readability only). Scale-independent.
       .config("spark.sql.codegen.useIdInClassName", "false")
+      // Whole-stage-codegen CLASS cache sized for the suite (round 18,
+      // VERDICT r17 task 1): the default spark.sql.codegen.cache.maxEntries
+      // is 100 entries, and this suite compiles ~690 distinct generated
+      // units per run (sum of codegen_n, BENCH_FULL_r18_baseline) — the
+      // cache cycles several times over, so cross-query shape reuse (the
+      // ts_*/tpch_*/stream families share window/agg/join subplans) and
+      // the jit-gate's rep-2 both recompile classes janino already built.
+      // 4096 entries covers the suite's working set with headroom; each
+      // entry is a generated-source string + class (~tens of KB), so the
+      // worst case is tens of MB on an 8 GiB driver. Static conf, set at
+      // session build; scale-independent (driver-side compile CPU only).
+      .config("spark.sql.codegen.cache.maxEntries", "4096")
+      // Session-artifact classloader isolation OFF (round 18, VERDICT r17
+      // task 1's stream-family half): the codegen class cache keys on
+      // (classloader, source), and with isolation on every CLONED session
+      // — each streaming-query run clones — carries a fresh classloader,
+      // so identical generated sources recompile on every stream start
+      // (ProbeCodegen: stream_incremental 10 classes/rep, stream_recovery
+      // 20/rep with isolation; 0 with it off, wall 1.34→0.98 /
+      // 1.50→1.19 s). This engine registers no per-session artifacts, so
+      // isolation buys nothing at any scale; the conf is session-creation
+      // static and plan/result-neutral.
+      .config("spark.sql.artifact.isolation.enabled", "false")
       // reliable checkpoints (dedup clusters) delete their files once the
       // RDD is GC'd — a multi-run session must not accumulate checkpoint
       // dirs in tmpfs
@@ -456,6 +479,58 @@ object Bench {
         val v = out.toDouble
         if (v > 0) v else 100.0
       } catch { case _: Throwable => 100.0 }
+    // Calm-window steal gate (round 18, VERDICT r17 task 2): the r17
+    // driver run carried 27 s of hypervisor steal and its 8 "regressions"
+    // were all adjudicated as host weather — the bench already measured
+    // steal but nothing ACTED on it. The wait-for-calm loop from
+    // tools/quiet_bench.sh now runs inside the bench itself, UNTIMED,
+    // before the first query: sample /proc/stat steal over 10 s windows
+    // and start timing only once a window stays under the gate (default
+    // 20 ticks/10 s ≈ 0.2 cores), bounded by a total wait budget so a
+    // permanently-stormy host still produces a (self-identifying) run.
+    // SPARK_GRAFT_STEAL_WAIT_MAX_SEC=0 disables the wait entirely.
+    val stealGateTicks =
+      sys.env.getOrElse("SPARK_GRAFT_STEAL_GATE", "20").toInt
+    val stealWaitMax =
+      sys.env.getOrElse("SPARK_GRAFT_STEAL_WAIT_MAX_SEC", "600").toInt
+    val stealGateWaited: Double = {
+      val w0 = System.nanoTime()
+      var calm = stealWaitMax <= 0 || stealTicks() < 0
+      while (!calm && (System.nanoTime() - w0) / 1e9 < stealWaitMax) {
+        val s0 = stealTicks(); Thread.sleep(10000)
+        val d = stealTicks() - s0
+        if (d < stealGateTicks) calm = true
+        else System.err.println(
+          s"BENCH STEALGATE storm: $d steal ticks/10 s (gate $stealGateTicks) — waiting")
+      }
+      (System.nanoTime() - w0) / 1e9
+    }
+    // In-run acceptance threshold for the steal_ok validity flag emitted
+    // with the totals: a run whose own steal_total crossed it self-
+    // identifies as weather-polluted (same 20 s bar quiet_bench.sh used).
+    val stealAccept =
+      try sys.env.getOrElse("SPARK_GRAFT_STEAL_ACCEPT", "20").toDouble
+      catch { case _: Throwable => 20.0 }
+    // Optional per-query timeout (round 18, VERDICT r17 task 5 — the
+    // full-suite 100× bench needs a bound so one output-bound query
+    // cannot absorb the whole budget). OFF by default (0) so the driver
+    // contract is unchanged; when SPARK_GRAFT_QUERY_TIMEOUT_SEC > 0 a
+    // watchdog cancels the query's job group at the deadline and the row
+    // reports "timeout" (an error — visible, never scored as fast).
+    // SPARK_GRAFT_TIMEOUT_ALLOW names comma-separated queries exempted
+    // from the bound (adjudicated output-bound rows, e.g.
+    // join_theta_band at 100×).
+    val queryTimeoutSec =
+      try sys.env.getOrElse("SPARK_GRAFT_QUERY_TIMEOUT_SEC", "0").toLong
+      catch { case _: Throwable => 0L }
+    val timeoutAllow: Set[String] =
+      sys.env.getOrElse("SPARK_GRAFT_TIMEOUT_ALLOW", "")
+        .split(",").map(_.trim).filter(_.nonEmpty).toSet
+    lazy val watchdog = {
+      val t = java.util.concurrent.Executors.newSingleThreadScheduledExecutor(
+        (r: Runnable) => { val th = new Thread(r, "bench-watchdog"); th.setDaemon(true); th })
+      t
+    }
     val benchT0 = System.nanoTime()
     final case class QRes(name: String, r: Either[String, Double], t0: Double,
         load: Double, stall: Double, cpu: Double, ioStall: Double, gc: Double,
@@ -463,7 +538,22 @@ object Bench {
         group: String, reps: Int)
     def runOnce(name: String, fn: (SparkSession, String) => DataFrame,
         group: String, rep: Int): QRes = {
-      spark.sparkContext.setJobGroup(group, name, false)
+      val bounded = queryTimeoutSec > 0 && !timeoutAllow.contains(name)
+      // interruptOnCancel only when a watchdog can actually cancel: task
+      // interrupts are a behavior change (round 18) kept off the default
+      // (timeout-less) path
+      spark.sparkContext.setJobGroup(group, name, bounded)
+      val timedOut = new java.util.concurrent.atomic.AtomicBoolean(false)
+      val cancelTask: Option[java.util.concurrent.ScheduledFuture[_]] =
+        if (bounded) Some(watchdog.schedule(new Runnable {
+          def run(): Unit = {
+            timedOut.set(true)
+            System.err.println(s"BENCH TIMEOUT $name exceeded ${queryTimeoutSec}s — cancelling job group")
+            try spark.sparkContext.cancelJobGroup(group)
+            catch { case _: Throwable => () }
+          }
+        }, queryTimeoutSec, java.util.concurrent.TimeUnit.SECONDS))
+        else None
       val la0 = loadavg1(); val st0 = cpuStallUs(); val io0 = ioStallUs()
       val mm0 = memStallUs(); val sl0 = stealTicks()
       val cpu0 = procCpuNs(); val gc0 = gcTimeMs()
@@ -475,8 +565,11 @@ object Bench {
       } catch {
         case e: Throwable =>
           System.err.println(s"BENCH FAIL $name: ${e.getClass.getSimpleName}: ${e.getMessage}")
-          Left("err")
-      } finally spark.sparkContext.clearJobGroup()
+          Left(if (timedOut.get()) "timeout" else "err")
+      } finally {
+        cancelTask.foreach(_.cancel(false))
+        spark.sparkContext.clearJobGroup()
+      }
       val cpu1 = procCpuNs(); val gc1 = gcTimeMs()
       val st1 = cpuStallUs(); val io1 = ioStallUs(); val mm1 = memStallUs()
       val sl1 = stealTicks()
@@ -679,9 +772,15 @@ object Bench {
         ioStalls.sum)},"mem_stall_total":${fmt(memStalls.sum)},"steal_total":${fmt(steals.sum)},"cpu_total":${fmt(
         cpuSecs.sum)},"task_cpu_total":${fmt(
         taskCpuTotal)},"gc_total":${fmt(gcTotal)},"jit_total":${fmt(
-        jitTotal)},"spill_mem_total":$spillMemTotal,"spill_disk_total":$spillDiskTotal,"jit_reruns":$rerunCount,"warm_ledger_total":${fmt(ledgerTotal)},"warm_ledger_ratio":${fmt(ledgerRatio)},"warm_ledger_gate":${fmt(ledgerGate)}"""
+        jitTotal)},"spill_mem_total":$spillMemTotal,"spill_disk_total":$spillDiskTotal,"jit_reruns":$rerunCount,"warm_ledger_total":${fmt(ledgerTotal)},"warm_ledger_ratio":${fmt(ledgerRatio)},"warm_ledger_gate":${fmt(ledgerGate)},"steal_ok":${steals.sum < stealAccept},"steal_gate_wait":${fmt(stealGateWaited)}"""
+    // which queries the JIT gate re-ran (ADVICE r17: the count alone can't
+    // distinguish gate-driven improvements from plan improvements across
+    // rounds) — full map only; 150+ names would blow the compact line's
+    // 1800-char budget
+    val jitRerunList = results.filter(_.reps > 1).map("\"" + _.name + "\"")
+      .mkString("[", ",", "]")
     val fullLine =
-      s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":$fullQs,"jobs":$jobsQs,"t0":$t0Qs,"load":$loadQs,"cpu_stall":$stallQs,"io_stall":$ioStallQs,"mem_stall":$memStallQs,"cpu_steal":$stealQs,"cpu":$cpuQs,"wall_minus_cpu":$wmcQs,"task_cpu":$taskCpuQs,"task_run":$taskRunQs,"cpu_gc":$gcQs,"jit":$jitQs,"codegen_n":$codegenQs,"spill_mem":$spillMemQs,"spill_disk":$spillDiskQs,"reps":$repsQs,$loadSummary,"warm_artifacts":$warmJson,"errors":$nerr,"n_queries":${results.size},"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":$fullQs,"jobs":$jobsQs,"t0":$t0Qs,"load":$loadQs,"cpu_stall":$stallQs,"io_stall":$ioStallQs,"mem_stall":$memStallQs,"cpu_steal":$stealQs,"cpu":$cpuQs,"wall_minus_cpu":$wmcQs,"task_cpu":$taskCpuQs,"task_run":$taskRunQs,"cpu_gc":$gcQs,"jit":$jitQs,"codegen_n":$codegenQs,"spill_mem":$spillMemQs,"spill_disk":$spillDiskQs,"reps":$repsQs,$loadSummary,"jit_rerun_queries":$jitRerunList,"warm_artifacts":$warmJson,"errors":$nerr,"n_queries":${results.size},"sf":"$sfDir"}"""
 
     // Complete map -> repo file (judge-readable even when stdout is clipped).
     // Delete the previous run's file FIRST: if this run's write fails, a

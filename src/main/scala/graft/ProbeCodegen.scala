@@ -18,8 +18,27 @@ object ProbeCodegen {
       .config("spark.sql.extensions", "graft.GraftExtensions")
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .config("spark.sql.codegen.useIdInClassName", sys.env.getOrElse("PROBE_IDCLS", "true"))
+      // round 18: A/B the codegen class-cache capacity (default 100)
+      .config("spark.sql.codegen.cache.maxEntries", sys.env.getOrElse("PROBE_CGCACHE", "100"))
+      // round 18: A/B session-artifact classloader isolation (the codegen
+      // cache keys on the classloader; cloned sessions — every streaming
+      // query run — get a FRESH isolated classloader when this is on)
+      .config("spark.sql.artifact.isolation.enabled", sys.env.getOrElse("PROBE_ISO", "true"))
       .config("spark.ui.enabled", "false").getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    // PROBE_CGDUMP=1 (round 18): log every whole-stage source the planner
+    // generates (DEBUG on WholeStageCodegenExec) so a per-invocation
+    // recompile can be root-caused by DIFFING the sources of two reps.
+    if (sys.env.get("PROBE_CGDUMP").contains("1")) {
+      org.apache.logging.log4j.core.config.Configurator.setLevel(
+        "org.apache.spark.sql.execution.WholeStageCodegenExec",
+        org.apache.logging.log4j.Level.DEBUG)
+      // expression codegen (projections/predicates/orderings) logs its
+      // source from the generator classes in this package
+      org.apache.logging.log4j.core.config.Configurator.setLevel(
+        "org.apache.spark.sql.catalyst.expressions.codegen",
+        org.apache.logging.log4j.Level.DEBUG)
+    }
     spark.range(1000000).selectExpr("sum(id)").collect()
     val histo = {
       val m = Class.forName("org.apache.spark.metrics.source.CodegenMetrics$")

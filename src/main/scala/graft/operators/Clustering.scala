@@ -347,13 +347,43 @@ object Clustering {
       val outdeg = ed0.groupBy("src").agg(count(lit(1)).as("deg"))
       val n = ed0.agg(countDistinct("src").as("n"))
       spark.sql(s"DROP TABLE IF EXISTS $tbl")
+      // SIZE-DERIVED bucket count (round 18, VERDICT r17 task 3): the
+      // hard-coded bucketBy(32) capped kcore/pagerank/label_prop join
+      // parallelism at 32 tasks at EVERY scale — the same local-constant
+      // ceiling scaleParts removed from the memo shuffles. The count
+      // derives from the pair frame's measured bytes (arc table = 2×
+      // pairs): one bucket per ~4 MiB of pair-parquet input (in-flight
+      // arc rows expand ~4-5× vs the compressed pair file, so a bucket
+      // lands in the tens-of-MB band a join task likes), FLOORED at the
+      // session's configured shuffle partitions — join parallelism never
+      // drops below what the deployment asked for, so at fixture scale
+      // the layout stays exactly the r11 bucketBy(32) — and CAPPED at
+      // 16× the session count to bound the file count relative to the
+      // deployment (a 100 TB arc table at a 2000-partition session caps
+      // at 32k buckets ≈ 32 MB each). Unreadable stats/conf keep the
+      // pre-r18 constant (32).
+      val nBuckets = {
+        val sessionParts =
+          try spark.conf.get("spark.sql.shuffle.partitions").toInt
+          catch { case scala.util.control.NonFatal(_) => -1 }
+        val pairBytes = MemoFrames.leafBytes(sp)
+        if (sessionParts <= 0 || pairBytes < 0) 32
+        else {
+          val target = BigInt(4L << 20)
+          val derived = ((BigInt(2) * pairBytes + target - 1) / target)
+            .max(BigInt(sessionParts)).min(BigInt(16 * sessionParts))
+          derived.toInt
+        }
+      }
+      System.err.println(s"GRAFT arcs bucketBy(n=$nBuckets, " +
+        s"pair_bytes=${MemoFrames.leafBytes(sp)}) -> $tbl")
       MemoFrames.noAqe(spark) {
         // 1-row broadcast scalar (the crossJoin(broadcast(agg)) idiom) —
         // executes INSIDE the single AQE-off bucketed-write job
         ed0.join(outdeg, "src").crossJoin(broadcast(n))
-          .repartition(32, col("src"))
+          .repartition(nBuckets, col("src"))
           .write.mode("overwrite").option("path", path)
-          .bucketBy(32, "src").saveAsTable(tbl)
+          .bucketBy(nBuckets, "src").saveAsTable(tbl)
       }
     }
     spark.table(tbl)
@@ -684,9 +714,24 @@ object Clustering {
     val nParts = spark.conf.get("spark.sql.shuffle.partitions", "200").toInt
     val byPart = sp.repartition(nParts, col("pk"))
       .groupBy("pk").agg(sort_array(collect_list(col("sk"))).as("ss"))
+    // Round 18 (guide §5 — VERDICT r17 task 6, the 66 GB 100× spill):
+    // the pair stream goes through an EXPLICIT (s1, s2) repartition and
+    // the count aggregates AFTER the exchange, removing the map-side
+    // partial aggregation. Partial agg earns its memory only when it
+    // REDUCES the stream, and here it nearly doesn't: the average
+    // multiplicity of an (s1, s2) pair is inter ≈ 1.3 (4.3 M emitted
+    // pairs → 3.3 M distinct at sf0.1, and the 100× stress corpus
+    // duplicates by key OFFSET, so the ratio is scale-invariant) — the
+    // old plan built a hash map over ~all distinct pairs PER MAP TASK
+    // (the 100×/16 g run spilled 66 GB of partial-agg state) to remove
+    // 30 % of the rows. Streaming the narrow (s1, s2) rows through the
+    // shuffle instead bounds aggregation state to keys/nParts per
+    // reduce task; the extra shuffled bytes are sequential, compressed,
+    // and ~1.3× the partial-agg output the old exchange carried anyway.
     val co = byPart
       .select(col("ss"), posexplode(col("ss")).as(Seq("i", "s1")))
       .select(col("s1"), explode(expr("slice(ss, i + 2, size(ss))")).as("s2"))
+      .repartition(nParts, col("s1"), col("s2"))
       .groupBy("s1", "s2").agg(count(lit(1)).as("inter"))
     // Negative result (round 10, measured): swapping the two broadcast
     // degree joins for merge hints inside one AQE-off materialize saved
@@ -745,13 +790,36 @@ object Clustering {
     // This is VERDICT r16 task 3's lever: at 100× the ×100 distinct-pair
     // stream is never materialized pre-join, and each part's emit is
     // bounded at cap·(cap−1)/2 from its own array.
-    val byPart = sp.groupBy("pk").agg(sort_array(collect_list(col("sk"))).as("ss"))
+    // Round 18 (VERDICT r17 task 4): the array exchange is PINNED so AQE
+    // cannot coalesce the post-exchange stage down to a handful of tasks —
+    // it sizes stages by the exchange's ~MBs of array bytes and cannot see
+    // the ×cap²/2 expansion AFTER it (measured on the exact form: 4
+    // coalesced tasks serializing a 4.5 CPU-s expansion). The pin is
+    // SIZE-DERIVED, not the session constant: the capped expansion is
+    // structurally bounded at (cap−1)/2 ≈ 12 output rows per input pair,
+    // so scaleParts(pairs, 12) prices the post-exchange volume — a few
+    // tasks at fixture scale (a flat session-conf pin measured +0.4-0.6 s
+    // of pure 32-task launch overhead there, ProbeJacAb r18), saturating
+    // to the session's configured parallelism at 10×/100× where the
+    // collapse hazard lives.
+    val nParts = {
+      val n = MemoFrames.scaleParts(spark, sp, (cap - 1) / 2.0)
+      if (n > 0) n
+      else spark.conf.get("spark.sql.shuffle.partitions", "200").toInt
+    }
+    val byPart = sp.repartition(nParts, col("pk"))
+      .groupBy("pk").agg(sort_array(collect_list(col("sk"))).as("ss"))
       .filter(size(col("ss")) <= cap)
     val deg = byPart.select(explode(col("ss")).as("sk"))
       .groupBy("sk").agg(count(lit(1)).as("d"))
+    // pair counts aggregate AFTER an explicit (s1, s2) exchange — the
+    // same partial-agg removal as the exact form (multiplicity ≈ 1.3, so
+    // map-side aggregation bought ~nothing and its hash state was the
+    // capped form's residual 12.8 GB of 100× spill)
     val co = byPart
       .select(col("ss"), posexplode(col("ss")).as(Seq("i", "s1")))
       .select(col("s1"), explode(expr("slice(ss, i + 2, size(ss))")).as("s2"))
+      .repartition(nParts, col("s1"), col("s2"))
       .groupBy("s1", "s2").agg(count(lit(1)).as("inter"))
     co.join(broadcast(deg.select(col("sk").as("s1"), col("d").as("d1"))), "s1")
       .join(broadcast(deg.select(col("sk").as("s2"), col("d").as("d2"))), "s2")

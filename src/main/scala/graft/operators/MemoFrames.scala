@@ -342,13 +342,18 @@ object MemoFrames {
     * parallelism. */
   private[graft] def scaleParts(spark: SparkSession, df: DataFrame,
       expand: Double): Int = {
+    // An unreadable/unparsable session conf returns the SENTINEL (≤ 0)
+    // instead of assuming 200 (ADVICE r17: a fabricated 200 could exceed
+    // the deployment's real parallelism, violating the "never exceed what
+    // the deployment asked for" clamp contract) — withShufflePartitions
+    // treats the sentinel as "leave the session conf alone". Catches are
+    // NonFatal so a genuine VM error propagates.
+    import scala.util.control.NonFatal
     val sessionParts =
       try spark.conf.get("spark.sql.shuffle.partitions").toInt
-      catch { case _: Throwable => 200 }
-    val bytes: BigInt =
-      try df.queryExecution.optimizedPlan.collectLeaves()
-        .map(l => l.stats.sizeInBytes).sum
-      catch { case _: Throwable => BigInt(-1) }
+      catch { case NonFatal(_) => -1 }
+    if (sessionParts <= 0) return -1
+    val bytes = leafBytes(df)
     if (bytes < 0) sessionParts
     else {
       val target = BigInt(2L << 20)
@@ -356,6 +361,18 @@ object MemoFrames {
       val derived = ((expanded + target - 1) / target).max(1)
       derived.min(BigInt(sessionParts)).toInt
     }
+  }
+
+  /** Sum of the optimizer-estimated LEAF sizes of `df`'s plan (file bytes
+    * for parquet scans; a double-scanned table weighs twice) — the same
+    * measure scaleParts derives partition counts from, exposed for
+    * callers with their own sizing formulas (round 18: the graph arc
+    * table's bucket count). −1 when stats are unavailable. */
+  private[graft] def leafBytes(df: DataFrame): BigInt = {
+    import scala.util.control.NonFatal
+    try df.queryExecution.optimizedPlan.collectLeaves()
+      .map(l => l.stats.sizeInBytes).sum
+    catch { case NonFatal(_) => BigInt(-1) }
   }
 
   /** Run `body` (actions included) with AQE disabled on `spark`, restoring
@@ -391,6 +408,9 @@ object MemoFrames {
     * mutates session-global conf. */
   private[graft] def withShufflePartitions[T](spark: SparkSession, n: Int)(
       body: => T): T = synchronized {
+    // n ≤ 0 is scaleParts' "conf unreadable" sentinel: run the body with
+    // the session conf untouched rather than install a fabricated count
+    if (n <= 0) return body
     val conf = spark.conf
     val k = "spark.sql.shuffle.partitions"
     val prev = conf.getOption(k)
@@ -399,6 +419,37 @@ object MemoFrames {
     finally prev match {
       case Some(v) => conf.set(k, v)
       case None    => conf.unset(k)
+    }
+  }
+
+  /** `withShufflePartitions` for LONG-RUNNING bodies (ADVICE r17): the
+    * plain form holds the MemoFrames monitor for the whole body, which is
+    * wrong when the body is a streaming-query await — a micro-batch that
+    * touches MemoFrames (or any concurrent memo caller) would block on a
+    * lock held until the stream finishes, a deadlock in the worst case.
+    * This form takes the monitor only around the conf SET and the conf
+    * RESTORE; the body runs unlocked. The weaker guarantee — two
+    * concurrent SCOPED togglers could interleave set/restore — is
+    * acceptable exactly here because the suite starts streaming queries
+    * from the single driver thread, while memo/materialize calls issued
+    * DURING the stream (the original hazard) nest correctly: their own
+    * set/restore brackets are atomic under the monitor and restore to the
+    * streaming value. */
+  private[graft] def withShufflePartitionsScoped[T](spark: SparkSession,
+      n: Int)(body: => T): T = {
+    if (n <= 0) return body
+    val k = "spark.sql.shuffle.partitions"
+    val prev = synchronized {
+      val p = spark.conf.getOption(k)
+      spark.conf.set(k, n.toString)
+      p
+    }
+    try body
+    finally synchronized {
+      prev match {
+        case Some(v) => spark.conf.set(k, v)
+        case None    => spark.conf.unset(k)
+      }
     }
   }
 }

@@ -181,7 +181,7 @@ object Streaming {
     // the checkpoint is per-call, so no restart compatibility is at stake.
     // only the per-call checkpoint is deleted in the finally — the staged
     // drop is session-shared and rides the memo dir's cleanup
-    try MemoFrames.withShufflePartitions(spark,
+    try MemoFrames.withShufflePartitionsScoped(spark,
       MemoFrames.scaleParts(spark, spark.read.schema(schema).parquet(src), 1.0)) {
       val q = spark.readStream.schema(schema).parquet(src)
         .groupBy(col("day").cast("string").as("day"), col("event_type"))
@@ -249,7 +249,7 @@ object Streaming {
       // size-derived state-partition count (see streamIncremental): both
       // lives derive the SAME count from the same staged drop, so life 2
       // restarts against a checkpoint with a matching state layout
-      MemoFrames.withShufflePartitions(spark,
+      MemoFrames.withShufflePartitionsScoped(spark,
         MemoFrames.scaleParts(spark,
           spark.read.schema(schema).parquet(stagedSrc), 1.0)) {
         val q = spark.readStream.schema(schema).parquet(src)
@@ -591,7 +591,7 @@ object Streaming {
     // Only the per-call checkpoint is deleted in the finally — the
     // staged drop is session-shared and rides the memo dir's cleanup.
     var q: org.apache.spark.sql.streaming.StreamingQuery = null
-    try MemoFrames.withShufflePartitions(spark,
+    try MemoFrames.withShufflePartitionsScoped(spark,
       // size-derived state-partition count (see streamIncremental): the
       // dedup state shards across this many stores per micro-batch
       MemoFrames.scaleParts(spark, spark.read.schema(schema).parquet(src), 1.0)) {

@@ -22,6 +22,17 @@ object TestSpark {
       // ts_changepoint_deep (0 with the id off; the id exists for
       // debugging readability only). Scale-independent.
       .config("spark.sql.codegen.useIdInClassName", "false")
+      // codegen class cache sized for the suite (round 18 — default 100
+      // entries cycles several times over a 323-query run; see Bench)
+      .config("spark.sql.codegen.cache.maxEntries", "4096")
+      // Session-artifact classloader isolation OFF (round 18): the codegen
+      // class cache keys on (classloader, source), and with isolation on
+      // every CLONED session — each streaming-query run clones — carries a
+      // fresh classloader, so identical generated sources recompile per
+      // stream start (measured 10-20 classes/rep on the stream family; 0
+      // with this off). This engine registers no per-session artifacts, so
+      // isolation buys nothing here at any scale.
+      .config("spark.sql.artifact.isolation.enabled", "false")
       // GC'd reliable checkpoints (pagerank, dedup clusters — eager at
       // query construction, so every suite writes them) delete their
       // tmpfs files instead of accumulating across test runs
