@@ -336,9 +336,15 @@ object Bench {
           // 20-28 of a TimeQ trace). byName populates the cache here,
           // in the untimed region.
           val df = Tables.byName(spark, sfDir, t)
+          // bit_xor, not sum (round 18): under ANSI mode (Spark 4 default)
+          // sum() over 64-bit hashes ARITHMETIC_OVERFLOWs on any
+          // non-trivial row count — every table except region had been
+          // silently reverting to cold-cache timing ("WARMUP FAILED ...
+          // will read cold" in the r17/r18-baseline stderr). XOR pulls the
+          // same pages with no overflow at any cardinality.
           df.select(org.apache.spark.sql.functions.xxhash64(df.columns.toIndexedSeq.map(
             org.apache.spark.sql.functions.col): _*).as("h"))
-            .selectExpr("sum(h)").collect()
+            .selectExpr("bit_xor(h)").collect()
           System.err.println(f"BENCH WARMUP $t%-10s ${(System.nanoTime() - w0) / 1e9}%.3f s")
         } catch { case e: Throwable =>
           System.err.println(s"BENCH WARMUP FAILED for $t (will read cold): " +
