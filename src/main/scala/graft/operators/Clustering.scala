@@ -852,8 +852,23 @@ object Clustering {
   def graphHits(spark: SparkSession, dir: String): DataFrame = {
     val e = graphPairs(spark, dir)
     val a1 = e.groupBy("p").agg(count(lit(1)).as("a1"))
-    val h1 = e.join(a1, "p").groupBy("s").agg(sum("a1").as("h1"))
-    val a2 = e.join(h1, "s").groupBy("p").agg(sum("h1").as("a2"))
+    // SIZE-CONDITIONED shuffle_hash on the NODE-grain build sides (round
+    // 18, guide §3 — the graphPagerank superstep idiom): at 100×/16 g the
+    // node frames outgrow the broadcast threshold and the joins fell to
+    // sort-merge, whose EDGE-side sorts were this query's whole 2.4–3.5 GB
+    // spill (TimeQ r18 trace); a shuffled-hash join builds the node-grain
+    // side per partition — bounded at any scale — and never sorts the edge
+    // stream (100× warm 11–21 s/2.4–3.5 GB → 10.6–11.1 s/ZERO spill). At
+    // fixture scale the node frames broadcast and an unconditional hint
+    // costs ~0.2–0.4 s of needless edge exchange (measured), so the hint
+    // applies only once the pair file outgrows ~32 MiB — the scale at
+    // which node-grain frames leave broadcast range. Deterministic per
+    // fixture; join strategy only, rows identical.
+    val shj = MemoFrames.leafBytes(e) > (32L << 20)
+    def nodeSide(df: DataFrame): DataFrame =
+      if (shj) df.hint("shuffle_hash") else df
+    val h1 = e.join(nodeSide(a1), "p").groupBy("s").agg(sum("a1").as("h1"))
+    val a2 = e.join(nodeSide(h1), "s").groupBy("p").agg(sum("h1").as("a2"))
     val topA = a2
       .select(lit("authority").as("role"), expr("p div 2").as("node"),
         col("a2").as("score"))
